@@ -1,0 +1,15 @@
+package graft
+
+/** Single place that assembles every implemented operator's query + oracle.
+  * Each module owns its `Map[String, Q]`; SparkEntry derives the driver
+  * contract (`queries` / `oracleSql`) from here.
+  */
+object Registry {
+  def all: Map[String, Q] =
+    operators.Relational.queries ++
+      operators.Aggregates.queries ++
+      functions.Scalars.queries
+
+  /** Keys the driver should treat as headline bench queries (currently all). */
+  def names: Seq[String] = all.keys.toSeq.sorted
+}

@@ -1,0 +1,386 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** SURVEY.md §2 Part B — aggregations, window functions, sorts/limits,
+  * set operations. All stock Catalyst: partial (map-side) aggregation,
+  * sampled range-partition sorts, window exec over partitioned sorts.
+  *
+  * Numeric policy (see [[Exact]]): money sums via bounded decimals;
+  * integer-valued doubles (l_quantity) summed directly (exact in IEEE
+  * regardless of order); moments (variance/corr) derived from exact sums
+  * with the identical arithmetic expression in both engines.
+  */
+object Aggregates {
+  import Exact._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** Flagship: TPC-H-Q1-style pricing summary (SURVEY §7 minimum slice).
+    * Scan → pushed filter → hash agg (partial+final) → sort. GROUP BY +
+    * HAVING in one plan.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("sum_charge"),
+        avgExact(col("l_quantity")).as("avg_qty"),
+        avgExact(col("l_extendedprice")).as("avg_price"),
+        avgExact(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .filter(col("count_order") > 100)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummaryOracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(l_quantity) AS sum_qty,
+       |  ${oSumMoney("l_extendedprice")} AS sum_base_price,
+       |  ${oSumRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  ${oSumCharge("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+       |  ${oAvgExact("l_quantity")} AS avg_qty,
+       |  ${oAvgExact("l_extendedprice")} AS avg_price,
+       |  ${oAvgExact("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |HAVING count(*) > 100
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // Ungrouped aggregate — single-row global summary.
+    "q_agg_global" -> Q(
+      s"""SELECT count(*) AS n_rows,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${oSumMoney("l_extendedprice")} AS sum_price,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    },
+
+    // GROUP BY + HAVING (flagship, also wired to SparkEntry.entry).
+    "q_agg_group" -> Q(pricingSummaryOracle)(pricingSummary),
+
+    "q_agg_distinct" -> Q(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Approximate distinct (Redshift APPROXIMATE COUNT(DISTINCT), HLL).
+    // HLL sketches are engine-specific — no SQL oracle (rows-only check);
+    // the scalatest spec bounds the error vs exact instead.
+    "q_agg_approx" -> Q.noOracle { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q_agg_rollup" -> Q(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  grouping(o_orderstatus, o_orderpriority) AS gid,
+         |  count(*) AS n, ${oSumMoney("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sumMoney(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n"), col("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    "q_agg_cube" -> Q(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // GROUPING SETS — SQL-surface form (spark.sql over registered views),
+    // exactly the reference's passthrough shape (core.py:84).
+    "q_agg_gsets" -> Q(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  grouping_id(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // Statistical moments from exact decimal sums: the variance/stddev/corr
+    // arithmetic below is the *same expression tree* in Spark and DuckDB,
+    // evaluated over order-independent exact sums → bit-identical doubles.
+    "q_agg_stats" -> Q(
+      """SELECT l_returnflag, n,
+        |  (sqq - sq*sq/n) / (n - 1) AS var_qty,
+        |  sqrt((sqq - sq*sq/n) / (n - 1)) AS stddev_qty,
+        |  (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) AS corr_qty_disc,
+        |  round(p50, 6) AS median_qty, round(p90, 6) AS p90_qty
+        |FROM (
+        |  SELECT l_returnflag,
+        |    cast(count(*) as double) AS n,
+        |    sum(l_quantity) AS sq,
+        |    sum(l_quantity * l_quantity) AS sqq,
+        |    cast(sum(cast(l_discount as decimal(18,4))) as double) AS sd,
+        |    cast(sum(cast(l_discount as decimal(18,4)) * cast(l_discount as decimal(18,4))) as double) AS sdd,
+        |    cast(sum(cast(l_quantity as decimal(18,4)) * cast(l_discount as decimal(18,4))) as double) AS sqd,
+        |    quantile_cont(l_quantity, 0.5) AS p50,
+        |    quantile_cont(l_quantity, 0.9) AS p90
+        |  FROM lineitem GROUP BY l_returnflag
+        |) ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("l_quantity")).as("sq"),
+          sum(col("l_quantity") * col("l_quantity")).as("sqq"),
+          sum(dec(col("l_discount"), 18, 4)).cast(DoubleType).as("sd"),
+          sum(dec(col("l_discount"), 18, 4) * dec(col("l_discount"), 18, 4))
+            .cast(DoubleType).as("sdd"),
+          sum(dec(col("l_quantity"), 18, 4) * dec(col("l_discount"), 18, 4))
+            .cast(DoubleType).as("sqd"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+      base.select(
+        col("l_returnflag"), col("n"),
+        ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)).as("stddev_qty"),
+        ((col("n") * col("sqd") - col("sq") * col("sd")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("sdd") - col("sd") * col("sd")))).as("corr_qty_disc"),
+        round(col("p50"), 6).as("median_qty"),
+        round(col("p90"), 6).as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- window functions -------------------------------------------
+
+    // Ranking family. rank/dense_rank computed over a bucketed (tie-rich)
+    // key; row_number/ntile over a fully tiebroken order so output is
+    // deterministic.
+    "q_win_rank" -> Q(
+      """SELECT o_orderkey, o_orderstatus, bucket,
+        |  row_number() OVER w2 AS rn, rank() OVER w1 AS rk,
+        |  dense_rank() OVER w1 AS drk, ntile(4) OVER w2 AS nt
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        cast(floor(o_totalprice / 50000.0) as bigint) AS bucket
+        |      FROM orders WHERE o_totalprice > 350000.0)
+        |WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY bucket DESC),
+        |       w2 AS (PARTITION BY o_orderstatus ORDER BY bucket DESC, o_orderkey)
+        |ORDER BY o_orderstatus, rn""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") / 50000.0).cast(LongType).as("bucket"))
+      val w1 = Window.partitionBy(col("o_orderstatus")).orderBy(col("bucket").desc)
+      val w2 = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("bucket").desc, col("o_orderkey"))
+      // Spark ranking fns are INT, DuckDB's are BIGINT — cast for parity.
+      base.select(
+        col("o_orderkey"), col("o_orderstatus"), col("bucket"),
+        row_number().over(w2).cast(LongType).as("rn"),
+        rank().over(w1).cast(LongType).as("rk"),
+        dense_rank().over(w1).cast(LongType).as("drk"),
+        ntile(4).over(w2).cast(LongType).as("nt"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+
+    // Analytic family: lag/lead/first_value/last_value per customer order
+    // history (explicit full frame for last_value in both engines).
+    "q_win_analytic" -> Q(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Frames: running total (ROWS UNBOUNDED PRECEDING), moving window
+    // (ROWS 3 PRECEDING), RANGE frame — integer-valued quantities keep the
+    // sliding-frame aggregation exact in both engines (DuckDB's segment
+    // tree vs Spark's running accumulation would diverge on raw doubles).
+    "q_win_frame" -> Q(
+      """SELECT l_suppkey, l_orderkey, l_linenumber, qty,
+        |  cast(sum(qty) OVER (PARTITION BY l_suppkey
+        |                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                 ROWS UNBOUNDED PRECEDING) as bigint) AS running_qty,
+        |  cast(sum(qty) OVER (PARTITION BY l_suppkey
+        |                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) as bigint) AS moving_qty,
+        |  count(*) OVER (PARTITION BY l_suppkey ORDER BY qty
+        |                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_similar
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |        cast(round(l_quantity, 0) as bigint) AS qty
+        |      FROM lineitem WHERE l_suppkey <= 10)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), round(col("l_quantity"), 0).cast(LongType).as("qty"))
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      base.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("qty"),
+        sum(col("qty")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_qty"),
+        sum(col("qty")).over(ord.rowsBetween(-3, Window.currentRow)).as("moving_qty"),
+        count(lit(1)).over(Window.partitionBy(col("l_suppkey")).orderBy(col("qty"))
+          .rangeBetween(-5, Window.currentRow)).as("n_similar"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- sorts / limits / top-k -------------------------------------
+
+    "q_sort" -> Q(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey"))
+    },
+
+    "q_limit_offset" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(50).limit(100)
+    },
+
+    // Top-k per group: window row_number + filter — the scalable pattern
+    // (no global sort; per-partition heaps via WindowExec after a single
+    // hash repartition on the group key).
+    "q_topk" -> Q(
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    cast(row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) as bigint) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+
+    // ---- set operations ---------------------------------------------
+
+    "q_union" -> Q(
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      a.union(b).distinct().orderBy(col("nationkey"))
+    },
+
+    // UNION ALL keeps duplicates — aggregate after the bag union so the
+    // result is order-insensitive and the multiset semantics observable.
+    "q_union_all" -> Q(
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      a.union(b).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    },
+
+    "q_intersect" -> Q(
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      a.intersect(b).orderBy(col("nationkey"))
+    },
+
+    // EXCEPT (=MINUS) — set semantics; keys chosen so the result is
+    // non-empty (custkeys 0..119 minus suppkeys 0..99 → 20 rows).
+    "q_except" -> Q(
+      """SELECT c_custkey AS k FROM customer WHERE c_custkey < 120
+        |EXCEPT
+        |SELECT s_suppkey FROM supplier
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_custkey") < 120)
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    }
+  )
+}

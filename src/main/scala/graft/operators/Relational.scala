@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Shared numeric-exactness helpers.
+  *
+  * The driver's correctness gate hash-compares our parquet output against
+  * DuckDB running the oracle SQL. Floating-point SUMS are order-dependent,
+  * and Spark (partial/final hash agg over 32 partitions) will not add
+  * doubles in DuckDB's order. So every money-ish aggregate goes through
+  * bounded DECIMAL arithmetic — exact, order-independent, identical in both
+  * engines — and only the final value is cast to double (exact while the
+  * scaled magnitude stays < 2^53, which holds at sf0.01). The same cast
+  * chain is written into the oracle SQL.
+  */
+object Exact {
+  def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** sum(cast(x as decimal(18,4))) rounded to 2dp, as double. */
+  def sumMoney(c: Column): Column =
+    sum(dec(c, 18, 4)).cast(DecimalType(30, 2)).cast(DoubleType)
+  def oSumMoney(x: String): String =
+    s"cast(cast(sum(cast($x as decimal(18,4))) as decimal(30,2)) as double)"
+
+  /** Exact revenue term sum(price * (1 - discount)) at scale 4. */
+  def sumRevenue(price: Column, discount: Column): Column =
+    sum(dec(price, 12, 2) * dec(lit(1.0) - discount, 4, 2))
+      .cast(DecimalType(30, 4)).cast(DoubleType)
+  def oSumRevenue(price: String, discount: String): String =
+    s"cast(cast(sum(cast($price as decimal(12,2)) * cast(1 - $discount as decimal(4,2))) as decimal(30,4)) as double)"
+
+  /** Exact charge term sum(price * (1-disc) * (1+tax)) at scale 6. */
+  def sumCharge(price: Column, discount: Column, tax: Column): Column =
+    sum(dec(price, 12, 2) * dec(lit(1.0) - discount, 4, 2) * dec(lit(1.0) + tax, 4, 2))
+      .cast(DecimalType(32, 6)).cast(DoubleType)
+  def oSumCharge(price: String, discount: String, tax: String): String =
+    s"cast(cast(sum(cast($price as decimal(12,2)) * cast(1 - $discount as decimal(4,2)) * cast(1 + $tax as decimal(4,2))) as decimal(32,6)) as double)"
+
+  /** Exact average: exact decimal sum (as double) / count — a single IEEE
+    * division, deterministic and identical in both engines.
+    */
+  def avgExact(c: Column): Column =
+    sum(dec(c, 18, 4)).cast(DoubleType) / count(lit(1))
+  def oAvgExact(x: String): String =
+    s"cast(sum(cast($x as decimal(18,4))) as double) / count(*)"
+}
+
+/** SURVEY.md §2 Part B — scans, filters, predicates, joins.
+  *
+  * All delegated-to-Redshift semantics in the reference (passthrough at
+  * `core.py:84` / `core.py:308`) re-expressed as declarative DataFrame
+  * plans: filters/projections reach the parquet scan via Catalyst pushdown,
+  * small dims are broadcast, everything else shuffles on its join keys.
+  */
+object Relational {
+  import Exact._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** Deterministic scratch dir for sink-style operators (stands in for the
+    * reference's S3 staging bucket, `core.py:139-141`; zero-egress env).
+    */
+  private val stageRoot = "/tmp/graft_stage"
+
+  private def cleanDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(): Unit
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rec(f)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- scans / sources / sinks ------------------------------------
+
+    // Full table scan (`select * from t`, README.md:32). Total ORDER BY
+    // for the oracle hash; the scan itself is the vectorized parquet read.
+    "q_scan_full" -> Q(
+      "SELECT * FROM supplier ORDER BY s_suppkey") { (s, dir) =>
+      t(s, dir, "supplier").orderBy(col("s_suppkey"))
+    },
+
+    // Column projection — pruned to 3 columns at the parquet scan
+    // (ReadSchema shows only these; verified via explain).
+    "q_scan_project" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // CSV round-trip: write lineitem projection as headered CSV (the
+    // reference's staging format, core.py:137-138) and read it back with
+    // explicit schema + formats (COPY options, core.py:241-249), then
+    // aggregate — proves the CSV path is lossless vs the parquet oracle.
+    "q_scan_csv" -> Q(
+      s"""SELECT l_returnflag, count(*) AS n, ${oSumMoney("l_quantity")} AS sum_qty,
+         |       max(l_shipdate) AS max_ship
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/scan_csv"
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+      src.write.mode("overwrite")
+        .option("header", "true").option("sep", "|")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+      s.read
+        .option("header", "true").option("sep", "|")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(src.schema)
+        .csv(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // CREATE TABLE AS SELECT (README.md:102-109) against the session
+    // catalog; result is the read-back of the created table.
+    "q_ctas" -> Q(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |       ${oSumMoney("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS ctas_priority_summary")
+      cleanDir(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/ctas_priority_summary")
+      s.sql(
+        s"""CREATE TABLE ctas_priority_summary USING parquet AS
+           |SELECT o_orderpriority, count(*) AS n_orders,
+           |       ${oSumMoney("o_totalprice")} AS total
+           |FROM orders GROUP BY o_orderpriority""".stripMargin)
+      s.table("ctas_priority_summary").orderBy(col("o_orderpriority"))
+    },
+
+    // Append load into an existing table (append flag, core.py:279,297).
+    "q_insert_append" -> Q(
+      s"""SELECT o_orderstatus, count(*) AS n, ${oSumMoney("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus IN ('F','O')
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/append_tbl"
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderstatus") === "F")
+        .write.mode("overwrite").parquet(path)
+      orders.filter(col("o_orderstatus") === "O")
+        .write.mode("append").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Drop-and-replace load (unconditional drop, core.py:215): first write
+    // a subset, then overwrite with the full table; read-back must see only
+    // the second write.
+    "q_overwrite" -> Q(
+      s"""SELECT c_mktsegment, count(*) AS n, ${oSumMoney("c_acctbal")} AS bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/overwrite_tbl"
+      val customer = t(s, dir, "customer")
+      customer.limit(7).write.mode("overwrite").parquet(path)
+      customer.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Arbitrary parameterized SQL read (redshift_to_pandas, core.py:82-87):
+    // Spark 4 named-parameter spark.sql over registered views.
+    "q_sql_read" -> Q(
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_totalprice > 200000.0 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n FROM orders
+          |WHERE o_totalprice > :minp GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin,
+        Map("minp" -> 200000.0))
+    },
+
+    // ---- projection / filter / predicates ---------------------------
+
+    "q_filter_cmp" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48.0 AND l_extendedprice < 10000.0
+        |  AND l_linenumber <> 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48.0 && col("l_extendedprice") < 10000.0
+          && col("l_linenumber") =!= 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "q_filter_bool" -> Q(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |  AND (o_totalprice BETWEEN 100000.0 AND 150000.0 OR o_totalprice > 400000.0)
+        |  AND NOT (o_orderpriority = '1-URGENT')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O")
+          && (col("o_totalprice").between(100000.0, 150000.0) || col("o_totalprice") > 400000.0)
+          && !(col("o_orderpriority") === "1-URGENT"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Null predicates: testdata has no physical nulls, so nulls are
+    // synthesized with nullif and handled with coalesce — three-valued
+    // logic is exercised end-to-end.
+    "q_filter_null" -> Q(
+      """SELECT o_orderstatus,
+        |       count(*) AS n,
+        |       count(nullif(o_orderpriority, '3-MEDIUM')) AS n_notnull,
+        |       cast(sum(CASE WHEN nullif(o_orderpriority, '3-MEDIUM') IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+        |       coalesce(min(nullif(o_orderpriority, '3-MEDIUM')), 'none') AS min_pri
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val pri = nullif(col("o_orderpriority"), lit("3-MEDIUM"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(pri).as("n_notnull"),
+          sum(when(pri.isNull, 1).otherwise(0)).as("n_null"),
+          coalesce(min(pri), lit("none")).as("min_pri"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    "q_case_cast" -> Q(
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice < 100000.0 THEN 'small'
+        |            WHEN o_totalprice < 300000.0 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |       cast(floor(o_totalprice) as bigint) AS price_floor,
+        |       cast(o_orderkey as varchar) AS key_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") < 100000.0, "small")
+            .when(col("o_totalprice") < 300000.0, "medium")
+            .otherwise("large").as("bucket"),
+          floor(col("o_totalprice")).cast(LongType).as("price_floor"),
+          col("o_orderkey").cast(StringType).as("key_str"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_distinct" -> Q(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- joins ------------------------------------------------------
+
+    // Equi inner join, fact ⋈ fact — shuffles both sides on the key;
+    // AQE picks the physical join from runtime stats.
+    "q_join_inner" -> Q(
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |       ${oSumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Left outer join with genuinely unmatched rows (only high-balance
+    // customers on the right) — null-producing side counted.
+    "q_join_left" -> Q(
+      """SELECT o.o_orderstatus, count(*) AS n,
+        |       cast(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unmatched
+        |FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("n_unmatched"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    "q_join_right" -> Q(
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |       cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_no_order
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      bigOrders
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_no_order"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    "q_join_full" -> Q(
+      """SELECT coalesce(a.k, b.k) AS nationkey,
+        |       coalesce(a.n_cust, 0) AS n_cust, coalesce(b.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 8000.0 GROUP BY c_nationkey) a
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier
+        |           GROUP BY s_nationkey) b
+        |  ON a.k = b.k
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 8000.0)
+        .groupBy(col("c_nationkey").as("ka")).agg(count(lit(1)).as("n_cust"))
+        .withColumnRenamed("ka", "k")
+      val b = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("kb")).agg(count(lit(1)).as("n_supp"))
+        .withColumnRenamed("kb", "k")
+      a.join(b, Seq("k"), "full")
+        .select(col("k").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+
+    "q_join_cross" -> Q(
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    },
+
+    // Semi join = EXISTS subquery (delegated via IN/EXISTS keywords).
+    "q_join_semi" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Anti join = NOT EXISTS (oracle written as NOT EXISTS, not NOT IN,
+    // to match anti-join null semantics — SURVEY §7 risk note). Filtered
+    // right side keeps the result non-empty (~500 rows at sf0.01).
+    "q_join_anti" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Non-equi (theta) join — planned as a broadcast nested-loop join with
+    // the small side broadcast; count per nation keeps output bounded.
+    "q_join_theta" -> Q(
+      """SELECT s_nationkey, count(*) AS n_pairs
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 100.0 AND s_acctbal + 100.0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("c_acctbal").between(col("s_acctbal") - 100.0, col("s_acctbal") + 100.0))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // Explicit broadcast of a small dimension (Redshift `diststyle all`
+    // analog, core.py:201-204): no shuffle of the fact side.
+    "q_join_broadcast" -> Q(
+      s"""SELECT p_brand, count(*) AS n, ${oSumMoney("l_extendedprice")} AS total
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 10
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val smallParts = t(s, dir, "part").filter(col("p_size") <= 10)
+      t(s, dir, "lineitem")
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("total"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Star-schema multi-way join: fact shuffles once per fact-fact key;
+    // nation/region ride along as broadcasts (Catalyst reorders + prunes).
+    "q_join_multi" -> Q(
+      s"""SELECT r_name, n_name, count(*) AS n_lines,
+         |       ${oSumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey  = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }
+  )
+}
