@@ -8,7 +8,8 @@ object Registry {
   def all: Map[String, Q] =
     operators.Relational.queries ++
       operators.Aggregates.queries ++
-      functions.Scalars.queries
+      functions.Scalars.queries ++
+      connector.Connector.queries
 
   /** Keys the driver should treat as headline bench queries (currently all). */
   def names: Seq[String] = all.keys.toSeq.sorted

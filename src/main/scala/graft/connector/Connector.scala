@@ -1,0 +1,275 @@
+package graft.connector
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.slf4j.LoggerFactory
+
+import graft.Q
+
+/** The staged-write/read pipeline — the reference's whole reason to exist
+  * (`/root/reference/pandas_redshift/core.py:269-304`) re-expressed on
+  * Spark's distributed execution:
+  *
+  *  - reference: driver encodes ONE in-memory CSV (`core.py:137-138`),
+  *    uploads it serially (`core.py:139-141`), Redshift compute nodes then
+  *    COPY it in parallel (`core.py:238-260`).
+  *  - here: executors write partitioned CSV directly (no driver funnel),
+  *    and the "COPY" is a parallel schema'd CSV scan + insert — the one
+  *    genuinely distributed step of the reference is the *whole* pipeline.
+  *
+  * Connection globals (`core.py:52,63`) become an explicit
+  * [[ConnectorSession]]; a local staging dir stands in for the S3 bucket
+  * (zero-egress env) and carries the same subdirectory/credential fields
+  * so COPY synthesis + masked logging stay behavior-identical.
+  */
+final case class ConnectorSession(
+    spark: SparkSession,
+    stagingDir: String,
+    subdirectory: Option[String] = None,
+    accessKeyId: Option[String] = None,
+    secretAccessKey: Option[String] = None,
+    iamRole: Option[String] = None,
+    sessionToken: Option[String] = None,
+    maskSecrets: Boolean = true) {
+  /** ≙ `s3_subdirectory_var + csv_name` (`core.py:69-72,140`). */
+  def stagedPath(csvName: String): String =
+    subdirectory.fold(s"$stagingDir/$csvName")(sub => s"$stagingDir/$sub/$csvName")
+}
+
+object Connector {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** ≙ `connect_to_s3` (`core.py:62-79`). */
+  def connectStaging(
+      spark: SparkSession,
+      stagingDir: String,
+      subdirectory: Option[String] = None,
+      accessKeyId: Option[String] = None,
+      secretAccessKey: Option[String] = None,
+      iamRole: Option[String] = None,
+      sessionToken: Option[String] = None): ConnectorSession =
+    ConnectorSession(spark, stagingDir, subdirectory, accessKeyId,
+      secretAccessKey, iamRole, sessionToken)
+
+  /** ≙ `df_to_s3` (`core.py:120-144`): DataFrame → headered CSV in staging.
+    * Executors write one file per partition in parallel — at 100 TB this is
+    * the only shape that works; the reference's StringIO buffer is the
+    * anti-pattern SURVEY §6 calls out.
+    */
+  def stageCsv(
+      cs: ConnectorSession,
+      df: DataFrame,
+      csvName: String,
+      delimiter: String = ","): String = {
+    val path = cs.stagedPath(csvName)
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("sep", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+    log.info(s"saved file $csvName in staging $path")
+    path
+  }
+
+  /** ≙ `s3_to_redshift` (`core.py:220-266`): synthesize + log the masked
+    * COPY command for parity, then perform its Spark equivalent — a
+    * parallel schema'd CSV scan inserted into the target table.
+    */
+  def loadStaged(
+      cs: ConnectorSession,
+      tableName: String,
+      csvName: String,
+      delimiter: String = ",",
+      quoteChar: String = "\"",
+      dateFormat: String = "auto",
+      timeFormat: String = "auto",
+      region: Option[String] = None): Unit = {
+    val path = cs.stagedPath(csvName)
+    val copy = Ddl.copySql(tableName, path, delimiter, quoteChar, dateFormat,
+      timeFormat, cs.accessKeyId, cs.secretAccessKey, cs.iamRole, region,
+      cs.sessionToken)
+    log.info(Ddl.maskAwsCredentials(copy, cs.maskSecrets))
+    val schema = cs.spark.table(tableName).schema
+    val reader = cs.spark.read
+      .option("header", "true")
+      .option("sep", delimiter)
+      .option("quote", quoteChar)
+      .schema(schema)
+    // COPY's dateformat/timeformat 'auto' ≙ Spark's default inference;
+    // explicit formats map onto the reader options (core.py:244-249).
+    if (dateFormat != "auto") reader.option("dateFormat", toJavaFormat(dateFormat))
+    if (timeFormat != "auto") reader.option("timestampFormat", toJavaFormat(timeFormat))
+    else reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    reader.csv(path).write.mode(SaveMode.Append).insertInto(tableName)
+  }
+
+  /** Redshift COPY format tokens → java.time patterns (the two formats the
+    * reference README documents; pass-through otherwise).
+    */
+  private def toJavaFormat(fmt: String): String =
+    fmt.replace("YYYY", "yyyy").replace("DD", "dd").replace("HH24", "HH")
+      .replace("MI", "mm").replace("SS", "ss")
+
+  /** ≙ `create_redshift_table` (`core.py:171-217`): unconditional drop,
+    * then create from the schema. The Redshift layout clauses are logged
+    * for parity and mapped to their Spark analogs on load (see
+    * [[applyLayout]]); the catalog table itself is parquet.
+    */
+  def createTable(
+      cs: ConnectorSession,
+      df: DataFrame,
+      tableName: String,
+      columnTypes: Option[Seq[String]] = None,
+      distStyle: String = "even",
+      distKey: String = "",
+      sortInterleaved: Boolean = false,
+      sortKey: String = ""): Unit = {
+    val cols = df.schema.fields.toSeq.map(_.name)
+      .zip(columnTypes.getOrElse(TypeMap.columnTypes(df.schema)))
+    // Synthesized for log/golden parity (incl. diststyle validation).
+    val ddl = Ddl.createTableSql(tableName, cols, distStyle, distKey,
+      sortInterleaved, sortKey)
+    log.info(ddl)
+    log.info("CREATING A TABLE IN REDSHIFT")
+    cs.spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    cleanWarehousePath(cs.spark, tableName)
+    cs.spark.sql(s"CREATE TABLE $tableName (${df.schema.toDDL}) USING parquet")
+  }
+
+  /** Redshift physical-layout → Spark partitioning (SURVEY §1):
+    * diststyle even → round-robin repartition; distkey → hash repartition
+    * on the key (co-located joins); sortkey → sortWithinPartitions (parquet
+    * min/max zone maps); diststyle all has no write-side analog (it is the
+    * broadcast-join hint at read time).
+    */
+  def applyLayout(
+      df: DataFrame,
+      distStyle: String = "even",
+      distKey: String = "",
+      sortKey: Seq[String] = Nil,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val dist =
+      if (distKey.nonEmpty) df.repartition(parts, col(distKey))
+      else if (distStyle == "even") df.repartition(parts)
+      else df
+    if (sortKey.nonEmpty) dist.sortWithinPartitions(sortKey.map(col): _*) else dist
+  }
+
+  /** ≙ `pandas_to_redshift` (`core.py:269-304`): validate → uuid-staged
+    * CSV → create-unless-append → parallel load.
+    */
+  def writeTable(
+      cs: ConnectorSession,
+      df: DataFrame,
+      tableName: String,
+      columnTypes: Option[Seq[String]] = None,
+      append: Boolean = false,
+      delimiter: String = ",",
+      quoteChar: String = "\"",
+      dateFormat: String = "auto",
+      timeFormat: String = "auto",
+      region: Option[String] = None,
+      distStyle: String = "even",
+      distKey: String = "",
+      sortInterleaved: Boolean = false,
+      sortKey: String = ""): Unit = {
+    val validated = ColumnRules.validateColumnNames(df)
+    val csvName = s"$tableName-${UUID.randomUUID()}.csv" // core.py:291
+    stageCsv(cs, validated, csvName, delimiter)
+    if (!append)
+      createTable(cs, validated, tableName, columnTypes, distStyle, distKey,
+        sortInterleaved, sortKey)
+    loadStaged(cs, tableName, csvName, delimiter, quoteChar, dateFormat,
+      timeFormat, region)
+  }
+
+  /** ≙ `redshift_to_pandas` (`core.py:82-87`): arbitrary (optionally
+    * parameterized) SQL → DataFrame. Results stay distributed — the
+    * reference's `fetchall()` driver materialization is exactly what we
+    * do NOT do.
+    */
+  def sqlRead(
+      spark: SparkSession,
+      sqlQuery: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    if (params.isEmpty) spark.sql(sqlQuery) else spark.sql(sqlQuery, params)
+
+  /** ≙ `exec_commit` (`core.py:307-309`); Spark has no commit concept —
+    * file-sink writes are staged-then-renamed by the commit protocol
+    * (SURVEY §7 transactionality note).
+    */
+  def execCommit(spark: SparkSession, sqlQuery: String): Unit =
+    spark.sql(sqlQuery).collect(): Unit
+
+  /** ≙ `close_up_shop` (`core.py:312-324`) for the staging side: drop the
+    * staged files. The SparkSession is shared and survives (callers own
+    * its lifecycle, unlike the reference's global connection teardown).
+    */
+  def close(cs: ConnectorSession): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(): Unit
+    }
+    val d = new java.io.File(cs.stagingDir)
+    if (d.exists()) rec(d)
+  }
+
+  private def cleanWarehousePath(spark: SparkSession, tableName: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(): Unit
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val f = new java.io.File(s"$wh/$tableName")
+    if (f.exists()) rec(f)
+  }
+
+  // ---- oracle-checked query entries ---------------------------------
+
+  import org.apache.spark.sql.functions._
+  import graft.operators.Exact._
+
+  val queries: Map[String, Q] = Map(
+    // Full write pipeline (≙ pandas_to_redshift): customer → staged CSV →
+    // created table → parallel load → read-back aggregate must match the
+    // source-of-truth oracle exactly (proves the CSV leg is lossless).
+    "q_df_write" -> Q(
+      s"""SELECT c_mktsegment, count(*) AS n, ${oSumMoney("c_acctbal")} AS bal,
+         |  count(DISTINCT c_nationkey) AS n_nations
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val cs = connectStaging(s, "/tmp/graft_stage/connector",
+        subdirectory = Some("loads"))
+      val customer = graft.Engine.table(s, dir, "customer")
+      writeTable(cs, customer, "conn_customer")
+      s.table("conn_customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("c_acctbal")).as("bal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // DDL/DML passthrough (≙ exec_commit, core.py:307-309; README's CTAS
+    // with UNION example, README.md:102-109).
+    "q_exec_ddl" -> Q(
+      """SELECT k AS nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000.0
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.Engine.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS ddl_union_tbl")
+      cleanWarehousePath(s, "ddl_union_tbl")
+      execCommit(s,
+        """CREATE TABLE ddl_union_tbl USING parquet AS
+          |SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000.0
+          |UNION ALL
+          |SELECT s_nationkey FROM supplier""".stripMargin)
+      s.table("ddl_union_tbl").groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .select(col("k").as("nationkey"), col("n"))
+        .orderBy(col("nationkey"))
+    }
+  )
+}

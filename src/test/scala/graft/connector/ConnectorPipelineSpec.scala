@@ -1,0 +1,63 @@
+package graft.connector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end staged-write pipeline (≙ pandas_to_redshift,
+  * core.py:269-304) against real testdata on a live session.
+  */
+class ConnectorPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cs = Connector.connectStaging(spark, "/tmp/graft_test_stage",
+    subdirectory = Some("sub"),
+    accessKeyId = Some("AKIATEST"), secretAccessKey = Some("SECRETTEST"))
+
+  test("writeTable overwrite: staged CSV load round-trips exactly") {
+    val customer = graft.Engine.table(spark, TestSpark.sfDir, "customer")
+    Connector.writeTable(cs, customer, "t_conn_rt")
+    val back = spark.table("t_conn_rt")
+    assert(back.count() == customer.count())
+    // exact content: anti-joins in both directions are empty
+    assert(back.except(customer).isEmpty && customer.except(back).isEmpty)
+  }
+
+  test("writeTable append doubles the row count (core.py:279,296-297)") {
+    val nation = graft.Engine.table(spark, TestSpark.sfDir, "nation")
+    Connector.writeTable(cs, nation, "t_conn_app")
+    Connector.writeTable(cs, nation, "t_conn_app", append = true)
+    assert(spark.table("t_conn_app").count() == 2 * nation.count())
+  }
+
+  test("writeTable rejects reserved column names before staging") {
+    val bad = graft.Engine.table(spark, TestSpark.sfDir, "region")
+      .withColumnRenamed("r_name", "join")
+    val e = intercept[IllegalArgumentException](
+      Connector.writeTable(cs, bad, "t_conn_bad"))
+    assert(e.getMessage.contains("reserve word"))
+  }
+
+  test("applyLayout: distkey hash-partitions, sortkey sorts within partitions") {
+    val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+    val laid = Connector.applyLayout(orders, distKey = "o_custkey",
+      sortKey = Seq("o_orderdate"), numPartitions = Some(8))
+    assert(laid.rdd.getNumPartitions == 8)
+    // same custkey never spans two partitions (co-located joins)
+    val spans = laid.select(col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("o_custkey").agg(countDistinct(col("pid")).as("nparts"))
+      .filter(col("nparts") > 1).count()
+    assert(spans == 0)
+  }
+
+  test("sqlRead with named parameters (core.py:82-87 query_params)") {
+    graft.Engine.registerAll(spark, TestSpark.sfDir)
+    val n = Connector.sqlRead(spark,
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > :p",
+      Map("p" -> 100000.0)).head().getLong(0)
+    val direct = spark.table("orders").filter(col("o_totalprice") > 100000.0).count()
+    assert(n == direct)
+  }
+}
