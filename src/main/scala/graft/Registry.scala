@@ -9,7 +9,8 @@ object Registry {
     operators.Relational.queries ++
       operators.Aggregates.queries ++
       functions.Scalars.queries ++
-      connector.Connector.queries
+      connector.Connector.queries ++
+      streaming.Streams.queries
 
   /** Keys the driver should treat as headline bench queries (currently all). */
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Time-window operators over the `events` stream table.
+  *
+  * The reference has no streaming at all (SURVEY §1 last row — batch
+  * drop/append loads only); these are the `EXT` operators. The exact same
+  * `window`/`session_window` aggregations run in batch (oracle-checked
+  * below) and in Structured Streaming (`streamingTumble` etc., exercised by
+  * StreamingSpec with a MemoryStream) — identical API is the point of
+  * Spark's unified model.
+  *
+  * Scale: windowed aggregation shuffles on (window, key) — bounded
+  * cardinality; watermarks bound state for unbounded streams.
+  */
+object Streams {
+
+  /** Exact sum for `value` (2dp data, |v| < 1e6): decimal(18,6) per-row
+    * cast, order-independent sum, final double (scaled magnitude < 2^53).
+    */
+  private def sumValue = sum(col("value").cast(DecimalType(18, 6)))
+    .cast(DecimalType(30, 6)).cast(DoubleType)
+  private val oSumValue =
+    "cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double)"
+
+  // ---- batch twins (oracle-checked) ---------------------------------
+
+  def tumble(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  def slide(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  // ---- streaming forms (same plans over a streaming Dataset) --------
+
+  /** Tumbling count with late-data eviction: watermark bounds the state
+    * store; OutputMode.Append emits only finalized windows.
+    */
+  def streamingTumble(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Stateful stream dedup: watermark + dropDuplicates on the event key —
+    * state for keys older than the watermark is evicted (s_dedup_stream).
+    */
+  def streamingDedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  val queries: Map[String, Q] = Map(
+
+    // Tumbling 1-hour windows ≙ date_trunc in the oracle (windows align
+    // to the epoch, so hour windows == hour truncation).
+    "q_stream_tumble" -> Q(
+      s"""SELECT date_trunc('hour', ts) AS w_start,
+         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+         |  event_type, count(*) AS n, $oSumValue AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin) {
+      (s, dir) => tumble(Engine.table(s, dir, "events"))
+    },
+
+    // Sliding 1h/15m windows: each event belongs to 4 windows; the oracle
+    // materializes them with an unnested 0..3 offset.
+    "q_stream_slide" -> Q(
+      """SELECT w_start, event_type, count(*) AS n FROM (
+        |  SELECT date_trunc('hour', ts)
+        |         + (cast(floor(minute(ts)/15) as int) * INTERVAL 15 MINUTE)
+        |         - (g.i * INTERVAL 15 MINUTE) AS w_start,
+        |         event_type
+        |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS i) g
+        |) GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin) {
+      (s, dir) => slide(Engine.table(s, dir, "events"))
+    },
+
+    // Session windows (10-minute gap) per user ≙ gaps-and-islands oracle:
+    // a session breaks when the gap is >= 10 minutes (Spark merges while
+    // ts < previous end, end = last ts + gap).
+    "q_stream_session" -> Q(
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              < INTERVAL 10 MINUTE
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) as bigint) AS sid
+        |  FROM x)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+        |  user_id, count(*) AS n,
+        |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin) {
+      (s, dir) => session(Engine.table(s, dir, "events"))
+    }
+  )
+}

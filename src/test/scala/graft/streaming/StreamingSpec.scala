@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming-mode semantics that have no DuckDB oracle (SURVEY §2
+  * s_watermark / s_dedup_stream): watermark-driven state eviction and
+  * stateful dedup, driven through MemoryStream + processAllAvailable.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window agg with watermark finalizes windows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingTumble(mem.toDF(), watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_tumble").start()
+    try {
+      // Window [0:00,1:00) gets two events; watermark then advances past
+      // its end (2:00 - 30min >= 1:00) → the window finalizes and emits.
+      mem.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t_tumble").collect()
+      assert(out.exists(r => r.getAs[Timestamp]("w_start") == ts(0) && r.getAs[Long]("n") == 2))
+      // a late event behind the watermark is dropped, not re-emitted
+      mem.addData(Ev(4, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      val n2 = spark.table("t_tumble")
+        .filter(col("w_start") === ts(0)).agg(sum("n")).head().getLong(0)
+      assert(n2 == 2, "late event beyond watermark must be discarded")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingDedup(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_dedup").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1, "view", 1.0), Ev(1, ts(1), 1, "view", 1.0),
+        Ev(2, ts(2), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(3), 2, "view", 9.0), Ev(3, ts(4), 2, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumble agree on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(65), 2, "view", 3.0), Ev(4, ts(70), 2, "view", 4.0))
+    val batch = Streams.tumble(rows.toDF())
+      .select("w_start", "event_type", "n").collect().toSet
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingTumble(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_twin").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("t_twin").collect().toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+}
