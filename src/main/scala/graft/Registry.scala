@@ -10,7 +10,12 @@ object Registry {
       operators.Aggregates.queries ++
       functions.Scalars.queries ++
       connector.Connector.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++
+      functions.UserFunctions.queries ++
+      llm.TextAnalysis.queries ++
+      llm.Dedup.queries ++
+      llm.Similarity.queries ++
+      llm.Multimodal.queries
 
   /** Keys the driver should treat as headline bench queries (currently all). */
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -1,0 +1,244 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Deduplication operators for LLM-data pipelines (`EXT` in SURVEY §2):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Engine-portability design: every hash is md5 (identical hex in Spark
+  * and DuckDB), so the MinHash signature is the *lexicographic* min of
+  * `md5(seed || shingle)` — a portable stand-in for the usual
+  * (a·x+b mod p) permutations — and SimHash bits come from the first 16
+  * bits of `md5(token)`. That lets even the sketch-based operators be
+  * oracle-checked bit-for-bit, not just smoke-tested.
+  *
+  * Scale notes (the whole point of these ops at 100 TB):
+  *  - exact dedup: hash-groupBy — one shuffle on the dedup key.
+  *  - n-gram Jaccard: candidate pairs come from an equi-join on shared
+  *    shingles (no O(n²) cross join); worst-case hot shingles are the skew
+  *    risk → at scale, drop top-frequency shingles (df cap) or use minhash.
+  *  - MinHash+LSH: signatures are one explode + min-agg (linear); banding
+  *    turns near-dup search into an equi-join on (band, key) — the
+  *    classic sub-quadratic path. Verification joins only candidates.
+  *  - SimHash: linear signature, pairs by equi-join would use bit-chunk
+  *    bucketing at scale; here hamming over all pairs of 500 sigs.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "documents")
+
+  private def md5s(c: Column): Column = md5(c.cast(BinaryType))
+
+  /** Exact dedup on a key set: keep the min doc_id per group (function
+    * form used by specs; `dropDuplicates` is the one-liner equivalent).
+    */
+  def exactDedup(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** (doc_id, shingle): 3-token shingles, deduplicated per doc.
+    * `sequence(1, size-2)` indexes 1-based token triples — identical to
+    * the oracle's `range(1, len-1)`.
+    */
+  def shingles(d: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    d.filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2)))).as("shingle"))
+      .distinct()
+  }
+
+  /** Candidate pairs via shared shingles + exact Jaccard (d1 < d2). */
+  def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("d2"), col("shingle"))
+    a.join(b, a("shingle") === b("shingle") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+  }
+
+  /** MinHash seeds: k portable "permutations" via seeded md5. */
+  val minhashSeeds: Seq[String] = (0 until 6).map(i => s"s$i:")
+
+  /** Per-doc MinHash signature: h_i = min over shingles of
+    * md5(seed_i || shingle) (lexicographic min of fixed-width hex ==
+    * numeric min of the 128-bit value).
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hs = minhashSeeds.zipWithIndex.map { case (seed, i) =>
+      min(md5s(concat(lit(seed), col("shingle")))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH banding (rows=2, bands=3): candidate pairs agree on at least one
+    * full band — the equi-join that replaces all-pairs comparison.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 3).map(b =>
+        struct(lit(b).as("band_id"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+    val l = bands.select(col("doc_id").as("d1"), col("band_id"), col("key"))
+    val r = bands.select(col("doc_id").as("d2"), col("band_id"), col("key"))
+    l.join(r, Seq("band_id", "key")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** 32-bit SimHash per doc over its distinct 3-gram shingles (sum of ±1
+    * per bit, sign → bit). Shingle features, not tokens: this corpus
+    * shares one small vocabulary, so token-level simhash cannot separate
+    * documents; shingle sets can.
+    */
+  def simhash(sh: DataFrame): DataFrame = {
+    val hv = sh.select(col("doc_id"),
+      conv(substring(md5s(col("shingle")), 1, 8), 16, 10).cast(LongType).as("hv"))
+    val bits = hv.select(col("doc_id"), col("hv"),
+      explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(expr("shiftright(hv, b) & 1") === 1, 1).otherwise(-1).as("sign"))
+    bits.groupBy(col("doc_id"), col("b")).agg(sum(col("sign")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("sig"))
+  }
+
+  // Shared oracle CTEs (the SQL twin of shingles/jaccardPairs above).
+  private val oShingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |         WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |       FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
+      |          cast(inter as double) / (s1.n + s2.n - inter) AS jac
+      |        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+      |                   JOIN sizes s2 ON d2 = s2.doc_id)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup via hash-groupBy: survivor id + multiplicity per key
+    // group, plus distinct-text count (all texts are unique in testdata —
+    // the multiplicity surfaces on the (lang, source) key).
+    "q_dedup_exact" -> Q(
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  count(DISTINCT md5(text)) AS n_unique_texts
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(md5s(col("text"))).as("n_unique_texts"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // n-gram Jaccard near-dup: candidates from shared shingles, exact
+    // Jaccard >= 0.5 (integer intersection/union → deterministic double).
+    "q_dedup_near" -> Q(
+      s"""WITH $oShingleCte
+         |SELECT d1, d2, n1, n2, inter, jac FROM jac
+         |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      jaccardPairs(shingles(docs(s, dir)))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // MinHash+LSH: banded signatures propose candidates (sub-quadratic
+    // path), exact Jaccard >= 0.35 verifies them.
+    "q_dedup_minhash" -> Q(
+      s"""WITH $oShingleCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${minhashSeeds.zipWithIndex.map { case (seed, i) =>
+        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT j.d1, j.d2, j.jac FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+         |WHERE j.jac >= 0.35 ORDER BY j.d1, j.d2""".stripMargin) { (s, dir) =>
+      val sh = shingles(docs(s, dir))
+      val cands = lshCandidates(minhashSignatures(sh))
+      jaccardPairs(sh).join(cands, Seq("d1", "d2"))
+        .filter(col("jac") >= 0.35)
+        .select(col("d1"), col("d2"), col("jac"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // SimHash near-dup: 32-bit signatures over shingle features, hamming
+    // distance <= 6 (random pairs center at 16).
+    "q_dedup_simhash" -> Q(
+      s"""WITH $oShingleCte,
+         |hv AS (SELECT doc_id,
+         |         ${(0 until 8).map(j =>
+        s"(instr('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1) * ${1L << (4 * (7 - j))}")
+        .mkString("\n         |       + ")} AS hv
+         |       FROM sh),
+         |bits AS (SELECT doc_id, g.b,
+         |           CASE WHEN ((hv >> g.b) & 1) = 1 THEN 1 ELSE -1 END AS sign
+         |         FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g),
+         |bsum AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY doc_id, b),
+         |sigs AS (SELECT doc_id,
+         |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
+         |         FROM bsum GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  cast(bit_count(xor(a.sig, b.sig)) as bigint) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sigs = simhash(shingles(docs(s, dir)))
+      val a = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+      val b = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("hamming",
+          bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast(LongType))
+        .filter(col("hamming") <= 6)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Embedding-cosine near-dup: all-pairs here (500 vectors); the scale
+    // path is Similarity.lshBuckets (random-hyperplane LSH).
+    "q_dedup_embed" -> Q(
+      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
+          Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
+      val a = emb.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = emb.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("cos_r",
+          round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+        .filter(col("cos_r") >= 0.45)
+        .select(col("d1"), col("d2"), col("cos_r"))
+        .orderBy(col("d1"), col("d2"))
+    }
+  )
+}

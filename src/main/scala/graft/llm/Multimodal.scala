@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** One decoded media unit: fixed-width feature vector + typed metadata. */
+case class MediaFeature(
+    doc_id: Long,
+    chunk_id: Int,
+    n_bytes: Int,
+    features: Array[Float])
+
+/** Multimodal-column plumbing (`EXT`): image/audio/video modeled as opaque
+  * `binary` payloads with typed metadata, processed per-partition in
+  * batches — the Scala analog of a `mapInPandas` decode stage.
+  *
+  * The container has no codec libraries, so [[decodeStub]] is a
+  * clearly-marked DETERMINISTIC FAKE (byte statistics standing in for
+  * pixel/sample decoding). Everything around it — schema, chunking,
+  * partition-batched execution, feature shape — is real and is what a
+  * production decode would drop into. At scale, payloads stay columnar in
+  * parquet, chunking is a narrow transform, and decode parallelism ==
+  * input splits; nothing touches the driver.
+  */
+object Multimodal {
+
+  val chunkBytes = 256
+
+  /** Binary "media" table derived from documents: payload = utf8 bytes
+    * (stands in for an image/audio blob) + typed metadata columns.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast(BinaryType).as("payload"),
+        col("lang").as("media_kind"),
+        col("n_chars").cast(LongType).as("declared_bytes"))
+
+  /** STUB decode: a real implementation would decode image frames /
+    * audio windows here. The fake derives an 8-dim float feature from
+    * byte sums over 8 equal strides — deterministic, codec-free, and
+    * shaped exactly like a real embedding batch.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val dims = 8
+    val out = new Array[Float](dims)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        out(i * dims / payload.length) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Chunk each payload into fixed-size frames and decode per partition —
+    * the mapPartitions shape keeps per-batch setup (a real codec handle)
+    * amortized across rows, exactly like mapInPandas batches.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec" init would go here (once per batch)
+        rows.flatMap { case (docId, payload) =>
+          payload.grouped(chunkBytes).zipWithIndex.map { case (chunk, i) =>
+            MediaFeature(docId, i, chunk.length, decodeStub(chunk))
+          }
+        }
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Binary-column metadata: byte length + fixed-size chunk count per
+    // payload — the part of the pipeline that IS oracle-expressible.
+    "q_mm_bytes" -> Q(
+      s"""SELECT doc_id,
+         |  cast(octet_length(cast(text as BLOB)) as bigint) AS byte_len,
+         |  cast(ceil(octet_length(cast(text as BLOB)) / $chunkBytes.0) as bigint) AS n_chunks,
+         |  lang AS media_kind
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      mediaTable(s, dir)
+        .select(col("doc_id"),
+          length(col("payload")).cast(LongType).as("byte_len"),
+          ceil(length(col("payload")) / lit(chunkBytes.toDouble)).cast(LongType)
+            .as("n_chunks"),
+          col("media_kind"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Decoded-feature rollup (stub decode → per-doc aggregate). The
+    // decode itself is engine-local → rows-only check; MultimodalSpec
+    // pins chunking/shape/determinism.
+    "q_mm_features" -> Q.noOracle { (s, dir) =>
+      decodeFeatures(mediaTable(s, dir)).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(sum(element_at(col("features"), 1)), 4).as("f0_sum"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

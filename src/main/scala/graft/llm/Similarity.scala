@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Similarity search over the `embeddings` table (`array<float>`, dim 64).
+  *
+  * - [[topK]]: brute-force cosine top-k — the correctness baseline, a
+  *   broadcast of the query vector + one narrow map + TakeOrdered (no
+  *   shuffle of the corpus).
+  * - [[lshBuckets]] / [[annTopK]]: random-hyperplane LSH — the scale path.
+  *   Bucketing is a linear pass; search touches only the probe bucket(s).
+  *   At 100 TB the bucketed table is written partitioned by bucket id so a
+  *   query prunes to one partition.
+  *
+  * Dot/norm use `zip_with`+`aggregate` higher-order functions (codegen'd,
+  * sequential per-row fold → deterministic doubles), per SURVEY §4's
+  * "no custom Catalyst needed" analysis.
+  */
+object Similarity {
+
+  /** float[] → double[] (exact widening, matches the oracle's ::DOUBLE[]). */
+  def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against a query vector. */
+  def topK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val withV = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = withV.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), norm(col("v")).as("qn"))
+    withV.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r", round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 6))
+      .select(col("vec_id"), col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is
+    * derived from md5(p:d) → uniform in [-1, 1). Portable and seedless —
+    * any worker regenerates the same planes.
+    */
+  def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    val v = ((hex(0) & 0xff) << 8) | (hex(1) & 0xff)
+    v / 32768.0 - 1.0
+  }
+
+  /** Sign-bucket each vector with `nPlanes` hyperplanes (linear pass). */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = (0 until nPlanes).map(p =>
+      array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
+    val v = toDouble(col("embedding"))
+    val bits = planes.zipWithIndex.map { case (pl, i) =>
+      when(dot(v, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      bits.reduce(_ + _).as("bucket"))
+  }
+
+  /** ANN top-k: probe the query's bucket plus all buckets within
+    * `probeHamming` sign flips (multi-probe LSH), rerank exactly. The
+    * testdata embeddings are near-uniform (best cosine ≈ 0.5), so wide
+    * probing at few planes is the operating point; higher-similarity
+    * corpora would use more planes and fewer probes. Recall vs [[topK]]
+    * is asserted by LlmSpec.
+    */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = 4,
+      probeHamming: Int = 2): DataFrame = {
+    val bucketed = lshBuckets(emb, nPlanes)
+    val qRow = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket"), toDouble(col("embedding")).as("qv"))
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(m => lit(m.toLong))
+    val probes = qRow.select(col("bucket"), col("qv"),
+      explode(array(masks: _*)).as("mask"))
+      .select(col("bucket").bitwiseXOR(col("mask")).as("bucket"), col("qv"))
+    // q is one row → tiny probe set; broadcast it against the bucketed corpus
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("v", toDouble(col("embedding")))
+      .withColumn("cos_r", round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))
+      .select(col("vec_id"), col("cos_r")).distinct()
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Brute-force cosine top-10 neighbors of vec 0 (oracle: DuckDB
+    // list_cosine_similarity over ::DOUBLE[], rounded to 6dp on both
+    // sides before the ORDER BY so tie/order is identical).
+    "q_sim_topk" -> Q(
+      """SELECT b.vec_id,
+        |  round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_r
+        |FROM embeddings b
+        |CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY cos_r DESC, b.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      topK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
+    // ANN variant (LSH buckets + multi-probe + exact rerank). Bucket
+    // membership depends on engine-local plane evaluation → no SQL
+    // oracle; SimilaritySpec asserts recall >= 0.8 vs brute force.
+    "q_sim_ann" -> Q.noOracle { (s, dir) =>
+      annTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    }
+  )
+}

@@ -1,0 +1,173 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Text analytics for LLM-data pipelines over the `documents` table
+  * (BASELINE.json north star; not present in the reference — `EXT` in
+  * SURVEY §2): language ID, quality scoring, token counting, document
+  * fingerprinting, per-corpus stats.
+  *
+  * Everything is built from codegen'd builtins (split/filter/
+  * regexp_extract_all/md5); per-doc work is embarrassingly parallel — no
+  * shuffle except the final aggregates — so it scales linearly with
+  * input splits.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "documents")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Tiny per-language function-word lexicons for the n-gram/stopword
+    * language-ID heuristic. Deterministic and engine-portable; real
+    * deployments would swap in fastText-style profiles — the *plumbing*
+    * (score → argmax with stable tie-break) is the operator.
+    */
+  val lexicons: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def lexCount(lang: String): Column = {
+    val words = lexicons(lang)
+    size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
+  }
+  private def oLexCount(lang: String): String = {
+    val in = lexicons(lang).map(w => s"'$w'").mkString(", ")
+    s"cast(len(list_filter(string_split(text, ' '), x -> x IN ($in))) as double)"
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Corpus stats per language: doc/char/token counts, exact averages.
+    "q_text_stats" -> Q(
+      """SELECT lang, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS total_chars,
+        |  cast(sum(len(string_split(text, ' '))) as bigint) AS total_tokens,
+        |  cast(sum(n_chars) as double) / count(*) AS avg_chars,
+        |  cast(max(len(string_split(text, ' '))) as bigint) AS max_tokens,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(toks).cast(LongType)).as("total_tokens"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          max(size(toks).cast(LongType)).as("max_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single other chars).
+    "q_token_count" -> Q(
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) as bigint) AS n_ws_tokens,
+        |  cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) as bigint) AS n_bpe_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast(LongType).as("n_bpe_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality score: length + stopword-ratio + mean-word-length blend,
+    // identical arithmetic both engines (int counts, double divisions).
+    "q_quality_score" -> Q(
+      s"""SELECT doc_id, n_tok, round(
+         |    0.3 * least(n_tok / 100.0, 1.0)
+         |  + 0.4 * (n_stop / n_tok)
+         |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0), 6) AS quality
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    cast(len(string_split(text, ' ')) as double) AS n_tok,
+         |    ${oLexCount("en")} AS n_stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        size(toks).cast(DoubleType).as("n_tok"),
+        lexCount("en").as("n_stop"))
+      base.select(
+        col("doc_id"), col("n_tok"),
+        round(
+          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
+            + lit(0.4) * (col("n_stop") / col("n_tok"))
+            + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
+              lit(1.0)), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID: stopword-density argmax with a stable alphabetical
+    // tie-break; all-zero densities → 'und'.
+    "q_lang_id" -> Q(
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  round(s_en / n_tok, 6) AS en_density
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    cast(len(string_split(text, ' ')) as double) AS n_tok,
+         |    ${oLexCount("de")} AS s_de, ${oLexCount("en")} AS s_en,
+         |    ${oLexCount("es")} AS s_es, ${oLexCount("fr")} AS s_fr,
+         |    ${oLexCount("zh")} AS s_zh
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        size(toks).cast(DoubleType).as("n_tok"),
+        lexCount("de").as("s_de"), lexCount("en").as("s_en"),
+        lexCount("es").as("s_es"), lexCount("fr").as("s_fr"),
+        lexCount("zh").as("s_zh"))
+      val allZero = col("s_de") === 0 && col("s_en") === 0 && col("s_es") === 0 &&
+        col("s_fr") === 0 && col("s_zh") === 0
+      base.select(
+        col("doc_id"), col("lang"),
+        when(allZero, "und")
+          .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+            col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh").as("pred_lang"),
+        round(col("s_en") / col("n_tok"), 6).as("en_density"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase text
+    // (identical hex in both engines) + per-fingerprint duplicate count.
+    "q_fingerprint" -> Q(
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  cast(count(*) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |       as bigint) AS n_same
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
+      docs(s, dir)
+        .select(col("doc_id"), fp.as("fp"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("fp"))).cast(LongType))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavior specs for the LLM-pipeline operators that the DuckDB oracle
+  * cannot fully pin: sketch recall vs exact computations, ANN recall vs
+  * brute force, multimodal chunking/shape/determinism.
+  */
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+  private def emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+
+  test("exactDedup drops full duplicates") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactDedup(df, Seq("text")).count() == 2)
+  }
+
+  test("minhash LSH candidates recall all high-jaccard pairs (>= 0.8)") {
+    val sh = Dedup.shingles(docs).cache()
+    val truth = Dedup.jaccardPairs(sh).filter(col("jac") >= 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain at least one >=0.8 pair")
+    assert(truth.subsetOf(cands),
+      s"LSH missed ${truth.diff(cands)} of ${truth.size} true near-dup pairs")
+    sh.unpersist()
+  }
+
+  test("simhash hamming distance separates near-dups from random pairs") {
+    val sh = Dedup.shingles(docs).cache()
+    val sigs = Dedup.simhash(sh)
+    val near = Dedup.jaccardPairs(sh).filter(col("jac") >= 0.9).select("d1", "d2")
+    val a = sigs.select(col("doc_id").as("d1"), col("sig").as("s1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("sig").as("s2"))
+    val withHam = near.join(a, "d1").join(b, "d2")
+      .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))))
+    val maxNearHam = withHam.agg(max("ham")).head().getInt(0)
+    assert(maxNearHam <= 10, s"jac>=0.9 pairs should have hamming<=10, got $maxNearHam")
+    // mean over all pairs stays near 16 (random)
+    val meanAll = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .agg(avg(bit_count(col("s1").bitwiseXOR(col("s2"))))).head().getDouble(0)
+    assert(meanAll > 12.0, s"random-pair mean hamming should be ~16, got $meanAll")
+    sh.unpersist()
+  }
+
+  test("ANN topK reaches recall >= 0.8 vs brute force") {
+    val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, 0L, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall < 0.8 (exact=$exact ann=$ann)")
+  }
+
+  test("multimodal chunking: counts, shape, determinism") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sfDir)
+    val feats = Multimodal.decodeFeatures(media).cache()
+    // chunk count == ceil(byte_len / chunkBytes) for every doc
+    val bad = feats.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(media.select(col("doc_id"),
+        ceil(length(col("payload")) / lit(Multimodal.chunkBytes.toDouble))
+          .as("expect")), "doc_id")
+      .filter(col("n") =!= col("expect")).count()
+    assert(bad == 0)
+    // fixed feature width
+    assert(feats.select(size(col("features"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+    // deterministic across runs
+    val a = feats.orderBy("doc_id", "chunk_id")
+      .select(round(element_at(col("features"), 1), 6)).collect().toSeq
+    val b = Multimodal.decodeFeatures(media).orderBy("doc_id", "chunk_id")
+      .select(round(element_at(col("features"), 1), 6)).collect().toSeq
+    assert(a == b)
+    feats.unpersist()
+  }
+
+  test("approx_count_distinct error is bounded vs exact (q_agg_approx twin)") {
+    val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
