@@ -25,11 +25,19 @@ object Similarity {
   /** float[] → double[] (exact widening, matches the oracle's ::DOUBLE[]). */
   def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
+  /** Codegen'd dot product (see [[graft.functions.ArrayDot]]); same
+    * left-to-right fold as the HOF form, so oracle bits are unchanged.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.arrayDot(a, b)
+
+  /** HOF reference implementation — kept as the semantic spec for
+    * [[dot]]; LlmSpec asserts they agree exactly.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -81,6 +81,14 @@ class LlmSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("codegen ArrayDot agrees exactly with the HOF reference fold") {
+    val v = Similarity.toDouble(col("embedding"))
+    val diff = emb.select(
+      (Similarity.dot(v, reverse(v)) - Similarity.dotHof(v, reverse(v))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0)
+  }
+
   test("approx_count_distinct error is bounded vs exact (q_agg_approx twin)") {
     val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
