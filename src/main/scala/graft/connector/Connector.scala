@@ -68,6 +68,11 @@ object Connector {
       .option("header", "true")
       .option("sep", delimiter)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      // pandas to_csv neither trims whitespace nor nulls-out empty
+      // strings (core.py:137-138) — match that fidelity
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", "\"\"")
       .csv(path)
     log.info(s"saved file $csvName in staging $path")
     path

@@ -1,0 +1,57 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** JDBC connector form — the Spark mapping of `connect_to_redshift`
+  * (`/root/reference/pandas_redshift/core.py:51-59`, default port 5439).
+  *
+  * In production this is the path a reference user would switch to:
+  * `spark.read.jdbc` pulls typed schemas from JDBC metadata and pushes the
+  * query down as a subquery, with `partitionColumn/lowerBound/upperBound/
+  * numPartitions` splitting the read across executors (vs the reference's
+  * single-cursor `fetchall`, `core.py:86`). The environment here has no
+  * network egress and no Redshift driver, so [[reader]] only *builds* the
+  * configured reader; `.load()` is the caller's (cluster-side) step —
+  * everything else in the engine runs against the parquet staging form.
+  */
+object Jdbc {
+
+  def url(host: String, dbname: String, port: Int = 5439): String =
+    s"jdbc:redshift://$host:$port/$dbname"
+
+  /** Configured JDBC reader for an arbitrary SQL read (≙
+    * `redshift_to_pandas`): `query` becomes a pushed-down subquery.
+    */
+  def reader(
+      spark: SparkSession,
+      jdbcUrl: String,
+      query: String,
+      user: String,
+      password: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 8): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", jdbcUrl)
+      .option("query", query)
+      .option("user", user)
+      .option("password", password)
+      .option("numPartitions", numPartitions)
+    (partitionColumn, lowerBound, upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+      case _ => base
+    }
+  }
+
+  /** Parallel table write over JDBC (≙ the COPY-less direct path). */
+  def writeTable(df: DataFrame, jdbcUrl: String, table: String,
+      user: String, password: String, append: Boolean): Unit =
+    df.write.format("jdbc")
+      .option("url", jdbcUrl).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .mode(if (append) "append" else "overwrite")
+      .save()
+}

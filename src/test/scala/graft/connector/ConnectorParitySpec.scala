@@ -95,6 +95,22 @@ class ConnectorParitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("diststyle must be either 'even' or 'all'"))
   }
 
+  // ---- log config (core.py:30-40) -----------------------------------
+
+  test("log level map has the reference's four keys; unknown keys throw") {
+    assert(LogConfig.levelMap.keySet == Set("debug", "info", "warn", "error"))
+    intercept[NoSuchElementException](
+      LogConfig.setLogLevel(graft.TestSpark.spark, "trace"))
+    LogConfig.setLogLevel(graft.TestSpark.spark, "warn", maskSecrets = false)
+    assert(!LogConfig.maskSecrets)
+    LogConfig.setLogLevel(graft.TestSpark.spark, "warn", maskSecrets = true)
+    assert(LogConfig.maskSecrets)
+  }
+
+  test("jdbc url defaults to port 5439 like connect_to_redshift") {
+    assert(Jdbc.url("host.example", "db") == "jdbc:redshift://host.example:5439/db")
+  }
+
   // ---- COPY synthesis + masking (core.py:238-254, 43-48) ------------
 
   test("COPY with key/secret auth contains both credentials") {
