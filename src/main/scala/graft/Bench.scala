@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // testdata tables are single small parquet files; smaller input
+      // splits let scans/partial aggs use all local cores (on a real
+      // cluster the 128m default is right)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

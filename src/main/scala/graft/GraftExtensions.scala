@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ArrayDot
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users (the
+  * reference's passthrough surface) can call them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT array_dot(a, b) FROM vectors")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.arrayDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val arrayDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_dot"),
+    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+    (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+
+  /** Register on an existing session (tests / REPL convenience). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (_, _, builder) = arrayDotDescriptor
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", builder, "scala_udf")
+  }
+}

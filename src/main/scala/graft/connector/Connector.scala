@@ -238,6 +238,27 @@ object Connector {
   import graft.operators.Exact._
 
   val queries: Map[String, Q] = Map(
+    // Staged CSV sink alone (≙ df_to_s3, core.py:120-144): stage the part
+    // table as headered CSV, read it back schema'd — aggregate must equal
+    // the parquet source-of-truth (lossless staging leg).
+    "q_csv_sink" -> Q(
+      """SELECT p_brand, count(*) AS n,
+        |  cast(sum(p_size) as bigint) AS total_size,
+        |  max(p_name) AS max_name
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val cs = connectStaging(s, "/tmp/graft_stage/connector",
+        subdirectory = Some("sink"))
+      val part = graft.Engine.table(s, dir, "part")
+      val staged = stageCsv(cs, part, "part-sink.csv", delimiter = "|")
+      s.read.option("header", "true").option("sep", "|")
+        .schema(part.schema).csv(staged)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size")).cast("long").as("total_size"),
+          max(col("p_name")).as("max_name"))
+        .orderBy(col("p_brand"))
+    },
+
     // Full write pipeline (≙ pandas_to_redshift): customer → staged CSV →
     // created table → parallel load → read-back aggregate must match the
     // source-of-truth oracle exactly (proves the CSV leg is lossless).

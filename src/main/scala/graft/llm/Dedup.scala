@@ -41,17 +41,18 @@ object Dedup {
   def exactDedup(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** (doc_id, shingle): 3-token shingles, deduplicated per doc.
-    * `sequence(1, size-2)` indexes 1-based token triples — identical to
-    * the oracle's `range(1, len-1)`.
+  /** (doc_id, shingle): 3-token shingles, deduplicated per doc. Uses the
+    * native [[graft.functions.Shingles]] expression (one primitive pass;
+    * the equivalent transform/element_at HOF chain is interpreted and
+    * dominated the dedup bench queries). Values identical to the oracle's
+    * `list_transform(range(1, len-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])`.
     */
   def shingles(d: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     d.filter(size(t) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-            element_at(t, i + 2)))).as("shingle"))
+        explode(graft.functions.TextExpressions.shingles(col("text"), 3))
+          .as("shingle"))
       .distinct()
   }
 
@@ -155,7 +156,8 @@ object Dedup {
       s"""WITH $oShingleCte
          |SELECT d1, d2, n1, n2, inter, jac FROM jac
          |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      jaccardPairs(shingles(docs(s, dir)))
+      // sh is consumed three times (sizes + both join sides) — materialize
+      jaccardPairs(shingles(docs(s, dir)).localCheckpoint())
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
@@ -180,7 +182,9 @@ object Dedup {
          |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id)
          |SELECT j.d1, j.d2, j.jac FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
          |WHERE j.jac >= 0.35 ORDER BY j.d1, j.d2""".stripMargin) { (s, dir) =>
-      val sh = shingles(docs(s, dir))
+      // shingles feed both the signature and verification branches —
+      // localCheckpoint materializes them once instead of re-exploding
+      val sh = shingles(docs(s, dir)).localCheckpoint()
       val cands = lshCandidates(minhashSignatures(sh))
       jaccardPairs(sh).join(cands, Seq("d1", "d2"))
         .filter(col("jac") >= 0.35)

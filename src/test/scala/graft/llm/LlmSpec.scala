@@ -81,6 +81,25 @@ class LlmSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("native Shingles expression matches the HOF reference chain") {
+    val t = split(col("text"), " ")
+    val hof = docs.filter(size(t) >= 3).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))).as("shingle"))
+    val native = docs.filter(size(t) >= 3).select(col("doc_id"),
+      explode(graft.functions.TextExpressions.shingles(col("text"), 3)).as("shingle"))
+    assert(hof.except(native).isEmpty && native.except(hof).isEmpty)
+    assert(hof.count() == native.count())
+  }
+
+  test("array_dot registers as a SQL function via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("codegen ArrayDot agrees exactly with the HOF reference fold") {
     val v = Similarity.toDouble(col("embedding"))
     val diff = emb.select(
