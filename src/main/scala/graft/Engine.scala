@@ -29,9 +29,16 @@ object Engine {
   /** Small dimension tables that should be broadcast in joins. */
   val broadcastableDims: Set[String] = Set("region", "nation", "supplier")
 
+  // Plan cache: re-resolving a table re-reads parquet footers; the
+  // DataFrame (a lazy plan) is immutable, so reuse per (session, dir,
+  // name) is safe and shaves fixed cost off every query.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") readEvents(spark, sfDir) else
-      spark.read.parquet(s"$sfDir/$name.parquet")
+    planCache.getOrElseUpdate((spark, sfDir, name),
+      if (name == "events") readEvents(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** events.ts is parquet TIMESTAMP(NANOS, NTZ), which Spark's vectorized
     * reader rejects. Read it as raw nanos (legacy conf) and truncate to

@@ -31,6 +31,14 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Hive-style partitioned layout (≙ Redshift sortkey zone maps at the
+    * directory level, SURVEY §1/§4): filters on the partition column prune
+    * whole directories before any IO — at 100 TB, date-partitioned facts
+    * turn time-range queries into scans of only the touched days.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
   /** Write both sides bucketed+sorted on the join key so subsequent joins
     * are Exchange-free (co-located, the Spark analog of matching Redshift
     * distkeys — `core.py:205-207`). Buckets ≙ fixed hash partitioning

@@ -30,6 +30,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(parts > 1, "hot key should span multiple post-shuffle partitions")
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val path = "/tmp/graft_test_stage/orders_by_year"
+    Scale.writePartitioned(orders, path, "o_year")
+    val pruned = spark.read.parquet(path).filter(col("o_year") === 1996)
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a post-scan data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"), plan)
+    val years = pruned.select("o_year").distinct().collect().map(_.getInt(0)).toSeq
+    assert(years == Seq(1996))
+    assert(pruned.count() == orders.filter(col("o_year") === 1996).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
       .select("o_orderkey", "o_totalprice")
