@@ -8,6 +8,7 @@ object Registry {
   def all: Map[String, Q] =
     operators.Relational.queries ++
       operators.Aggregates.queries ++
+      operators.SqlSurface.queries ++
       functions.Scalars.queries ++
       connector.Connector.queries ++
       streaming.Streams.queries ++

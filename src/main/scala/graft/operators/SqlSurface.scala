@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, Q}
+
+/** Additional delegated-SQL surface (reachable through the reference's
+  * passthrough, `core.py:84`): pivot/crosstab, CTEs, scalar subqueries.
+  */
+object SqlSurface {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // Pivot / crosstab: status columns per priority. Spark's pivot yields
+    // null for empty cells where conditional counts yield 0 — coalesced
+    // for parity with the FILTER form.
+    "q_pivot" -> Q(
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // CTE chain — the same SQL text runs on both engines (spark.sql is
+    // the operator here, like the reference's exec passthrough).
+    "q_cte" -> Q(SqlSurfaceTexts.cteSql) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(SqlSurfaceTexts.cteSql)
+    },
+
+    // Scalar subquery in a predicate; the subquery's average uses the
+    // exact-decimal form so the comparison threshold is deterministic.
+    "q_scalar_subquery" -> Q(SqlSurfaceTexts.scalarSubSql) { (s, dir) =>
+      val customer = t(s, dir, "customer")
+      val avgBal = customer.agg(
+        (sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      customer.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+}
+
+/** SQL texts shared verbatim between the Spark run and the DuckDB oracle. */
+object SqlSurfaceTexts {
+  val cteSql: String =
+    """WITH big_orders AS (
+      |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0
+      |), per_cust AS (
+      |  SELECT o_custkey, count(*) AS n_big,
+      |    cast(cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(30,2)) as double) AS total_big
+      |  FROM big_orders GROUP BY o_custkey
+      |)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      |  cast(cast(sum(cast(total_big as decimal(18,4))) as decimal(30,2)) as double) AS segment_total
+      |FROM per_cust JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val scalarSubSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal as decimal(18,4))) as double) / count(*)
+      |                   FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+}
