@@ -6,6 +6,12 @@ import org.apache.spark.sql.types._
 
 import graft.{Engine, Q}
 
+/** Minimal typed event for custom-state operators. */
+case class UserEvent(user_id: Long, value: Double)
+
+/** Per-user running totals held in stream state. */
+case class UserTotal(user_id: Long, n: Long, sum_value: Double)
+
 /** Time-window operators over the `events` stream table.
   *
   * The reference has no streaming at all (SURVEY §1 last row — batch
@@ -71,6 +77,30 @@ object Streams {
     */
   def streamingDedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2
+    * s_dedup_stream): per-user cumulative event count + running value sum,
+    * emitted on every update. State is one tiny struct per key; a real
+    * deployment adds a timeout to bound the keyspace.
+    */
+  def statefulUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var v = prev.sum_value
+          batch.foreach { e => n += 1; v += e.value }
+          val next = UserTotal(uid, n, v)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   val queries: Map[String, Q] = Map(
 

@@ -64,6 +64,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.statefulUserTotals(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_state").start()
+    try {
+      mem.addData(UserEvent(1, 1.0), UserEvent(1, 2.0), UserEvent(2, 5.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_state")
+        .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 3L, 7.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
