@@ -9,6 +9,7 @@ object Registry {
     operators.Relational.queries ++
       operators.Aggregates.queries ++
       operators.SqlSurface.queries ++
+      operators.AsOf.queries ++
       functions.Scalars.queries ++
       connector.Connector.queries ++
       streaming.Streams.queries ++

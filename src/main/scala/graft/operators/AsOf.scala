@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** As-of (nearest-preceding-event) join — an operator Spark has no builtin
+  * for. Per the custom-operator preference order (SURVEY §2 / prompt (a)):
+  * it IS expressible by composing existing ops, so no custom LogicalPlan is
+  * needed — union-tag both sides, one partitioned sort, and a running
+  * `last(payload, ignoreNulls)` carries the most recent right-side row to
+  * every left-side row.
+  *
+  * Scale shape: ONE shuffle on the key + one per-partition sort — same cost
+  * as a sort-merge join; no range-explosion, no per-row subqueries. This is
+  * the standard large-scale formulation (a merge of two time-sorted
+  * streams); DuckDB's native ASOF JOIN is the oracle.
+  */
+object AsOf {
+
+  /** Left rows gain `asof_<payloadCol>`: the right row's payload with the
+    * greatest rightTime <= leftTime within the same key (null if none).
+    * Right rows sort before left rows at equal timestamps (inclusive
+    * match, like ASOF's `>=`).
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadCol: String): DataFrame = {
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right.select(
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(payloadCol).as("__p"))
+    val unioned = l.select((Seq(col(key), col("__t"), col("__side"), col("__p")) ++
+      left.columns.filterNot(c => c == key).map(c => l(c))): _*)
+    val all = unioned.unionByName(
+      r.select((Seq(col(key), col("__t"), col("__side"), col("__p")) ++
+        left.columns.filterNot(c => c == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all.withColumn(s"asof_$payloadCol", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__p")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // For every error event: the id of the user's nearest preceding (or
+    // simultaneous) click. Oracle is DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> Q(
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |               WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, c.event_id AS asof_click_id
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val events = Engine.table(s, dir, "events")
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asOfJoin(errors, clicks, "user_id", "ts", "ts", "click_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("asof_click_id"))
+        .orderBy(col("event_id"))
+    }
+  )
+}

@@ -20,7 +20,8 @@ class ContractSpec extends AnyFunSuite {
   test("registry has no duplicate ids across modules") {
     val maps = Seq(
       operators.Relational.queries, operators.Aggregates.queries,
-      operators.SqlSurface.queries, functions.Scalars.queries,
+      operators.SqlSurface.queries, operators.AsOf.queries,
+      functions.Scalars.queries,
       connector.Connector.queries, streaming.Streams.queries,
       functions.UserFunctions.queries, llm.TextAnalysis.queries,
       llm.Dedup.queries, llm.Similarity.queries, llm.Multimodal.queries)
