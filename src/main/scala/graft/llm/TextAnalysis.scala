@@ -85,13 +85,18 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
-    // Quality score: length + stopword-ratio + mean-word-length blend,
-    // identical arithmetic both engines (int counts, double divisions).
+    // Quality score: length + stopword-ratio + mean-word-length blend.
+    // The score is emitted as floor(q * 1e6) ppm: round() differs
+    // ALGORITHMICALLY between engines (Spark rounds the decimal string
+    // HALF_UP, DuckDB multiplies and std::rounds), so integer-ratio
+    // scores sitting exactly on a half split between them — floor of the
+    // identical IEEE product cannot (found at sf0.1).
     "q_quality_score" -> Q(
-      s"""SELECT doc_id, n_tok, round(
+      s"""SELECT doc_id, n_tok, cast(floor((
          |    0.3 * least(n_tok / 100.0, 1.0)
          |  + 0.4 * (n_stop / n_tok)
-         |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0), 6) AS quality
+         |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)
+         |  AS quality_ppm
          |FROM (
          |  SELECT doc_id, n_chars,
          |    cast(len(string_split(text, ' ')) as double) AS n_tok,
@@ -104,11 +109,11 @@ object TextAnalysis {
         lexCount("en").as("n_stop"))
       base.select(
         col("doc_id"), col("n_tok"),
-        round(
+        floor((
           lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
             + lit(0.4) * (col("n_stop") / col("n_tok"))
             + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
-              lit(1.0)), 6).as("quality"))
+              lit(1.0))) * 1000000).cast(LongType).as("quality_ppm"))
         .orderBy(col("doc_id"))
     },
 
@@ -122,7 +127,7 @@ object TextAnalysis {
          |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
          |       WHEN s_fr >= s_zh THEN 'fr'
          |       ELSE 'zh' END AS pred_lang,
-         |  round(s_en / n_tok, 6) AS en_density
+         |  cast(floor((s_en / n_tok) * 1000000) as bigint) AS en_density_ppm
          |FROM (
          |  SELECT doc_id, lang,
          |    cast(len(string_split(text, ' ')) as double) AS n_tok,
@@ -149,7 +154,9 @@ object TextAnalysis {
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
           .when(col("s_fr") >= col("s_zh"), "fr")
           .otherwise("zh").as("pred_lang"),
-        round(col("s_en") / col("n_tok"), 6).as("en_density"))
+        // floor-ppm, not round: see q_quality_score note
+        floor((col("s_en") / col("n_tok")) * 1000000).cast(LongType)
+          .as("en_density_ppm"))
         .orderBy(col("doc_id"))
     },
 
