@@ -69,6 +69,25 @@ object Dedup {
         col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
   }
 
+  /** Document-frequency-capped candidate generation: shingles appearing
+    * in more than `maxDf` docs are excluded from pair GENERATION (they are
+    * the quadratic blowup at scale — a shingle in d docs yields d²/2
+    * candidate rows), while Jaccard is still computed over the FULL
+    * shingle sets of each candidate pair, so surviving pairs keep their
+    * exact scores. Near-dups share many shingles, so losing the hottest
+    * ones barely dents recall (LlmSpec pins recall on jac >= 0.8 pairs).
+    */
+  def jaccardPairsCapped(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val rareSh = sh.join(rare, "shingle")
+    val cands = rareSh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(rareSh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardPairs(sh).join(cands, Seq("d1", "d2"))
+  }
+
   /** MinHash seeds: k portable "permutations" via seeded md5. */
   val minhashSeeds: Seq[String] = (0 until 6).map(i => s"s$i:")
 

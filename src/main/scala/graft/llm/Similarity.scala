@@ -106,6 +106,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus by nearest centroid,
+    * search only the `nProbe` centroids closest to the query. Centroids
+    * here are a deterministic sample (the lowest-id vectors) — one
+    * k-means iteration away from production, but the plumbing (assignment
+    * join, bucket pruning, exact rerank) is the scale path: at 100 TB the
+    * assigned table is written partitioned by centroid id, so a query
+    * scans nProbe/nCentroids of the data.
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))
+    emb.select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids)
+    val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(toDouble(col("embedding")).as("qv"), norm(toDouble(col("embedding"))).as("qn"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("d", dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
+      .orderBy(col("d").desc, col("cent_id")).limit(nProbe)
+      .select("cent_id")
+    assigned.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("v", toDouble(col("embedding")))
+      .withColumn("cos_r", round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 6))
+      .select(col("vec_id"), col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-10 neighbors of vec 0 (oracle: DuckDB
@@ -123,9 +165,15 @@ object Similarity {
 
     // ANN variant (LSH buckets + multi-probe + exact rerank). Bucket
     // membership depends on engine-local plane evaluation → no SQL
-    // oracle; SimilaritySpec asserts recall >= 0.8 vs brute force.
+    // oracle; LlmSpec asserts recall >= 0.8 vs brute force.
     "q_sim_ann" -> Q.noOracle { (s, dir) =>
       annTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
+    // IVF variant (centroid buckets + nProbe pruning + exact rerank);
+    // recall vs brute force asserted in LlmSpec.
+    "q_sim_ivf" -> Q.noOracle { (s, dir) =>
+      ivfTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     }
   )
 }

@@ -59,6 +59,27 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall < 0.8 (exact=$exact ann=$ann)")
   }
 
+  test("df-capped candidate generation keeps all high-jaccard pairs") {
+    val sh = Dedup.shingles(docs).cache()
+    val truth = Dedup.jaccardPairs(sh).filter(col("jac") >= 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairsCapped(sh, maxDf = 50)
+      .filter(col("jac") >= 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty && truth == capped,
+      s"cap lost pairs: ${truth.diff(capped)}")
+    sh.unpersist()
+  }
+
+  test("IVF topK reaches recall >= 0.5 vs brute force with 4/16 probes") {
+    val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall (exact=$exact ivf=$ivf)")
+  }
+
   test("multimodal chunking: counts, shape, determinism") {
     val media = Multimodal.mediaTable(spark, TestSpark.sfDir)
     val feats = Multimodal.decodeFeatures(media).cache()
