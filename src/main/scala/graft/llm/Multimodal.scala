@@ -77,6 +77,36 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: keep every `stride`-th chunk (video frame-sample /
+    * audio window-hop analog). A narrow filter on chunk_id — no shuffle,
+    * prunes decode work by 1/stride before feature extraction.
+    */
+  def frameSample(feats: Dataset[MediaFeature], stride: Int): Dataset[MediaFeature] =
+    feats.filter(_.chunk_id % stride == 0)
+
+  /** "Resize": project the feature vector to `outDims` by stride-mean
+    * pooling (the image-resize analog on the stub features). Deterministic
+    * pure function mapped over the Dataset — stays whole-stage narrow.
+    */
+  def resizeFeatures(feats: Dataset[MediaFeature], outDims: Int): Dataset[MediaFeature] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.map { f =>
+      val in = f.features
+      val out = new Array[Float](outDims)
+      val counts = new Array[Int](outDims)
+      var i = 0
+      while (i < in.length) {
+        val j = i * outDims / in.length
+        out(j) += in(i); counts(j) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < outDims) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      f.copy(features = out)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Binary-column metadata: byte length + fixed-size chunk count per

@@ -121,6 +121,17 @@ class LlmSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("multimodal frameSample and resizeFeatures keep shape and prune work") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sfDir)
+    val feats = Multimodal.decodeFeatures(media).cache()
+    val sampled = Multimodal.frameSample(feats, 2)
+    assert(sampled.count() < feats.count())
+    assert(sampled.filter(f => f.chunk_id % 2 != 0).count() == 0)
+    val resized = Multimodal.resizeFeatures(sampled, 4)
+    assert(resized.collect().forall(_.features.length == 4))
+    feats.unpersist()
+  }
+
   test("codegen ArrayDot agrees exactly with the HOF reference fold") {
     val v = Similarity.toDouble(col("embedding"))
     val diff = emb.select(
