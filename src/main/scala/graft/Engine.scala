@@ -47,12 +47,22 @@ object Engine {
     * keeping oracle parity.
     */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
+    // The legacy conf is consulted at schema resolution (read.parquet is
+    // eager about footers), so it can be restored immediately — other
+    // reads on the shared session keep normal nanos-rejection behavior.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Register every testdata table as a temp view named after itself, so

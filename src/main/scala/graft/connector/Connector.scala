@@ -90,12 +90,17 @@ object Connector {
       quoteChar: String = "\"",
       dateFormat: String = "auto",
       timeFormat: String = "auto",
-      region: Option[String] = None): Unit = {
+      region: Option[String] = None,
+      distStyle: String = "even",
+      distKey: String = "",
+      sortKey: String = ""): Unit = {
     val path = cs.stagedPath(csvName)
     val copy = Ddl.copySql(tableName, path, delimiter, quoteChar, dateFormat,
       timeFormat, cs.accessKeyId, cs.secretAccessKey, cs.iamRole, region,
       cs.sessionToken)
-    log.info(Ddl.maskAwsCredentials(copy, cs.maskSecrets))
+    // both the session flag and the global set_log_level toggle
+    // (core.py:40) must be on for masking to be skipped
+    log.info(Ddl.maskAwsCredentials(copy, cs.maskSecrets && LogConfig.maskSecrets))
     val schema = cs.spark.table(tableName).schema
     val reader = cs.spark.read
       .option("header", "true")
@@ -107,7 +112,11 @@ object Connector {
     if (dateFormat != "auto") reader.option("dateFormat", toJavaFormat(dateFormat))
     if (timeFormat != "auto") reader.option("timestampFormat", toJavaFormat(timeFormat))
     else reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    reader.csv(path).write.mode(SaveMode.Append).insertInto(tableName)
+    // The Redshift layout clauses get their Spark analogs on load:
+    // distkey → hash repartition, sortkey → sortWithinPartitions.
+    val laid = applyLayout(reader.csv(path), distStyle, distKey,
+      if (sortKey.isEmpty) Nil else sortKey.split(",").toSeq.map(_.trim))
+    laid.write.mode(SaveMode.Append).insertInto(tableName)
   }
 
   /** Redshift COPY format tokens → java.time patterns (the two formats the
@@ -188,7 +197,7 @@ object Connector {
       createTable(cs, validated, tableName, columnTypes, distStyle, distKey,
         sortInterleaved, sortKey)
     loadStaged(cs, tableName, csvName, delimiter, quoteChar, dateFormat,
-      timeFormat, region)
+      timeFormat, region, distStyle, distKey, sortKey)
   }
 
   /** ≙ `redshift_to_pandas` (`core.py:82-87`): arbitrary (optionally
@@ -213,23 +222,12 @@ object Connector {
     * staged files. The SparkSession is shared and survives (callers own
     * its lifecycle, unlike the reference's global connection teardown).
     */
-  def close(cs: ConnectorSession): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete(): Unit
-    }
-    val d = new java.io.File(cs.stagingDir)
-    if (d.exists()) rec(d)
-  }
+  def close(cs: ConnectorSession): Unit =
+    graft.util.Fs.deleteRecursively(cs.stagingDir)
 
   private def cleanWarehousePath(spark: SparkSession, tableName: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete(): Unit
-    }
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val f = new java.io.File(s"$wh/$tableName")
-    if (f.exists()) rec(f)
+    graft.util.Fs.deleteRecursively(s"$wh/$tableName")
   }
 
   // ---- oracle-checked query entries ---------------------------------

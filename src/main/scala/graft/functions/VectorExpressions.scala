@@ -25,6 +25,22 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Exposed as a SQL function (array_dot): without this check an
+  // array<int> argument would be read through getDouble over 4-byte
+  // slots — garbage, not an error.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -69,13 +69,33 @@ object Dedup {
         col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
   }
 
+  /** Exact Jaccard for a given candidate-pair set WITHOUT regenerating
+    * all pairs: candidates expand by d1's shingles (|cands| × shingles/doc
+    * rows), then equi-join on (d2, shingle) counts the intersection. This
+    * is the scoring shape both the LSH and df-capped paths share — the
+    * full-pair self-join never runs.
+    */
+  def jaccardForCandidates(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+  }
+
   /** Document-frequency-capped candidate generation: shingles appearing
     * in more than `maxDf` docs are excluded from pair GENERATION (they are
     * the quadratic blowup at scale — a shingle in d docs yields d²/2
-    * candidate rows), while Jaccard is still computed over the FULL
-    * shingle sets of each candidate pair, so surviving pairs keep their
-    * exact scores. Near-dups share many shingles, so losing the hottest
-    * ones barely dents recall (LlmSpec pins recall on jac >= 0.8 pairs).
+    * candidate rows). Jaccard is then scored over the FULL shingle sets of
+    * candidate pairs only (via [[jaccardForCandidates]]), so surviving
+    * pairs keep their exact scores and the hot-shingle self-join never
+    * happens. Near-dups share many shingles, so losing the hottest ones
+    * barely dents recall (LlmSpec pins recall on jac >= 0.8 pairs).
     */
   def jaccardPairsCapped(sh: DataFrame, maxDf: Int): DataFrame = {
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -85,7 +105,7 @@ object Dedup {
       .join(rareSh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    jaccardPairs(sh).join(cands, Seq("d1", "d2"))
+    jaccardForCandidates(sh, cands)
   }
 
   /** MinHash seeds: k portable "permutations" via seeded md5. */
@@ -202,10 +222,12 @@ object Dedup {
          |SELECT j.d1, j.d2, j.jac FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
          |WHERE j.jac >= 0.35 ORDER BY j.d1, j.d2""".stripMargin) { (s, dir) =>
       // shingles feed both the signature and verification branches —
-      // localCheckpoint materializes them once instead of re-exploding
+      // localCheckpoint materializes them once instead of re-exploding;
+      // scoring runs only over LSH candidates (jaccardForCandidates),
+      // never the all-pairs self-join
       val sh = shingles(docs(s, dir)).localCheckpoint()
       val cands = lshCandidates(minhashSignatures(sh))
-      jaccardPairs(sh).join(cands, Seq("d1", "d2"))
+      jaccardForCandidates(sh, cands)
         .filter(col("jac") >= 0.35)
         .select(col("d1"), col("d2"), col("jac"))
         .orderBy(col("d1"), col("d2"))

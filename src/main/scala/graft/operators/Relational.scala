@@ -67,14 +67,7 @@ object Relational {
     */
   private val stageRoot = "/tmp/graft_stage"
 
-  private def cleanDir(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete(): Unit
-    }
-    val f = new java.io.File(path)
-    if (f.exists()) rec(f)
-  }
+  private def cleanDir(path: String): Unit = graft.util.Fs.deleteRecursively(path)
 
   val queries: Map[String, Q] = Map(
 

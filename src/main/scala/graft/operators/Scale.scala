@@ -23,6 +23,12 @@ object Scale {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    // Replicating the small side is only sound when its unmatched rows
+    // can't surface: a right/full outer join would emit every unmatched
+    // small row `salt` times.
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val saltedBig = big.withColumn("__salt",
       (rand(seed = 42) * salt).cast("int"))
     val saltedSmall = small.withColumn("__salt",
@@ -50,12 +56,8 @@ object Scale {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete(): Unit
-    }
     val loc = new java.io.File(s"$wh/$table")
-    if (loc.exists()) rec(loc)
+    graft.util.Fs.deleteRecursively(loc.getPath)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .option("path", loc.getAbsolutePath)

@@ -132,14 +132,14 @@ object Streams {
     // ts < previous end, end = last ts + gap).
     "q_stream_session" -> Q(
       """WITH x AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              < INTERVAL 10 MINUTE
         |         THEN 0 ELSE 1 END AS brk
         |  FROM events),
         |y AS (
         |  SELECT user_id, ts, value,
-        |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) as bigint) AS sid
         |  FROM x)
         |SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,

@@ -31,6 +31,34 @@ class ContractSpec extends AnyFunSuite {
     assert(keys.size == Registry.all.size)
   }
 
+  test("events reader restores the legacy nanos conf and still executes") {
+    val spark = TestSpark.spark
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val ev = Engine.table(spark, TestSpark.sfDir, "events")
+    // getOption surfaces the registered default ("false") when unset —
+    // the leak would be a lingering "true"
+    assert(!spark.conf.getOption(key).contains("true"),
+      "shared-session conf must not leak from readEvents")
+    assert(ev.count() > 0, "plan must stay executable after conf restore")
+  }
+
+  test("array_dot rejects non-double arrays with an analysis error") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT array_dot(array(1, 2), array(3, 4))").collect())
+    assert(e.getMessage.contains("array_dot requires two array<double>"),
+      e.getMessage)
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val spark = TestSpark.spark
+    val df = Engine.table(spark, TestSpark.sfDir, "nation")
+    val e = intercept[IllegalArgumentException](
+      operators.Scale.saltedJoin(df, df, "n_nationkey", joinType = "full"))
+    assert(e.getMessage.contains("saltedJoin supports"))
+  }
+
   test("every oracle is deterministic: ORDER BY present or single-row aggregate") {
     val bad = SparkEntry.oracleSql.filterNot { case (_, sql) =>
       val up = sql.toUpperCase

@@ -39,9 +39,17 @@ def main():
         oracles = json.load(f)
     n_pass = n_fail = 0
     import os
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
-    for name in names:
+    dirs = sorted(d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that threw inside graft.Verify writes no output dir — that
+    # must FAIL the gate, not silently shrink coverage
+    missing = sorted(set(oracles) - set(dirs))
+    for name in missing:
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: no Verify output directory (query threw?)")
+        n_fail += 1
+    for name in dirs:
         if only and name not in only:
             continue
         try:
