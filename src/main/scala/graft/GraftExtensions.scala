@@ -19,6 +19,8 @@ import graft.functions.ArrayDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.arrayDotDescriptor)
+    // declarative HOF dot products compile to the fast ArrayDot loop
+    e.injectOptimizerRule(_ => functions.RewriteHofDotProduct)
   }
 }
 

@@ -140,6 +140,22 @@ class LlmSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern to ArrayDot") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      val v = Similarity.toDouble(col("embedding"))
+      val df = emb.select(Similarity.dotHof(v, reverse(v)).as("d"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("arraydot") || optimized.contains("ArrayDot"),
+        s"HOF pattern not rewritten:\n$optimized")
+      // rewritten plan still computes the same values as the raw HOF plan
+      val expect = emb.select(Similarity.dot(v, reverse(v)).as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(df.collect().map(_.getDouble(0)).toSeq == expect)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("approx_count_distinct error is bounded vs exact (q_agg_approx twin)") {
     val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)

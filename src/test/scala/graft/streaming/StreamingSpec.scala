@@ -83,6 +83,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over parquet dir matches batch") {
+    import org.apache.spark.sql.functions._
+    // stage the events table as a streaming source directory
+    val dir = "/tmp/graft_test_stage/stream_src"
+    val events = graft.Engine.table(spark, TestSpark.sfDir, "events")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = Streams.streamingTumble(stream, watermark = "0 seconds")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_file_src").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t_file_src")
+        .agg(sum("n")).head().getLong(0)
+      assert(streamed == events.count())
+    } finally q.stop()
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
