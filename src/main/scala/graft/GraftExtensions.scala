@@ -19,6 +19,7 @@ import graft.functions.ArrayDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.arrayDotDescriptor)
+    e.injectFunction(GraftExtensions.shinglesDescriptor)
     // declarative HOF dot products compile to the fast ArrayDot loop
     e.injectOptimizerRule(_ => functions.RewriteHofDotProduct)
   }
@@ -30,10 +31,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
     (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
 
+  val shinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingles"),
+    new ExpressionInfo(classOf[functions.Shingles].getName, "shingles"),
+    (children: Seq[Expression]) => {
+      val k = children.lift(1) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case None => 3
+        case other => throw new IllegalArgumentException(
+          s"shingles(text, k): k must be an int literal, got $other")
+      }
+      functions.Shingles(children.head, k)
+    })
+
   /** Register on an existing session (tests / REPL convenience). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (_, _, builder) = arrayDotDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", builder, "scala_udf")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(arrayDotDescriptor, shinglesDescriptor).foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
 }

@@ -78,6 +78,16 @@ object Similarity {
       bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Persist the LSH-bucketed corpus partitioned by bucket id: queries
+    * against the index read only the probed buckets' directories
+    * (partition pruning — asserted in LlmSpec). At 100 TB this is the
+    * serving layout: one linear bucketing pass, then every lookup touches
+    * probes/2^nPlanes of the data.
+    */
+  def writeLshIndex(emb: DataFrame, path: String, nPlanes: Int = 4): Unit =
+    lshBuckets(emb, nPlanes).write.mode("overwrite")
+      .partitionBy("bucket").parquet(path)
+
   /** ANN top-k: probe the query's bucket plus all buckets within
     * `probeHamming` sign flips (multi-probe LSH), rerank exactly. The
     * testdata embeddings are near-uniform (best cosine ≈ 0.5), so wide

@@ -71,6 +71,18 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("persisted LSH index prunes to the probed buckets") {
+    val path = "/tmp/graft_test_stage/lsh_index"
+    Similarity.writeLshIndex(emb, path, nPlanes = 4)
+    val idx = spark.read.parquet(path)
+    // partition-dir values are re-inferred (int here) — read numerically
+    val someBucket = idx.select(col("bucket").cast("long")).head().getLong(0)
+    val probe = idx.filter(col("bucket") === someBucket)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
+    assert(probe.count() > 0)
+  }
+
   test("IVF topK reaches recall >= 0.5 vs brute force with 4/16 probes") {
     val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
       .collect().map(_.getLong(0)).toSet
@@ -114,11 +126,14 @@ class LlmSpec extends AnyFunSuite {
     assert(hof.count() == native.count())
   }
 
-  test("array_dot registers as a SQL function via GraftExtensions") {
+  test("array_dot and shingles register as SQL functions via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
     assert(r == 11.0)
+    val sh = spark.sql("SELECT shingles('a b c d', 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
   }
 
   test("multimodal frameSample and resizeFeatures keep shape and prune work") {
