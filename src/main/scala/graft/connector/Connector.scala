@@ -62,8 +62,18 @@ object Connector {
       cs: ConnectorSession,
       df: DataFrame,
       csvName: String,
-      delimiter: String = ","): String = {
+      delimiter: String = ",",
+      saveLocal: Option[String] = None): String = {
     val path = cs.stagedPath(csvName)
+    // ≙ save_local (core.py:131-135): optional extra copy alongside the
+    // staged one — a second distributed write, not a driver download.
+    saveLocal.foreach { localDir =>
+      df.write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("sep", delimiter)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(s"$localDir/$csvName")
+      log.info(s"saved file $csvName in $localDir")
+    }
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("sep", delimiter)

@@ -68,6 +68,17 @@ class ConnectorParitySpec extends AnyFunSuite {
     assert(ColumnRules.validateName(once) == once)
   }
 
+  test("ANY whitespace column quotes ALL columns (core.py:111-116)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("Plain", "With Space")
+    val out = ColumnRules.validateColumnNames(df)
+    assert(out.columns.toSeq == Seq("\"plain\"", "\"with space\""))
+    // no whitespace anywhere → no quoting at all
+    val clean = ColumnRules.validateColumnNames(Seq((1, 2)).toDF("A", "b_c"))
+    assert(clean.columns.toSeq == Seq("a", "b_c"))
+  }
+
   // ---- DDL synthesis (core.py:197-211) ------------------------------
 
   private val cols = Seq("a" -> "BIGINT", "b" -> "VARCHAR(256)")

@@ -31,6 +31,15 @@ class ConnectorPipelineSpec extends AnyFunSuite {
     assert(spark.table("t_conn_app").count() == 2 * nation.count())
   }
 
+  test("stageCsv saveLocal writes the optional extra copy (core.py:131-135)") {
+    val region = graft.Engine.table(spark, TestSpark.sfDir, "region")
+    Connector.stageCsv(cs, region, "region-local.csv",
+      saveLocal = Some("/tmp/graft_test_stage/local_copy"))
+    val back = spark.read.option("header", "true").schema(region.schema)
+      .csv("/tmp/graft_test_stage/local_copy/region-local.csv")
+    assert(back.count() == region.count())
+  }
+
   test("writeTable rejects reserved column names before staging") {
     val bad = graft.Engine.table(spark, TestSpark.sfDir, "region")
       .withColumnRenamed("r_name", "join")
