@@ -114,6 +114,27 @@ object Scalars {
         .orderBy(col("p_partkey"))
     },
 
+    // Bitwise family (Redshift &, |, #, ~, <<, >>).
+    "q_fn_bitwise" -> Q(
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS band, p_partkey | 15 AS bor,
+        |  xor(p_partkey, 85) AS bxor,
+        |  p_partkey << 2 AS shl, p_partkey >> 3 AS shr,
+        |  cast(bit_count(p_partkey) as bigint) AS popcount
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 500)
+        .select(
+          col("p_partkey"),
+          col("p_partkey").bitwiseAND(255).as("band"),
+          col("p_partkey").bitwiseOR(15).as("bor"),
+          col("p_partkey").bitwiseXOR(85).as("bxor"),
+          expr("shiftleft(p_partkey, 2)").as("shl"),
+          expr("shiftright(p_partkey, 3)").as("shr"),
+          bit_count(col("p_partkey")).cast(LongType).as("popcount"))
+        .orderBy(col("p_partkey"))
+    },
+
     // JSON extraction (Redshift json_extract_path_text; events.props is a
     // JSON string). Spark get_json_object ≡ DuckDB json_extract_string.
     "q_fn_json" -> Q(

@@ -202,6 +202,59 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Higher moments from exact integer power sums (qty, qty², qty³, qty⁴
+    // are all integers summing exactly in doubles) — sample skewness and
+    // excess kurtosis with the identical expression tree in both engines.
+    "q_agg_moments" -> Q(
+      """SELECT l_linestatus, n,
+        |  ((sq3 - 3*mu*sq2 + 3*mu*mu*sq - n*mu*mu*mu) / n)
+        |    / (((sq2 - n*mu*mu) / n) * sqrt((sq2 - n*mu*mu) / n)) AS skew_qty,
+        |  ((sq4 - 4*mu*sq3 + 6*mu*mu*sq2 - 4*mu*mu*mu*sq + n*mu*mu*mu*mu) / n)
+        |    / (((sq2 - n*mu*mu) / n) * ((sq2 - n*mu*mu) / n)) - 3.0 AS kurt_qty
+        |FROM (
+        |  SELECT l_linestatus, cast(count(*) as double) AS n,
+        |    sum(l_quantity) AS sq, sum(l_quantity*l_quantity) AS sq2,
+        |    sum(l_quantity*l_quantity*l_quantity) AS sq3,
+        |    sum(l_quantity*l_quantity*l_quantity*l_quantity) AS sq4,
+        |    sum(l_quantity) / count(*) AS mu
+        |  FROM lineitem GROUP BY l_linestatus)
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity")
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(q).as("sq"), sum(q * q).as("sq2"),
+          sum(q * q * q).as("sq3"), sum(q * q * q * q).as("sq4"),
+          (sum(q) / count(lit(1))).as("mu"))
+      val (n, sq, sq2, sq3, sq4, mu) =
+        (col("n"), col("sq"), col("sq2"), col("sq3"), col("sq4"), col("mu"))
+      // pow(x, 1.5)/pow(x, 2.0) are libm-dependent across engines;
+      // x*sqrt(x) and x*x are exactly-rounded IEEE ops — identical bits.
+      val variance = (sq2 - n * mu * mu) / n
+      base.select(
+        col("l_linestatus"), n,
+        (((sq3 - lit(3) * mu * sq2 + lit(3) * mu * mu * sq - n * mu * mu * mu) / n)
+          / (variance * sqrt(variance))).as("skew_qty"),
+        (((sq4 - lit(4) * mu * sq3 + lit(6) * mu * mu * sq2
+          - lit(4) * mu * mu * mu * sq + n * mu * mu * mu * mu) / n)
+          / (variance * variance) - 3.0).as("kurt_qty"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // LISTAGG (Redshift string aggregation): deterministic via sorted
+    // collect — Spark's collect_list has no intrinsic order, so the sort
+    // happens on the collected array; the oracle orders inside string_agg.
+    "q_string_agg" -> Q(
+      """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), ",").as("segs"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // ---- window functions -------------------------------------------
 
     // Ranking family. rank/dense_rank computed over a bucketed (tie-rich)
