@@ -58,6 +58,21 @@ object Connector {
     * the only shape that works; the reference's StringIO buffer is the
     * anti-pattern SURVEY §6 calls out.
     */
+  /** CSV writer options shared by the staged write and the save_local
+    * copy, so both files are byte-equivalent. pandas to_csv neither trims
+    * whitespace nor nulls-out empty strings (core.py:137-138) — match
+    * that fidelity.
+    */
+  private def csvFidelity(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      delimiter: String) =
+    w.option("header", "true")
+      .option("sep", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", "\"\"")
+
   def stageCsv(
       cs: ConnectorSession,
       df: DataFrame,
@@ -68,22 +83,11 @@ object Connector {
     // ≙ save_local (core.py:131-135): optional extra copy alongside the
     // staged one — a second distributed write, not a driver download.
     saveLocal.foreach { localDir =>
-      df.write.mode(SaveMode.Overwrite)
-        .option("header", "true").option("sep", delimiter)
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      csvFidelity(df.write.mode(SaveMode.Overwrite), delimiter)
         .csv(s"$localDir/$csvName")
       log.info(s"saved file $csvName in $localDir")
     }
-    df.write.mode(SaveMode.Overwrite)
-      .option("header", "true")
-      .option("sep", delimiter)
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-      // pandas to_csv neither trims whitespace nor nulls-out empty
-      // strings (core.py:137-138) — match that fidelity
-      .option("ignoreLeadingWhiteSpace", "false")
-      .option("ignoreTrailingWhiteSpace", "false")
-      .option("emptyValue", "\"\"")
-      .csv(path)
+    csvFidelity(df.write.mode(SaveMode.Overwrite), delimiter).csv(path)
     log.info(s"saved file $csvName in staging $path")
     path
   }
@@ -223,10 +227,14 @@ object Connector {
 
   /** ≙ `exec_commit` (`core.py:307-309`); Spark has no commit concept —
     * file-sink writes are staged-then-renamed by the commit protocol
-    * (SURVEY §7 transactionality note).
+    * (SURVEY §7 transactionality note). DDL/DML commands execute eagerly
+    * when `spark.sql` returns; no collect — a SELECT passed through here
+    * must not materialize on the driver.
     */
-  def execCommit(spark: SparkSession, sqlQuery: String): Unit =
-    spark.sql(sqlQuery).collect(): Unit
+  def execCommit(spark: SparkSession, sqlQuery: String): Unit = {
+    spark.sql(sqlQuery)
+    ()
+  }
 
   /** ≙ `close_up_shop` (`core.py:312-324`) for the staging side: drop the
     * staged files. The SparkSession is shared and survives (callers own

@@ -19,9 +19,40 @@ object Jdbc {
   def url(host: String, dbname: String, port: Int = 5439): String =
     s"jdbc:redshift://$host:$port/$dbname"
 
-  /** Configured JDBC reader for an arbitrary SQL read (≙
-    * `redshift_to_pandas`): `query` becomes a pushed-down subquery.
+  /** Option map for an arbitrary SQL read (≙ `redshift_to_pandas`) — a
+    * pure function so the exact options are spec-checkable without a live
+    * endpoint. Spark's JDBC source REJECTS `query` combined with
+    * `partitionColumn`/bounds (AnalysisException at load), so the
+    * partitioned path wraps the query as a `dbtable` subquery instead;
+    * the unpartitioned path keeps `query` (single-cursor, like the
+    * reference's `fetchall`, `core.py:86`).
     */
+  def readerOptions(
+      jdbcUrl: String,
+      query: String,
+      user: String,
+      password: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 8): Map[String, String] = {
+    val base = Map(
+      "url" -> jdbcUrl,
+      "user" -> user,
+      "password" -> password,
+      "numPartitions" -> numPartitions.toString)
+    (partitionColumn, lowerBound, upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) =>
+        base ++ Map(
+          "dbtable" -> s"($query) graft_subquery",
+          "partitionColumn" -> c,
+          "lowerBound" -> lo.toString,
+          "upperBound" -> hi.toString)
+      case _ => base + ("query" -> query)
+    }
+  }
+
+  /** Configured JDBC reader over [[readerOptions]]. */
   def reader(
       spark: SparkSession,
       jdbcUrl: String,
@@ -31,20 +62,9 @@ object Jdbc {
       partitionColumn: Option[String] = None,
       lowerBound: Option[Long] = None,
       upperBound: Option[Long] = None,
-      numPartitions: Int = 8): DataFrameReader = {
-    val base = spark.read.format("jdbc")
-      .option("url", jdbcUrl)
-      .option("query", query)
-      .option("user", user)
-      .option("password", password)
-      .option("numPartitions", numPartitions)
-    (partitionColumn, lowerBound, upperBound) match {
-      case (Some(c), Some(lo), Some(hi)) =>
-        base.option("partitionColumn", c)
-          .option("lowerBound", lo).option("upperBound", hi)
-      case _ => base
-    }
-  }
+      numPartitions: Int = 8): DataFrameReader =
+    spark.read.format("jdbc").options(readerOptions(jdbcUrl, query, user,
+      password, partitionColumn, lowerBound, upperBound, numPartitions))
 
   /** Parallel table write over JDBC (≙ the COPY-less direct path). */
   def writeTable(df: DataFrame, jdbcUrl: String, table: String,

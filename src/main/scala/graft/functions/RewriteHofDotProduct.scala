@@ -10,10 +10,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
   *
   * into the codegen'd [[ArrayDot]] when both inputs are array<double>.
-  * Semantics-preserving by construction — ArrayDot folds left-to-right
-  * exactly like the HOF chain (LlmSpec pins exact agreement) — but the HOF
-  * form is interpreted (CodegenFallback) while ArrayDot compiles to a
-  * primitive loop (measured 7× on pairwise cosine). Users who write the
+  * Semantics-preserving for EVERY input, not just equal-length non-null
+  * arrays: ArrayDot folds left-to-right exactly like the HOF chain and
+  * mirrors its null semantics (zip_with pads the shorter array with nulls,
+  * so the HOF form is null on length mismatch or null elements — ArrayDot
+  * returns null in exactly those cases; LlmSpec pins agreement on all
+  * three regimes). The HOF form is interpreted (CodegenFallback) while
+  * ArrayDot compiles to a primitive loop (measured 7× on pairwise cosine). Users who write the
   * natural declarative form get the fast plan automatically; this is the
   * classic "declare intent, let the optimizer pick the implementation"
   * Catalyst division of labor.

@@ -18,16 +18,24 @@ object UserFunctions {
   /** Scalar UDF: cosine similarity of two float vectors. Sequential fold
     * in doubles — same association as the higher-order-function form, so
     * results match the oracle after 6dp rounding.
+    *
+    * Defined-null behavior (not NaN/NPE): null, empty, length-mismatched,
+    * or zero-norm inputs all yield SQL NULL — cosine is undefined there,
+    * and a left-join-shaped null must not kill the task.
     */
   val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (a == null || b == null || a.isEmpty || b.isEmpty || a.length != b.length) None
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Typed aggregate (Aggregator): sum of squared quantities — integer

@@ -19,11 +19,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Summation order is the same left-to-right fold as the HOF form and the
   * DuckDB oracle's loop, so results stay bit-identical.
+  *
+  * Null semantics deliberately MATCH the HOF chain (so the
+  * [[RewriteHofDotProduct]] rewrite is semantics-preserving for every
+  * input, not just the curated equal-length tables): `zip_with` pads the
+  * shorter array with nulls, making the aggregate null on length mismatch
+  * or any null element — ArrayDot returns null in exactly those cases.
+  * When neither input's element type is nullable the per-element checks
+  * are compiled out, keeping the tight primitive loop.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null on length mismatch / null element, independent of input nullability
+  override def nullable: Boolean = true
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   // Exposed as a SQL function (array_dot): without this check an
   // array<int> argument would be read through getDouble over 4-byte
@@ -44,10 +60,18 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elemNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -56,13 +80,24 @@ case class ArrayDot(left: Expression, right: Expression)
       val s = ctx.freshName("sum")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |double $s = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -25,15 +25,22 @@ object AsOf {
     * greatest rightTime <= leftTime within the same key (null if none).
     * Right rows sort before left rows at equal timestamps (inclusive
     * match, like ASOF's `>=`).
+    *
+    * Determinism: several right rows can share one (key, rightTime); a
+    * native ASOF JOIN would pick an arbitrary one. The right side is
+    * pre-reduced to max(payload) per (key, rightTime) so the operator is
+    * deterministic — oracles must mirror the same reduction.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payloadCol: String): DataFrame = {
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(right.schema(payloadCol).dataType))
-    val r = right.select(
-      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
-      col(payloadCol).as("__p"))
+    val r = right.groupBy(col(key), col(rightTime))
+      .agg(max(col(payloadCol)).as(payloadCol))
+      .select(
+        col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(payloadCol).as("__p"))
     val unioned = l.select((Seq(col(key), col("__t"), col("__side"), col("__p")) ++
       left.columns.filterNot(c => c == key).map(c => l(c))): _*)
     val all = unioned.unionByName(
@@ -51,10 +58,13 @@ object AsOf {
   val queries: Map[String, Q] = Map(
 
     // For every error event: the id of the user's nearest preceding (or
-    // simultaneous) click. Oracle is DuckDB's native ASOF LEFT JOIN.
+    // simultaneous) click. Oracle is DuckDB's native ASOF LEFT JOIN over
+    // the same max-per-(user, ts) reduced click stream asOfJoin applies,
+    // pinning both engines to one row when timestamps collide.
     "q_asof_join" -> Q(
-      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
-        |               WHERE event_type = 'click'),
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS event_id
+        |               FROM events WHERE event_type = 'click'
+        |               GROUP BY user_id, ts),
         |errors AS (SELECT user_id, ts, event_id FROM events
         |           WHERE event_type = 'error')
         |SELECT e.event_id, e.user_id, c.event_id AS asof_click_id

@@ -147,6 +147,69 @@ class LlmSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("ArrayDot matches HOF null semantics: length mismatch and null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](3.0, 4.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (4L, Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]))
+      .toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq.sortBy(_._1)
+    both.foreach { case (id, native, hof) =>
+      assert(native == hof, s"id=$id: native=$native hof=$hof")
+    }
+    assert(both.map(_._2) == Seq(11.0, null, null, 0.0))
+  }
+
+  test("banded simhash candidates are lossless for hamming <= 6 (pigeonhole)") {
+    val sh = Dedup.shingles(docs).cache()
+    val sigs = Dedup.simhash(sh).cache()
+    val a = sigs.select(col("doc_id").as("d1"), col("sig").as("s1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("sig").as("s2"))
+    val truth = a.join(b, col("d1") < col("d2"))
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.simhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cands),
+      s"banding missed ${truth.diff(cands)} of ${truth.size} true pairs")
+    sigs.unpersist(); sh.unpersist()
+  }
+
+  test("embedCandidates equals pairs with bucket hamming <= probeHamming") {
+    val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
+      .select(col("vec_id"), col("bucket")).cache()
+    val a = bucketed.select(col("vec_id").as("d1"), col("bucket").as("b1"))
+    val b = bucketed.select(col("vec_id").as("d2"), col("bucket").as("b2"))
+    val truth = a.join(b, col("d1") < col("d2"))
+      .filter(bit_count(col("b1").bitwiseXOR(col("b2"))) <= 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.embedCandidates(bucketed, nPlanes = 8, probeHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == truth, s"diff: ${cands.diff(truth)} / ${truth.diff(cands)}")
+    bucketed.unpersist()
+  }
+
+  test("cosineUdf returns null for null/empty/mismatched/zero-norm inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, null.asInstanceOf[Seq[Float]], Seq(1.0f, 0.0f)),
+      (3L, Seq.empty[Float], Seq(1.0f, 0.0f)),
+      (4L, Seq(1.0f), Seq(1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f), Seq(1.0f, 0.0f)))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      graft.functions.UserFunctions.cosineUdf(col("a"), col("b")).as("c"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(out(1L) == 1.0)
+    assert(Seq(2L, 3L, 4L, 5L).forall(out(_) == null))
+  }
+
   test("codegen ArrayDot agrees exactly with the HOF reference fold") {
     val v = Similarity.toDouble(col("embedding"))
     val diff = emb.select(
