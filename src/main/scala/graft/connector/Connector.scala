@@ -41,6 +41,47 @@ final case class ConnectorSession(
 object Connector {
   private val log = LoggerFactory.getLogger(getClass)
 
+  /** ≙ `S3_ACCEPTED_KWARGS` (`core.py:13-19`): the whitelist of extra
+    * staging-upload parameters `df_to_s3`/`pandas_to_redshift` pass through
+    * to `put_object` (`core.py:128-130, 291-294`). Ported verbatim —
+    * including the reference's `"CacheControl "` trailing-space entry,
+    * which makes a real `CacheControl` kwarg silently ignored there; parity
+    * means reproducing that filter exactly. The local staging dir has no
+    * object-store metadata to attach, so accepted kwargs are logged (the
+    * reference applies them silently); rejected/None ones are dropped.
+    */
+  val acceptedStagingKwargs: Set[String] = Set(
+    "ACL", "Body", "CacheControl ", "ContentDisposition", "ContentEncoding",
+    "ContentLanguage", "ContentLength", "ContentMD5", "ContentType",
+    "Expires", "GrantFullControl", "GrantRead", "GrantReadACP",
+    "GrantWriteACP", "Metadata", "ServerSideEncryption", "StorageClass",
+    "WebsiteRedirectLocation", "SSECustomerAlgorithm", "SSECustomerKey",
+    "SSECustomerKeyMD5", "SSEKMSKeyId", "RequestPayer", "Tagging")
+
+  /** ≙ the dict-comprehension filter `{k: v for k, v in kwargs.items() if
+    * k in S3_ACCEPTED_KWARGS and v is not None}` (`core.py:128-130`).
+    */
+  def filterStagingKwargs(kwargs: Map[String, Option[String]]): Map[String, String] =
+    kwargs.collect { case (k, Some(v)) if acceptedStagingKwargs(k) => k -> v }
+
+  /** ≙ the pandas index written as the leading CSV column when
+    * `index=True` (`core.py:120,133,137` writes it; `core.py:184-189`
+    * names the table column `index` when the frame's index is unnamed).
+    * Spark has no row index, so this synthesizes the RangeIndex
+    * equivalent: a contiguous 0..n-1 BIGINT in partition order, via RDD
+    * `zipWithIndex` — one count pass for partition offsets plus a narrow
+    * map, NO shuffle and no single-partition window bottleneck, so it
+    * holds at any scale.
+    */
+  def withRowIndex(df: DataFrame, name: String = "index"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(
+      StructField(name, LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** ≙ `connect_to_s3` (`core.py:62-79`). */
   def connectStaging(
       spark: SparkSession,
@@ -78,8 +119,12 @@ object Connector {
       df: DataFrame,
       csvName: String,
       delimiter: String = ",",
-      saveLocal: Option[String] = None): String = {
+      saveLocal: Option[String] = None,
+      extraKwargs: Map[String, Option[String]] = Map.empty): String = {
     val path = cs.stagedPath(csvName)
+    filterStagingKwargs(extraKwargs).foreach { case (k, v) =>
+      log.info(s"staging kwarg $k=$v")
+    }
     // ≙ save_local (core.py:131-135): optional extra copy alongside the
     // staged one — a second distributed write, not a driver download.
     saveLocal.foreach { localDir =>
@@ -120,6 +165,10 @@ object Connector {
       .option("header", "true")
       .option("sep", delimiter)
       .option("quote", quoteChar)
+      // COPY aborts the load on a malformed row (and the reference rolls
+      // the transaction back, core.py:259-266); PERMISSIVE would smuggle
+      // nulls in instead
+      .option("mode", "FAILFAST")
       .schema(schema)
     // COPY's dateformat/timeformat 'auto' ≙ Spark's default inference;
     // explicit formats map onto the reader options (core.py:244-249).
@@ -130,7 +179,19 @@ object Connector {
     // distkey → hash repartition, sortkey → sortWithinPartitions.
     val laid = applyLayout(reader.csv(path), distStyle, distKey,
       if (sortKey.isEmpty) Nil else sortKey.split(",").toSeq.map(_.trim))
-    laid.write.mode(SaveMode.Append).insertInto(tableName)
+    // Transactional parity with COPY's rollback (core.py:259-266): the
+    // failure-prone work — the full parse, cast, and layout of the staged
+    // CSV — materializes into a throwaway staging dir FIRST. Any error
+    // there (malformed row, bad cast, format mismatch) leaves the target
+    // byte-identical. Only already-validated parquet is then appended, a
+    // step itself guarded by Spark's file commit protocol (tasks write
+    // under _temporary and the committer renames on job commit, so a
+    // crashed append publishes nothing).
+    val tmp = s"${cs.stagingDir}/.load_tmp_${UUID.randomUUID()}"
+    try {
+      laid.write.mode(SaveMode.Overwrite).parquet(tmp)
+      cs.spark.read.parquet(tmp).write.mode(SaveMode.Append).insertInto(tableName)
+    } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
   /** Redshift COPY format tokens → java.time patterns (the two formats the
@@ -187,13 +248,17 @@ object Connector {
   }
 
   /** ≙ `pandas_to_redshift` (`core.py:269-304`): validate → uuid-staged
-    * CSV → create-unless-append → parallel load.
+    * CSV → create-unless-append → parallel load. `index = true` prepends
+    * the RangeIndex-equivalent column named `index` (`core.py:184-189`;
+    * [[withRowIndex]]); `extraKwargs` is the whitelisted staging
+    * pass-through (`core.py:291-294`).
     */
   def writeTable(
       cs: ConnectorSession,
       df: DataFrame,
       tableName: String,
       columnTypes: Option[Seq[String]] = None,
+      index: Boolean = false,
       append: Boolean = false,
       delimiter: String = ",",
       quoteChar: String = "\"",
@@ -203,12 +268,14 @@ object Connector {
       distStyle: String = "even",
       distKey: String = "",
       sortInterleaved: Boolean = false,
-      sortKey: String = ""): Unit = {
+      sortKey: String = "",
+      extraKwargs: Map[String, Option[String]] = Map.empty): Unit = {
     val validated = ColumnRules.validateColumnNames(df)
+    val indexed = if (index) withRowIndex(validated) else validated
     val csvName = s"$tableName-${UUID.randomUUID()}.csv" // core.py:291
-    stageCsv(cs, validated, csvName, delimiter)
+    stageCsv(cs, indexed, csvName, delimiter, extraKwargs = extraKwargs)
     if (!append)
-      createTable(cs, validated, tableName, columnTypes, distStyle, distKey,
+      createTable(cs, indexed, tableName, columnTypes, distStyle, distKey,
         sortInterleaved, sortKey)
     loadStaged(cs, tableName, csvName, delimiter, quoteChar, dateFormat,
       timeFormat, region, distStyle, distKey, sortKey)

@@ -48,6 +48,52 @@ class ConnectorPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserve word"))
   }
 
+  test("writeTable index=true prepends a contiguous 'index' column (core.py:184-189)") {
+    val nation = graft.Engine.table(spark, TestSpark.sfDir, "nation")
+    Connector.writeTable(cs, nation, "t_conn_idx", index = true)
+    val back = spark.table("t_conn_idx")
+    // reference names the unnamed-index column literally `index`, first
+    assert(back.columns.head == "index")
+    assert(back.columns.tail.toSeq == nation.columns.toSeq)
+    val idx = back.select("index").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == (0L until nation.count()).toSeq)
+  }
+
+  test("filterStagingKwargs replicates the S3_ACCEPTED_KWARGS filter (core.py:13-19,128-130)") {
+    val out = Connector.filterStagingKwargs(Map(
+      "ServerSideEncryption" -> Some("AES256"),  // accepted
+      "ContentType" -> None,                     // None dropped
+      "NotAKwarg" -> Some("x"),                  // unknown dropped
+      // the reference whitelist carries 'CacheControl ' WITH a trailing
+      // space, so the real kwarg never matches — parity includes the bug
+      "CacheControl" -> Some("no-cache")))
+    assert(out == Map("ServerSideEncryption" -> "AES256"))
+  }
+
+  test("failed load leaves the target table untouched (COPY rollback, core.py:259-266)") {
+    val nation = graft.Engine.table(spark, TestSpark.sfDir, "nation")
+    Connector.writeTable(cs, nation, "t_conn_txn")
+    val before = spark.table("t_conn_txn").collect().map(_.toString).sorted.toSeq
+    // hand-stage a CSV whose rows cannot cast to the table schema, then
+    // attempt an append load: the parse happens in the staging phase, so
+    // the failure must not publish anything into the table
+    val badDir = cs.stagedPath("bad-load.csv")
+    graft.util.Fs.deleteRecursively(badDir)
+    new java.io.File(badDir).mkdirs()
+    val w = new java.io.PrintWriter(s"$badDir/part-00000.csv")
+    w.println(nation.columns.mkString(","))
+    w.println("not_a_number,oops,also_not_a_number,text")
+    w.close()
+    intercept[Exception](
+      Connector.loadStaged(cs, "t_conn_txn", "bad-load.csv"))
+    val after = spark.table("t_conn_txn").collect().map(_.toString).sorted.toSeq
+    assert(after == before, "failed load must leave the target byte-identical")
+    // and no staging temp dirs leak
+    val leaked = new java.io.File("/tmp/graft_test_stage")
+      .listFiles().filter(_.getName.startsWith(".load_tmp_"))
+    assert(leaked.isEmpty, s"leaked temp dirs: ${leaked.mkString(",")}")
+  }
+
   test("applyLayout: distkey hash-partitions, sortkey sorts within partitions") {
     val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
     val laid = Connector.applyLayout(orders, distKey = "o_custkey",
