@@ -117,16 +117,17 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: partition the corpus by nearest centroid,
-    * search only the `nProbe` centroids closest to the query. Centroids
-    * here are a deterministic sample (the lowest-id vectors) — one
-    * k-means iteration away from production, but the plumbing (assignment
-    * join, bucket pruning, exact rerank) is the scale path: at 100 TB the
-    * assigned table is written partitioned by centroid id, so a query
-    * scans nProbe/nCentroids of the data.
+    * search only the `nProbe` centroids closest to the query. The plumbing
+    * (assignment join, bucket pruning, exact rerank) is the scale path: at
+    * 100 TB the assigned table is written partitioned by centroid id, so a
+    * query scans nProbe/nCentroids of the data.
     */
-  def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
-    val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid table
+    * against the corpus, one narrow pass + per-vector argmax. At any
+    * corpus size this is a map-side join — centroids are KBs.
+    */
+  def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))
     emb.select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("v"))
@@ -137,11 +138,36 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
 
+  /** Real k-means centroids: a deterministic lowest-id seed refined by
+    * `iters` Lloyd iterations (assign → element-wise mean per cell). Each
+    * iteration is one broadcast assignment pass plus one shuffle keyed on
+    * (cent_id, dim) — linear in corpus size, so the training step scales
+    * the same way the serving step does.
+    */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 1): DataFrame = {
+    val seeds = emb.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+    (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = assignToCentroids(emb, cents)
+      assigned
+        .select(col("cent_id"), posexplode(toDouble(col("embedding"))))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        // collect_list has no order guarantee — sort by pos to rebuild
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("cv"))
+    }
+  }
+
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame =
+    assignToCentroids(emb, broadcast(ivfCentroids(emb, nCentroids)))
+
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(emb, nCentroids)
-    val cents = emb.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+    // one centroid table shared by assignment and probe selection — the
+    // two MUST agree or pruning searches the wrong cells
+    val cents = ivfCentroids(emb, nCentroids).localCheckpoint()
+    val assigned = assignToCentroids(emb, broadcast(cents))
     val q = emb.filter(col("vec_id") === queryId)
       .select(toDouble(col("embedding")).as("qv"), norm(toDouble(col("embedding"))).as("qn"))
     val probes = cents.crossJoin(broadcast(q))
