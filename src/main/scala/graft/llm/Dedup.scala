@@ -95,21 +95,40 @@ object Dedup {
   /** Document-frequency-capped candidate generation: shingles appearing
     * in more than `maxDf` docs are excluded from pair GENERATION (they are
     * the quadratic blowup at scale — a shingle in d docs yields d²/2
-    * candidate rows). Jaccard is then scored over the FULL shingle sets of
-    * candidate pairs only (via [[jaccardForCandidates]]), so surviving
-    * pairs keep their exact scores and the hot-shingle self-join never
-    * happens. Near-dups share many shingles, so losing the hottest ones
-    * barely dents recall (LlmSpec pins recall on jac >= 0.8 pairs).
+    * candidate rows), yet surviving pairs keep their EXACT full-set
+    * Jaccard. The intersection splits over the rare/hot partition of the
+    * shingle space: the rare part falls out of the pair-generating
+    * self-join itself (its groupBy count — no distinct + re-expansion
+    * pass), and the hot part is recovered by expanding only the candidate
+    * pairs by their (few) hot shingles. The hot-shingle self-join never
+    * happens, and near-dups share many shingles, so losing the hottest
+    * ones from generation barely dents recall (LlmSpec pins recall on
+    * jac >= 0.8 pairs).
     */
   def jaccardPairsCapped(sh: DataFrame, maxDf: Int): DataFrame = {
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val rareSh = sh.join(rare, "shingle")
-    val cands = rareSh.select(col("doc_id").as("d1"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val tagged = sh.join(dfs, "shingle")
+    val rareSh = tagged.filter(col("df") <= maxDf).select("doc_id", "shingle")
+    val hotSh = tagged.filter(col("df") > maxDf).select("doc_id", "shingle")
+    // candidate pairs AND their rare-side intersection in one self-join
+    val interRare = rareSh.select(col("doc_id").as("d1"), col("shingle"))
       .join(rareSh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    jaccardForCandidates(sh, cands)
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter_rare"))
+    // hot-side intersection, computed only for candidates: expand each
+    // pair by d1's hot shingles, match them against d2's
+    val interHot = interRare.select(col("d1"), col("d2"))
+      .join(hotSh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(hotSh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter_hot"))
+    interRare.join(interHot, Seq("d1", "d2"), "left")
+      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
   }
 
   /** MinHash seeds: k portable "permutations" via seeded md5. */
@@ -169,20 +188,46 @@ object Dedup {
   val simhashBandSpec: Seq[(Int, Int)] =
     Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
 
-  /** Candidate pairs for hamming ≤ 6 via an equi-join on signature chunks
-    * — the bit-chunk bucketing that replaces the all-pairs comparison.
+  /** (doc_id, sig, band_id, key): one row per signature chunk. The sig
+    * rides along (one long) so verification needs no join back to the
+    * signature table.
     */
-  def simhashCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
+  private def simhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
       explode(array(simhashBandSpec.zipWithIndex.map { case ((off, len), i) =>
         struct(lit(i).as("band_id"),
           shiftright(col("sig"), off).bitwiseAND(lit((1L << len) - 1)).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+      .select(col("doc_id"), col("sig"), col("bk.band_id"), col("bk.key"))
+
+  /** Candidate pairs for hamming ≤ 6 via an equi-join on signature chunks
+    * — the bit-chunk bucketing that replaces the all-pairs comparison.
+    */
+  def simhashCandidates(sigs: DataFrame): DataFrame = {
+    val bands = simhashBands(sigs)
     val l = bands.select(col("doc_id").as("d1"), col("band_id"), col("key"))
     val r = bands.select(col("doc_id").as("d2"), col("band_id"), col("key"))
     l.join(r, Seq("band_id", "key")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+  }
+
+  /** Banded candidates + exact hamming verification in one pass: the
+    * hamming filter runs on the joined band rows themselves (sigs ride
+    * along), so only true near-dup pairs reach the dedupe shuffle —
+    * a multi-band pair costs duplicate cheap comparisons instead of a
+    * full-candidate-set distinct + two join-backs.
+    */
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bands = simhashBands(sigs)
+    val l = bands.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+      col("band_id"), col("key"))
+    val r = bands.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+      col("band_id"), col("key"))
+    l.join(r, Seq("band_id", "key")).filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming").distinct()
   }
 
   /** Embedding near-dup candidates: vectors whose random-hyperplane LSH
@@ -321,16 +366,9 @@ object Dedup {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 6
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       // candidates via bit-chunk banding (equi-join; lossless for ham<=6
-      // by pigeonhole — see simhashBandSpec), then exact hamming verify.
+      // by pigeonhole — see simhashBandSpec) with inline hamming verify.
       // The oracle stays the exact all-pairs definition: same result set.
-      val sigs = simhash(shingles(docs(s, dir))).localCheckpoint()
-      simhashCandidates(sigs)
-        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
-        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
-        .withColumn("hamming",
-          bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast(LongType))
-        .filter(col("hamming") <= 6)
-        .select(col("d1"), col("d2"), col("hamming"))
+      simhashNearDup(simhash(shingles(docs(s, dir))), maxHamming = 6)
         .orderBy(col("d1"), col("d2"))
     },
 
