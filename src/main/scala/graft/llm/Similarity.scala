@@ -127,16 +127,19 @@ object Similarity {
     * against the corpus, one narrow pass + per-vector argmax. At any
     * corpus size this is a map-side join — centroids are KBs.
     */
-  def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))
+  def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("d", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      // argmax as a map-side-combinable aggregate, NOT a row_number
+      // window: the window would shuffle corpus × nCentroids rows and
+      // sort per vector; max_by partial-aggregates to one row per vector
+      // before the exchange. Tie-break = smallest cent_id (negated in
+      // the ordering struct), matching a deterministic orderBy.
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cent_id"), struct(col("d"), col("cent_id") * -1)).as("cent_id"))
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-  }
 
   /** Real k-means centroids: a deterministic lowest-id seed refined by
     * `iters` Lloyd iterations (assign → element-wise mean per cell). Each
@@ -210,6 +213,44 @@ object Similarity {
     // recall vs brute force asserted in LlmSpec.
     "q_sim_ivf" -> Q.noOracle { (s, dir) =>
       ivfTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
+    // Cluster assignment (the k-means E-step over deterministic lowest-id
+    // seeds): nearest-centroid per vector via a broadcast of the 8-row
+    // centroid table + map-side-combinable argmax — one narrow pass over
+    // the corpus, one 1-row-per-vector shuffle; the shape that holds at
+    // any corpus size. Ranking uses the 6dp-rounded cosine on BOTH
+    // engines (ties → smallest cent_id) so the argmax is cross-engine
+    // deterministic. The M-step (Lloyd mean refinement) is
+    // [[ivfCentroids]], pinned by LlmSpec rather than SQL (float mean
+    // summation order is engine-specific).
+    "q_cluster_assign" -> Q(
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cent_id, cos_r,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
+        |  FROM scored)
+        |SELECT vec_id, cent_id, cos_r FROM ranked WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+      emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos_r",
+          round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("cos_r")),
+          struct(col("cos_r"), col("cent_id") * -1)).as("a"))
+        .select(col("vec_id"), col("a.cent_id").as("cent_id"),
+          col("a.cos_r").as("cos_r"))
+        .orderBy(col("vec_id"))
     }
   )
 }
