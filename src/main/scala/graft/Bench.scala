@@ -15,6 +15,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed small-sf pass so the first timed query doesn't absorb
+    // JIT + codegen + session-init cost (it was charging ~4 s to whichever
+    // query happened to iterate first)
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be visible in the output, not recorded as a
