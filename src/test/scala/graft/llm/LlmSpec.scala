@@ -71,6 +71,21 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("capped Jaccard scores equal the exact scores on surviving pairs") {
+    // the rare/hot intersection split must reproduce the EXACT full-set
+    // Jaccard for every candidate pair, and with the cap disabled the
+    // whole result must equal the uncapped computation
+    val sh = Dedup.shingles(docs).cache()
+    val exact = Dedup.jaccardPairs(sh)
+      .select("d1", "d2", "n1", "n2", "inter", "jac")
+    val uncapped = Dedup.jaccardPairsCapped(sh, maxDf = Int.MaxValue)
+    assert(exact.except(uncapped).isEmpty && uncapped.except(exact).isEmpty)
+    val capped = Dedup.jaccardPairsCapped(sh, maxDf = 50)
+    // capped output ⊆ exact with identical rows (same full-set scores)
+    assert(capped.except(exact).isEmpty)
+    sh.unpersist()
+  }
+
   test("persisted LSH index prunes to the probed buckets") {
     val path = "/tmp/graft_test_stage/lsh_index"
     Similarity.writeLshIndex(emb, path, nPlanes = 4)
