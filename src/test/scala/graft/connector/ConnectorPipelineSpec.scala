@@ -40,6 +40,27 @@ class ConnectorPipelineSpec extends AnyFunSuite {
     assert(back.count() == region.count())
   }
 
+  test("saveLocal copy is byte-equivalent to the staged CSV (fidelity options shared)") {
+    import spark.implicits._
+    // empty strings and padded whitespace are exactly what diverges when
+    // the two writes use different options
+    val tricky = Seq((1L, "", "  padded  "), (2L, "x", "y"))
+      .toDF("id", "empty_s", "pad_s")
+    Connector.stageCsv(cs, tricky.repartition(1), "tricky.csv",
+      saveLocal = Some("/tmp/graft_test_stage/local_tricky"))
+    def lines(dir: String): Seq[String] = {
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".csv")).sorted
+      files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq.sorted
+    }
+    val staged = lines(cs.stagedPath("tricky.csv"))
+    val local = lines("/tmp/graft_test_stage/local_tricky/tricky.csv")
+    assert(staged == local, s"staged=$staged local=$local")
+    // and the fidelity guarantees themselves hold in BOTH copies
+    assert(staged.exists(_.contains("\"\"")), "empty string must be quoted, not null")
+    assert(staged.exists(_.contains("  padded  ")), "whitespace must survive")
+  }
+
   test("writeTable rejects reserved column names before staging") {
     val bad = graft.Engine.table(spark, TestSpark.sfDir, "region")
       .withColumnRenamed("r_name", "join")
