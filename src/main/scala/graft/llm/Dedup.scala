@@ -145,6 +145,31 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(hs.head, hs.tail: _*)
   }
 
+  /** STATELESS per-row MinHash signature: identical values to
+    * [[minhashSignatures]] (min of md5(seed||shingle) per seed; distinct
+    * shingles don't change a min), but computed with
+    * `array_min(transform(...))` inside one projection — no explode, no
+    * aggregation. This is the streaming-ingest form: a signature per
+    * document with zero shuffles, so a stream can dedup on it with a
+    * single stateful operator ([[graft.streaming.Streams.streamingSigDedup]]).
+    */
+  def minhashSignaturesStateless(d: DataFrame): DataFrame =
+    withMinhashSignature(d)
+      .select(col("doc_id") +: (0 until minhashSeeds.size).map(i => col(s"h$i")): _*)
+
+  /** [[minhashSignaturesStateless]] keeping every input column (streams
+    * need the event-time column for watermark eviction and the payload for
+    * downstream stages); appends h0..h5.
+    */
+  def withMinhashSignature(d: DataFrame): DataFrame = {
+    val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+    val hs = minhashSeeds.zipWithIndex.map { case (seed, i) =>
+      array_min(transform(sh, s =>
+        md5(concat(lit(seed), s).cast(BinaryType)))).as(s"h$i")
+    }
+    d.filter(size(sh) >= 1).select(d.columns.map(col).toSeq ++ hs: _*)
+  }
+
   /** LSH banding (rows=2, bands=3): candidate pairs agree on at least one
     * full band — the equi-join that replaces all-pairs comparison.
     */
@@ -311,6 +336,29 @@ object Dedup {
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // Signature-identity dedup (the cheap pre-verification tier of a
+    // training-data ingest: docs whose FULL MinHash signature collides
+    // are near-certain duplicates — no pair scoring at all). One stateless
+    // projection + one groupBy on the 6-hash signature; the streaming
+    // twin (Streams.streamingSigDedup) runs the same signature through
+    // dropDuplicates state.
+    "q_dedup_sig" -> Q(
+      s"""WITH $oShingleCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${minhashSeeds.zipWithIndex.map { case (seed, i) =>
+        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |  FROM sh GROUP BY doc_id)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM sigs GROUP BY h0, h1, h2, h3, h4, h5
+         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      minhashSignaturesStateless(docs(s, dir))
+        .groupBy((0 until 6).map(i => col(s"h$i")): _*)
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
     },
 
     // MinHash+LSH: banded signatures propose candidates (sub-quadratic

@@ -78,6 +78,24 @@ object Streams {
   def streamingDedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming near-dup ingest filter: the stateless per-row MinHash
+    * signature ([[graft.llm.Dedup.minhashSignaturesStateless]] — an
+    * `array_min(transform(...))` projection, no aggregation) followed by
+    * signature `dropDuplicates`, so the whole pipeline needs exactly ONE
+    * stateful operator. Docs whose full 6-hash signature was already seen
+    * are dropped — the cheap dedup tier a training-data ingest runs before
+    * any pairwise verification. Pass a watermark column + delay to bound
+    * state on unbounded streams (without it, signature state grows with
+    * the distinct-doc count).
+    */
+  def streamingSigDedup(
+      docsStream: DataFrame,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val sigs = graft.llm.Dedup.withMinhashSignature(
+      watermark.fold(docsStream) { case (c, d) => docsStream.withWatermark(c, d) })
+    sigs.dropDuplicates(graft.llm.Dedup.minhashSeeds.indices.map(i => s"h$i"))
+  }
+
   /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2
     * s_dedup_stream): per-user cumulative event count + running value sum,
     * emitted on every update. State is one tiny struct per key; a real

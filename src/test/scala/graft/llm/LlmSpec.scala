@@ -71,6 +71,13 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("stateless minhash signature equals the aggregated form") {
+    val agg = Dedup.minhashSignatures(Dedup.shingles(docs))
+    val stateless = Dedup.minhashSignaturesStateless(docs)
+    assert(agg.count() == stateless.count())
+    assert(agg.except(stateless).isEmpty && stateless.except(agg).isEmpty)
+  }
+
   test("capped Jaccard scores equal the exact scores on surviving pairs") {
     // the rare/hot intersection split must reproduce the EXACT full-set
     // Jaccard for every candidate pair, and with the cap disabled the

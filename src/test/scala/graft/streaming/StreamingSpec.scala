@@ -64,6 +64,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSigDedup drops signature-identical docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingSigDedup(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sigdedup").start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps"), (2L, "a totally different doc here"))
+      q.processAllAvailable()
+      // doc 3 has the same shingle set as doc 1 → identical signature →
+      // dropped by state from a PREVIOUS batch; doc 4 is new; doc 5 is
+      // too short to shingle (filtered before state)
+      mem.addData((3L, "the quick brown fox jumps"),
+        (4L, "yet another unseen document body"), (5L, "too short"))
+      q.processAllAvailable()
+      val ids = spark.table("t_sigdedup").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
