@@ -58,6 +58,12 @@ object Connector {
     "WebsiteRedirectLocation", "SSECustomerAlgorithm", "SSECustomerKey",
     "SSECustomerKeyMD5", "SSEKMSKeyId", "RequestPayer", "Tagging")
 
+  /** Accepted kwargs whose VALUES are secrets (encryption keys / key ids)
+    * — masked in logs under the same toggles as the COPY credentials.
+    */
+  val sensitiveStagingKwargs: Set[String] =
+    Set("SSECustomerKey", "SSECustomerKeyMD5", "SSEKMSKeyId")
+
   /** ≙ the dict-comprehension filter `{k: v for k, v in kwargs.items() if
     * k in S3_ACCEPTED_KWARGS and v is not None}` (`core.py:128-130`).
     */
@@ -123,7 +129,12 @@ object Connector {
       extraKwargs: Map[String, Option[String]] = Map.empty): String = {
     val path = cs.stagedPath(csvName)
     filterStagingKwargs(extraKwargs).foreach { case (k, v) =>
-      log.info(s"staging kwarg $k=$v")
+      // key material must not reach the logs in cleartext — same policy
+      // as Ddl.maskAwsCredentials on the COPY text
+      val shown =
+        if (sensitiveStagingKwargs(k) && cs.maskSecrets && LogConfig.maskSecrets) "********"
+        else v
+      log.info(s"staging kwarg $k=$shown")
     }
     // ≙ save_local (core.py:131-135): optional extra copy alongside the
     // staged one — a second distributed write, not a driver download.

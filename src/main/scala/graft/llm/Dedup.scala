@@ -243,6 +243,10 @@ object Dedup {
     * full-candidate-set distinct + two join-backs.
     */
   def simhashNearDup(sigs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // pigeonhole soundness: k chunks guarantee recall only for < k flips
+    require(maxHamming < simhashBandSpec.size,
+      s"banded candidates are lossless only for hamming < ${simhashBandSpec.size}; " +
+        s"got maxHamming=$maxHamming — widen simhashBandSpec first")
     val bands = simhashBands(sigs)
     val l = bands.select(col("doc_id").as("d1"), col("sig").as("sig1"),
       col("band_id"), col("key"))
@@ -262,9 +266,7 @@ object Dedup {
     * all-pairs comparison. Exact cosine reranks candidates afterwards.
     */
   def embedCandidates(bucketed: DataFrame, nPlanes: Int, probeHamming: Int): DataFrame = {
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
-      .map(m => lit(m.toLong))
+    val masks = Similarity.probeMasks(nPlanes, probeHamming).map(lit)
     val probed = bucketed.select(col("vec_id").as("d1"),
         col("bucket"), explode(array(masks: _*)).as("m"))
       .select(col("d1"), col("bucket").bitwiseXOR(col("m")).as("bkey"))
@@ -439,7 +441,11 @@ object Dedup {
         |  FROM (SELECT cast(unnest(range(0, 8)) as varchar) AS p) g
         |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
         |dots AS (
-        |  SELECT e.vec_id, pl.p, sum(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE) AS dp
+        |  -- per-term floor-quantization to the 2^-30 grid: each term is an
+        |  -- exact BIGINT, so this sum is order-independent and bit-equal
+        |  -- to Spark's fold (raw double sums could flip a near-zero sign)
+        |  SELECT e.vec_id, pl.p,
+        |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
         |  FROM embeddings e CROSS JOIN planes pl
         |  GROUP BY e.vec_id, pl.p),
         |sigs AS (

@@ -65,18 +65,41 @@ object Similarity {
     v / 32768.0 - 1.0
   }
 
-  /** Sign-bucket each vector with `nPlanes` hyperplanes (linear pass). */
+  /** Sign-bucket each vector with `nPlanes` hyperplanes (linear pass).
+    *
+    * The sign test uses a QUANTIZED dot product: each term
+    * `floor(x * w * 2^30)` is an exactly-representable long (the raw
+    * product is exact — 24-bit float significand × 16-bit plane weight —
+    * and the power-of-two scale + floor introduce no engine-specific
+    * rounding), so the long sum is order-independent and the bucket bit is
+    * bit-identical in ANY engine — a raw double sum could flip a
+    * near-zero projection's sign between Spark's sequential fold and an
+    * oracle's partial-combine order (CLAUDE.md float invariant).
+    */
   def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
     val dim = 64
     val planes = (0 until nPlanes).map(p =>
       array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
     val v = toDouble(col("embedding"))
+    def qdot(a: Column, pl: Column): Column =
+      aggregate(zip_with(a, pl, (x, w) => floor(x * w * lit(1073741824.0))),
+        lit(0L), (acc, t) => acc + t)
     val bits = planes.zipWithIndex.map { case (pl, i) =>
-      when(dot(v, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+      when(qdot(v, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     emb.select(col("vec_id"), col("embedding"),
       bits.reduce(_ + _).as("bucket"))
   }
+
+  /** XOR probe masks for multi-probe LSH: every pattern with at most
+    * `probeHamming` of `nPlanes` bits set, enumerated combinatorially —
+    * C(nPlanes, ≤h) masks, never a 2^nPlanes sweep, so high plane counts
+    * stay cheap on the driver.
+    */
+  def probeMasks(nPlanes: Int, probeHamming: Int): Seq[Long] =
+    (0 to probeHamming).flatMap(k =>
+      (0 until nPlanes).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
 
   /** Persist the LSH-bucketed corpus partitioned by bucket id: queries
     * against the index read only the probed buckets' directories
@@ -100,9 +123,7 @@ object Similarity {
     val bucketed = lshBuckets(emb, nPlanes)
     val qRow = bucketed.filter(col("vec_id") === queryId)
       .select(col("bucket"), toDouble(col("embedding")).as("qv"))
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
-      .map(m => lit(m.toLong))
+    val masks = probeMasks(nPlanes, probeHamming).map(lit)
     val probes = qRow.select(col("bucket"), col("qv"),
       explode(array(masks: _*)).as("mask"))
       .select(col("bucket").bitwiseXOR(col("mask")).as("bucket"), col("qv"))
@@ -152,13 +173,18 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
     (0 until iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assignToCentroids(emb, cents)
-      assigned
+      val means = assigned
         .select(col("cent_id"), posexplode(toDouble(col("embedding"))))
         .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("cent_id"))
         // collect_list has no order guarantee — sort by pos to rebuild
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("cv"))
+        .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("next"))
+      // a cell that lost every member keeps its previous centroid (the
+      // standard k-means empty-cluster fallback) so the table always has
+      // nCentroids rows and probe/assign cell counts never silently shrink
+      cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("next"), col("cv")).as("cv"))
     }
   }
 

@@ -85,15 +85,22 @@ object Streams {
     * stateful operator. Docs whose full 6-hash signature was already seen
     * are dropped — the cheap dedup tier a training-data ingest runs before
     * any pairwise verification. Pass a watermark column + delay to bound
-    * state on unbounded streams (without it, signature state grows with
-    * the distinct-doc count).
+    * state on unbounded streams: that path uses
+    * `dropDuplicatesWithinWatermark`, whose state rows ARE evicted once
+    * they age past the delay (plain `dropDuplicates` on non-event-time
+    * keys would keep signature state forever even with a watermark set).
     */
   def streamingSigDedup(
       docsStream: DataFrame,
       watermark: Option[(String, String)] = None): DataFrame = {
-    val sigs = graft.llm.Dedup.withMinhashSignature(
-      watermark.fold(docsStream) { case (c, d) => docsStream.withWatermark(c, d) })
-    sigs.dropDuplicates(graft.llm.Dedup.minhashSeeds.indices.map(i => s"h$i"))
+    val keys = graft.llm.Dedup.minhashSeeds.indices.map(i => s"h$i")
+    watermark match {
+      case Some((c, d)) =>
+        graft.llm.Dedup.withMinhashSignature(docsStream.withWatermark(c, d))
+          .dropDuplicatesWithinWatermark(keys)
+      case None =>
+        graft.llm.Dedup.withMinhashSignature(docsStream).dropDuplicates(keys)
+    }
   }
 
   /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2

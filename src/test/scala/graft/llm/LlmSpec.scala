@@ -71,6 +71,15 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("probeMasks enumerates exactly the <=h-bit patterns") {
+    for (n <- Seq(4, 8); h <- 0 to 3) {
+      val expect = (0 until (1 << n))
+        .filter(m => java.lang.Integer.bitCount(m) <= h).map(_.toLong).toSet
+      val got = Similarity.probeMasks(n, h)
+      assert(got.toSet == expect && got.size == expect.size, s"n=$n h=$h")
+    }
+  }
+
   test("stateless minhash signature equals the aggregated form") {
     val agg = Dedup.minhashSignatures(Dedup.shingles(docs))
     val stateless = Dedup.minhashSignaturesStateless(docs)

@@ -85,6 +85,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSigDedup with watermark uses evictable within-watermark state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.streamingSigDedup(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      watermark = Some(("ts", "10 minutes")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sigdedup_wm").start()
+    try {
+      mem.addData((1L, ts(0), "the quick brown fox jumps"))
+      q.processAllAvailable()
+      // duplicate inside the watermark horizon → dropped by state
+      mem.addData((2L, ts(5), "the quick brown fox jumps"),
+        (3L, ts(5), "a different document entirely"))
+      q.processAllAvailable()
+      val ids = spark.table("t_sigdedup_wm").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
