@@ -191,6 +191,17 @@ object Similarity {
   def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame =
     assignToCentroids(emb, broadcast(ivfCentroids(emb, nCentroids)))
 
+  /** Persist the IVF-assigned corpus partitioned by centroid id — the
+    * serving layout twin of [[writeLshIndex]]: one training+assignment
+    * pass, then every query reads only its nProbe probed cells'
+    * directories (partition pruning, asserted in LlmSpec). At 100 TB this
+    * is how IVF search avoids touching (nCentroids - nProbe)/nCentroids
+    * of the data.
+    */
+  def writeIvfIndex(emb: DataFrame, path: String, nCentroids: Int = 16): Unit =
+    ivfAssign(emb, nCentroids).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(path)
+
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     // one centroid table shared by assignment and probe selection — the

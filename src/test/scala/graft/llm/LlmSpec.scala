@@ -114,6 +114,17 @@ class LlmSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("persisted IVF index prunes to the probed centroid cells") {
+    val path = "/tmp/graft_test_stage/ivf_index"
+    Similarity.writeIvfIndex(emb, path, nCentroids = 8)
+    val idx = spark.read.parquet(path)
+    val someCell = idx.select(col("cent_id").cast("long")).head().getLong(0)
+    val probe = idx.filter(col("cent_id") === someCell)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\].*"), plan)
+    assert(probe.count() > 0)
+  }
+
   test("IVF topK reaches recall >= 0.8 vs brute force with 4/16 probes") {
     val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
       .collect().map(_.getLong(0)).toSet
