@@ -55,6 +55,29 @@ object Scalars {
         .orderBy(col("p_partkey"))
     },
 
+    // Regex family beyond q_fn_string's replace/rlike: extract, match
+    // count, split_part, translate. Patterns chosen to be valid in both
+    // Java regex (Spark) and RE2 (DuckDB), and guaranteed to match (every
+    // c_name is 'Customer#<digits>') so no-match semantics never diverge.
+    "q_fn_regex" -> Q(
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS tail_digits,
+        |  regexp_matches(c_name, '00') AS has_00,
+        |  cast(len(regexp_extract_all(c_name, '0')) as bigint) AS n_zeros,
+        |  split_part(c_name, '#', 2) AS after_hash,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("tail_digits"),
+          col("c_name").rlike("00").as("has_00"),
+          regexp_count(col("c_name"), lit("0")).cast(LongType).as("n_zeros"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("after_hash"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Date/time family. DuckDB's dayofweek starts Sunday=0 while Spark's
     // starts Sunday=1, so the portable form is ISO weekday (Spark
     // weekday()+1 == DuckDB isodow).

@@ -46,6 +46,28 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
 
+    // Deterministic hash-based train/test split — the reproducible
+    // sampling a training pipeline uses instead of rng (seeded rng is
+    // engine-specific; md5 is not). Bucket = first md5 byte of the doc id,
+    // 80/20 by bucket mod 10. Embarrassingly parallel, zero shuffles
+    // before the ordered output.
+    "q_sample_hash" -> Q(
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket % 10 < 8 THEN 'train' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2),
+            16, 10).cast(LongType).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") % 10 < 8, "train").otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus stats per language: doc/char/token counts, exact averages.
     "q_text_stats" -> Q(
       """SELECT lang, count(*) AS n_docs,

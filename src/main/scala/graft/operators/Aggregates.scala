@@ -346,6 +346,31 @@ object Aggregates {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Distribution family: percent_rank/cume_dist are exact rationals of
+    // partition counts (identical double division in both engines);
+    // nth_value pinned with a full frame + unique ordering.
+    "q_win_dist" -> Q(
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 2)
+        |    OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders WHERE o_totalprice > 400000.0
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+
     // ---- sorts / limits / top-k -------------------------------------
 
     "q_sort" -> Q(
