@@ -257,6 +257,50 @@ object Aggregates {
 
     // ---- window functions -------------------------------------------
 
+    // Exact quantiles at DYADIC points over integer values: both engines
+    // interpolate x_k + f·(x_{k+1} − x_k) with f ∈ {0, ¼, ½, ¾} — every
+    // term exact in double for bigint inputs, so Spark's percentile and
+    // DuckDB's quantile_cont agree bit-for-bit. (Non-dyadic quantiles or
+    // float inputs would round differently — deliberately out of scope.)
+    // Scale note: exact percentile sorts per group in one pass — fine for
+    // bounded groups; unbounded cardinalities switch to approx_percentile.
+    "q_agg_quantile" -> Q(
+      """SELECT l_returnflag,
+        |  quantile_cont(cast(round(l_quantity, 0) as bigint), 0.25) AS p25,
+        |  quantile_cont(cast(round(l_quantity, 0) as bigint), 0.50) AS p50,
+        |  quantile_cont(cast(round(l_quantity, 0) as bigint), 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val qty = round(col("l_quantity"), 0).cast(LongType)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(qty, lit(0.25)).as("p25"),
+          percentile(qty, lit(0.50)).as("p50"),
+          percentile(qty, lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // FILTER-clause aggregates (conditional aggregation): the Scala form
+    // is the count/sum-over-when equivalent — null-skipping makes them
+    // identical; integer-exact values keep the oracle bit-stable.
+    "q_agg_filter" -> Q(
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_big,
+        |  cast(sum(cast(round(l_quantity, 0) as bigint))
+        |       FILTER (WHERE l_discount > 0.05) as bigint) AS qty_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25.0, lit(1))).as("n_big"),
+          sum(when(col("l_discount") > 0.05,
+            round(col("l_quantity"), 0).cast(LongType))).as("qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Ranking family. rank/dense_rank computed over a bucketed (tie-rich)
     // key; row_number/ntile over a fully tiebroken order so output is
     // deterministic.

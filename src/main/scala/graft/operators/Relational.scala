@@ -117,6 +117,25 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // JSON-lines round-trip: the other text staging format a pipeline
+    // meets (log/event dumps). Write documents as JSON, read back with
+    // explicit schema, aggregate — lossless vs the parquet source of
+    // truth (unicode text included; the zh docs exercise escaping).
+    "q_scan_json" -> Q(
+      """SELECT lang, count(*) AS n, cast(sum(n_chars) as bigint) AS chars,
+        |  min(doc_id) AS min_id, max(md5(text)) AS max_md5
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/scan_json"
+      val src = t(s, dir, "documents")
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast(LongType).as("chars"),
+          min(col("doc_id")).as("min_id"),
+          max(md5(col("text").cast(BinaryType))).as("max_md5"))
+        .orderBy(col("lang"))
+    },
+
     // CREATE TABLE AS SELECT (README.md:102-109) against the session
     // catalog; result is the read-back of the created table.
     "q_ctas" -> Q(
