@@ -436,6 +436,30 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"),
           sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Correlated LATERAL join (top-2 orders per high-balance customer) —
+    // the SQL passthrough form (core.py:84); Catalyst decorrelates the
+    // LIMIT-per-group subquery into a ranked window join, so no
+    // per-customer re-execution happens at scale (same physical shape as
+    // q_topk). Identical SQL runs on both engines.
+    "q_join_lateral" -> Q(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |CROSS JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |              WHERE o_custkey = c.c_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_acctbal > 9000.0
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c
+          |CROSS JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |              WHERE o_custkey = c.c_custkey
+          |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_acctbal > 9000.0
+          |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
     }
   )
 }
