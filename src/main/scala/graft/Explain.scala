@@ -19,7 +19,9 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q_agg_group", "q_scan_project", "q_join_broadcast",
-        "q_join_multi", "q_topk", "q_sim_topk")
+        "q_join_multi", "q_topk", "q_sim_topk",
+        "q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
+        "q_cluster_assign", "q_join_lateral")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       Registry.all(n).fn(spark, sfDir).explain("formatted")

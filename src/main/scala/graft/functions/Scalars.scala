@@ -78,6 +78,31 @@ object Scalars {
         .orderBy(col("c_custkey"))
     },
 
+    // Null-handling family: nullif/coalesce/ifnull plus greatest/least
+    // (both engines follow the Postgres rule — nulls are skipped, not
+    // propagated). Nulls are MANUFACTURED deterministically via nullif so
+    // the null paths are actually exercised on null-free testdata.
+    "q_fn_null" -> Q(
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  ifnull(nullif(o_orderpriority, o_orderpriority), 'none') AS always_none,
+        |  greatest(o_totalprice, 100000.0) AS at_least,
+        |  least(cast(o_orderkey as double), o_totalprice) AS smaller
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          coalesce(nullif(col("o_orderpriority"), col("o_orderpriority")), lit("none"))
+            .as("always_none"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("at_least"),
+          least(col("o_orderkey").cast(DoubleType), col("o_totalprice")).as("smaller"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Date/time family. DuckDB's dayofweek starts Sunday=0 while Spark's
     // starts Sunday=1, so the portable form is ISO weekday (Spark
     // weekday()+1 == DuckDB isodow).
