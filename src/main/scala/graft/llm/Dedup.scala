@@ -162,12 +162,18 @@ object Dedup {
     * downstream stages); appends h0..h5.
     */
   def withMinhashSignature(d: DataFrame): DataFrame = {
-    val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+    // project the (interpreted) Shingles expression ONCE, then filter and
+    // derive all seed hashes from the projected column — referencing the
+    // raw expression in filter + 6 hash projections would re-tokenize and
+    // re-shingle each document up to 7 times
+    val withSh = d
+      .withColumn("__sh", graft.functions.TextExpressions.shingles(col("text"), 3))
+      .filter(size(col("__sh")) >= 1)
     val hs = minhashSeeds.zipWithIndex.map { case (seed, i) =>
-      array_min(transform(sh, s =>
+      array_min(transform(col("__sh"), s =>
         md5(concat(lit(seed), s).cast(BinaryType)))).as(s"h$i")
     }
-    d.filter(size(sh) >= 1).select(d.columns.map(col).toSeq ++ hs: _*)
+    withSh.select(d.columns.map(col).toSeq ++ hs: _*)
   }
 
   /** LSH banding (rows=2, bands=3): candidate pairs agree on at least one
@@ -354,10 +360,10 @@ object Dedup {
         s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
          |  FROM sh GROUP BY doc_id)
          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-         |FROM sigs GROUP BY h0, h1, h2, h3, h4, h5
+         |FROM sigs GROUP BY ${minhashSeeds.indices.map(i => s"h$i").mkString(", ")}
          |ORDER BY keep_id""".stripMargin) { (s, dir) =>
       minhashSignaturesStateless(docs(s, dir))
-        .groupBy((0 until 6).map(i => col(s"h$i")): _*)
+        .groupBy(minhashSeeds.indices.map(i => col(s"h$i")): _*)
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))

@@ -69,6 +69,18 @@ object Relational {
 
   private def cleanDir(path: String): Unit = graft.util.Fs.deleteRecursively(path)
 
+  /** Shared by q_join_lateral's Spark body and oracle (divergence-proof;
+    * must initialize before `queries` captures it).
+    */
+  private val lateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c
+      |CROSS JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |              WHERE o_custkey = c.c_custkey
+      |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_acctbal > 9000.0
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // ---- scans / sources / sinks ------------------------------------
@@ -440,26 +452,14 @@ object Relational {
 
     // Correlated LATERAL join (top-2 orders per high-balance customer) —
     // the SQL passthrough form (core.py:84); Catalyst decorrelates the
-    // LIMIT-per-group subquery into a ranked window join, so no
-    // per-customer re-execution happens at scale (same physical shape as
-    // q_topk). Identical SQL runs on both engines.
-    "q_join_lateral" -> Q(
-      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        |FROM customer c
-        |CROSS JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-        |              WHERE o_custkey = c.c_custkey
-        |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        |WHERE c.c_acctbal > 9000.0
-        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+    // LIMIT-per-group subquery into a ranked window join
+    // (WindowGroupLimit + hash join in the physical plan), so no
+    // per-customer re-execution happens at scale (same shape as q_topk).
+    // ONE string is both the Spark query and the oracle — identical SQL
+    // on both engines by construction.
+    "q_join_lateral" -> Q(lateralSql) { (s, dir) =>
       Engine.registerAll(s, dir)
-      s.sql(
-        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-          |FROM customer c
-          |CROSS JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-          |              WHERE o_custkey = c.c_custkey
-          |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-          |WHERE c.c_acctbal > 9000.0
-          |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+      s.sql(lateralSql)
     }
   )
 }

@@ -85,7 +85,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streamingSigDedup with watermark uses evictable within-watermark state") {
+  test("streamingSigDedup with watermark dedups within the horizon AND evicts after it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[(Long, Timestamp, String)]
@@ -103,6 +103,17 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.table("t_sigdedup_wm").select("doc_id").as[Long].collect().sorted
       assert(ids.toSeq == Seq(1L, 3L))
+      // advance the watermark far past doc 1's state expiry (ts+10min)...
+      mem.addData((4L, ts(120), "watermark mover document body"))
+      q.processAllAvailable()
+      // ...then the SAME signature must be re-emitted — proving state was
+      // evicted (plain dropDuplicates would still suppress it forever,
+      // which is exactly the unbounded-state bug this API choice fixes)
+      mem.addData((5L, ts(125), "the quick brown fox jumps"))
+      q.processAllAvailable()
+      val after = spark.table("t_sigdedup_wm").select("doc_id").as[Long].collect().sorted
+      assert(after.toSeq == Seq(1L, 3L, 4L, 5L),
+        "evicted signature must be re-emitted after the horizon passes")
     } finally q.stop()
   }
 
