@@ -19,6 +19,7 @@ import graft.functions.ArrayDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.arrayDotDescriptor)
+    e.injectFunction(GraftExtensions.arrayCosineDescriptor)
     e.injectFunction(GraftExtensions.shinglesDescriptor)
     // declarative HOF dot products compile to the fast ArrayDot loop
     e.injectOptimizerRule(_ => functions.RewriteHofDotProduct)
@@ -30,6 +31,21 @@ object GraftExtensions {
     FunctionIdentifier("array_dot"),
     new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
     (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+
+  /** array_cosine(a, b): composed from ArrayDot at expression-build time
+    * — dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — so SQL users get
+    * the codegen'd loop three times, no UDF. Null-propagating like its
+    * parts (ArrayDot mirrors the HOF null semantics).
+    */
+  val arrayCosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_cosine"),
+    new ExpressionInfo(classOf[ArrayDot].getName, "array_cosine"),
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      val (a, b) = (children(0), children(1))
+      Divide(ArrayDot(a, b),
+        Multiply(Sqrt(ArrayDot(a, a)), Sqrt(ArrayDot(b, b))))
+    })
 
   val shinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingles"),
@@ -46,7 +62,7 @@ object GraftExtensions {
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(arrayDotDescriptor, shinglesDescriptor).foreach { case (id, _, builder) =>
+    Seq(arrayDotDescriptor, arrayCosineDescriptor, shinglesDescriptor).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
     }

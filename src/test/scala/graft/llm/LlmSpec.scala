@@ -178,14 +178,28 @@ class LlmSpec extends AnyFunSuite {
     assert(hof.count() == native.count())
   }
 
-  test("array_dot and shingles register as SQL functions via GraftExtensions") {
+  test("array_dot, array_cosine and shingles register as SQL functions via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
     assert(r == 11.0)
+    val c = spark.sql(
+      "SELECT array_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
+    assert(c == 1.0)
     val sh = spark.sql("SELECT shingles('a b c d', 3) AS s")
       .head().getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
+    // SQL array_cosine == the library's Column-level cosine, exactly
+    emb.createOrReplaceTempView("emb_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT vec_id,
+        |  array_cosine(cast(embedding as array<double>),
+        |               reverse(cast(embedding as array<double>))) AS c
+        |FROM emb_sqlfn""".stripMargin)
+    val viaCol = emb.select(col("vec_id"),
+      Similarity.cosine(Similarity.toDouble(col("embedding")),
+        reverse(Similarity.toDouble(col("embedding")))).as("c"))
+    assert(viaSql.except(viaCol).isEmpty && viaCol.except(viaSql).isEmpty)
   }
 
   test("multimodal frameSample and resizeFeatures keep shape and prune work") {
