@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Whole-suite physical-plan audit: an accidental cartesian or
+  * nested-loop join added to ANY query fails this spec, not just the
+  * round-1 dedup set. The allowed list is exactly the queries whose
+  * semantics require a non-equi or broadcast-tiny cross shape.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Builders with eager side effects (staged writes, DDL, checkpoints) —
+    * planning them would run real jobs; their plan shapes are covered by
+    * their own specs / the dedup scale-safety pin.
+    */
+  private val sideEffecting = Set(
+    "q_csv_sink", "q_df_write", "q_exec_ddl", "q_ctas", "q_insert_append",
+    "q_overwrite", "q_scan_csv", "q_scan_json",
+    "q_dedup_near", "q_dedup_minhash", "q_dedup_embed", "q_sim_ivf")
+
+  /** Queries whose plans legitimately contain a cross/nested-loop join:
+    * a deliberate cartesian, a genuine non-equi predicate, or a
+    * broadcast of a tiny (1-row query vector / centroid) table.
+    */
+  private val allowed = Set(
+    "q_join_cross",      // cartesian by definition
+    "q_join_theta",      // non-equi join predicate
+    "q_sim_topk",        // crossJoin(broadcast(1-row query vector))
+    "q_sim_ann",         // crossJoin(broadcast(probe set)) variant
+    "q_cluster_assign",  // crossJoin(broadcast(8-row centroid table))
+    "q_scalar_subquery", // crossJoin(broadcast(1-row aggregate))
+    "q_join_lateral")    // decorrelated lateral: hash join marked Cross
+
+  test("no query outside the allowed set plans a cartesian/nested-loop join") {
+    val names = graft.Registry.all.keySet -- sideEffecting
+    val offenders = names.filter { n =>
+      val plan = graft.Registry.all(n).fn(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+      plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.subsetOf(allowed),
+      s"unexpected cross/nested-loop joins in: ${offenders.diff(allowed).toSeq.sorted}")
+  }
+}
