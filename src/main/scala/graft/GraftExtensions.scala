@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.arrayDotDescriptor)
     e.injectFunction(GraftExtensions.arrayCosineDescriptor)
     e.injectFunction(GraftExtensions.shinglesDescriptor)
+    e.injectFunction(GraftExtensions.minhashSignatureDescriptor)
     // declarative HOF dot products compile to the fast ArrayDot loop
     e.injectOptimizerRule(_ => functions.RewriteHofDotProduct)
   }
@@ -35,16 +36,19 @@ object GraftExtensions {
   /** array_cosine(a, b): composed from ArrayDot at expression-build time
     * — dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — so SQL users get
     * the codegen'd loop three times, no UDF. Null-propagating like its
-    * parts (ArrayDot mirrors the HOF null semantics).
+    * parts (ArrayDot mirrors the HOF null semantics). The divide is
+    * LEGACY-mode so a zero-norm input yields SQL NULL — the cosineUdf
+    * defined-null contract — instead of ANSI DIVIDE_BY_ZERO (Spark 4
+    * default).
     */
   val arrayCosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("array_cosine"),
     new ExpressionInfo(classOf[ArrayDot].getName, "array_cosine"),
     (children: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Multiply, Sqrt}
       val (a, b) = (children(0), children(1))
       Divide(ArrayDot(a, b),
-        Multiply(Sqrt(ArrayDot(a, a)), Sqrt(ArrayDot(b, b))))
+        Multiply(Sqrt(ArrayDot(a, a)), Sqrt(ArrayDot(b, b))), EvalMode.LEGACY)
     })
 
   val shinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -60,9 +64,28 @@ object GraftExtensions {
       functions.Shingles(children.head, k)
     })
 
+  /** minhash_signature(text[, k]): the fused shingle+seeded-md5-minima
+    * signature ([[functions.MinhashSignature]]) with the engine's default
+    * 6 seeds — the SQL face of the dedup ingest tier.
+    */
+  val minhashSignatureDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[functions.MinhashSignature].getName, "minhash_signature"),
+    (children: Seq[Expression]) => {
+      val k = children.lift(1) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case None => 3
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(text, k): k must be an int literal, got $other")
+      }
+      functions.MinhashSignature(children.head, k,
+        functions.MinhashSignature.defaultSeeds)
+    })
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(arrayDotDescriptor, arrayCosineDescriptor, shinglesDescriptor).foreach { case (id, _, builder) =>
+    Seq(arrayDotDescriptor, arrayCosineDescriptor, shinglesDescriptor,
+      minhashSignatureDescriptor).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
     }

@@ -2,11 +2,182 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared primitive kernels for the shingle/minhash expressions, kept in a
+  * plain object (no companion class conflicts) so generated code can call
+  * them as static methods.
+  *
+  * Both kernels scan the raw UTF-8 bytes: the separator is the single byte
+  * 0x20, which in UTF-8 can only ever encode a space (continuation bytes
+  * have the high bit set), so token boundaries are byte positions and a
+  * k-token shingle joined with ' ' is exactly a contiguous byte slice of
+  * the input — zero string materialization until output.
+  */
+object TextOps {
+
+  /** Token start offsets: starts(i) = byte offset of token i;
+    * starts(nTokens) = len + 1 sentinel so token i ends at
+    * starts(i+1) - 2 inclusive (the byte before its trailing space).
+    * Mirrors `split(" ", -1)`: empty tokens from consecutive/leading/
+    * trailing spaces are preserved.
+    */
+  private def tokenStarts(b: Array[Byte]): Array[Int] = {
+    var nTokens = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' '.toByte) nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = b.length + 1
+    starts
+  }
+
+  /** k-token shingles of a space-separated string; empty array when the
+    * string has fewer than k tokens. Each shingle is a byte slice of the
+    * input (see object doc).
+    */
+  def shingles(input: UTF8String, k: Int): ArrayData = {
+    val b = input.getBytes
+    val starts = tokenStarts(b)
+    val nTokens = starts.length - 1
+    val n = nTokens - k + 1
+    if (n <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val off = starts(i)
+        out(i) = UTF8String.fromBytes(b, off, starts(i + k) - 1 - off)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests — the same
+    * order as comparing their lowercase-hex strings, so the running min
+    * can work on raw digests and hex-encode only the k final minima.
+    */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Sentinel for "fewer than k tokens" from [[simhash]] — valid
+    * signatures are unsigned 32-bit, so -1 is unreachable.
+    */
+  val SimhashNull: Long = -1L
+
+  /** Fused 32-bit SimHash over the DISTINCT k-token shingles of one
+    * document: hv = first 4 bytes of md5(shingle) big-endian (≡ the
+    * exploded form's `conv(substring(md5, 1, 8), 16, 10)`), per-bit ±1
+    * sums, sign → bit. Distinctness is on the shingle STRING (a per-row
+    * hash set), matching the exploded pipeline's `distinct()`.
+    */
+  def simhash(input: UTF8String, k: Int): Long = {
+    val b = input.getBytes
+    val starts = tokenStarts(b)
+    val nTokens = starts.length - 1
+    val n = nTokens - k + 1
+    if (n <= 0) return SimhashNull
+    val md = mdPool.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Int](32)
+    var sh = 0
+    while (sh < n) {
+      val off = starts(sh)
+      val len = starts(sh + k) - 1 - off
+      val s = UTF8String.fromBytes(b, off, len)
+      if (seen.add(s)) {
+        md.update(b, off, len)
+        val dig = md.digest()
+        val hv = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        var bit = 0
+        while (bit < 32) {
+          if (((hv >> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      sh += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 32) { if (counts(bit) > 0) sig |= 1L << bit; bit += 1 }
+    sig
+  }
+
+  /** Fused MinHash signature: for each seed s, min over k-token shingles
+    * of md5(seed_s || shingle), as lowercase hex — bit-identical to the
+    * `array_min(transform(shingles, sh -> md5(seed || sh)))` HOF chain
+    * (and to the oracle's `min(md5(seed || shingle))` over distinct
+    * shingles; duplicates cannot change a min). One tokenize pass, one
+    * md5 per (shingle, seed), no intermediate arrays/strings. Returns
+    * null when the input has fewer than k tokens (the HOF form's
+    * `size(shingles) >= 1` filter).
+    */
+  def minhash(input: UTF8String, k: Int, seeds: Array[Array[Byte]]): ArrayData = {
+    val b = input.getBytes
+    val starts = tokenStarts(b)
+    val nTokens = starts.length - 1
+    val n = nTokens - k + 1
+    if (n <= 0) return null
+    val md = mdPool.get()
+    val nSeeds = seeds.length
+    val mins = new Array[Array[Byte]](nSeeds)
+    var sh = 0
+    while (sh < n) {
+      val off = starts(sh)
+      val len = starts(sh + k) - 1 - off
+      var s = 0
+      while (s < nSeeds) {
+        md.update(seeds(s))
+        md.update(b, off, len)
+        val dig = md.digest()
+        if (mins(s) == null || lessThan(dig, mins(s))) mins(s) = dig
+        s += 1
+      }
+      sh += 1
+    }
+    val out = new Array[Any](nSeeds)
+    var s = 0
+    while (s < nSeeds) { out(s) = toHex(mins(s)); s += 1 }
+    new GenericArrayData(out)
+  }
+}
 
 /** k-token shingles of a space-separated string, as one native expression.
   *
@@ -14,37 +185,108 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(sequence(1, size(t)-k+1), i -> concat_ws(' ', t[i..i+k-1]))`
   * over `t = split(text, ' ')`, but the HOF chain is interpreted per
   * element (transform/element_at are CodegenFallback) and dominated the
-  * shingle-dedup bench queries. One primitive pass here; empty result for
-  * strings with fewer than k tokens (the HOF form's filtered guard).
+  * shingle-dedup bench queries. One primitive pass here (a static call
+  * inside whole-stage codegen — no per-row interpreted eval); empty result
+  * for strings with fewer than k tokens (the HOF form's filtered guard).
   */
-case class Shingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class Shingles(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val n = tokens.length - k + 1
-    if (n <= 0) new GenericArrayData(Array.empty[Any])
-    else {
-      val out = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        val sb = new java.lang.StringBuilder(tokens(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(tokens(i + j)); j += 1 }
-        out(i) = UTF8String.fromString(sb.toString)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextOps.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.shingles($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
 
+/** Fused MinHash signature expression: `array<string>` of `seeds.size`
+  * lowercase-hex minima (see [[TextOps.minhash]]). Replaces a pipeline of
+  * one Shingles projection + `seeds.size` interpreted
+  * `array_min(transform(md5))` HOFs with a single codegen-resident pass —
+  * the `ArrayDot` playbook applied to the dedup family's inner loop
+  * (SURVEY §7: compose builtins first, go native only where measured).
+  *
+  * Null when the input has fewer than k tokens, so
+  * `filter(col.isNotNull)` replicates the HOF form's shingle-count guard.
+  */
+case class MinhashSignature(child: Expression, k: Int, seeds: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val seedBytes: Array[Array[Byte]] =
+    seeds.map(_.getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.minhash(input.asInstanceOf[UTF8String], k, seedBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seedBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextOps.minhash($c, $k, $seedsRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+/** Fused 32-bit SimHash signature over a document's DISTINCT k-token
+  * shingles (see [[TextOps.simhash]]); null when the input has fewer than
+  * k tokens. Replaces the exploded pipeline (shingle explode → distinct →
+  * 32× bit explode → two groupBys — a 32×-row shuffle per shingle) with
+  * one narrow codegen-resident pass; [[graft.llm.Dedup.simhash]] over the
+  * exploded shingle table remains the semantic spec (LlmSpec pins exact
+  * agreement).
+  */
+case class SimhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = TextOps.simhash(input.asInstanceOf[UTF8String], k)
+    if (r == TextOps.SimhashNull) null else java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextOps.simhash($c, $k);
+         |if (${ev.value} == graft.functions.TextOps.SimhashNull()) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  /** Default portable seed prefixes (the engine's 6 md5 "permutations");
+    * [[graft.llm.Dedup.minhashSeeds]] aliases this so the expression, the
+    * aggregated form, and the oracle SQL all share one definition.
+    */
+  val defaultSeeds: Seq[String] = (0 until 6).map(i => s"s$i:")
+}
+
 object TextExpressions {
   def shingles(text: Column, k: Int = 3): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), k))
+
+  def minhashSignature(text: Column, k: Int = 3,
+      seeds: Seq[String] = MinhashSignature.defaultSeeds): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(text), k, seeds))
+
+  def simhashSignature(text: Column, k: Int = 3): Column =
+    ColumnBridge.column(SimhashSignature(ColumnBridge.expression(text), k))
 }

@@ -131,8 +131,11 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
   }
 
-  /** MinHash seeds: k portable "permutations" via seeded md5. */
-  val minhashSeeds: Seq[String] = (0 until 6).map(i => s"s$i:")
+  /** MinHash seeds: k portable "permutations" via seeded md5 (shared with
+    * the fused native expression and, via string interpolation, the
+    * oracle SQL).
+    */
+  val minhashSeeds: Seq[String] = graft.functions.MinhashSignature.defaultSeeds
 
   /** Per-doc MinHash signature: h_i = min over shingles of
     * md5(seed_i || shingle) (lexicographic min of fixed-width hex ==
@@ -162,18 +165,19 @@ object Dedup {
     * downstream stages); appends h0..h5.
     */
   def withMinhashSignature(d: DataFrame): DataFrame = {
-    // project the (interpreted) Shingles expression ONCE, then filter and
-    // derive all seed hashes from the projected column — referencing the
-    // raw expression in filter + 6 hash projections would re-tokenize and
-    // re-shingle each document up to 7 times
-    val withSh = d
-      .withColumn("__sh", graft.functions.TextExpressions.shingles(col("text"), 3))
-      .filter(size(col("__sh")) >= 1)
-    val hs = minhashSeeds.zipWithIndex.map { case (seed, i) =>
-      array_min(transform(col("__sh"), s =>
-        md5(concat(lit(seed), s).cast(BinaryType)))).as(s"h$i")
-    }
-    withSh.select(d.columns.map(col).toSeq ++ hs: _*)
+    // one fused native pass: tokenize + shingle + 6 seeded md5 minima in
+    // a single codegen-resident expression (the prior form projected the
+    // shingle array once, then ran 6 interpreted array_min(transform(md5))
+    // HOFs over it — ~3 s/query of pure interpretation at sf0.1); null
+    // signature ≙ fewer than 3 tokens, matching the HOF form's
+    // size(shingles) >= 1 guard
+    val withSig = d
+      .withColumn("__sig",
+        graft.functions.TextExpressions.minhashSignature(col("text"), 3, minhashSeeds))
+      .filter(col("__sig").isNotNull)
+    val hs = minhashSeeds.indices.map(i =>
+      element_at(col("__sig"), i + 1).as(s"h$i"))
+    withSig.select(d.columns.map(col).toSeq ++ hs: _*)
   }
 
   /** LSH banding (rows=2, bands=3): candidate pairs agree on at least one
@@ -209,6 +213,18 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(0L)).as("sig"))
   }
+
+  /** STATELESS per-row SimHash: identical values to [[simhash]] over the
+    * exploded shingle table (LlmSpec pins exact agreement) but computed by
+    * the fused [[graft.functions.SimhashSignature]] expression — one
+    * narrow pass, zero shuffles, instead of shingle explode → distinct →
+    * 32× bit explode → two groupBys. The graded query and any streaming
+    * ingest use this form; the exploded form remains the semantic spec.
+    */
+  def simhashSignaturesStateless(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        graft.functions.TextExpressions.simhashSignature(col("text"), 3).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** 7 chunks covering the 32-bit SimHash signature: (offset, width).
     * With hamming radius 6, at most 6 chunks differ → any true pair shares
@@ -388,12 +404,13 @@ object Dedup {
          |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id)
          |SELECT j.d1, j.d2, j.jac FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
          |WHERE j.jac >= 0.35 ORDER BY j.d1, j.d2""".stripMargin) { (s, dir) =>
-      // shingles feed both the signature and verification branches —
-      // localCheckpoint materializes them once instead of re-exploding;
+      // signatures come from the fused stateless expression (no shuffle;
+      // identical values to the aggregated form — LlmSpec pins it), so
+      // the exploded shingle table only feeds candidate verification;
       // scoring runs only over LSH candidates (jaccardForCandidates),
       // never the all-pairs self-join
       val sh = shingles(docs(s, dir)).localCheckpoint()
-      val cands = lshCandidates(minhashSignatures(sh))
+      val cands = lshCandidates(minhashSignaturesStateless(docs(s, dir)))
       jaccardForCandidates(sh, cands)
         .filter(col("jac") >= 0.35)
         .select(col("d1"), col("d2"), col("jac"))
@@ -421,10 +438,11 @@ object Dedup {
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 6
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      // signatures from the fused stateless expression (one narrow pass);
       // candidates via bit-chunk banding (equi-join; lossless for ham<=6
       // by pigeonhole — see simhashBandSpec) with inline hamming verify.
       // The oracle stays the exact all-pairs definition: same result set.
-      simhashNearDup(simhash(shingles(docs(s, dir))), maxHamming = 6)
+      simhashNearDup(simhashSignaturesStateless(docs(s, dir)), maxHamming = 6)
         .orderBy(col("d1"), col("d2"))
     },
 

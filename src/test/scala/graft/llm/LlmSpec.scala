@@ -178,6 +178,56 @@ class LlmSpec extends AnyFunSuite {
     assert(hof.count() == native.count())
   }
 
+  test("fused MinhashSignature equals the interpreted HOF transform/array_min chain") {
+    // the round-2 implementation, kept here verbatim as the semantic spec
+    // for the fused native expression (mirrors the ArrayDot/dotHof pin)
+    val withSh = docs
+      .withColumn("__sh", graft.functions.TextExpressions.shingles(col("text"), 3))
+      .filter(size(col("__sh")) >= 1)
+    val hofCols = Dedup.minhashSeeds.zipWithIndex.map { case (seed, i) =>
+      array_min(transform(col("__sh"), s =>
+        md5(concat(lit(seed), s).cast("binary")))).as(s"h$i")
+    }
+    val hof = withSh.select(col("doc_id") +: hofCols: _*)
+    val fused = Dedup.minhashSignaturesStateless(docs)
+    assert(hof.count() == fused.count())
+    assert(hof.except(fused).isEmpty && fused.except(hof).isEmpty)
+  }
+
+  test("fused SimhashSignature equals the exploded shingle pipeline") {
+    val exploded = Dedup.simhash(Dedup.shingles(docs))
+    val fused = Dedup.simhashSignaturesStateless(docs)
+    assert(exploded.count() == fused.count())
+    assert(exploded.except(fused).isEmpty && fused.except(exploded).isEmpty)
+    // distinctness on the shingle STRING: a repeated shingle must count
+    // once (exploded form dedups via distinct(); fused via per-row set)
+    import spark.implicits._
+    val rep = Seq((1L, "x y z x y z x y z"), (2L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val a = Dedup.simhash(Dedup.shingles(rep))
+    val b = Dedup.simhashSignaturesStateless(rep)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty && b.count() == 2)
+  }
+
+  test("fused MinhashSignature edge cases match the HOF chain (empty/spaces/utf8)") {
+    import spark.implicits._
+    val df = Seq("", "a", "a b", "a b c", "a b c d", "a  b  c", " a b c ",
+      "ä ß 中 文 xyzzy", "tok " * 40)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hofSig = array_min(transform(
+      graft.functions.TextExpressions.shingles(col("text"), 3),
+      s => md5(concat(lit("s0:"), s).cast("binary"))))
+    val fusedH0 = element_at(
+      graft.functions.TextExpressions.minhashSignature(col("text"), 3), 1)
+    val rows = df.select(col("doc_id"), hofSig.as("hof"), fusedH0.as("fused"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2), s"doc ${r.getLong(0)}: hof=${r.get(1)} fused=${r.get(2)}")
+    }
+    // <3 tokens → null signature on both paths
+    assert(rows.count(_.isNullAt(2)) == 3)
+  }
+
   test("array_dot, array_cosine and shingles register as SQL functions via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
@@ -189,6 +239,16 @@ class LlmSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT shingles('a b c d', 3) AS s")
       .head().getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
+    // zero-norm input → SQL NULL (LEGACY divide), not ANSI DIVIDE_BY_ZERO
+    assert(spark.sql(
+      "SELECT array_cosine(array(0.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .head().isNullAt(0))
+    // fused signature function: min over {'a b c','b c d'} of md5('s0:'||sh)
+    val ms = spark.sql("SELECT minhash_signature('a b c d') AS s")
+      .head().getSeq[String](0)
+    val expectH0 = spark.sql(
+      "SELECT least(md5('s0:a b c'), md5('s0:b c d'))").head().getString(0)
+    assert(ms.size == 6 && ms.head == expectH0)
     // SQL array_cosine == the library's Column-level cosine, exactly
     emb.createOrReplaceTempView("emb_sqlfn")
     val viaSql = spark.sql(
