@@ -106,9 +106,55 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise vector sum as a typed Aggregator: the scale-safe M-step
+  * primitive for k-means/IVF training. Aggregating WHOLE vectors per
+  * centroid keeps the shuffle at one `dim`-length buffer per (centroid ×
+  * map partition) — the posexplode(cent_id, dim) formulation it replaces
+  * shuffled `dim` rows per INPUT vector (a 64× row expansion at dim 64,
+  * the wrong constant at 100 TB). Partial aggregation (map-side combine)
+  * comes from the Aggregator contract's merge.
+  *
+  * The empty buffer stands for "no input yet" so `zero` needs no dim
+  * parameter; null input vectors are ignored (cosine-undefined rows must
+  * not kill the job).
+  */
+object VectorSum extends org.apache.spark.sql.expressions.Aggregator[
+    Seq[Double], Array[Double], Seq[Double]] {
+  def zero: Array[Double] = Array.emptyDoubleArray
+  def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+    if (a == null) b
+    else if (b.isEmpty) a.toArray
+    else {
+      require(a.length == b.length,
+        s"vector_sum over ragged vectors: ${a.length} vs ${b.length}")
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+  def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      require(b1.length == b2.length,
+        s"vector_sum over ragged vectors: ${b1.length} vs ${b2.length}")
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+  def finish(r: Array[Double]): Seq[Double] = r.toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object VectorExpressions {
   /** Column-level entry: codegen'd dot(a, b) for array<double> columns. */
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level entry: element-wise vector-sum aggregate. */
+  val vectorSum: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(VectorSum)
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.{Engine, Q}
 
 /** Deduplication operators for LLM-data pipelines (`EXT` in SURVEY §2):
@@ -355,8 +357,12 @@ object Dedup {
          |                     JOIN sizes s2 ON d2 = s2.doc_id)
          |SELECT d1, d2, n1, n2, inter, jac FROM cjac
          |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      // sh is consumed three times (sizes + both join sides) — materialize
-      jaccardPairsCapped(shingles(docs(s, dir)).localCheckpoint(), maxDf = 50)
+      // sh is consumed three times (sizes + both join sides) — persist
+      // DISK_ONLY: reused like a checkpoint, but lineage survives, so an
+      // executor loss at cluster scale recomputes instead of failing the
+      // job (localCheckpoint truncates lineage onto executor-local disk)
+      jaccardPairsCapped(
+        shingles(docs(s, dir)).persist(StorageLevel.DISK_ONLY), maxDf = 50)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
@@ -408,8 +414,9 @@ object Dedup {
       // identical values to the aggregated form — LlmSpec pins it), so
       // the exploded shingle table only feeds candidate verification;
       // scoring runs only over LSH candidates (jaccardForCandidates),
-      // never the all-pairs self-join
-      val sh = shingles(docs(s, dir)).localCheckpoint()
+      // never the all-pairs self-join. DISK_ONLY persist: recomputable
+      // lineage, unlike localCheckpoint (see q_dedup_near note).
+      val sh = shingles(docs(s, dir)).persist(StorageLevel.DISK_ONLY)
       val cands = lshCandidates(minhashSignaturesStateless(docs(s, dir)))
       jaccardForCandidates(sh, cands)
         .filter(col("jac") >= 0.35)
@@ -488,8 +495,10 @@ object Dedup {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
+      // bucketed feeds probe expansion AND the equi-join build side —
+      // DISK_ONLY persist (recomputable), not lineage-truncating checkpoint
       val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
-        .select(col("vec_id"), col("bucket")).localCheckpoint()
+        .select(col("vec_id"), col("bucket")).persist(StorageLevel.DISK_ONLY)
       val cands = embedCandidates(bucketed, nPlanes = 8, probeHamming = 3)
       val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))

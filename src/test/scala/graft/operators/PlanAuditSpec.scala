@@ -12,27 +12,32 @@ import graft.TestSpark
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** Builders with eager side effects (staged writes, DDL, checkpoints) —
-    * planning them would run real jobs; their plan shapes are covered by
-    * their own specs / the dedup scale-safety pin.
+  /** Builders with eager side effects (staged writes, DDL) — planning
+    * them would run real jobs; their plan shapes are covered by their own
+    * specs. The dedup/IVF queries left this list in round 3: their eager
+    * localCheckpoints became lazy DISK_ONLY persists, so they are audited
+    * like everything else.
     */
   private val sideEffecting = Set(
     "q_csv_sink", "q_df_write", "q_exec_ddl", "q_ctas", "q_insert_append",
-    "q_overwrite", "q_scan_csv", "q_scan_json",
-    "q_dedup_near", "q_dedup_minhash", "q_dedup_embed", "q_sim_ivf")
+    "q_overwrite", "q_scan_csv", "q_scan_json")
 
   /** Queries whose plans legitimately contain a cross/nested-loop join:
     * a deliberate cartesian, a genuine non-equi predicate, or a
     * broadcast of a tiny (1-row query vector / centroid) table.
+    * q_join_lateral is deliberately NOT here: its lateral decorrelates to
+    * a hash join, and a Catalyst regression to a per-row nested loop over
+    * orders must fail this audit (CLAUDE.md: the only legal BNLJ is
+    * crossJoin(broadcast(tiny))).
     */
   private val allowed = Set(
     "q_join_cross",      // cartesian by definition
     "q_join_theta",      // non-equi join predicate
     "q_sim_topk",        // crossJoin(broadcast(1-row query vector))
     "q_sim_ann",         // crossJoin(broadcast(probe set)) variant
+    "q_sim_ivf",         // crossJoin(broadcast(1-row query + centroid table))
     "q_cluster_assign",  // crossJoin(broadcast(8-row centroid table))
-    "q_scalar_subquery", // crossJoin(broadcast(1-row aggregate))
-    "q_join_lateral")    // decorrelated lateral: hash join marked Cross
+    "q_scalar_subquery") // crossJoin(broadcast(1-row aggregate))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
