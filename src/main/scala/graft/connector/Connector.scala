@@ -41,6 +41,15 @@ final case class ConnectorSession(
 object Connector {
   private val log = LoggerFactory.getLogger(getClass)
 
+  /** ≙ the reference's module `logger` for the per-call `verbose=True`
+    * emissions (`core.py:120,180,221,285`): verbose-gated messages flow
+    * through this swappable sink so specs can assert both emission and
+    * suppression (slf4j output is not capturable portably).
+    */
+  private[connector] var logSink: String => Unit = log.info(_)
+  private def emit(verbose: Boolean, msg: => String): Unit =
+    if (verbose) logSink(msg)
+
   /** ≙ `S3_ACCEPTED_KWARGS` (`core.py:13-19`): the whitelist of extra
     * staging-upload parameters `df_to_s3`/`pandas_to_redshift` pass through
     * to `put_object` (`core.py:128-130, 291-294`). Ported verbatim —
@@ -78,6 +87,16 @@ object Connector {
     * `zipWithIndex` — one count pass for partition offsets plus a narrow
     * map, NO shuffle and no single-partition window bottleneck, so it
     * holds at any scale.
+    *
+    * Ordering contract: "partition order" is the upstream plan's output
+    * order — stable for a scan, plan-dependent after a shuffle. A caller
+    * that needs pandas' row-order RangeIndex must pre-order the frame
+    * (`df.orderBy(...)`) before writing with `index = true`; without an
+    * explicit ordering the index is merely a distinct contiguous id, the
+    * same caveat pandas users hit after any reindexing operation. The
+    * RDD hop also severs columnar/codegen execution for the staged
+    * write — acceptable on the write path (the CSV sink is row-oriented
+    * anyway), not a pattern for hot query paths.
     */
   def withRowIndex(df: DataFrame, name: String = "index"): DataFrame = {
     import org.apache.spark.sql.Row
@@ -126,7 +145,8 @@ object Connector {
       csvName: String,
       delimiter: String = ",",
       saveLocal: Option[String] = None,
-      extraKwargs: Map[String, Option[String]] = Map.empty): String = {
+      extraKwargs: Map[String, Option[String]] = Map.empty,
+      verbose: Boolean = true): String = {
     val path = cs.stagedPath(csvName)
     filterStagingKwargs(extraKwargs).foreach { case (k, v) =>
       // key material must not reach the logs in cleartext — same policy
@@ -134,17 +154,17 @@ object Connector {
       val shown =
         if (sensitiveStagingKwargs(k) && cs.maskSecrets && LogConfig.maskSecrets) "********"
         else v
-      log.info(s"staging kwarg $k=$shown")
+      emit(verbose, s"staging kwarg $k=$shown")
     }
     // ≙ save_local (core.py:131-135): optional extra copy alongside the
     // staged one — a second distributed write, not a driver download.
     saveLocal.foreach { localDir =>
       csvFidelity(df.write.mode(SaveMode.Overwrite), delimiter)
         .csv(s"$localDir/$csvName")
-      log.info(s"saved file $csvName in $localDir")
+      emit(verbose, s"saved file $csvName in $localDir") // core.py:134-135
     }
     csvFidelity(df.write.mode(SaveMode.Overwrite), delimiter).csv(path)
-    log.info(s"saved file $csvName in staging $path")
+    emit(verbose, s"saved file $csvName in staging $path") // core.py:142-144
     path
   }
 
@@ -163,14 +183,17 @@ object Connector {
       region: Option[String] = None,
       distStyle: String = "even",
       distKey: String = "",
-      sortKey: String = ""): Unit = {
+      sortKey: String = "",
+      verbose: Boolean = true): Unit = {
     val path = cs.stagedPath(csvName)
     val copy = Ddl.copySql(tableName, path, delimiter, quoteChar, dateFormat,
       timeFormat, cs.accessKeyId, cs.secretAccessKey, cs.iamRole, region,
       cs.sessionToken)
     // both the session flag and the global set_log_level toggle
     // (core.py:40) must be on for masking to be skipped
-    log.info(Ddl.maskAwsCredentials(copy, cs.maskSecrets && LogConfig.maskSecrets))
+    emit(verbose,
+      Ddl.maskAwsCredentials(copy, cs.maskSecrets && LogConfig.maskSecrets))
+    emit(verbose, "FILLING THE TABLE IN REDSHIFT") // core.py:255-258
     val schema = cs.spark.table(tableName).schema
     val reader = cs.spark.read
       .option("header", "true")
@@ -191,18 +214,22 @@ object Connector {
     val laid = applyLayout(reader.csv(path), distStyle, distKey,
       if (sortKey.isEmpty) Nil else sortKey.split(",").toSeq.map(_.trim))
     // Transactional parity with COPY's rollback (core.py:259-266): the
-    // failure-prone work — the full parse, cast, and layout of the staged
-    // CSV — materializes into a throwaway staging dir FIRST. Any error
-    // there (malformed row, bad cast, format mismatch) leaves the target
-    // byte-identical. Only already-validated parquet is then appended, a
-    // step itself guarded by Spark's file commit protocol (tasks write
-    // under _temporary and the committer renames on job commit, so a
-    // crashed append publishes nothing).
-    val tmp = s"${cs.stagingDir}/.load_tmp_${UUID.randomUUID()}"
+    // failure-prone work — the full FAILFAST parse, cast, and layout of
+    // the staged CSV — materializes into a DISK_ONLY cache first, with
+    // count() as the validation barrier (cache partitions hold complete
+    // rows, so building them parses every column). Any error (malformed
+    // row, bad cast, format mismatch) surfaces there and leaves the
+    // target byte-identical. The append then reads the already-validated
+    // cache — no second parse — and is itself guarded by Spark's file
+    // commit protocol (tasks write under _temporary; the committer
+    // renames on job commit, so a crashed append publishes nothing).
+    // Round 2 staged through a throwaway parquet dir instead: one extra
+    // distributed write + read per load for no additional guarantee.
+    val validated = laid.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      laid.write.mode(SaveMode.Overwrite).parquet(tmp)
-      cs.spark.read.parquet(tmp).write.mode(SaveMode.Append).insertInto(tableName)
-    } finally graft.util.Fs.deleteRecursively(tmp)
+      validated.count()
+      validated.write.mode(SaveMode.Append).insertInto(tableName)
+    } finally validated.unpersist()
   }
 
   /** Redshift COPY format tokens → java.time patterns (the two formats the
@@ -225,14 +252,15 @@ object Connector {
       distStyle: String = "even",
       distKey: String = "",
       sortInterleaved: Boolean = false,
-      sortKey: String = ""): Unit = {
+      sortKey: String = "",
+      verbose: Boolean = true): Unit = {
     val cols = df.schema.fields.toSeq.map(_.name)
       .zip(columnTypes.getOrElse(TypeMap.columnTypes(df.schema)))
     // Synthesized for log/golden parity (incl. diststyle validation).
     val ddl = Ddl.createTableSql(tableName, cols, distStyle, distKey,
       sortInterleaved, sortKey)
-    log.info(ddl)
-    log.info("CREATING A TABLE IN REDSHIFT")
+    emit(verbose, ddl) // core.py:212-214
+    emit(verbose, "CREATING A TABLE IN REDSHIFT")
     cs.spark.sql(s"DROP TABLE IF EXISTS $tableName")
     cleanWarehousePath(cs.spark, tableName)
     cs.spark.sql(s"CREATE TABLE $tableName (${df.schema.toDDL}) USING parquet")
@@ -262,7 +290,9 @@ object Connector {
     * CSV → create-unless-append → parallel load. `index = true` prepends
     * the RangeIndex-equivalent column named `index` (`core.py:184-189`;
     * [[withRowIndex]]); `extraKwargs` is the whitelisted staging
-    * pass-through (`core.py:291-294`).
+    * pass-through (`core.py:291-294`); `verbose` threads the reference's
+    * per-call log toggle (`core.py:285,294,300,304`) down all three
+    * stages.
     */
   def writeTable(
       cs: ConnectorSession,
@@ -280,16 +310,18 @@ object Connector {
       distKey: String = "",
       sortInterleaved: Boolean = false,
       sortKey: String = "",
-      extraKwargs: Map[String, Option[String]] = Map.empty): Unit = {
+      extraKwargs: Map[String, Option[String]] = Map.empty,
+      verbose: Boolean = true): Unit = {
     val validated = ColumnRules.validateColumnNames(df)
     val indexed = if (index) withRowIndex(validated) else validated
     val csvName = s"$tableName-${UUID.randomUUID()}.csv" // core.py:291
-    stageCsv(cs, indexed, csvName, delimiter, extraKwargs = extraKwargs)
+    stageCsv(cs, indexed, csvName, delimiter, extraKwargs = extraKwargs,
+      verbose = verbose)
     if (!append)
       createTable(cs, indexed, tableName, columnTypes, distStyle, distKey,
-        sortInterleaved, sortKey)
+        sortInterleaved, sortKey, verbose = verbose)
     loadStaged(cs, tableName, csvName, delimiter, quoteChar, dateFormat,
-      timeFormat, region, distStyle, distKey, sortKey)
+      timeFormat, region, distStyle, distKey, sortKey, verbose = verbose)
   }
 
   /** ≙ `redshift_to_pandas` (`core.py:82-87`): arbitrary (optionally
@@ -310,8 +342,15 @@ object Connector {
     * must not materialize on the driver.
     */
   def execCommit(spark: SparkSession, sqlQuery: String): Unit = {
-    spark.sql(sqlQuery)
-    ()
+    val df = spark.sql(sqlQuery)
+    // Commands (DDL/DML) already ran eagerly inside spark.sql —
+    // commandExecuted is then a CommandResult. Anything Spark plans
+    // lazily (exec_commit accepts arbitrary SQL, including a plain
+    // SELECT) must still execute like the reference's cursor.execute
+    // does: force it WITHOUT materializing rows on the driver.
+    val ranEagerly = df.queryExecution.commandExecuted
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.CommandResult]
+    if (!ranEagerly) df.foreach(_ => ())
   }
 
   /** ≙ `close_up_shop` (`core.py:312-324`) for the staging side: drop the

@@ -128,6 +128,38 @@ class ConnectorPipelineSpec extends AnyFunSuite {
     assert(spans == 0)
   }
 
+  test("verbose toggle gates per-call emission; emitted COPY stays masked (core.py:120,180,221,285)") {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val old = Connector.logSink
+    Connector.logSink = m => { buf += m; () }
+    try {
+      val region = graft.Engine.table(spark, TestSpark.sfDir, "region")
+      Connector.writeTable(cs, region, "t_conn_verb", verbose = false)
+      assert(buf.isEmpty, s"verbose=false must suppress all emission, got: $buf")
+      Connector.writeTable(cs, region, "t_conn_verb", verbose = true)
+      assert(buf.exists(_.contains("CREATING A TABLE IN REDSHIFT")))
+      assert(buf.exists(_.contains("FILLING THE TABLE IN REDSHIFT")))
+      assert(buf.exists(_.contains("saved file")))
+      // the verbose path still masks credentials (core.py:256 calls
+      // mask_aws_credentials inside the verbose branch)
+      assert(buf.exists(_.contains("access_key_id '********'")),
+        buf.mkString("\n"))
+      assert(!buf.exists(_.contains("SECRETTEST")))
+    } finally Connector.logSink = old
+  }
+
+  test("execCommit executes lazily-planned statements too (core.py:307-309)") {
+    // DDL/DML run eagerly inside spark.sql; a plain SELECT is planned
+    // lazily, yet exec_commit parity means it must still execute. The
+    // side-channel: an accumulator bumped per evaluated row.
+    val acc = spark.sparkContext.longAccumulator("graft_exec_probe")
+    spark.udf.register("graft_exec_probe", (x: Long) => { acc.add(1); x })
+    graft.Engine.registerAll(spark, TestSpark.sfDir)
+    Connector.execCommit(spark,
+      "SELECT graft_exec_probe(r_regionkey) FROM region")
+    assert(acc.value == 5, s"SELECT through execCommit never ran (${acc.value})")
+  }
+
   test("sqlRead with named parameters (core.py:82-87 query_params)") {
     graft.Engine.registerAll(spark, TestSpark.sfDir)
     val n = Connector.sqlRead(spark,
