@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import org.apache.spark.storage.StorageLevel
-
 import graft.{Engine, Q}
 
 /** Deduplication operators for LLM-data pipelines (`EXT` in SURVEY §2):
@@ -99,27 +97,41 @@ object Dedup {
     * the quadratic blowup at scale — a shingle in d docs yields d²/2
     * candidate rows), yet surviving pairs keep their EXACT full-set
     * Jaccard. The intersection splits over the rare/hot partition of the
-    * shingle space: the rare part falls out of the pair-generating
-    * self-join itself (its groupBy count — no distinct + re-expansion
-    * pass), and the hot part is recovered by expanding only the candidate
-    * pairs by their (few) hot shingles. The hot-shingle self-join never
-    * happens, and near-dups share many shingles, so losing the hottest
-    * ones from generation barely dents recall (LlmSpec pins recall on
-    * jac >= 0.8 pairs).
+    * shingle space: the rare part comes from an INVERTED INDEX — one
+    * groupBy(shingle) builds sorted posting lists, and each rare list of
+    * d docs emits its C(d,2) ordered pairs directly (the self-join's
+    * exact output multiset, generated without exchanging the shingle
+    * table twice or running the join); the hot part is recovered by
+    * expanding only the candidate pairs by their (few) hot shingles,
+    * using the hot posting lists. The exploded shingle table is consumed
+    * three times total (sizes + two posting-list derivations) versus the
+    * self-join formulation's six, and the hot-shingle pair blowup never
+    * happens. Near-dups share many shingles, so dropping the hottest
+    * from generation barely dents recall (LlmSpec pins recall on
+    * jac >= 0.8 pairs and exact score agreement on survivors).
     */
   def jaccardPairsCapped(sh: DataFrame, maxDf: Int): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val tagged = sh.join(dfs, "shingle")
-    val rareSh = tagged.filter(col("df") <= maxDf).select("doc_id", "shingle")
-    val hotSh = tagged.filter(col("df") > maxDf).select("doc_id", "shingle")
-    // candidate pairs AND their rare-side intersection in one self-join
-    val interRare = rareSh.select(col("doc_id").as("d1"), col("shingle"))
-      .join(rareSh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter_rare"))
+    // inverted index: one shuffle of sh keyed on shingle; sort_array
+    // fixes collect_list's nondeterministic order so pairs come out
+    // (d1 < d2) without a filter
+    val posts = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
+        count(lit(1)).as("df"))
+    // C(d,2) ordered pairs per rare posting list: suffix-pairing HOF —
+    // bounded by maxDf, so the worst list emits maxDf*(maxDf-1)/2 structs
+    val rarePairs = posts.filter(col("df") <= maxDf)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.as("d1"), y.as("d2")))))).as("p"))
+    val interRare = rarePairs
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("inter_rare"))
     // hot-side intersection, computed only for candidates: expand each
-    // pair by d1's hot shingles, match them against d2's
+    // pair by d1's hot shingles (from the hot posting lists), match
+    // them against d2's
+    val hotSh = posts.filter(col("df") > maxDf)
+      .select(col("shingle"), explode(col("ds")).as("doc_id"))
     val interHot = interRare.select(col("d1"), col("d2"))
       .join(hotSh.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(hotSh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
@@ -357,12 +369,13 @@ object Dedup {
          |                     JOIN sizes s2 ON d2 = s2.doc_id)
          |SELECT d1, d2, n1, n2, inter, jac FROM cjac
          |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      // sh is consumed three times (sizes + both join sides) — persist
-      // DISK_ONLY: reused like a checkpoint, but lineage survives, so an
-      // executor loss at cluster scale recomputes instead of failing the
-      // job (localCheckpoint truncates lineage onto executor-local disk)
-      jaccardPairsCapped(
-        shingles(docs(s, dir)).persist(StorageLevel.DISK_ONLY), maxDf = 50)
+      // no materialization of sh: the inverted-index formulation consumes
+      // it three times, and re-deriving a codegen'd narrow explode from
+      // the source scan measured 3x faster than any cache of the exploded
+      // table (round 2's eager localCheckpoint additionally truncated
+      // lineage — executor loss killed the job); recompute keeps full
+      // recompute-on-loss lineage at cluster scale
+      jaccardPairsCapped(shingles(docs(s, dir)), maxDf = 50)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
@@ -414,9 +427,9 @@ object Dedup {
       // identical values to the aggregated form — LlmSpec pins it), so
       // the exploded shingle table only feeds candidate verification;
       // scoring runs only over LSH candidates (jaccardForCandidates),
-      // never the all-pairs self-join. DISK_ONLY persist: recomputable
-      // lineage, unlike localCheckpoint (see q_dedup_near note).
-      val sh = shingles(docs(s, dir)).persist(StorageLevel.DISK_ONLY)
+      // never the all-pairs self-join. sh consumers share its distinct
+      // exchange via ReuseExchange (see q_dedup_near note) — no cache.
+      val sh = shingles(docs(s, dir))
       val cands = lshCandidates(minhashSignaturesStateless(docs(s, dir)))
       jaccardForCandidates(sh, cands)
         .filter(col("jac") >= 0.35)
@@ -495,10 +508,12 @@ object Dedup {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
-      // bucketed feeds probe expansion AND the equi-join build side —
-      // DISK_ONLY persist (recomputable), not lineage-truncating checkpoint
+      // bucketed feeds probe expansion AND the equi-join build side;
+      // bucket bits are quantized-integer dots — bit-deterministic on
+      // recompute — so no materialization is needed for agreement, and
+      // the join's own exchanges are what get reused
       val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
-        .select(col("vec_id"), col("bucket")).persist(StorageLevel.DISK_ONLY)
+        .select(col("vec_id"), col("bucket"))
       val cands = embedCandidates(bucketed, nPlanes = 8, probeHamming = 3)
       val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
