@@ -30,6 +30,52 @@ class ScaleSpec extends AnyFunSuite {
     assert(parts > 1, "hot key should span multiple post-shuffle partitions")
   }
 
+  test("skew stress: salted join balances a 50%-hot key and matches the naive result") {
+    // one key owns half of 200k rows — the shape where a plain shuffle
+    // join funnels half the table through one reducer. Broadcast is
+    // disabled so both plans actually shuffle (with a broadcastable dim
+    // there is no skew problem to solve), and row counts stay below
+    // AQE's byte-based skew-split threshold so the naive plan really is
+    // imbalanced — this spec proves the salting story with metrics, not
+    // scaladoc.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // fix the reducer count for a meaningful balance measurement: AQE's
+      // byte-based coalescing would fold this (tiny-by-bytes) fixture into
+      // one partition and hide the row skew entirely
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val big = spark.range(200000)
+        .select(when(col("id") % 2 === 0, lit(1L))
+          .otherwise(col("id") % 1000 + 1).as("k"), col("id").as("payload"))
+      val small = spark.range(1, 1001)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("pid", spark_partition_id())
+          .groupBy("pid").count().agg(max("count")).head().getLong(0)
+      val naive = big.join(small, Seq("k"))
+      val salted = Scale.saltedJoin(big, small, "k", salt = 16)
+      // identical results
+      val a = naive.groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      val b = salted.groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+      // balance: the naive join's hot reducer holds >= the 100k hot rows;
+      // salting must spread them at least 4x better (salt = 16)
+      val naiveMax = maxPartRows(naive)
+      val saltedMax = maxPartRows(salted)
+      assert(naiveMax >= 100000, s"fixture lost its skew (naiveMax=$naiveMax)")
+      assert(saltedMax <= naiveMax / 4,
+        s"salted join still skewed: naiveMax=$naiveMax saltedMax=$saltedMax")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))

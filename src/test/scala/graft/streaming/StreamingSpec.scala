@@ -156,6 +156,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source -> streamingSigDedup with checkpoint: state survives restart") {
+    // end-to-end: real parquet file source, real checkpoint dir, real
+    // (fault-tolerant) file sink — the deployment shape, not MemoryStream.
+    val base = "/tmp/graft_test_stage/sigdedup_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3) // signature-bearing docs only
+    val batch1 = docs.filter(col("doc_id") < 50)
+    batch1.write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingSigDedup(
+        spark.readStream.schema(batch1.schema).parquet(srcDir))
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 arrives while the query is DOWN: re-sends of batch-1 texts
+    // under new ids, plus genuinely new docs
+    val dups = batch1.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val fresh = docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+    dups.union(fresh).write.mode("append").parquet(srcDir)
+    val q2 = start() // restart: offsets + dedup state recover from ckpt
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    val sigCols = graft.llm.Dedup.minhashSeeds.indices.map(i => col(s"h$i"))
+    // 1. re-sent texts were suppressed by state RESTORED across restart
+    assert(out.filter(col("doc_id") >= 100000).count() == 0,
+      "duplicate signatures re-emitted after restart — state was lost")
+    // 2. output carries no duplicate signature at all
+    val emitted = out.select(sigCols: _*).count()
+    val emittedDistinct = out.select(sigCols: _*).distinct().count()
+    assert(emitted == emittedDistinct, "duplicate signatures in output")
+    // 3. completeness: one survivor per distinct input signature
+    val expect = graft.llm.Dedup
+      .minhashSignaturesStateless(batch1.unionByName(dups).unionByName(fresh))
+      .select(graft.llm.Dedup.minhashSeeds.indices.map(i => col(s"h$i")): _*)
+      .distinct().count()
+    assert(emitted == expect, s"expected $expect distinct signatures, got $emitted")
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
