@@ -106,6 +106,108 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernels + deterministic hyperplanes for the LSH bucket
+  * expression (object without a companion class → static forwarders
+  * callable from generated code, like [[graft.functions.TextOps]]).
+  */
+object VectorOps {
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is
+    * derived from md5(p:d) → uniform in [-1, 1). Portable and seedless —
+    * any worker (or the DuckDB oracle) regenerates the same planes.
+    */
+  def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    val v = ((hex(0) & 0xff) << 8) | (hex(1) & 0xff)
+    v / 32768.0 - 1.0
+  }
+
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(d => planeComponent(p, d)))
+
+  /** Sentinel for "dimension mismatch" from [[lshBucket]] — valid buckets
+    * are non-negative (nPlanes ≤ 62).
+    */
+  val LshBucketNull: Long = -1L
+
+  /** Sign-bucket one vector against the precomputed planes using the
+    * QUANTIZED dot product (each term `floor(x * w * 2^30)` is an
+    * exactly-representable long, so the sum is order-independent and the
+    * bucket bit-identical in any engine — the CLAUDE.md float invariant).
+    * Identical math to the `aggregate(zip_with(floor))` HOF chain it
+    * replaces, in one primitive pass.
+    */
+  def lshBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Double]]): Long = {
+    val dim = planes(0).length
+    if (v.numElements() != dim) return LshBucketNull
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var s = 0L
+      var d = 0
+      while (d < dim) {
+        s += math.floor(v.getDouble(d) * w(d) * 1073741824.0).toLong
+        d += 1
+      }
+      if (s >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** Fused LSH sign-bucket expression over an `array<double>` vector: all
+  * `nPlanes` quantized dots + sign bits in one codegen-resident pass.
+  * The per-plane `aggregate(zip_with(floor))` HOF chain it replaces is
+  * interpreted (8 planes × 64 dims of boxed lambda calls per row) and
+  * was the inner loop of q_dedup_embed/q_sim_ann. Null on dimension
+  * mismatch (the curated tables are uniform dim-64; a ragged vector has
+  * no defined bucket).
+  */
+case class LshBucket(child: Expression, nPlanes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket requires array<double>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    VectorOps.planes(nPlanes, dim)
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = VectorOps.lshBucket(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+    if (r == VectorOps.LshBucketNull) null else java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorOps.lshBucket($c, $planesRef);
+         |if (${ev.value} == graft.functions.VectorOps.LshBucketNull()) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Element-wise vector sum as a typed Aggregator: the scale-safe M-step
   * primitive for k-means/IVF training. Aggregating WHOLE vectors per
   * centroid keeps the shuffle at one `dim`-length buffer per (centroid ×
@@ -157,4 +259,8 @@ object VectorExpressions {
   /** Column-level entry: element-wise vector-sum aggregate. */
   val vectorSum: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(VectorSum)
+
+  /** Column-level entry: fused quantized LSH sign-bucket. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int = 64): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(v), nPlanes, dim))
 }

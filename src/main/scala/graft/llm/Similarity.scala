@@ -56,16 +56,14 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: component d of plane p is
     * derived from md5(p:d) → uniform in [-1, 1). Portable and seedless —
-    * any worker regenerates the same planes.
+    * any worker regenerates the same planes (single source:
+    * [[graft.functions.VectorOps.planeComponent]]).
     */
-  def planeComponent(p: Int, d: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p:$d".getBytes("UTF-8"))
-    val v = ((hex(0) & 0xff) << 8) | (hex(1) & 0xff)
-    v / 32768.0 - 1.0
-  }
+  def planeComponent(p: Int, d: Int): Double =
+    graft.functions.VectorOps.planeComponent(p, d)
 
-  /** Sign-bucket each vector with `nPlanes` hyperplanes (linear pass).
+  /** Sign-bucket each vector with `nPlanes` hyperplanes (linear pass,
+    * fused native expression — [[graft.functions.LshBucket]]).
     *
     * The sign test uses a QUANTIZED dot product: each term
     * `floor(x * w * 2^30)` is an exactly-representable long (the raw
@@ -76,7 +74,16 @@ object Similarity {
     * near-zero projection's sign between Spark's sequential fold and an
     * oracle's partial-combine order (CLAUDE.md float invariant).
     */
-  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorExpressions
+        .lshBucket(toDouble(col("embedding")), nPlanes).as("bucket"))
+
+  /** HOF reference implementation of [[lshBuckets]] — kept as the
+    * semantic spec for the fused expression; LlmSpec asserts exact
+    * bucket agreement (the quantized math makes both integer-exact).
+    */
+  def lshBucketsHof(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
     val dim = 64
     val planes = (0 until nPlanes).map(p =>
       array((0 until dim).map(d => lit(planeComponent(p, d))): _*))

@@ -134,6 +134,18 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("fused LshBucket equals the HOF qdot chain on every corpus vector") {
+    val native = Similarity.lshBuckets(emb, nPlanes = 8).select("vec_id", "bucket")
+    val hof = Similarity.lshBucketsHof(emb, nPlanes = 8).select("vec_id", "bucket")
+    assert(native.count() == hof.count())
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty)
+    // dimension mismatch → null bucket (no defined hyperplane projection)
+    import spark.implicits._
+    val ragged = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+    assert(ragged.select(graft.functions.VectorExpressions
+      .lshBucket(col("v"), 8).as("b")).head().isNullAt(0))
+  }
+
   test("VectorSum aggregator equals the exploded per-dimension sum") {
     import spark.implicits._
     val df = Seq((0L, Seq(1.0, 2.0, 3.0)), (0L, Seq(0.5, -1.0, 4.0)),
