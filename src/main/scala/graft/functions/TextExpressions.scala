@@ -63,6 +63,30 @@ object TextOps {
     }
   }
 
+  /** All C(n,2) ordered pairs (i < j positions) of a long array — the
+    * posting-list pair generator for the inverted-index Jaccard path.
+    * On a sorted list the output is exactly the (d1 < d2) pair multiset
+    * of the equivalent self-join.
+    */
+  def suffixPairs(ds: ArrayData): ArrayData = {
+    val n = ds.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ds.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, ds.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val mdPool = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -240,6 +264,43 @@ case class MinhashSignature(child: Expression, k: Int, seeds: Seq[String])
     copy(child = newChild)
 }
 
+/** All ordered pairs of an `array<bigint>` posting list, as
+  * `array<struct<d1,d2>>` (see [[TextOps.suffixPairs]]): one primitive
+  * pass replacing a nested transform/slice/flatten HOF chain that
+  * allocated O(d²) boxed intermediates per list in interpreted eval.
+  * Bounded by the caller's document-frequency cap (worst list emits
+  * maxDf·(maxDf−1)/2 structs).
+  */
+case class SuffixPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d1",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"suffix_pairs requires array<bigint> (non-null elements), got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.suffixPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.suffixPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SuffixPairs =
+    copy(child = newChild)
+}
+
 /** Fused 32-bit SimHash signature over a document's DISTINCT k-token
   * shingles (see [[TextOps.simhash]]); null when the input has fewer than
   * k tokens. Replaces the exploded pipeline (shingle explode → distinct →
@@ -289,4 +350,7 @@ object TextExpressions {
 
   def simhashSignature(text: Column, k: Int = 3): Column =
     ColumnBridge.column(SimhashSignature(ColumnBridge.expression(text), k))
+
+  def suffixPairs(ds: Column): Column =
+    ColumnBridge.column(SuffixPairs(ColumnBridge.expression(ds)))
 }

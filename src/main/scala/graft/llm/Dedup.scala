@@ -118,12 +118,13 @@ object Dedup {
     val posts = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
         count(lit(1)).as("df"))
-    // C(d,2) ordered pairs per rare posting list: suffix-pairing HOF —
-    // bounded by maxDf, so the worst list emits maxDf*(maxDf-1)/2 structs
+    // C(d,2) ordered pairs per rare posting list via the native
+    // SuffixPairs expression (one primitive pass; the equivalent nested
+    // transform/slice/flatten HOF chain is interpreted) — bounded by
+    // maxDf, so the worst list emits maxDf*(maxDf-1)/2 structs
     val rarePairs = posts.filter(col("df") <= maxDf)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
-          struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(explode(
+        graft.functions.TextExpressions.suffixPairs(col("ds"))).as("p"))
     val interRare = rarePairs
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter_rare"))

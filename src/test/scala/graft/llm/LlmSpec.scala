@@ -134,6 +134,21 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("SuffixPairs equals the nested-transform HOF pair generator") {
+    import spark.implicits._
+    val df = Seq(Seq(1L), Seq(1L, 2L), Seq(3L, 5L, 9L, 11L), Seq.empty[Long])
+      .toDF("ds")
+    val hof = df.select(flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("d1"), y.as("d2"))))).as("p"))
+    val native = df.select(
+      graft.functions.TextExpressions.suffixPairs(col("ds")).as("p"))
+    assert(hof.except(native).isEmpty && native.except(hof).isEmpty)
+    val four = native.filter(size(col("p")) === 6).select(explode(col("p")).as("q"))
+      .select("q.d1", "q.d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(four == Set((3L, 5L), (3L, 9L), (3L, 11L), (5L, 9L), (5L, 11L), (9L, 11L)))
+  }
+
   test("fused LshBucket equals the HOF qdot chain on every corpus vector") {
     val native = Similarity.lshBuckets(emb, nPlanes = 8).select("vec_id", "bucket")
     val hof = Similarity.lshBucketsHof(emb, nPlanes = 8).select("vec_id", "bucket")
