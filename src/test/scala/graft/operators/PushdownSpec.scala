@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Scan-efficiency pins: Catalyst must keep pushing projections and
+  * filters into the parquet scan for the graded queries. At 100 TB these
+  * properties ARE the cost model — a scan that reads all 16 lineitem
+  * columns for a 3-column projection, or filters after the scan, is a
+  * regression even if results stay correct.
+  */
+class PushdownSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    graft.Registry.all(name).fn(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_project reads only the projected columns (ReadSchema pruning)") {
+    val plan = planOf("q_scan_project")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+    // the projection selects 3 columns; none of the wide ones may load
+    assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"),
+      s"unprojected columns reached the scan: $read")
+    assert(read.split(",").length <= 4, s"over-wide scan schema: $read")
+  }
+
+  // NOTE: the plan string TRUNCATES long pushed-filter lists ("…"), so
+  // these regexes must not require the closing bracket.
+  test("q_filter_cmp pushes its comparison into the scan (PushedFilters)") {
+    val plan = planOf("q_filter_cmp")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]\\n]*(GreaterThan|LessThan|EqualTo).*"),
+      s"no pushed comparison filter in plan:\n$plan")
+  }
+
+  test("a null-ness WHERE clause reaches the scan as a pushed filter") {
+    val plan = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+      .filter(col("o_orderpriority").isNotNull).select("o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]\\n]*IsNotNull\\(o_orderpriority\\).*"),
+      s"no pushed null filter in plan:\n$plan")
+  }
+
+  test("flagship aggregation runs inside whole-stage codegen") {
+    // the codegen star markers (*(n)) only exist in the FINAL adaptive
+    // plan, so execute THIS dataset's plan (count() would execute a
+    // derived aggregate plan instead)
+    val df = graft.Registry.all("q_agg_group").fn(spark, TestSpark.sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"flagship fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("fused dedup signatures stay inside whole-stage codegen") {
+    // the round-3 native expressions must not push their projection out
+    // of codegen (CodegenFallback would silently reintroduce the round-2
+    // interpreted inner loop)
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+    val sig = graft.llm.Dedup.minhashSignaturesStateless(docs)
+    sig.collect()
+    val plan = sig.queryExecution.executedPlan
+    assert(plan.toString.contains("*("), s"signature projection not codegen'd:\n$plan")
+    // and the expressions themselves are not CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.graft.ColumnBridge
+    val e0 = ColumnBridge.expression(lit("a b c d"))
+    Seq(
+      graft.functions.Shingles(e0, 3),
+      graft.functions.MinhashSignature(e0, 3,
+        graft.functions.MinhashSignature.defaultSeeds),
+      graft.functions.SimhashSignature(e0, 3)
+    ).foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.getClass.getSimpleName} regressed to CodegenFallback")
+    }
+  }
+}
