@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.arrayCosineDescriptor)
     e.injectFunction(GraftExtensions.shinglesDescriptor)
     e.injectFunction(GraftExtensions.minhashSignatureDescriptor)
+    e.injectFunction(GraftExtensions.simhashSignatureDescriptor)
     // declarative HOF dot products compile to the fast ArrayDot loop
     e.injectOptimizerRule(_ => functions.RewriteHofDotProduct)
   }
@@ -82,11 +83,28 @@ object GraftExtensions {
         functions.MinhashSignature.defaultSeeds)
     })
 
+  /** simhash_signature(text[, k]): the fused 32-bit distinct-shingle
+    * SimHash ([[functions.SimhashSignature]]).
+    */
+  val simhashSignatureDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_signature"),
+    new ExpressionInfo(classOf[functions.SimhashSignature].getName, "simhash_signature"),
+    (children: Seq[Expression]) => {
+      val k = children.lift(1) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case None => 3
+        case other => throw new IllegalArgumentException(
+          s"simhash_signature(text, k): k must be an int literal, got $other")
+      }
+      functions.SimhashSignature(children.head, k)
+    })
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(arrayDotDescriptor, arrayCosineDescriptor, shinglesDescriptor,
-      minhashSignatureDescriptor).foreach { case (id, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        id.funcName, builder, "scala_udf")
+      minhashSignatureDescriptor, simhashSignatureDescriptor).foreach {
+      case (id, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "scala_udf")
     }
 }

@@ -304,6 +304,14 @@ class LlmSpec extends AnyFunSuite {
     val expectH0 = spark.sql(
       "SELECT least(md5('s0:a b c'), md5('s0:b c d'))").head().getString(0)
     assert(ms.size == 6 && ms.head == expectH0)
+    // simhash_signature: 32-bit, matches the Column-level expression
+    val sqlSim = spark.sql("SELECT simhash_signature('a b c d') AS s")
+      .head().getLong(0)
+    import spark.implicits._
+    val colSim = Seq("a b c d").toDF("text")
+      .select(graft.functions.TextExpressions.simhashSignature(col("text"), 3))
+      .head().getLong(0)
+    assert(sqlSim == colSim && sqlSim >= 0L && sqlSim < (1L << 32))
     // SQL array_cosine == the library's Column-level cosine, exactly
     emb.createOrReplaceTempView("emb_sqlfn")
     val viaSql = spark.sql(
