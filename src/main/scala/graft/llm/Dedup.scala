@@ -382,6 +382,42 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Containment near-dup (asymmetric): |S1 ∩ S2| / min(|S1|, |S2|) —
+    // catches subset/boilerplate documents that Jaccard under-scores (a
+    // doc fully contained in a much larger one has low union-relative
+    // similarity but containment 1.0). Same capped inverted-index
+    // candidate generation as q_dedup_near, same exact full-set
+    // intersection on survivors; only the final score differs. Both
+    // engines divide exact integers, so the filter boundary is
+    // bit-deterministic.
+    "q_dedup_containment" -> Q(
+      s"""WITH $oShingleCte,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |rsh AS (SELECT s.doc_id, s.shingle FROM sh s
+         |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df <= 50),
+         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM rsh a JOIN rsh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
+         |           FROM cands c
+         |           JOIN sh s1 ON s1.doc_id = c.d1
+         |           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+         |           GROUP BY 1, 2),
+         |ccont AS (SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
+         |            cast(inter as double) / least(s1.n, s2.n) AS containment
+         |          FROM cinter JOIN sizes s1 ON d1 = s1.doc_id
+         |                      JOIN sizes s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, n1, n2, inter, containment FROM ccont
+         |WHERE containment >= 0.8 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      jaccardPairsCapped(shingles(docs(s, dir)), maxDf = 50)
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.8)
+        .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"),
+          col("containment"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Signature-identity dedup (the cheap pre-verification tier of a
     // training-data ingest: docs whose FULL MinHash signature collides
     // are near-certain duplicates — no pair scoring at all). One stateless

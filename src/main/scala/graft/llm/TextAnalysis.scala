@@ -68,6 +68,32 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary extraction: top-5 tokens per language by frequency with
+    // a deterministic (count DESC, token ASC) tiebreak — the token
+    // frequency table a tokenizer-training / filtering pipeline builds
+    // first. The window ranks the AGGREGATED (lang, token) table (vocab-
+    // sized, not corpus-sized), so the per-lang partition is small at any
+    // corpus scale; the heavy lifting is the map-side-combined groupBy.
+    "q_vocab_topk" -> Q(
+      """SELECT lang, token, n, rk FROM (
+        |  SELECT lang, token, count(*) AS n,
+        |    cast(row_number() OVER (PARTITION BY lang
+        |           ORDER BY count(*) DESC, token) as int) AS rk
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY lang, token)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("token"), col("n"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // Corpus stats per language: doc/char/token counts, exact averages.
     "q_text_stats" -> Q(
       """SELECT lang, count(*) AS n_docs,

@@ -134,6 +134,49 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("fused text kernels agree with references on 300 randomized strings") {
+    // seeded randomized sweep over the ugly token space — empty tokens
+    // (consecutive/leading/trailing spaces), multi-byte UTF-8, repeated
+    // tokens — pinning all three fused kernels to their reference
+    // pipelines at once
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def tok(): String = rnd.nextInt(6) match {
+      case 0 => ""
+      case 1 => "中" * (1 + rnd.nextInt(2))
+      case 2 => "ß" + ("x" * rnd.nextInt(3))
+      case _ => (('a' + rnd.nextInt(26)).toChar.toString) * (1 + rnd.nextInt(3))
+    }
+    val df = (0 until 300)
+      .map(i => (i.toLong, Seq.fill(rnd.nextInt(12))(tok()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val withSh = df
+      .withColumn("__sh", graft.functions.TextExpressions.shingles(col("text"), 3))
+      .filter(size(col("__sh")) >= 1).cache()
+    // 1. native shingles == HOF chain
+    val t = split(col("text"), " ")
+    val hofSh = df.filter(size(t) >= 3).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))).as("shingle"))
+    val natSh = withSh.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+    assert(hofSh.count() == natSh.count())
+    assert(hofSh.except(natSh).isEmpty && natSh.except(hofSh).isEmpty)
+    // 2. fused minhash signature == per-seed min(md5) over the shingles
+    val minCols = Dedup.minhashSeeds.zipWithIndex.map { case (seed, i) =>
+      array_min(transform(col("__sh"),
+        x => md5(concat(lit(seed), x).cast("binary")))).as(s"h$i")
+    }
+    val hofSig = withSh.select(col("doc_id") +: minCols: _*)
+    val fusedSig = Dedup.minhashSignaturesStateless(df)
+    assert(hofSig.except(fusedSig).isEmpty && fusedSig.except(hofSig).isEmpty)
+    // 3. fused simhash == exploded distinct-shingle pipeline
+    val exploded = Dedup.simhash(natSh.distinct())
+    val fusedSim = Dedup.simhashSignaturesStateless(df)
+    assert(exploded.except(fusedSim).isEmpty && fusedSim.except(exploded).isEmpty)
+    withSh.unpersist()
+  }
+
   test("SuffixPairs equals the nested-transform HOF pair generator") {
     import spark.implicits._
     val df = Seq(Seq(1L), Seq(1L, 2L), Seq(3L, 5L, 9L, 11L), Seq.empty[Long])
