@@ -177,8 +177,15 @@ object Similarity {
     * dim-rows-per-input-vector expansion of a posexplode formulation
     * (64× shuffle volume at dim 64; the round-2 verdict's "wrong constant
     * at 100 TB").
+    *
+    * Default iters = 1, from the measured recall curve (graft.IvfCurve,
+    * recorded in DESIGN.md): on this near-uniform corpus one refinement
+    * beats raw seeds at every probe count, while 2-3 iterations never
+    * improve on 1 (tighter cells concentrate coverage, so recall at a
+    * fixed probe budget plateaus or drops). Probes, not iterations, are
+    * the recall lever here.
     */
-  def ivfCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+  def ivfCentroids(emb: DataFrame, nCentroids: Int = 16, iters: Int = 1): DataFrame = {
     val seeds = emb.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
     (0 until iters).foldLeft(seeds) { (cents, _) =>
@@ -212,8 +219,15 @@ object Similarity {
     ivfAssign(emb, nCentroids).write.mode("overwrite")
       .partitionBy("cent_id").parquet(path)
 
+  /** Default nProbe = 8 of 16 cells: the measured operating point for
+    * this near-uniform corpus (mean recall 0.92-0.94 over 5 queries at
+    * both sf0.001 and sf0.01 vs 0.70-0.76 at 4 probes — see IvfCurve /
+    * DESIGN.md). Higher-contrast corpora run more cells and fewer
+    * probes; the probed fraction, not the iteration count, is what buys
+    * recall here.
+    */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 8): DataFrame = {
     // one centroid table shared by assignment and probe selection — the
     // two MUST agree or pruning searches the wrong cells. DISK_ONLY
     // persist gives the same single materialization with recomputable

@@ -125,13 +125,21 @@ class LlmSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
-  test("IVF topK reaches recall >= 0.9 vs brute force with 4/16 probes") {
-    val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val ivf = Similarity.ivfTopK(emb, 0L, 10).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.9, s"IVF recall $recall (exact=$exact ivf=$ivf)")
+  test("IVF topK at defaults: mean recall >= 0.9 over 5 queries, min >= 0.8") {
+    // multi-query recall at the measured operating point (8/16 probes,
+    // 1 Lloyd iteration — see IvfCurve / DESIGN.md); a single lucky
+    // query would overstate the operator
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity.topK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfTopK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(ivf).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF mean recall $mean < 0.9 ($recalls)")
+    assert(recalls.min >= 0.8, s"IVF worst-query recall ${recalls.min} < 0.8 ($recalls)")
   }
 
   test("fused text kernels agree with references on 300 randomized strings") {
