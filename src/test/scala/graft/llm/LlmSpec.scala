@@ -50,13 +50,17 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
-  test("ANN topK reaches recall >= 0.8 vs brute force") {
-    val exact = Similarity.topK(emb, 0L, 10).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val ann = Similarity.annTopK(emb, 0L, 10).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val recall = exact.intersect(ann).size.toDouble / exact.size
-    assert(recall >= 0.8, s"ANN recall $recall < 0.8 (exact=$exact ann=$ann)")
+  test("ANN topK: mean recall >= 0.8 over 5 queries vs brute force") {
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity.topK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.annTopK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(ann).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"ANN mean recall $mean < 0.8 ($recalls)")
   }
 
   test("df-capped candidate generation keeps all high-jaccard pairs") {
