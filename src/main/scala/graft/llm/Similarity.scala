@@ -266,10 +266,43 @@ object Similarity {
       topK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
-    // ANN variant (LSH buckets + multi-probe + exact rerank). Bucket
-    // membership depends on engine-local plane evaluation → no SQL
-    // oracle; LlmSpec asserts recall >= 0.8 vs brute force.
-    "q_sim_ann" -> Q.noOracle { (s, dir) =>
+    // ANN variant (LSH buckets + multi-probe + exact rerank) —
+    // HASH-GATED, not rows-only: the md5-derived hyperplanes and the
+    // floor-quantized sign test are engine-portable (same pattern as
+    // q_dedup_embed), so the oracle recomputes the buckets in SQL and
+    // selects the identical candidate set (bucket hamming <= 2 from the
+    // query's bucket ≡ the multi-probe XOR expansion, pinned by the
+    // embedCandidates spec), then reranks by the 6dp-rounded cosine with
+    // a vec_id tiebreak. The approximation is part of the operator's
+    // definition; recall vs brute force is separately spec'd in LlmSpec.
+    "q_sim_ann" -> Q(
+      """WITH planes AS (
+        |  SELECT g.p, gd.d,
+        |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
+        |  FROM (SELECT cast(unnest(range(0, 4)) as varchar) AS p) g
+        |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
+        |dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |qb AS (SELECT bucket AS b FROM sigs WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT s.vec_id FROM sigs s CROSS JOIN qb
+        |  WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qb.b)) <= 2)
+        |SELECT c.vec_id,
+        |  round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_r
+        |FROM cands c
+        |JOIN embeddings b ON b.vec_id = c.vec_id
+        |CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cos_r DESC, c.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       annTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
