@@ -220,9 +220,12 @@ object Connector {
     // rows, so building them parses every column). Any error (malformed
     // row, bad cast, format mismatch) surfaces there and leaves the
     // target byte-identical. The append then reads the already-validated
-    // cache — no second parse — and is itself guarded by Spark's file
-    // commit protocol (tasks write under _temporary; the committer
-    // renames on job commit, so a crashed append publishes nothing).
+    // cache in the common case (a lost cache block recomputes from
+    // lineage and re-runs the FAILFAST parse for that partition — the
+    // staged file is immutable, so it re-validates to the same rows);
+    // atomicity rests on Spark's file commit protocol either way (tasks
+    // write under _temporary; the committer renames on job commit, so a
+    // crashed append publishes nothing).
     // Round 2 staged through a throwaway parquet dir instead: one extra
     // distributed write + read per load for no additional guarantee.
     val validated = laid.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)

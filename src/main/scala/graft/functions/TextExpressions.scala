@@ -70,7 +70,15 @@ object TextOps {
     */
   def suffixPairs(ds: ArrayData): ArrayData = {
     val n = ds.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // quadratic output: n*(n-1)/2 overflows Int (→ negative allocation)
+    // at n ≈ 65k and is a memory bomb well before that. Callers df-cap
+    // their posting lists; fail fast with the intent spelled out rather
+    // than letting a future uncapped caller hit the overflow path.
+    val sz = n.toLong * (n - 1) / 2
+    require(sz <= org.apache.spark.unsafe.array.ByteArrayMethods.MAX_ROUNDED_ARRAY_LENGTH,
+      s"suffix_pairs over a $n-element list would emit $sz pairs — " +
+        "posting lists must be document-frequency-capped before pair generation")
+    val out = new Array[Any](sz.toInt)
     var k = 0
     var i = 0
     while (i < n) {

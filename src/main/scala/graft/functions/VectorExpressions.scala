@@ -126,8 +126,8 @@ object VectorOps {
   def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes)(p => Array.tabulate(dim)(d => planeComponent(p, d)))
 
-  /** Sentinel for "dimension mismatch" from [[lshBucket]] — valid buckets
-    * are non-negative (nPlanes ≤ 62).
+  /** Sentinel for "dimension mismatch or null element" from [[lshBucket]]
+    * — valid buckets are non-negative (nPlanes ≤ 62).
     */
   val LshBucketNull: Long = -1L
 
@@ -142,12 +142,17 @@ object VectorOps {
       planes: Array[Array[Double]]): Long = {
     val dim = planes(0).length
     if (v.numElements() != dim) return LshBucketNull
+    // a vector with a null component has no defined projection — return
+    // the null sentinel, matching the HOF reference where zip_with
+    // null-propagates (getDouble on a null slot would silently read 0.0)
+    var d = 0
+    while (d < dim) { if (v.isNullAt(d)) return LshBucketNull; d += 1 }
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val w = planes(p)
       var s = 0L
-      var d = 0
+      d = 0
       while (d < dim) {
         s += math.floor(v.getDouble(d) * w(d) * 1073741824.0).toLong
         d += 1
@@ -164,8 +169,9 @@ object VectorOps {
   * The per-plane `aggregate(zip_with(floor))` HOF chain it replaces is
   * interpreted (8 planes × 64 dims of boxed lambda calls per row) and
   * was the inner loop of q_dedup_embed/q_sim_ann. Null on dimension
-  * mismatch (the curated tables are uniform dim-64; a ragged vector has
-  * no defined bucket).
+  * mismatch or any null element (the curated tables are uniform dense
+  * dim-64; a ragged or holey vector has no defined bucket — matching the
+  * HOF reference, whose zip_with null-propagates).
   */
 case class LshBucket(child: Expression, nPlanes: Int, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -118,6 +118,14 @@ object Similarity {
     lshBuckets(emb, nPlanes).write.mode("overwrite")
       .partitionBy("bucket").parquet(path)
 
+  /** q_sim_ann operating point — single source for [[annTopK]]'s defaults
+    * AND the oracle SQL's interpolated constants, so changing either can
+    * never silently desynchronize the mirrored candidate set (the oracle
+    * previously hardcoded `range(0,4)` / `<= 2`).
+    */
+  val annPlanes: Int = 4
+  val annProbeHamming: Int = 2
+
   /** ANN top-k: probe the query's bucket plus all buckets within
     * `probeHamming` sign flips (multi-probe LSH), rerank exactly. The
     * testdata embeddings are near-uniform (best cosine ≈ 0.5), so wide
@@ -125,8 +133,8 @@ object Similarity {
     * corpora would use more planes and fewer probes. Recall vs [[topK]]
     * is asserted by LlmSpec.
     */
-  def annTopK(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = 4,
-      probeHamming: Int = 2): DataFrame = {
+  def annTopK(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = annPlanes,
+      probeHamming: Int = annProbeHamming): DataFrame = {
     val bucketed = lshBuckets(emb, nPlanes)
     val qRow = bucketed.filter(col("vec_id") === queryId)
       .select(col("bucket"), toDouble(col("embedding")).as("qv"))
@@ -276,13 +284,13 @@ object Similarity {
     // a vec_id tiebreak. The approximation is part of the operator's
     // definition; recall vs brute force is separately spec'd in LlmSpec.
     "q_sim_ann" -> Q(
-      """WITH planes AS (
+      s"""WITH planes AS (
         |  SELECT g.p, gd.d,
         |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
         |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
         |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
         |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
-        |  FROM (SELECT cast(unnest(range(0, 4)) as varchar) AS p) g
+        |  FROM (SELECT cast(unnest(range(0, $annPlanes)) as varchar) AS p) g
         |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
         |dots AS (
         |  SELECT e.vec_id, pl.p,
@@ -296,7 +304,7 @@ object Similarity {
         |qb AS (SELECT bucket AS b FROM sigs WHERE vec_id = 0),
         |cands AS (
         |  SELECT s.vec_id FROM sigs s CROSS JOIN qb
-        |  WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qb.b)) <= 2)
+        |  WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qb.b)) <= $annProbeHamming)
         |SELECT c.vec_id,
         |  round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_r
         |FROM cands c

@@ -202,6 +202,17 @@ class LlmSpec extends AnyFunSuite {
     val four = native.filter(size(col("p")) === 6).select(explode(col("p")).as("q"))
       .select("q.d1", "q.d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(four == Set((3L, 5L), (3L, 9L), (3L, 11L), (5L, 9L), (5L, 11L), (9L, 11L)))
+    // an uncapped posting list fails fast (the quadratic size is computed
+    // in Long; the old Int arithmetic overflowed to a negative allocation)
+    val big = spark.range(1).select(sequence(lit(0L), lit(69999L)).as("ds"))
+    val err = intercept[Exception] {
+      big.select(size(graft.functions.TextExpressions.suffixPairs(col("ds")))).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(c => Option(c.getMessage).exists(
+        _.contains("document-frequency-capped"))))
   }
 
   test("fused LshBucket equals the HOF qdot chain on every corpus vector") {
@@ -213,6 +224,13 @@ class LlmSpec extends AnyFunSuite {
     import spark.implicits._
     val ragged = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "v")
     assert(ragged.select(graft.functions.VectorExpressions
+      .lshBucket(col("v"), 8).as("b")).head().isNullAt(0))
+    // null element → null bucket (zip_with null-propagates in the HOF
+    // reference; getDouble on a null slot would have read 0.0 silently)
+    val holey = spark.range(1).select(
+      transform(sequence(lit(1), lit(64)),
+        x => when(x === 5, lit(null)).otherwise(lit(0.1))).as("v"))
+    assert(holey.select(graft.functions.VectorExpressions
       .lshBucket(col("v"), 8).as("b")).head().isNullAt(0))
   }
 
