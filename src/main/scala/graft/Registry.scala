@@ -16,6 +16,7 @@ object Registry {
       functions.UserFunctions.queries ++
       llm.TextAnalysis.queries ++
       llm.Dedup.queries ++
+      llm.Components.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries
 

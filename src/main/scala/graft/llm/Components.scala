@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.{Engine, Q}
+
+/** Connected components over the near-duplicate pair graph — the step a
+  * production dedup pipeline runs AFTER pair detection: LSH/SimHash emit
+  * pairs, but "keep one representative" needs the transitive closure
+  * (A≈B, B≈C ⇒ {A,B,C} is one cluster even when A,C never formed a pair).
+  * Not in the reference (`/root/reference/pandas_redshift/core.py` has no
+  * relational operators at all) — `EXT` like the rest of the dedup family.
+  *
+  * Algorithm: Pregel-style min-label propagation. Every vertex starts
+  * labeled with its own id; each round, a vertex takes the min of its own
+  * label and its neighbors' labels; converged when no label changes. Each
+  * round is one equi-join (neighbor labels) + one groupBy-min — two
+  * shuffles, both partitioned by vertex id, no all-pairs shape anywhere.
+  *
+  * Scale notes:
+  *  - Rounds = graph diameter + 1 (the +1 detects the fixpoint). Near-dup
+  *    clusters are near-cliques (every member shares most shingles), so
+  *    the diameter is 2-4 in practice; the maxIters guard fails loudly on
+  *    an adversarial long-chain graph instead of looping forever. For
+  *    such graphs the known fix is alternating large-star/small-star
+  *    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
+  *    O(log²n) rounds of the same join+min primitive; this module keeps
+  *    plain propagation because the dedup-graph diameter is what it is.
+  *  - Each round's labels are persisted (DISK_ONLY — recomputable
+  *    lineage, the round-3 rule) and the previous round unpersisted: the
+  *    convergence count would otherwise recompute the whole chain every
+  *    round (O(rounds²) work), and lineage depth would grow unboundedly.
+  *  - The edge list is reused every round; callers pass a DataFrame that
+  *    is cheap to recompute (banded candidates) or pre-persisted.
+  */
+object Components {
+
+  /** Min-label propagation over an undirected edge list `(d1, d2)`.
+    * Returns `(id, label)` for every vertex incident to at least one edge,
+    * where `label` = the smallest vertex id in the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.DISK_ONLY)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborLabels = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select("id", "label").union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.DISK_ONLY)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIters rounds — " +
+        "graph diameter exceeds the propagation budget; switch to " +
+        "large-star/small-star for chain-shaped graphs")
+    labels
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Dedup clustering: SimHash near-dup pairs (the q_dedup_simhash edge
+    // set, mirrored bit-for-bit in the oracle) → transitive closure →
+    // (doc_id, cluster_id = min doc_id in component, cluster_size).
+    // The oracle computes the same closure with a recursive CTE; both
+    // engines agree because the edge set is integer-exact and min-label
+    // is order-independent.
+    "q_dedup_cc" -> Q(
+      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.simhashNearDup(
+          Dedup.simhashSignaturesStateless(Engine.table(s, dir, "documents")),
+          maxHamming = Dedup.simhashMaxHamming)
+        .select(col("d1"), col("d2"))
+      connectedComponents(pairs)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

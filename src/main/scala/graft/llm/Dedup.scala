@@ -312,6 +312,13 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** SimHash near-dup radius — single source for the graded queries'
+    * Spark calls AND their oracle SQL (q_dedup_simhash, q_dedup_cc), so
+    * the mirrored pair set cannot silently desynchronize. Must stay
+    * < simhashBandSpec.size for banded candidate losslessness.
+    */
+  val simhashMaxHamming: Int = 6
+
   // Shared oracle CTEs (the SQL twin of shingles/jaccardPairs above).
   private val oShingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -328,6 +335,26 @@ object Dedup {
       |          cast(inter as double) / (s1.n + s2.n - inter) AS jac
       |        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
       |                   JOIN sizes s2 ON d2 = s2.doc_id)""".stripMargin
+
+  /** Shingle CTE + the full portable SimHash signature pipeline (hex md5
+    * nibbles → 32-bit value → ±1 bit sums → sign bits), ending in
+    * `sigs(doc_id, sig)`. Shared by q_dedup_simhash and q_dedup_cc so the
+    * two oracles can never drift apart.
+    */
+  private[llm] val oSimhashSigsCte: String =
+    s"""$oShingleCte,
+       |hv AS (SELECT doc_id,
+       |         ${(0 until 8).map(j =>
+      s"(instr('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1) * ${1L << (4 * (7 - j))}")
+      .mkString("\n       |       + ")} AS hv
+       |       FROM sh),
+       |bits AS (SELECT doc_id, g.b,
+       |           CASE WHEN ((hv >> g.b) & 1) = 1 THEN 1 ELSE -1 END AS sign
+       |         FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g),
+       |bsum AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY doc_id, b),
+       |sigs AS (SELECT doc_id,
+       |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
+       |         FROM bsum GROUP BY doc_id)""".stripMargin
 
   val queries: Map[String, Q] = Map(
 
@@ -475,31 +502,20 @@ object Dedup {
     },
 
     // SimHash near-dup: 32-bit signatures over shingle features, hamming
-    // distance <= 6 (random pairs center at 16).
+    // distance <= simhashMaxHamming (random pairs center at 16).
     "q_dedup_simhash" -> Q(
-      s"""WITH $oShingleCte,
-         |hv AS (SELECT doc_id,
-         |         ${(0 until 8).map(j =>
-        s"(instr('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1) * ${1L << (4 * (7 - j))}")
-        .mkString("\n         |       + ")} AS hv
-         |       FROM sh),
-         |bits AS (SELECT doc_id, g.b,
-         |           CASE WHEN ((hv >> g.b) & 1) = 1 THEN 1 ELSE -1 END AS sign
-         |         FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g),
-         |bsum AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY doc_id, b),
-         |sigs AS (SELECT doc_id,
-         |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
-         |         FROM bsum GROUP BY doc_id)
+      s"""WITH $oSimhashSigsCte
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |  cast(bit_count(xor(a.sig, b.sig)) as bigint) AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       // signatures from the fused stateless expression (one narrow pass);
       // candidates via bit-chunk banding (equi-join; lossless for ham<=6
       // by pigeonhole — see simhashBandSpec) with inline hamming verify.
       // The oracle stays the exact all-pairs definition: same result set.
-      simhashNearDup(simhashSignaturesStateless(docs(s, dir)), maxHamming = 6)
+      simhashNearDup(simhashSignaturesStateless(docs(s, dir)),
+          maxHamming = simhashMaxHamming)
         .orderBy(col("d1"), col("d2"))
     },
 

@@ -33,6 +33,27 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("connectedComponents labels the transitive closure, not just pairs") {
+    import spark.implicits._
+    // triangle {1,2,3} via a 3-chain, isolated pair {10,11}, and a 5-chain
+    // {20..24} whose closure needs multiple propagation rounds — vertex 24
+    // only learns label 20 after it has hopped the whole chain
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("d1", "d2")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    // vertices not incident to any edge are absent by contract
+    assert(!got.contains(99L))
+    // an over-tight round budget fails loudly instead of returning a
+    // half-propagated labeling
+    val err = intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges, maxIters = 1)
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("simhash hamming distance separates near-dups from random pairs") {
     val sh = Dedup.shingles(docs).cache()
     val sigs = Dedup.simhash(sh)
