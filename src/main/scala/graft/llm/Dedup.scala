@@ -372,6 +372,31 @@ object Dedup {
         .orderBy(col("lang"), col("source"))
     },
 
+    // Latest-record-wins dedup (the CDC/changelog compaction every ingest
+    // pipeline runs: many updates per key, keep the newest). Implemented
+    // as a max_by aggregate on (ts, event_id) — partial aggregation
+    // combines map-side, so the shuffle carries ONE row per key instead
+    // of the row_number window's full partition sort (the shape that
+    // matters when a hot key has millions of updates). The oracle states
+    // the same semantics in the conventional rn = 1 window form.
+    "q_dedup_latest" -> Q(
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Engine.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("e"))
+        .select(col("user_id"), col("e.event_id").as("event_id"),
+          col("e.ts").as("ts"), col("e.event_type").as("event_type"),
+          col("e.value").as("value"))
+        .orderBy(col("user_id"))
+    },
+
     // n-gram Jaccard near-dup: candidate GENERATION is df-capped (shingles
     // in > 50 docs are the d²/2 quadratic blowup at scale and carry almost
     // no signal), then exact Jaccard over FULL shingle sets of candidates

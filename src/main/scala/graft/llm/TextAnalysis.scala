@@ -68,6 +68,34 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Stratified deterministic sampling: a fixed-size quota PER STRATUM
+    // (language), drawn in md5-of-id order — the balanced-subset draw a
+    // training mix needs (uniform sampling starves rare languages), made
+    // reproducible the same way as q_sample_hash (hash order, not rng).
+    // row_number ranks within each stratum after one hash repartition on
+    // lang; with few heavy strata at 100 TB the two-level form (rank
+    // within (lang, hash-prefix) sub-strata, then merge-rank the per-
+    // prefix survivors — quota × nPrefixes rows) removes the single-
+    // reducer-per-stratum sort. The quota keeps output bounded either way.
+    "q_sample_strat" -> Q(
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    cast(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(cast(doc_id as varchar)), doc_id) as bigint) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+          .cast(LongType))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // Vocabulary extraction: top-5 tokens per language by frequency with
     // a deterministic (count DESC, token ASC) tiebreak — the token
     // frequency table a tokenizer-training / filtering pipeline builds

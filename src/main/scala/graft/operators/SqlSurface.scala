@@ -35,6 +35,38 @@ object SqlSurface {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Unpivot (wide metrics → long (metric, value) rows) — the inverse of
+    // q_pivot. Spark's unpivot is a narrow per-row expansion (no shuffle;
+    // 4× rows out of the scan, columns pruned to the unpivoted set); the
+    // oracle states the same relation as the classic UNION ALL. Values
+    // pass through unchanged, so raw doubles are hash-safe here.
+    "q_unpivot" -> Q(
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |         l_quantity AS value FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey <= 100)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
     // CTE chain — the same SQL text runs on both engines (spark.sql is
     // the operator here, like the reference's exec passthrough).
     "q_cte" -> Q(SqlSurfaceTexts.cteSql) { (s, dir) =>
