@@ -10,6 +10,7 @@ object Registry {
       operators.Aggregates.queries ++
       operators.SqlSurface.queries ++
       operators.AsOf.queries ++
+      operators.Scale.queries ++
       functions.Scalars.queries ++
       connector.Connector.queries ++
       streaming.Streams.queries ++

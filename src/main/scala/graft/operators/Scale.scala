@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Engine, Q}
 
 /** Scale utilities for the 100 TB operating point: skew-salted joins and
   * bucketed co-located joins. Correctness-neutral plan rewrites — the
@@ -63,4 +66,82 @@ object Scale {
       .option("path", loc.getAbsolutePath)
       .saveAsTable(table)
   }
+
+  /** Banded band-join: `|leftDate - rightDate| <= band` as an EQUI-join.
+    * Each row maps to a `width`-day bucket of the epoch-day line; with
+    * `band <= width` a row's ±band window overlaps at most two buckets,
+    * so one side expands to its (≤ 2) covered buckets, the bucket ids
+    * equi-join, and the exact predicate filters the candidates. This is
+    * how a big×big temporal join avoids BroadcastNestedLoopJoin: shuffle
+    * partitioned by bucket (≈ time-locality, which parquet date sorting
+    * preserves), candidate count bounded by rows-per-bucket, never |L|×|R|.
+    */
+  def bandedDateBand(left: DataFrame, leftDate: Column,
+      right: DataFrame, rightDate: Column, band: Int, width: Int = 7)
+      : DataFrame = {
+    require(band <= width,
+      s"band $band wider than bucket $width: a window would span >2 buckets")
+    val epoch = lit("1970-01-01").cast("date")
+    // right rows carry one bucket; left rows probe their (1-2) covered
+    // buckets — floor((d-band)/width) and floor((d+band)/width)
+    val ld = datediff(leftDate.cast("date"), epoch).cast(LongType)
+    val lo = floor((ld - band).cast("double") / width).cast(LongType)
+    val hi = floor((ld + band).cast("double") / width).cast(LongType)
+    val lExp = left.withColumn("__bucket", explode(sequence(lo, hi)))
+    val rExp = right.withColumn("__bucket",
+      floor(datediff(rightDate.cast("date"), epoch).cast(LongType)
+        .cast("double") / width).cast(LongType))
+    lExp.join(rExp, Seq("__bucket"))
+      .filter(abs(datediff(leftDate.cast("date"), rightDate.cast("date"))) <= band)
+      .drop("__bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Big×big temporal band join (orders to lineitems shipped within ±3
+    // days), banded into an equi-join (see [[bandedDateBand]]) — the
+    // oracle states the plain range predicate; both produce the identical
+    // pair set because the banding is lossless for band <= width.
+    // The naive form is a nested-loop scan of |O|×|L| date pairs; the
+    // banded form shuffles each side once on a 7-day bucket id.
+    "q_join_range" -> Q(
+      """SELECT o_orderkey, count(*) AS n_nearby,
+        |  cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON abs(datediff('day', l_shipdate, o_orderdate)) <= 3
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Engine.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+      val lineitem = Engine.table(s, dir, "lineitem")
+      bandedDateBand(orders, col("o_orderdate"),
+          lineitem, col("l_shipdate"), band = 3)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_nearby"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Skew-salted aggregate join, oracle-gated: the salted plan must be
+    // result-identical to the plain join (salt only routes rows across
+    // reducers; ScaleSpec separately proves the skew-stress win). The
+    // supplier side is exploded 16-fold and joined on (key, salt) — the
+    // remedy when a hot key exceeds one executor and the small side is
+    // too big to broadcast outright.
+    "q_join_skew" -> Q(
+      """SELECT s_nationkey, count(*) AS n,
+        |  cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val li = Engine.table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val supp = Engine.table(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      saltedJoin(li, supp, "l_suppkey", salt = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }
+  )
 }

@@ -20,6 +20,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("bandedDateBand equals the naive range join and plans no nested loop") {
+    val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val naive = orders.join(li,
+      abs(datediff(col("o_orderdate").cast("date"),
+        col("l_shipdate").cast("date"))) <= 3)
+      .select("o_orderkey", "l_orderkey", "l_linenumber")
+    val banded = Scale.bandedDateBand(orders, col("o_orderdate"),
+        li, col("l_shipdate"), band = 3)
+      .select("o_orderkey", "l_orderkey", "l_linenumber")
+    // identical PAIR MULTISET (both keys unique per side ⇒ set compare
+    // after count equality is a multiset compare)
+    assert(naive.count() == banded.count())
+    assert(naive.except(banded).isEmpty && banded.except(naive).isEmpty)
+    // the whole point: the banded form is an equi-join, not a BNLJ scan
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    // a band wider than the bucket would silently lose pairs — refused
+    val err = intercept[IllegalArgumentException] {
+      Scale.bandedDateBand(orders, col("o_orderdate"), li, col("l_shipdate"),
+        band = 8, width = 7)
+    }
+    assert(err.getMessage.contains("bucket"))
+  }
+
   test("saltedJoin spreads a hot key across partitions") {
     import spark.implicits._
     val big = Seq.fill(1000)(1L).toDF("k")         // one pathological key
