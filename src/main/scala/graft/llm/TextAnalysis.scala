@@ -68,6 +68,56 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition-based quality signals (the Gopher/C4-style filters that
+    // catch boilerplate and degenerate generations): per-doc duplicate-
+    // token fraction and top-bigram concentration, ppm-quantized
+    // (floor(x*1e6) — round() half-behavior differs between engines; the
+    // inputs to the division are exact integers so the IEEE division +
+    // floor agree bitwise). A doc is flagged repetitive past the
+    // published-ish thresholds (30% duplicate tokens / 20% top bigram).
+    // Shape: one narrow pass for token stats + one (doc, bigram) groupBy
+    // — the bigram table is corpus-linear, partial-aggregated map-side.
+    "q_rep_ngram" -> Q(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens,
+        |           len(list_distinct(t)) AS n_distinct FROM toks),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bgm AS (SELECT doc_id, max(c) AS topc, sum(c) AS totb
+        |        FROM bgc GROUP BY doc_id)
+        |SELECT base.doc_id, cast(n_tokens as bigint) AS n_tokens,
+        |  cast(floor((n_tokens - n_distinct) * 1000000.0 / n_tokens) as bigint)
+        |    AS dup_token_ppm,
+        |  cast(floor(topc * 1000000.0 / totb) as bigint) AS top_bigram_ppm,
+        |  (floor((n_tokens - n_distinct) * 1000000.0 / n_tokens) >= 300000
+        |   OR floor(topc * 1000000.0 / totb) >= 200000) AS is_repetitive
+        |FROM base JOIN bgm ON base.doc_id = bgm.doc_id
+        |ORDER BY base.doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val base = docs(s, dir).select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"))
+      val bgm = docs(s, dir)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.shingles(col("text"), 2)).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topc"),
+          sum(col("c")).as("totb"))
+      val dupPpm = floor((col("n_tokens") - col("n_distinct")) * 1000000.0
+        / col("n_tokens"))
+      val topPpm = floor(col("topc") * 1000000.0 / col("totb"))
+      base.join(bgm, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          dupPpm.cast(LongType).as("dup_token_ppm"),
+          topPpm.cast(LongType).as("top_bigram_ppm"),
+          (dupPpm >= 300000 || topPpm >= 200000).as("is_repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stratified deterministic sampling: a fixed-size quota PER STRATUM
     // (language), drawn in md5-of-id order — the balanced-subset draw a
     // training mix needs (uniform sampling starves rare languages), made
