@@ -99,11 +99,18 @@ object Scale {
   val queries: Map[String, Q] = Map(
 
     // Big×big temporal band join (orders to lineitems shipped within ±3
-    // days), banded into an equi-join (see [[bandedDateBand]]) — the
-    // oracle states the plain range predicate; both produce the identical
-    // pair set because the banding is lossless for band <= width.
-    // The naive form is a nested-loop scan of |O|×|L| date pairs; the
-    // banded form shuffles each side once on a 7-day bucket id.
+    // days), stated by the oracle as the plain range predicate + count.
+    // The graded plan applies BOTH band-join levers: (1) partial
+    // aggregation pushed below the join — the per-order result depends
+    // only on o_orderdate, so lineitems first collapse to per-DAY
+    // (count, qty) rows (corpus-linear, map-side combined; days ≪ rows),
+    // and (2) the band predicate runs as a lossless bucket equi-join
+    // ([[bandedDateBand]], band <= width ⇒ ≤ 2 probe buckets/row). The
+    // join then moves |orders| × ≤2 probe rows against a day-count table
+    // instead of |orders| × |lineitem| candidate pairs — at sf0.1 that is
+    // ~100k joined rows versus the ~25M the direct banded pair join
+    // produced (measured 6.2 s → the pushed-down form; the generic
+    // pair-level band join remains bandedDateBand, spec'd in ScaleSpec).
     "q_join_range" -> Q(
       """SELECT o_orderkey, count(*) AS n_nearby,
         |  cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty
@@ -113,12 +120,15 @@ object Scale {
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val orders = Engine.table(s, dir, "orders")
         .filter(col("o_totalprice") > 450000.0)
-      val lineitem = Engine.table(s, dir, "lineitem")
+      val perDay = Engine.table(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+        .agg(count(lit(1)).as("n_day"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("qty_day"))
       bandedDateBand(orders, col("o_orderdate"),
-          lineitem, col("l_shipdate"), band = 3)
+          perDay, col("ship_day"), band = 3)
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_nearby"),
-          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .agg(sum(col("n_day")).as("n_nearby"),
+          sum(col("qty_day")).as("sum_qty"))
         .orderBy(col("o_orderkey"))
     },
 
