@@ -397,6 +397,60 @@ object Dedup {
         .orderBy(col("user_id"))
     },
 
+    // Duplicated-span coverage (the exact-substring dedup signal of Lee
+    // et al., "Deduplicating Training Data Makes Language Models Better",
+    // ACL'22, at 5-gram granularity): per doc, how many token positions
+    // sit inside a 5-gram that also appears in ANOTHER doc. Suffix arrays
+    // don't distribute; the equivalent corpus-linear plan is one
+    // (doc, pos, gram) explode → vocab-sized df agg → equi-join back on
+    // gram (AQE splits hot-gram skew) → per-doc distinct covered
+    // positions. All counts integer-exact; coverage emitted as floor ppm.
+    "q_dedup_span" -> Q(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks)),
+        |gdf AS (SELECT g FROM grams GROUP BY g
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT grams.doc_id, grams.pos FROM grams JOIN gdf USING (g)),
+        |cover AS (SELECT doc_id, count(DISTINCT p) AS covered
+        |          FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM dup)
+        |          GROUP BY doc_id),
+        |dupc AS (SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY doc_id),
+        |base AS (SELECT doc_id, cast(len(t) as bigint) AS n_tokens,
+        |           cast(greatest(len(t) - 4, 0) as bigint) AS n_grams FROM toks)
+        |SELECT base.doc_id, n_tokens, n_grams,
+        |  cast(coalesce(n_dup, 0) as bigint) AS n_dup_grams,
+        |  cast(coalesce(covered, 0) as bigint) AS covered_tokens,
+        |  cast(coalesce(covered, 0) * 1000000 // n_tokens as bigint) AS dup_cover_ppm
+        |FROM base LEFT JOIN cover USING (doc_id) LEFT JOIN dupc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Engine.table(s, dir, "documents")
+      val nTok = size(split(col("text"), " "))
+      val grams = d.select(col("doc_id"),
+        posexplode(graft.functions.TextExpressions.shingles(col("text"), 5)))
+        .toDF("doc_id", "pos", "g")
+      val gdf = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("g")
+      val dup = grams.join(gdf, "g").select(col("doc_id"), col("pos"))
+      val cover = dup
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("p"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("covered"))
+      val dupc = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      d.select(col("doc_id"), nTok.cast(LongType).as("n_tokens"),
+          greatest(nTok - 4, lit(0)).cast(LongType).as("n_grams"))
+        .join(cover, Seq("doc_id"), "left")
+        .join(dupc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          expr("(coalesce(covered, 0L) * 1000000L) div n_tokens")
+            .as("dup_cover_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // n-gram Jaccard near-dup: candidate GENERATION is df-capped (shingles
     // in > 50 docs are the d²/2 quadratic blowup at scale and carry almost
     // no signal), then exact Jaccard over FULL shingle sets of candidates

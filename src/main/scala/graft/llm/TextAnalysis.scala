@@ -172,6 +172,53 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // tf-idf keyword extraction: top-3 terms per doc ranked by
+    // tf · idf with a reciprocal idf (idf_ppm = 1e6·N/df, integer
+    // division) — log-idf is a float whose last-ulp differs across
+    // engines, while the reciprocal variant keeps the whole score in
+    // exact bigint arithmetic (same rarity ordering for equal tf).
+    // Shape: the (doc, token) tf agg and the vocab-sized df agg are both
+    // corpus-linear and map-side combined; the score join is an equi-join
+    // on token (AQE handles hot-token skew); the ranking window runs per
+    // doc over ≤ |doc vocab| rows. The N-docs scalar rides in as
+    // crossJoin(broadcast(1-row agg)) — the one legal BNLJ shape.
+    "q_tfidf" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tfc AS (SELECT doc_id, token, cast(count(*) as bigint) AS tf
+        |        FROM tok GROUP BY doc_id, token),
+        |dfc AS (SELECT token, cast(count(DISTINCT doc_id) as bigint) AS df
+        |        FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.token, tf, df,
+        |    tf * ((1000000 * n_docs) // df) AS score_ppm
+        |  FROM tfc JOIN dfc USING (token), n)
+        |SELECT doc_id, token, tf, df,
+        |  cast(score_ppm as bigint) AS score_ppm, cast(rk as int) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_ppm DESC, token) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("token"))
+      val tfc = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tfc.join(dfc, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score_ppm", expr("tf * ((1000000 * n_docs) div df)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score_ppm").desc, col("token"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score_ppm"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
     // Corpus stats per language: doc/char/token counts, exact averages.
     "q_text_stats" -> Q(
       """SELECT lang, count(*) AS n_docs,
