@@ -256,6 +256,54 @@ object VectorSum extends org.apache.spark.sql.expressions.Aggregator[
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
+/** Element-wise min/max over quantized (long) vectors in ONE typed
+  * aggregate: the stats pass of scalar quantization. Same scale rationale
+  * as [[VectorSum]] — whole-vector buffers keep the shuffle at two
+  * dim-length arrays per map partition instead of posexplode's dim rows
+  * per input vector. Output is `[mins, maxs]` (a 2-element array of
+  * dim-length arrays) so one hash-agg computes both bounds.
+  */
+object VectorMinMax extends org.apache.spark.sql.expressions.Aggregator[
+    Seq[Long], (Array[Long], Array[Long]), Seq[Seq[Long]]] {
+  def zero: (Array[Long], Array[Long]) =
+    (Array.emptyLongArray, Array.emptyLongArray)
+  private def ragged(a: Int, b: Int) =
+    require(a == b, s"vector_minmax over ragged vectors: $a vs $b")
+  def reduce(b: (Array[Long], Array[Long]), a: Seq[Long]): (Array[Long], Array[Long]) =
+    if (a == null) b
+    else if (b._1.isEmpty) (a.toArray, a.toArray)
+    else {
+      ragged(a.length, b._1.length)
+      var i = 0
+      while (i < a.length) {
+        if (a(i) < b._1(i)) b._1(i) = a(i)
+        if (a(i) > b._2(i)) b._2(i) = a(i)
+        i += 1
+      }
+      b
+    }
+  def merge(b1: (Array[Long], Array[Long]), b2: (Array[Long], Array[Long]))
+      : (Array[Long], Array[Long]) =
+    if (b1._1.isEmpty) b2
+    else if (b2._1.isEmpty) b1
+    else {
+      ragged(b1._1.length, b2._1.length)
+      var i = 0
+      while (i < b1._1.length) {
+        if (b2._1(i) < b1._1(i)) b1._1(i) = b2._1(i)
+        if (b2._2(i) > b1._2(i)) b1._2(i) = b2._2(i)
+        i += 1
+      }
+      b1
+    }
+  def finish(r: (Array[Long], Array[Long])): Seq[Seq[Long]] =
+    Seq(r._1.toSeq, r._2.toSeq)
+  def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Array[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long])]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Seq[Long]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
+}
+
 object VectorExpressions {
   /** Column-level entry: codegen'd dot(a, b) for array<double> columns. */
   def arrayDot(a: Column, b: Column): Column =
@@ -265,6 +313,11 @@ object VectorExpressions {
   /** Column-level entry: element-wise vector-sum aggregate. */
   val vectorSum: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(VectorSum)
+
+  /** Column-level entry: element-wise [mins, maxs] aggregate over
+    * quantized long vectors. */
+  val vectorMinMax: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(VectorMinMax)
 
   /** Column-level entry: fused quantized LSH sign-bucket. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int = 64): Column =

@@ -259,7 +259,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization (the compression step an embedding store
+    * runs before serving — 4× smaller than float32, enough resolution
+    * for coarse ANN): per-dimension min/max over the corpus, then
+    * `code = (x - min) * 255 / (max - min)` per element.
+    *
+    * Engine-portable by construction: elements are first floor-quantized
+    * to micro-units (`floor(x * 1e6)` on the exactly-widened double), so
+    * the stats and the code arithmetic are all bigint — no float sum or
+    * divide anywhere. The stats pass is ONE whole-vector
+    * [[graft.functions.VectorMinMax]] hash-agg (no 64× posexplode
+    * shuffle — the IVF M-step lesson), broadcast back as a 1-row join;
+    * the encode pass is a narrow per-row transform. Constant dims
+    * (max = min) encode as 0.
+    */
+  def quantizeEmbeddings(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val q = emb.withColumn("__xq",
+      transform(col(vecCol), x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)))
+    val stats = q.agg(
+        graft.functions.VectorExpressions.vectorMinMax(col("__xq")).as("mm"))
+      .select(col("mm").getItem(0).as("__mn"), col("mm").getItem(1).as("__mx"))
+    q.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(__xq, (x, i) -> cast(CASE WHEN __mx[i] = __mn[i] THEN 0
+          |  ELSE ((x - __mn[i]) * 255) div (__mx[i] - __mn[i]) END as int))""".stripMargin))
+      .drop("__xq", "__mn", "__mx")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Int8 scalar quantization, hash-gated end-to-end: the oracle rebuilds
+    // the identical micro-unit stats + integer code arithmetic in DuckDB
+    // (generate_subscripts for the per-dim explode the Spark plan
+    // deliberately avoids — fine at oracle scale). Emitted exploded as
+    // (vec_id, dim, code) so the driver's column-sorted hash sees scalar
+    // columns; the library surface [[quantizeEmbeddings]] keeps the array
+    // form.
+    "q_embed_quant" -> Q(
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> cast(floor(cast(x as double) * 1000000) as bigint)) AS xq
+        |           FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(xq) AS v, generate_subscripts(xq, 1) AS dim
+        |       FROM q),
+        |stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim)
+        |SELECT ex.vec_id, cast(ex.dim as int) AS dim,
+        |  cast(CASE WHEN mx = mn THEN 0
+        |       ELSE ((v - mn) * 255) // (mx - mn) END as int) AS code
+        |FROM ex JOIN stats USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin) { (s, dir) =>
+      quantizeEmbeddings(Engine.table(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), (col("pos") + 1).cast(IntegerType).as("dim"),
+          col("col").as("code"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
 
     // Brute-force cosine top-10 neighbors of vec 0 (oracle: DuckDB
     // list_cosine_similarity over ::DOUBLE[], rounded to 6dp on both

@@ -148,6 +148,27 @@ object Relational {
         .orderBy(col("lang"))
     },
 
+    // ORC round-trip: the third columnar staging format (ORC ships in
+    // Spark's core distribution alongside parquet; warehouses emitting
+    // ORC are a common ingest source). Write orders as ORC, read back
+    // with the source schema, aggregate — oracle is the parquet source
+    // of truth, so the round-trip must be lossless including dates and
+    // decimal-exact money sums.
+    "q_scan_orc" -> Q(
+      s"""SELECT o_orderstatus, count(*) AS n, ${oSumMoney("o_totalprice")} AS total,
+         |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/scan_orc"
+      val src = t(s, dir, "orders")
+      src.write.mode("overwrite").orc(path)
+      s.read.schema(src.schema).orc(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // CREATE TABLE AS SELECT (README.md:102-109) against the session
     // catalog; result is the read-back of the created table.
     "q_ctas" -> Q(

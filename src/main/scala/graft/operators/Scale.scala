@@ -96,7 +96,41 @@ object Scale {
       .drop("__bucket")
   }
 
+  /** Small-file compaction — the hygiene pass every long-running ingest
+    * needs: streaming/append jobs leave thousands of KB-sized files whose
+    * per-file open/footer cost dominates scans. Rewrite to `targetFiles`
+    * hash partitions, with `maxRecordsPerFile` as the upper bound so one
+    * output partition can still split (repartition bounds the file COUNT
+    * from below, maxRecordsPerFile bounds file SIZE from above). At
+    * 100 TB this runs per table-partition (date), not whole-table, so
+    * each compaction job is bounded; the rewrite is one round-robin
+    * shuffle with no skew sensitivity.
+    */
+  def compact(df: DataFrame, path: String, targetFiles: Int,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   val queries: Map[String, Q] = Map(
+
+    // Compaction round-trip: lineitem scattered into many small files,
+    // compacted to 4 bounded-size files, read back and aggregated — the
+    // oracle (parquet source of truth) proves losslessness; ScaleSpec
+    // separately pins the file-count/size contract.
+    "q_compact" -> Q(
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val path = "/tmp/graft_stage/compact"
+      compact(Engine.table(s, dir, "lineitem"), path, targetFiles = 4)
+      s.read.parquet(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
 
     // Big×big temporal band join (orders to lineitems shipped within ±3
     // days), stated by the oracle as the plain range predicate + count.

@@ -60,7 +60,31 @@ object Streams {
         col("sum_value"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** Stream-static enrichment join + windowed rollup: the standard
+    * streaming-ETL shape (facts arrive as a stream, the dimension is a
+    * slowly-changing batch table). The dimension side is `broadcast` — a
+    * stream-static join must not shuffle the unbounded side, and Spark
+    * re-reads the static side per micro-batch so dimension updates are
+    * picked up. Identical plan batch and streaming (the batch form is the
+    * oracle-gated twin below).
+    */
+  def enrichJoin(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+      .select(col("window.start").as("w_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+
   // ---- streaming forms (same plans over a streaming Dataset) --------
+
+  /** Streaming [[enrichJoin]]: watermark bounds the window state; the
+    * static dimension stays broadcast per micro-batch.
+    */
+  def streamingEnrichJoin(eventsStream: DataFrame, customer: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    enrichJoin(eventsStream.withWatermark("ts", watermark), customer)
 
   /** Tumbling count with late-data eviction: watermark bounds the state
     * store; OutputMode.Append emits only finalized windows.
@@ -150,6 +174,17 @@ object Streams {
         |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS i) g
         |) GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin) {
       (s, dir) => slide(Engine.table(s, dir, "events"))
+    },
+
+    // Stream-static enrichment join, gated on the batch twin (identical
+    // plan modulo watermark; StreamingSpec drives the streaming form).
+    "q_stream_join" -> Q(
+      s"""SELECT date_trunc('hour', ts) AS w_start, c_mktsegment,
+         |  count(*) AS n, $oSumValue AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY w_start, c_mktsegment""".stripMargin) { (s, dir) =>
+      enrichJoin(Engine.table(s, dir, "events"), Engine.table(s, dir, "customer"))
+        .orderBy(col("w_start"), col("c_mktsegment"))
     },
 
     // Session windows (10-minute gap) per user ≙ gaps-and-islands oracle:

@@ -273,6 +273,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorMinMax aggregator equals the exploded per-dimension min/max") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(5L, -2L, 3L)), (0L, Seq(1L, 7L, 3L)),
+      (1L, Seq(10L, 0L, -2L)))
+      .toDF("g", "v")
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.VectorExpressions.vectorMinMax(col("v")).as("mm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Long]](1)).toMap
+    val viaExplode = df.select(col("g"), posexplode(col("v")))
+      .groupBy("g", "pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues { rows =>
+        val s = rows.sortBy(_.getInt(1))
+        Seq(s.map(_.getLong(2)).toSeq, s.map(_.getLong(3)).toSeq)
+      }.toMap
+    assert(viaAgg.keySet == viaExplode.keySet)
+    viaAgg.foreach { case (g, mm) => assert(mm == viaExplode(g)) }
+  }
+
+  test("quantizeEmbeddings: codes in [0,255], extremes hit both ends, stats pass has no Generate") {
+    val codes = Similarity.quantizeEmbeddings(emb)
+    val stats = codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(stats.getInt(0) == 0 && stats.getInt(1) == 255,
+      "per-dim min must encode to 0 and max to 255")
+    // the stats aggregation must be the whole-vector Aggregator, not a
+    // posexplode shuffle (same contract as the IVF M-step)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"quantization stats regressed to a row-exploding shuffle:\n$plan")
+  }
+
   test("IVF M-step plans a single vector hash-agg on cent_id, no posexplode") {
     val plan = Similarity.ivfCentroids(emb, nCentroids = 8, iters = 1)
       .queryExecution.executedPlan.toString

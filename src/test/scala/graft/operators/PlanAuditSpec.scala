@@ -20,7 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val sideEffecting = Set(
     "q_csv_sink", "q_df_write", "q_exec_ddl", "q_ctas", "q_insert_append",
-    "q_overwrite", "q_scan_csv", "q_scan_json")
+    "q_overwrite", "q_scan_csv", "q_scan_json", "q_scan_orc", "q_compact")
 
   /** Queries whose plans legitimately contain a cross/nested-loop join:
     * a deliberate cartesian, a genuine non-equi predicate, or a
@@ -37,7 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ann",         // crossJoin(broadcast(probe set)) variant
     "q_sim_ivf",         // crossJoin(broadcast(1-row query + centroid table))
     "q_cluster_assign",  // crossJoin(broadcast(8-row centroid table))
-    "q_scalar_subquery") // crossJoin(broadcast(1-row aggregate))
+    "q_scalar_subquery", // crossJoin(broadcast(1-row aggregate))
+    "q_tfidf",           // crossJoin(broadcast(1-row N-docs aggregate))
+    "q_embed_quant")     // crossJoin(broadcast(1-row min/max stats))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting

@@ -104,6 +104,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("compact bounds file count from below and file size from above, losslessly") {
+    val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+    val path = "/tmp/graft_test/compact_spec"
+    def parquetFiles = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    Scale.compact(li, path, targetFiles = 3)
+    assert(parquetFiles == 3, "targetFiles partitions → exactly 3 files")
+    assert(spark.read.parquet(path).count() == li.count(), "compaction is lossless")
+    // a small maxRecordsPerFile must split one partition into many files
+    val rows = li.count()
+    Scale.compact(li, path, targetFiles = 1, maxRecordsPerFile = rows / 4)
+    assert(parquetFiles >= 4,
+      s"maxRecordsPerFile=${rows / 4} over $rows rows must split the single partition")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))

@@ -198,6 +198,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted == expect, s"expected $expect distinct signatures, got $emitted")
   }
 
+  test("stream-static enrich join matches the batch twin and drops unmatched keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val customers = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val evs = Seq(
+      Ev(1, ts(5), 1, "click", 2.0), Ev(2, ts(10), 2, "view", 3.0),
+      Ev(3, ts(70), 1, "click", 1.0), Ev(4, ts(6), 99, "click", 9.9))
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingEnrichJoin(mem.toDF(), customers)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_enrich").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_enrich")
+      val batch = Streams.enrichJoin(evs.toDF(), customers)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streaming and batch enrich-join plans must produce identical rows")
+      // user 99 has no dimension row: inner join drops it in both modes
+      assert(streamed.agg(sum("n")).head().getLong(0) == 3)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
