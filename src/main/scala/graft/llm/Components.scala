@@ -15,27 +15,27 @@ import graft.{Engine, Q}
   * Not in the reference (`/root/reference/pandas_redshift/core.py` has no
   * relational operators at all) — `EXT` like the rest of the dedup family.
   *
-  * Algorithm: Pregel-style min-label propagation. Every vertex starts
-  * labeled with its own id; each round, a vertex takes the min of its own
-  * label and its neighbors' labels; converged when no label changes. Each
-  * round is one equi-join (neighbor labels) + one groupBy-min — two
-  * shuffles, both partitioned by vertex id, no all-pairs shape anywhere.
+  * Algorithm: min-label propagation with pointer jumping. Every vertex
+  * starts labeled with its own id; each round takes the min of own and
+  * neighbors' labels (one equi-join + one groupBy-min), then follows the
+  * label pointer one hop (one self-join) — the shortcut compresses paths
+  * geometrically, so convergence is O(log diameter) rounds even on
+  * chain-shaped graphs (the sf0.1 near-dup graph IS one: diameter > 25).
+  * No all-pairs shape anywhere; converged when the exact label sum stops
+  * decreasing.
   *
   * Scale notes:
-  *  - Rounds = graph diameter + 1 (the +1 detects the fixpoint). Near-dup
-  *    clusters are near-cliques (every member shares most shingles), so
-  *    the diameter is 2-4 in practice; the maxIters guard fails loudly on
-  *    an adversarial long-chain graph instead of looping forever. For
-  *    such graphs the known fix is alternating large-star/small-star
-  *    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
-  *    O(log²n) rounds of the same join+min primitive; this module keeps
-  *    plain propagation because the dedup-graph diameter is what it is.
-  *  - Each round's labels are persisted (DISK_ONLY — recomputable
-  *    lineage, the round-3 rule) and the previous round unpersisted: the
-  *    convergence count would otherwise recompute the whole chain every
-  *    round (O(rounds²) work), and lineage depth would grow unboundedly.
-  *  - The edge list is reused every round; callers pass a DataFrame that
-  *    is cheap to recompute (banded candidates) or pre-persisted.
+  *  - Per-round lineage is re-rooted over persisted RDDs and the edge
+  *    list is persisted once (details on [[connectedComponents]]) — the
+  *    loop is O(1) driver cost per round.
+  *  - Loop shuffles are sized to the GRAPH (~100k edges/partition, AQE
+  *    off inside the loop): an iterative algorithm over a small derived
+  *    graph must not inherit a corpus-sized partition count, or it pays
+  *    rounds × partitions empty tasks (measured 2× the query's wall
+  *    time at sf0.1).
+  *  - The maxIters guard fails loudly rather than returning a
+  *    half-propagated labeling; at log-diameter convergence 25 rounds
+  *    covers any realistic graph (2^25-diameter ≫ any corpus).
   */
 object Components {
 
@@ -64,10 +64,25 @@ object Components {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(StorageLevel.DISK_ONLY)
+    // Size the loop's shuffles to the graph, not the session default:
+    // every round re-shuffles |V|-ish rows, and a tiny graph under the
+    // session's partition count pays (rounds × partitions) near-empty
+    // tasks plus an AQE re-planning pass per stage — measured 2× the
+    // whole query's wall time at sf0.1. ~100k edges per partition keeps
+    // a 100 TB pair graph fully parallel while a small graph runs in a
+    // handful of tasks. Conf is session-global, so restore both keys
+    // after the eager loop (same pattern as Engine.readEvents).
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (sym.count() / 100000L).toInt + 1))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val seed = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     val schema = seed.schema
-    var labelsRdd = seed.rdd.persist(StorageLevel.DISK_ONLY)
+    var labelsRdd = seed.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = spark.createDataFrame(labelsRdd, schema)
     var changed = 1L
     var prevSum: java.math.BigDecimal = null
@@ -81,7 +96,7 @@ object Components {
         .select(col("src").as("id"), col("label"))
       val propRdd = labels.select("id", "label").union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .rdd.persist(StorageLevel.DISK_ONLY)
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val prop = spark.createDataFrame(propRdd, schema)
       // shortcut (pointer jumping): label ← label(label). Every label IS
       // a vertex id, so a self-join follows the pointer a hop; paths
@@ -96,7 +111,7 @@ object Components {
         .join(prop.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-        .rdd.persist(StorageLevel.DISK_ONLY)
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(nextRdd, schema)
       // convergence via the monotone label sum: labels only ever
       // decrease, so sum(label) strictly decreases iff any vertex
@@ -121,6 +136,10 @@ object Components {
         "graph diameter exceeds the propagation budget; switch to " +
         "large-star/small-star for chain-shaped graphs")
     labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   val queries: Map[String, Q] = Map(
