@@ -219,6 +219,77 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // Sequence packing (concat-and-chunk): assign each doc its (chunk,
+    // offset) in a 512-token packed stream per language shard, in the
+    // same deterministic md5 order the sampling ops use. The running
+    // prefix-sum is a window over the shard; at 100 TB the shard key
+    // becomes a bounded-size hash bucket (lang here for a readable
+    // oracle) exactly like q_sample_strat's two-level form, keeping each
+    // reducer's sort bounded. Integer token counts make every offset
+    // bit-deterministic.
+    "q_pack_chunks" -> Q(
+      """WITH s AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    md5(cast(doc_id as varchar)) AS h
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, n_tok, h,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT doc_id, lang, cast(n_tok as bigint) AS n_tok,
+        |  cast((cum - n_tok) // 512 as bigint) AS chunk_id,
+        |  cast((cum - n_tok) % 512 as bigint) AS chunk_offset
+        |FROM w ORDER BY lang, h, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast(LongType).as("n_tok"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+        .withColumn("cum", sum(col("n_tok")).over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(cum - n_tok) div 512").as("chunk_id"),
+          ((col("cum") - col("n_tok")) % 512).as("chunk_offset"))
+        .orderBy(col("lang"), col("h"), col("doc_id"))
+    },
+
+    // PII redaction: the scrubbing pass a corpus runs before training.
+    // The curated docs carry no PII, so the query plants a deterministic
+    // email + phone derived from doc_id (same concat in the oracle) and
+    // the operator masks them: regexp_extract_all counts + regexp_replace
+    // rewrite, emitted as the redacted text's md5. Patterns stay in the
+    // char-class/quantifier subset where Java regex and RE2 agree;
+    // DuckDB's regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all default. Embarrassingly parallel — one narrow
+    // projection, no shuffle before the ordered output.
+    "q_pii_redact" -> Q(
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact john' || doc_id || '@mail.example.com or call 555-'
+        |         || lpad(cast(doc_id % 10000 as varchar), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) as int)
+        |    AS n_emails,
+        |  cast(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) as int) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]',
+        |      '[EMAIL]', 'g'), '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact john"), col("doc_id"),
+            lit("@mail.example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").cast(BinaryType)).as("red_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus stats per language: doc/char/token counts, exact averages.
     "q_text_stats" -> Q(
       """SELECT lang, count(*) AS n_docs,
