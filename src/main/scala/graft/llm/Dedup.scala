@@ -580,6 +580,51 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Edit-distance verification tier: exact Levenshtein over the SAME
+    // banded MinHash candidates q_dedup_minhash proposes, keeping pairs
+    // within 20% relative edit distance (lev*5 <= max_len, exact integer
+    // compare). The O(len²) DP runs ONLY on candidate pairs — never
+    // corpus-wide. Gated on single-byte texts because DuckDB's
+    // levenshtein counts BYTES on multibyte input while Spark counts
+    // CHARACTERS (measured: '我是'→'我了' is 3 vs 1); the library path
+    // has no such restriction.
+    "q_dedup_fuzzy" -> Q(
+      s"""WITH $oShingleCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${minhashSeeds.zipWithIndex.map { case (seed, i) =>
+        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id),
+         |atab AS (SELECT doc_id, text, length(text) AS len FROM documents
+         |         WHERE regexp_matches(text, '^[ -~]*$$'))
+         |SELECT c.d1, c.d2, cast(levenshtein(a.text, b.text) as bigint) AS lev,
+         |  cast(greatest(a.len, b.len) as bigint) AS max_len
+         |FROM cands c JOIN atab a ON a.doc_id = c.d1
+         |             JOIN atab b ON b.doc_id = c.d2
+         |WHERE levenshtein(a.text, b.text) * 5 <= greatest(a.len, b.len)
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val ascii = docs(s, dir).filter(col("text").rlike("^[ -~]*$"))
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      lshCandidates(minhashSignaturesStateless(docs(s, dir)))
+        .join(ascii.select(col("doc_id").as("d1"), col("text").as("t1"),
+          col("len").as("len1")), "d1")
+        .join(ascii.select(col("doc_id").as("d2"), col("text").as("t2"),
+          col("len").as("len2")), "d2")
+        .withColumn("lev", levenshtein(col("t1"), col("t2")).cast(LongType))
+        .withColumn("max_len", greatest(col("len1"), col("len2")).cast(LongType))
+        .filter(col("lev") * 5 <= col("max_len"))
+        .select(col("d1"), col("d2"), col("lev"), col("max_len"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // SimHash near-dup: 32-bit signatures over shingle features, hamming
     // distance <= simhashMaxHamming (random pairs center at 16).
     "q_dedup_simhash" -> Q(

@@ -241,6 +241,58 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    // Pearson correlation with engine-portable determinism: built-in
+    // corr() accumulates floats in partition order (never hash-matches
+    // across engines), so the five moment components are summed as EXACT
+    // decimals first, cast to double (value-based, identical in both
+    // engines), and only then combined with exactly-rounded IEEE ops
+    // (+ - * / sqrt — the q_agg_moments discipline). The emitted value is
+    // ppm-floored: DuckDB's decimal->double cast can differ from Java's
+    // correctly-rounded conversion by an ulp, and the cancellation in
+    // n*sxx - sx*sx amplifies it into the last few bits (observed 4e-13);
+    // ppm quantization absorbs it. Partial aggregation
+    // still combines map-side; at extreme scale the decimal(38,8)
+    // product sums need a magnitude check (they hold to ~1e29 row-sums).
+    "q_agg_corr" -> Q(
+      """SELECT l_returnflag, cast(n as bigint) AS n,
+        |  cast(floor(((n_d*sxy - sx*sy)
+        |    / (sqrt(n_d*sxx - sx*sx) * sqrt(n_d*syy - sy*sy))) * 1000000)
+        |    as bigint) AS corr_ppm
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n, cast(count(*) as double) AS n_d,
+        |    cast(sum(cast(l_quantity as decimal(19,4))) as double) AS sx,
+        |    cast(sum(cast(l_extendedprice as decimal(19,4))) as double) AS sy,
+        |    cast(sum(cast(l_quantity as decimal(19,4))
+        |             * cast(l_extendedprice as decimal(19,4))) as double) AS sxy,
+        |    cast(sum(cast(l_quantity as decimal(19,4))
+        |             * cast(l_quantity as decimal(19,4))) as double) AS sxx,
+        |    cast(sum(cast(l_extendedprice as decimal(19,4))
+        |             * cast(l_extendedprice as decimal(19,4))) as double) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // decimal(19) forces 128-bit storage in DuckDB (a (18,4)x(18,4)
+      // product overflows its 64-bit path at runtime); Spark's decimal
+      // math is exact at either width, so 19 keeps both engines exact
+      val x = dec(col("l_quantity"), 19, 4)
+      val y = dec(col("l_extendedprice"), 19, 4)
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(lit(1)).cast(DoubleType).as("n_d"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"))
+      val (nD, sx, sy, sxy, sxx, syy) = (col("n_d"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"))
+      base.select(col("l_returnflag"), col("n"),
+        floor(((nD * sxy - sx * sy)
+          / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))) * 1000000)
+          .cast(LongType).as("corr_ppm"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // LISTAGG (Redshift string aggregation): deterministic via sorted
     // collect — Spark's collect_list has no intrinsic order, so the sort
     // happens on the collected array; the oracle orders inside string_agg.

@@ -148,6 +148,50 @@ object Relational {
         .orderBy(col("lang"))
     },
 
+    // MERGE / upsert by rewrite: parquet tables have no in-place MERGE,
+    // so the engine expresses it as one FULL OUTER join of target and
+    // change set with per-branch resolution (update = exact decimal add,
+    // insert = synthesized row, kept = passthrough) — the rewrite a
+    // Delta/Iceberg MERGE compiles to, minus the transactional commit.
+    // The change set derives from events (update deltas per user; every
+    // 5th key shifted to an unseen id to exercise the insert branch).
+    // One shuffle on the merge key; at 100 TB the join partitions by key
+    // and AQE handles the change-set/target size asymmetry.
+    "q_merge_upsert" -> Q(
+      """WITH delta AS (SELECT user_id,
+        |    sum(cast(value as decimal(18,6))) AS delta
+        |  FROM events GROUP BY user_id),
+        |changes AS (SELECT CASE WHEN user_id % 5 = 0 THEN user_id + 1000000
+        |                        ELSE user_id END AS key, delta FROM delta)
+        |SELECT coalesce(c_custkey, key) AS c_custkey,
+        |  coalesce(c_name, 'new-' || cast(key as varchar)) AS c_name,
+        |  cast(cast(coalesce(cast(c_acctbal as decimal(18,6)), 0)
+        |       + coalesce(delta, 0) as decimal(30,6)) as double) AS acctbal,
+        |  CASE WHEN key IS NULL THEN 'kept'
+        |       WHEN c_custkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS status
+        |FROM customer FULL OUTER JOIN changes ON c_custkey = key
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val changes = Engine.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(dec(col("value"), 18, 6)).as("delta"))
+        .select(when(col("user_id") % 5 === 0, col("user_id") + 1000000)
+          .otherwise(col("user_id")).as("key"), col("delta"))
+      t(s, dir, "customer")
+        .join(changes, col("c_custkey") === col("key"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+          coalesce(col("c_name"),
+            concat(lit("new-"), col("key").cast(StringType))).as("c_name"),
+          (coalesce(dec(col("c_acctbal"), 18, 6), lit(0))
+            + coalesce(col("delta"), lit(0)))
+            .cast(DecimalType(30, 6)).cast(DoubleType).as("acctbal"),
+          when(col("key").isNull, "kept")
+            .when(col("c_custkey").isNull, "inserted")
+            .otherwise("updated").as("status"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ORC round-trip: the third columnar staging format (ORC ships in
     // Spark's core distribution alongside parquet; warehouses emitting
     // ORC are a common ingest source). Write orders as ORC, read back
