@@ -127,6 +127,29 @@ object Streams {
     }
   }
 
+  /** Stream-stream inner join with an event-time bound (s_join_stream):
+    * correlate two live streams per key where the right event lands
+    * within `window` after the left one (click→conversion attribution).
+    * BOTH the watermarks and the time-bound predicate are load-bearing:
+    * they are what lets Spark evict buffered rows — an unbounded-time
+    * stream-stream join would hold both streams' state forever. State
+    * per key ≈ rows inside the watermark horizon, independent of stream
+    * length.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      window: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("user_id") === col("r_user")
+        && col("r_ts") >= col("l_ts")
+        && col("r_ts") <= col("l_ts") + expr(s"interval $window"))
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
+  }
+
   /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2
     * s_dedup_stream): per-user cumulative event count + running value sum,
     * emitted on every update. State is one tiny struct per key; a real
@@ -185,6 +208,46 @@ object Streams {
          |GROUP BY 1, 2 ORDER BY w_start, c_mktsegment""".stripMargin) { (s, dir) =>
       enrichJoin(Engine.table(s, dir, "events"), Engine.table(s, dir, "customer"))
         .orderBy(col("w_start"), col("c_mktsegment"))
+    },
+
+    // Resample + gap fill: the time-series regularization every metrics /
+    // training-telemetry pipeline runs — project events onto a dense
+    // hourly spine per series, zero-fill counts, forward-fill the last
+    // observed sum. The spine is generated per series from its own
+    // [min, max] hour (sequence + explode — no driver loop), the join is
+    // an equi-join on (series, hour), and the forward fill is
+    // last(ignoreNulls) over the ordered spine; spine cardinality =
+    // series × hours, bounded regardless of event volume.
+    "q_resample" -> Q(
+      s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |    count(*) AS n, $oSumValue AS sv
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+         |           FROM hourly GROUP BY 1),
+         |spine AS (SELECT event_type,
+         |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds)
+         |SELECT s.event_type, s.h AS w_start, coalesce(n, 0) AS n,
+         |  last_value(sv IGNORE NULLS) OVER (PARTITION BY s.event_type
+         |    ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS sv_ffill
+         |FROM spine s LEFT JOIN hourly USING (event_type, h)
+         |ORDER BY event_type, w_start""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Engine.table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), sumValue.as("sv"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").as("w_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sv"), ignoreNulls = true).over(
+            Window.partitionBy(col("event_type")).orderBy(col("h"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("sv_ffill"))
+        .orderBy(col("event_type"), col("w_start"))
     },
 
     // Session windows (10-minute gap) per user ≙ gaps-and-islands oracle:

@@ -305,6 +305,25 @@ class LlmSpec extends AnyFunSuite {
       s"quantization stats regressed to a row-exploding shuffle:\n$plan")
   }
 
+  test("quantizeEmbeddings reconstruction error is within one quantization step") {
+    // dequant(code) = mn + code*(mx-mn)/255 must sit within one step of
+    // the original micro-unit value — the contract that makes int8 codes
+    // usable for coarse ANN
+    val q = Similarity.quantizeEmbeddings(emb)
+      .select(col("vec_id"), posexplode(col("codes"))).toDF("vec_id", "pos", "code")
+    val xq = emb.select(col("vec_id"), posexplode(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d).cast("long"))))
+      .toDF("vec_id", "pos", "v")
+    val stats = xq.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val worst = q.join(xq, Seq("vec_id", "pos")).join(stats, "pos")
+      .select((abs(col("mn") + col("code") * (col("mx") - col("mn")) / 255
+        - col("v")) / greatest(col("mx") - col("mn"), lit(1)) * 255).as("steps"))
+      .agg(max(col("steps"))).head().getDouble(0)
+    assert(worst <= 1.0 + 1e-9, s"reconstruction off by $worst steps (> 1)")
+  }
+
   test("IVF M-step plans a single vector hash-agg on cent_id, no posexplode") {
     val plan = Similarity.ivfCentroids(emb, nCentroids = 8, iters = 1)
       .queryExecution.executedPlan.toString

@@ -222,6 +222,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join correlates within the time bound and not outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val convs = MemoryStream[Ev]
+    val q = Streams.streamStreamJoin(clicks.toDF(), convs.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_ssjoin").start()
+    try {
+      // user 1: conversion 5 min after the click (inside the 10-min
+      // bound); user 2: conversion 20 min after (outside); user 3:
+      // conversion with no matching key
+      clicks.addData(Ev(1, ts(10), 1, "click", 0), Ev(2, ts(10), 2, "click", 0))
+      convs.addData(Ev(3, ts(15), 1, "conv", 0), Ev(4, ts(30), 2, "conv", 0),
+        Ev(5, ts(12), 3, "conv", 0))
+      q.processAllAvailable()
+      // advance both watermarks so the joinable region finalizes
+      clicks.addData(Ev(6, ts(180), 9, "click", 0))
+      convs.addData(Ev(7, ts(180), 9, "conv", 0))
+      q.processAllAvailable()
+      val rows = spark.table("t_ssjoin")
+        .select("user_id", "l_type", "r_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows.contains((1L, "click", "conv")),
+        "in-window conversion must join")
+      assert(!rows.exists(_._1 == 2L),
+        "conversion outside the 10-minute bound must not join")
+      assert(!rows.exists(_._1 == 3L), "unmatched key must not join")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
