@@ -241,6 +241,26 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    // Mergeable-sketch rollup — THE pattern for distinct counting at
+    // 100 TB: per-shard HLL sketches (here per nation) are built once,
+    // then re-aggregated to any coarser grain (region) by sketch UNION
+    // without touching the raw data again. A real deployment persists
+    // the nation-level sketch table; every later rollup is sketch-sized,
+    // not corpus-sized. DataSketches binary images are engine-specific
+    // (rows-only gate); AggregatesSpec bounds the estimate error vs the
+    // exact distinct count instead.
+    "q_sketch_union" -> Q.noOracle { (s, dir) =>
+      val perNation = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      perNation.groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_customers"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // Pearson correlation with engine-portable determinism: built-in
     // corr() accumulates floats in partition order (never hash-matches
     // across engines), so the five moment components are summed as EXACT

@@ -593,4 +593,24 @@ class LlmSpec extends AnyFunSuite {
     val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("HLL sketch union estimate matches the exact regional distinct count (q_sketch_union twin)") {
+    // the mergeable-sketch contract: union of per-nation sketches must
+    // estimate the region's distinct customers, not double-count members
+    // appearing in several shards' sketch streams
+    val est = graft.Registry.all("q_sketch_union")
+      .fn(spark, TestSpark.sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).doubleValue).toMap
+    val cust = graft.Engine.table(spark, TestSpark.sfDir, "customer")
+    val nation = graft.Engine.table(spark, TestSpark.sfDir, "nation")
+    val exact = cust.join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("c_custkey")).as("n")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (rk, n) =>
+      assert(math.abs(est(rk) - n) / n.toDouble < 0.05,
+        s"region $rk: estimate ${est(rk)} vs exact $n")
+    }
+  }
 }
