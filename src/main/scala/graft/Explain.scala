@@ -18,13 +18,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq
-      // q_dedup_near/q_dedup_embed are excluded from the default set:
-      // their builders localCheckpoint (eager materialization), so a
-      // no-args Explain would run real jobs; pass them explicitly to
-      // audit those plans.
+      // q_dedup_cc is excluded from the default set: its builder runs
+      // the iterative label-propagation loop eagerly, so a no-args
+      // Explain would execute real jobs; pass it explicitly to audit
+      // the per-round plan.
       else Seq("q_agg_group", "q_scan_project", "q_join_broadcast",
         "q_join_multi", "q_topk", "q_sim_topk",
-        "q_dedup_simhash", "q_cluster_assign", "q_join_lateral")
+        "q_dedup_simhash", "q_cluster_assign", "q_join_lateral",
+        "q_tfidf", "q_merge_upsert", "q_resample", "q_embed_quant")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       Registry.all(n).fn(spark, sfDir).explain("formatted")

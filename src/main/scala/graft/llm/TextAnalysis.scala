@@ -123,10 +123,11 @@ object TextAnalysis {
     // training mix needs (uniform sampling starves rare languages), made
     // reproducible the same way as q_sample_hash (hash order, not rng).
     // row_number ranks within each stratum after one hash repartition on
-    // lang; with few heavy strata at 100 TB the two-level form (rank
-    // within (lang, hash-prefix) sub-strata, then merge-rank the per-
-    // prefix survivors — quota × nPrefixes rows) removes the single-
-    // reducer-per-stratum sort. The quota keeps output bounded either way.
+    // lang; for heavy strata at 100 TB use the IMPLEMENTED two-level
+    // form `Scale.stratifiedQuotaTwoLevel` (rank within (lang,
+    // hash-prefix) sub-strata, then merge-rank the per-prefix survivors)
+    // — ScaleSpec pins its output exactly equal to this single-level
+    // rank. The quota keeps output bounded either way.
     "q_sample_strat" -> Q(
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,

@@ -96,6 +96,35 @@ object Scale {
       .drop("__bucket")
   }
 
+  /** Two-level stratified quota sampling — the heavy-stratum form of
+    * q_sample_strat's single-level rank. A stratum with billions of rows
+    * makes `row_number over (partition by stratum)` a single-reducer
+    * sort; instead, rank within (stratum, hash-prefix) SUB-strata first
+    * (16 sub-strata from the first hex nibble — each reducer sorts
+    * ~1/16th) and keep `quota` per sub-stratum, then merge-rank the
+    * ≤ 16×quota survivors per stratum. Lossless: a row in the stratum's
+    * global top-`quota` (by the same md5 order) is necessarily in its
+    * sub-stratum's top-`quota`, so level 1 never drops a final survivor
+    * — ScaleSpec pins exact output equality with the single-level rank.
+    */
+  def stratifiedQuotaTwoLevel(df: DataFrame, stratumCol: String,
+      idCol: String, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = df
+      .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("__p", substring(col("__h"), 1, 1))
+    sub
+      .withColumn("__rk1", row_number().over(
+        Window.partitionBy(col(stratumCol), col("__p"))
+          .orderBy(col("__h"), col(idCol))))
+      .filter(col("__rk1") <= quota)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(col("__h"), col(idCol))).cast(LongType))
+      .filter(col("rk") <= quota)
+      .drop("__h", "__p", "__rk1")
+  }
+
   /** Small-file compaction — the hygiene pass every long-running ingest
     * needs: streaming/append jobs leave thousands of KB-sized files whose
     * per-file open/footer cost dominates scans. Rewrite to `targetFiles`

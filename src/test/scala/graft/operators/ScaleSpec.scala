@@ -104,6 +104,15 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level stratified quota sampling equals the single-level rank") {
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+    val two = Scale.stratifiedQuotaTwoLevel(docs, "lang", "doc_id", quota = 20)
+      .select(col("lang"), col("doc_id"), col("rk"))
+    val one = graft.Registry.all("q_sample_strat").fn(spark, TestSpark.sfDir)
+    assert(one.except(two).isEmpty && two.except(one).isEmpty,
+      "heavy-stratum two-level form must reproduce the single-level sample exactly")
+  }
+
   test("compact bounds file count from below and file size from above, losslessly") {
     val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
     val path = "/tmp/graft_test/compact_spec"
