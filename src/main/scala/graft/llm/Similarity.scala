@@ -273,20 +273,71 @@ object Similarity {
     * the encode pass is a narrow per-row transform. Constant dims
     * (max = min) encode as 0.
     */
-  def quantizeEmbeddings(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+  def quantizeEmbeddings(emb: DataFrame, vecCol: String = "embedding",
+      keepStats: Boolean = false): DataFrame = {
     val q = emb.withColumn("__xq",
       transform(col(vecCol), x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)))
     val stats = q.agg(
         graft.functions.VectorExpressions.vectorMinMax(col("__xq")).as("mm"))
-      .select(col("mm").getItem(0).as("__mn"), col("mm").getItem(1).as("__mx"))
-    q.crossJoin(broadcast(stats))
+      .select(col("mm").getItem(0).as("q_min"), col("mm").getItem(1).as("q_max"))
+    val coded = q.crossJoin(broadcast(stats))
       .withColumn("codes", expr(
-        """transform(__xq, (x, i) -> cast(CASE WHEN __mx[i] = __mn[i] THEN 0
-          |  ELSE ((x - __mn[i]) * 255) div (__mx[i] - __mn[i]) END as int))""".stripMargin))
-      .drop("__xq", "__mn", "__mx")
+        """transform(__xq, (x, i) -> cast(CASE WHEN q_max[i] = q_min[i] THEN 0
+          |  ELSE ((x - q_min[i]) * 255) div (q_max[i] - q_min[i]) END as int))""".stripMargin))
+      .drop("__xq")
+    if (keepStats) coded else coded.drop("q_min", "q_max")
+  }
+
+  /** Approximate reconstruction from the `codes`/`q_min`/`q_max` columns
+    * of [[quantizeEmbeddings]]`(keepStats = true)`. Micro-unit scale is
+    * uniform across dims, so cosine over dequantized vectors equals
+    * cosine over the reconstructed originals.
+    */
+  def dequantized: Column =
+    expr("transform(codes, (c, i) -> q_min[i] + c * (q_max[i] - q_min[i]) / 255D)")
+
+  /** Quantized-first-pass top-k: coarse ranking over int8 codes
+    * ([[quantizeEmbeddings]]) selects a `shortlist`, exact float cosine
+    * reranks it. THE serving pattern for a memory/IO-bound 100 TB
+    * vector store: the scan that touches every row reads 4×-smaller
+    * codes; full-precision vectors are only fetched for shortlist
+    * members. The coarse score is a codegen'd ArrayDot over the widened
+    * codes — monotone enough per dimension (affine map of the original)
+    * that a 10×-k shortlist recovers the true neighbors; LlmSpec
+    * measures recall vs brute force.
+    */
+  def quantizedTopK(emb: DataFrame, queryId: Long, k: Int,
+      shortlist: Int = 100): DataFrame = {
+    // asymmetric distance: codes are dequantized against the broadcast
+    // per-dim stats before the coarse cosine (a raw code dot ignores the
+    // per-dim affine shift and ranks garbage — measured recall 0.2)
+    val codes = quantizeEmbeddings(emb, keepStats = true)
+      .withColumn("dq", dequantized)
+    val q = codes.filter(col("vec_id") === queryId)
+      .select(col("dq").as("qdq"), toDouble(col("embedding")).as("qv"))
+    val short = codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("coarse",
+        dot(col("dq"), col("qdq")) / (norm(col("dq")) * norm(col("qdq"))))
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(shortlist)
+    short
+      .withColumn("v", toDouble(col("embedding")))
+      .withColumn("cos_r",
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))
+      .select(col("vec_id"), col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
   }
 
   val queries: Map[String, Q] = Map(
+
+    // Quantized-first-pass ANN: rows-only gate (the shortlist boundary
+    // depends on float min/max stats, not worth an oracle mirror); the
+    // LlmSpec recall spec vs brute force is the correctness pin.
+    "q_sim_quant" -> Q.noOracle { (s, dir) =>
+      quantizedTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
 
     // Int8 scalar quantization, hash-gated end-to-end: the oracle rebuilds
     // the identical micro-unit stats + integer code arithmetic in DuckDB

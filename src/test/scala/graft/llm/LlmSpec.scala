@@ -324,6 +324,15 @@ class LlmSpec extends AnyFunSuite {
     assert(worst <= 1.0 + 1e-9, s"reconstruction off by $worst steps (> 1)")
   }
 
+  test("quantized-first-pass top-k recalls the brute-force neighbors") {
+    val truth = Similarity.topK(emb, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.quantizedTopK(emb, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"int8 coarse pass + rerank recall $recall < 0.8")
+  }
+
   test("IVF M-step plans a single vector hash-agg on cent_id, no posexplode") {
     val plan = Similarity.ivfCentroids(emb, nCentroids = 8, iters = 1)
       .queryExecution.executedPlan.toString
