@@ -150,6 +150,47 @@ object Streams {
       .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
   }
 
+  /** Streaming upsert (s_stream_upsert): apply each micro-batch as a
+    * latest-record-wins MERGE into a parquet target via `foreachBatch` —
+    * the CDC-apply pattern that keeps a queryable table in sync with a
+    * changelog stream. Per batch: reduce the batch to its newest record
+    * per key (map-side `max_by`, same shape as q_dedup_latest), FULL
+    * OUTER merge with the current target resolving to the newer (ts,
+    * event_id), materialize, overwrite. The merge cost scales with
+    * |target| + |batch| per batch — on a real lake this is the pattern a
+    * transactional format (Delta/Iceberg MERGE) optimizes with file-level
+    * pruning; the resolution logic is identical.
+    */
+  def streamingUpsert(stream: DataFrame, targetPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cols = Seq("user_id", "event_id", "ts", "event_type", "value")
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val newest = batch
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(cols.tail.map(col): _*),
+          struct(col("ts"), col("event_id"))).as("e"))
+        .select(col("user_id") +: cols.tail.map(c => col(s"e.$c").as(c)): _*)
+      val target =
+        if (new java.io.File(targetPath).exists) spark.read.parquet(targetPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newest.schema)
+      val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
+      // newer (ts, event_id) wins — NOT blind batch-wins: late/replayed
+      // batches must not regress a key the target already has newer
+      val takeBatch = col("user_id").isNotNull && (col("t_user_id").isNull ||
+        struct(col("ts"), col("event_id")) >= struct(col("t_ts"), col("t_event_id")))
+      val merged = t.join(newest, col("t_user_id") === col("user_id"), "full_outer")
+        .select(cols.map(c =>
+          when(takeBatch, col(c)).otherwise(col(s"t_$c")).as(c)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      merged.count() // materialize before overwriting the input path
+      merged.write.mode("overwrite").parquet(targetPath)
+      merged.unpersist()
+      ()
+    }
+  }
+
   /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2
     * s_dedup_stream): per-user cumulative event count + running value sum,
     * emitted on every update. State is one tiny struct per key; a real

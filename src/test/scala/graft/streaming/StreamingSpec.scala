@@ -253,6 +253,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert keeps the newest record per key across batches and ignores late replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = "/tmp/graft_test/stream_upsert"
+    graft.util.Fs.deleteRecursively(path)
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingUpsert(mem.toDF(), path)
+      .option("checkpointLocation", s"$path.ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(Ev(1, ts(10), 1, "v1", 1.0), Ev(2, ts(10), 2, "v1", 2.0))
+      q.processAllAvailable()
+      // batch 2: update key 1, insert key 3, and REPLAY an older key-2
+      // record which must not regress the target
+      mem.addData(Ev(3, ts(20), 1, "v2", 1.5), Ev(4, ts(30), 3, "v1", 3.0),
+        Ev(5, ts(5), 2, "v0", 0.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+      assert(out == Map(1L -> ("v2", 1.5), 2L -> ("v1", 2.0), 3L -> ("v1", 3.0)),
+        s"unexpected target state: $out")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
