@@ -35,6 +35,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Target mixture (relative parts) and total doc budget for the
+    * q_mix_weighted training-mix draw; shared with its oracle SQL.
+    */
+  val mixWeights: Map[String, Int] =
+    Map("de" -> 2, "en" -> 4, "es" -> 1, "fr" -> 2, "zh" -> 1)
+  val mixBudget: Int = 100
+
   private def lexCount(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
@@ -144,6 +151,46 @@ object TextAnalysis {
           .cast(LongType))
         .filter(col("rk") <= 20)
         .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    // Weighted training-mix draw: sample each language proportionally to
+    // a target mixture (the "data recipe" step of training prep —
+    // upweight scarce languages, downweight dominant ones) from a total
+    // budget, deterministically (same md5 order as q_sample_strat, no
+    // rng). Quotas are exact integer arithmetic (budget × weight //
+    // total-weight) interpolated into the oracle from the same Scala
+    // map, so the two engines cannot drift. Same scale shape as
+    // stratified sampling: per-stratum rank windows (two-level form
+    // available for heavy strata via Scale.stratifiedQuotaTwoLevel).
+    "q_mix_weighted" -> Q {
+      val parts = mixWeights.map { case (l, w) => s"WHEN '$l' THEN $w" }
+        .mkString(" ")
+      val totalW = mixWeights.values.sum
+      s"""SELECT lang, doc_id, rk, quota FROM (
+         |  SELECT lang, doc_id,
+         |    cast(row_number() OVER (PARTITION BY lang
+         |           ORDER BY md5(cast(doc_id as varchar)), doc_id) as bigint) AS rk,
+         |    cast(($mixBudget * CASE lang $parts ELSE 0 END) // $totalW as bigint)
+         |      AS quota
+         |  FROM documents)
+         |WHERE rk <= quota ORDER BY lang, rk""".stripMargin
+    } { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val totalW = mixWeights.values.sum
+      val weight = mixWeights.foldLeft(lit(0): Column) { case (acc, (l, w)) =>
+        when(col("lang") === l, w).otherwise(acc)
+      }
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+          .cast(LongType))
+        .withColumn("w", weight)
+        .withColumn("quota", expr(s"($mixBudget * w) div $totalW").cast(LongType))
+        .filter(col("rk") <= col("quota"))
+        .select(col("lang"), col("doc_id"), col("rk"), col("quota"))
         .orderBy(col("lang"), col("rk"))
     },
 

@@ -78,4 +78,23 @@ class PushdownSpec extends AnyFunSuite {
         s"${e.getClass.getSimpleName} regressed to CodegenFallback")
     }
   }
+
+  test("round-4 text/embedding scans stay column-pruned") {
+    // each (query, forbidden-column) pair: a wide column that must not
+    // reach the parquet scan — q_tfidf needs only (doc_id, text),
+    // q_merge_upsert only 3 customer + 2 event columns, q_embed_quant
+    // only (vec_id, embedding)
+    val cases = Seq(
+      ("q_tfidf", Seq("lang", "source", "n_chars")),
+      ("q_merge_upsert", Seq("o_", "event_type", "props")),
+      ("q_embed_quant", Seq("label")))
+    cases.foreach { case (n, forbidden) =>
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(planOf(n)).map(_.group(1)).toSeq
+      forbidden.foreach { c =>
+        assert(!reads.exists(_.contains(c)),
+          s"$n scan loads unneeded column '$c': $reads")
+      }
+    }
+  }
 }
