@@ -313,6 +313,45 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Time-hierarchy rollup (day→month→year is THE warehouse reporting
+    // hierarchy): one pass emits hour-of-day totals, per-day subtotals,
+    // and the grand total via ROLLUP over the derived calendar columns.
+    // Same partial-agg shape as q_agg_rollup; the calendar derivation is
+    // a narrow projection the scan pruning sees through.
+    "q_agg_time_rollup" -> Q(
+      """SELECT cast(day_of_ts as date) AS day_of_ts, hr,
+         |  grouping(day_of_ts, hr) AS gid, count(*) AS n,
+         |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double)
+         |    AS sum_value
+         |FROM (SELECT date_trunc('day', ts) AS day_of_ts,
+         |        cast(hour(ts) as int) AS hr, value FROM events)
+         |GROUP BY ROLLUP(day_of_ts, hr)
+         |ORDER BY gid, day_of_ts NULLS FIRST, hr NULLS FIRST""".stripMargin) { (s, dir) =>
+      Engine.table(s, dir, "events")
+        .select(date_trunc("day", col("ts")).cast(DateType).as("day_of_ts"),
+          hour(col("ts")).as("hr"), col("value"))
+        .rollup(col("day_of_ts"), col("hr"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(dec(col("value"), 18, 6)).cast(DecimalType(30, 6))
+            .cast(DoubleType).as("sum_value"))
+        .select(col("day_of_ts"), col("hr"), col("gid"), col("n"), col("sum_value"))
+        .orderBy(col("gid"), col("day_of_ts").asc_nulls_first,
+          col("hr").asc_nulls_first)
+    },
+
+    // Approximate percentiles (the mergeable-quantile-sketch tier for
+    // monitoring dashboards at scale — exact quantiles need a full sort,
+    // the sketch merges map-side). Sketch internals are engine-specific:
+    // rows-only gate + an error-bound spec vs the exact percentile.
+    "q_agg_approx_pct" -> Q.noOracle { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // LISTAGG (Redshift string aggregation): deterministic via sorted
     // collect — Spark's collect_list has no intrinsic order, so the sort
     // happens on the collected array; the oracle orders inside string_agg.
@@ -469,6 +508,7 @@ object Aggregates {
       """SELECT o_orderkey, o_orderstatus,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd,
+        |  cast(ntile(4) OVER w as int) AS quartile,
         |  nth_value(o_orderkey, 2)
         |    OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
@@ -483,6 +523,7 @@ object Aggregates {
         .select(col("o_orderkey"), col("o_orderstatus"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"),
           nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
         .orderBy(col("o_orderstatus"), col("o_orderkey"))
     },

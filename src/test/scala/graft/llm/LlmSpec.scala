@@ -603,6 +603,16 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("percentile_approx error is bounded vs exact (q_agg_approx_pct twin)") {
+    val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+    val approx = li.agg(percentile_approx(col("l_extendedprice"),
+      lit(0.5), lit(10000))).head().getDouble(0)
+    val exact = li.agg(expr("percentile(l_extendedprice, 0.5)"))
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx p50 $approx vs exact $exact")
+  }
+
   test("HLL sketch union estimate matches the exact regional distinct count (q_sketch_union twin)") {
     // the mergeable-sketch contract: union of per-nation sketches must
     // estimate the region's distinct customers, not double-count members
