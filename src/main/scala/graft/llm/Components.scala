@@ -122,7 +122,12 @@ object Components {
       val sumNext = next
         .agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
         .head().getDecimal(0)
-      changed = if (prevSum == null || sumNext.compareTo(prevSum) < 0) 1L else 0L
+      // sum over ZERO rows is null: an empty edge list (no near-dup
+      // pairs at all) is converged-by-vacuity, not a diameter problem
+      changed =
+        if (sumNext == null) 0L
+        else if (prevSum == null || sumNext.compareTo(prevSum) < 0) 1L
+        else 0L
       prevSum = sumNext
       labelsRdd.unpersist()
       propRdd.unpersist()
@@ -131,10 +136,16 @@ object Components {
       it += 1
     }
     sym.unpersist()
-    require(changed == 0,
-      s"connected components did not converge in $maxIters rounds — " +
-        "graph diameter exceeds the propagation budget; switch to " +
-        "large-star/small-star for chain-shaped graphs")
+    if (changed != 0) {
+      // don't leak the final round's blocks on the failure path (the
+      // converged labels RDD stays persisted for the caller and is
+      // reclaimed by the ContextCleaner once unreferenced)
+      labelsRdd.unpersist()
+      throw new IllegalArgumentException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "graph diameter exceeds the propagation budget; switch to " +
+          "large-star/small-star for chain-shaped graphs")
+    }
     labels
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -79,8 +79,11 @@ object Scale {
   def bandedDateBand(left: DataFrame, leftDate: Column,
       right: DataFrame, rightDate: Column, band: Int, width: Int = 7)
       : DataFrame = {
-    require(band <= width,
-      s"band $band wider than bucket $width: a window would span >2 buckets")
+    // strictly less: at band == width a ±band window already spans 3
+    // buckets (ld=width: lo=0, hi=2), breaking the ≤2-probe-rows bound
+    // this plan's cost model is built on
+    require(band < width,
+      s"band $band not below bucket width $width: a window would span >2 buckets")
     val epoch = lit("1970-01-01").cast("date")
     // right rows carry one bucket; left rows probe their (1-2) covered
     // buckets — floor((d-band)/width) and floor((d+band)/width)

@@ -166,13 +166,16 @@ object Streams {
     val cols = Seq("user_id", "event_id", "ts", "event_type", "value")
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val targetP = new org.apache.hadoop.fs.Path(targetPath)
+      val hfs = targetP.getFileSystem(hconf)
       val newest = batch
         .groupBy(col("user_id"))
         .agg(max_by(struct(cols.tail.map(col): _*),
           struct(col("ts"), col("event_id"))).as("e"))
         .select(col("user_id") +: cols.tail.map(c => col(s"e.$c").as(c)): _*)
       val target =
-        if (new java.io.File(targetPath).exists) spark.read.parquet(targetPath)
+        if (hfs.exists(targetP)) spark.read.parquet(targetPath)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newest.schema)
       val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
@@ -183,10 +186,16 @@ object Streams {
       val merged = t.join(newest, col("t_user_id") === col("user_id"), "full_outer")
         .select(cols.map(c =>
           when(takeBatch, col(c)).otherwise(col(s"t_$c")).as(c)): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      merged.count() // materialize before overwriting the input path
-      merged.write.mode("overwrite").parquet(targetPath)
-      merged.unpersist()
+      // write-then-swap, never overwrite-what-we-read: an overwrite of
+      // targetPath would delete the very files merged's lineage reads,
+      // so any recompute-on-loss during the write (or a mid-write crash)
+      // would see a deleted/half-written target. The tmp write completes
+      // against the intact old target; the swap is two metadata renames.
+      val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+      hfs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      hfs.delete(targetP, true)
+      hfs.rename(tmp, targetP)
       ()
     }
   }

@@ -46,6 +46,12 @@ class LlmSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
     // vertices not incident to any edge are absent by contract
     assert(!got.contains(99L))
+    // an EMPTY edge list (clean corpus, zero near-dup pairs) is
+    // converged by vacuity — it must return an empty labeling, not burn
+    // the round budget and throw (sum over zero rows is null, which the
+    // convergence check must read as done)
+    assert(Components.connectedComponents(
+      edges.filter(col("d1") < 0)).collect().isEmpty)
     // an over-tight round budget fails loudly instead of returning a
     // half-propagated labeling
     val err = intercept[IllegalArgumentException] {

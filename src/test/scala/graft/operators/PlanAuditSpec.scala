@@ -20,7 +20,12 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val sideEffecting = Set(
     "q_csv_sink", "q_df_write", "q_exec_ddl", "q_ctas", "q_insert_append",
-    "q_overwrite", "q_scan_csv", "q_scan_json", "q_scan_orc", "q_compact")
+    "q_overwrite", "q_scan_csv", "q_scan_json", "q_scan_orc", "q_compact",
+    // building q_dedup_cc's DataFrame runs the eager label-propagation
+    // loop (real jobs), and its returned plan is just a window over a
+    // LogicalRDD — the per-round join shapes the audit would care about
+    // are not in it anyway (LlmSpec pins the pair-generation plan)
+    "q_dedup_cc")
 
   /** Queries whose plans legitimately contain a cross/nested-loop join:
     * a deliberate cartesian, a genuine non-equi predicate, or a
