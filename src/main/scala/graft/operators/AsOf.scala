@@ -55,7 +55,63 @@ object AsOf {
       .drop("__t", "__side", "__p")
   }
 
+  /** Forward as-of: the NEAREST FOLLOWING right row (smallest
+    * rightTime >= leftTime per key) — the "time to next conversion"
+    * shape. Exact mirror of [[asOfJoin]] with time reversed: same
+    * union-tag + one shuffle + one partitioned sort, running `last`
+    * over DESCENDING time. Right side pre-reduced to min(payload) per
+    * (key, rightTime) for determinism (mirror it in oracles).
+    */
+  def asOfJoinForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payloadCol: String): DataFrame = {
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right.groupBy(col(key), col(rightTime))
+      .agg(min(col(payloadCol)).as(payloadCol))
+      .select(
+        col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(payloadCol).as("__p"))
+    val unioned = l.select((Seq(col(key), col("__t"), col("__side"), col("__p")) ++
+      left.columns.filterNot(c => c == key).map(c => l(c))): _*)
+    val all = unioned.unionByName(
+      r.select((Seq(col(key), col("__t"), col("__side"), col("__p")) ++
+        left.columns.filterNot(c => c == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all.withColumn(s"asof_$payloadCol", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__p")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // For every click: the id of the user's nearest FOLLOWING (or
+    // simultaneous) purchase — time-to-conversion attribution. DuckDB's
+    // ASOF LEFT JOIN with the <= direction is the oracle, over the same
+    // min-per-(user, ts) reduced purchase stream.
+    "q_asof_fwd" -> Q(
+      """WITH purchases AS (SELECT user_id, ts, min(event_id) AS event_id
+        |                  FROM events WHERE event_type = 'purchase'
+        |                  GROUP BY user_id, ts),
+        |clicks AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.event_id AS asof_purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val events = Engine.table(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asOfJoinForward(clicks, purchases, "user_id", "ts", "ts", "purchase_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_purchase_id").as("asof_purchase_id"))
+        .orderBy(col("event_id"))
+    },
 
     // For every error event: the id of the user's nearest preceding (or
     // simultaneous) click. Oracle is DuckDB's native ASOF LEFT JOIN over
