@@ -40,12 +40,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout scraping is lossy under sbt (round-1 grade lost the total);
-    // the same line also lands in a file the driver can always read
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout scraping is lossy: the driver keeps only the LAST ~2000 chars
+    // of sbt output, and the full 114-query line is ~4k chars, so its head
+    // (including "metric"/"value") was truncated away in rounds 1-3 and the
+    // driver recorded parsed:null. Print a compact line that is guaranteed
+    // to fit the tail window: full precision total + the slowest queries up
+    // to a character budget (the omitted ones are the sub-0.1s fast tail).
+    // The complete full-precision map always lands in /tmp/graft_bench.json.
+    val budgetChars = 1700
+    // failures (sentinel -1) first — they must never be truncated away
+    val sorted = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
+    val sb = new StringBuilder
+    var kept = 0
+    sorted.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      if (sb.length + entry.length + 1 <= budgetChars) {
+        if (kept > 0) sb.append(',')
+        sb.append(entry); kept += 1
+      }
+    }
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":{${sb.toString}},"sf":"$sfDir","n_queries":${results.size},"n_shown":$kept,"full":"/tmp/graft_bench.json"}"""
+    println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
