@@ -10,6 +10,7 @@ object Registry {
       operators.Aggregates.queries ++
       operators.SqlSurface.queries ++
       operators.AsOf.queries ++
+      operators.EventAnalytics.queries ++
       operators.Scale.queries ++
       functions.Scalars.queries ++
       connector.Connector.queries ++
@@ -18,6 +19,7 @@ object Registry {
       llm.TextAnalysis.queries ++
       llm.Dedup.queries ++
       llm.Components.queries ++
+      llm.Search.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries
 

@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+import graft.functions.TextExpressions
+
+/** Benchmark decontamination and full-text relevance ranking over
+  * `documents` — the two retrieval-shaped operators a training-data
+  * pipeline runs besides dedup: "is this training doc contaminated with
+  * eval data?" and "which docs match this query?" (`EXT` in SURVEY §2;
+  * the reference's only text surface is SQL passthrough,
+  * `/root/reference/pandas_redshift/core.py:84`).
+  */
+object Search {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "documents")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Decontamination n-gram size and the benchmark-set selector (docs
+    * whose id is divisible by [[benchMod]] stand in for an eval set).
+    * Both constants are interpolated into the oracle SQL.
+    */
+  val decontamK: Int = 4
+  val benchMod: Int = 25
+
+  /** BM25 query terms + integer-scaled parameters (k1 = 1.2, b = 0.75).
+    * Shared with the oracle SQL so both engines compute the identical
+    * exact-integer score.
+    */
+  val bm25Terms: Seq[String] = Seq("join", "hash", "scan")
+
+  val queries: Map[String, Q] = Map(
+
+    // Benchmark decontamination (the n-gram-overlap check of GPT-3
+    // appendix C / Dodge et al. 2021, at 4-gram granularity for this
+    // corpus): flag every non-benchmark doc sharing at least one word
+    // 4-gram with the benchmark set, with the count of distinct shared
+    // grams. Scale shape: the benchmark gram set is eval-sized (bounded,
+    // ~1/25 of docs here) -> broadcast; corpus grams stream through the
+    // codegen'd Shingles expression (one narrow explode, no shuffle
+    // before the per-doc count). Spark-side grams are byte slices of the
+    // original text; with single-space tokenization they equal the
+    // oracle's space-joined token slices (same contract the dedup family
+    // relies on, llm/Dedup.scala).
+    "q_decontam" -> Q(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+         |           FROM documents),
+         |g AS (SELECT doc_id, array_to_string(tok[i:i+${decontamK - 1}], ' ') AS gram
+         |      FROM (SELECT doc_id, tok,
+         |              unnest(range(1, len(tok) - ${decontamK - 2})) AS i
+         |            FROM t WHERE len(tok) >= $decontamK)),
+         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0)
+         |SELECT g.doc_id, cast(count(DISTINCT g.gram) as bigint) AS n_grams_hit
+         |FROM g JOIN b USING (gram)
+         |WHERE g.doc_id % $benchMod <> 0
+         |GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(TextExpressions.shingles(col("text"), decontamK)).as("gram"))
+      val bench = grams.filter(col("doc_id") % benchMod === 0)
+        .select(col("gram")).distinct()
+      grams.filter(col("doc_id") % benchMod =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_grams_hit"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BM25 top-10 (k1 = 1.2, b = 0.75) in exact integer arithmetic: the
+    // usual ln() idf is not bit-portable across engines, so the idf term
+    // uses the raw Robertson-Spärck Jones odds (N - df + 0.5)/(df + 0.5)
+    // scaled to e6 — a strictly monotone transform of the ln form, so
+    // ranking semantics are preserved while every division is a bigint
+    // floor both engines agree on. Magnitudes: idf_e6 <= 2N*1e6 and the
+    // tf fraction <= 2.2e6, fine in int64 through petabyte corpora
+    // (overflow needs N > ~4e11 docs).
+    // Scale shape: tf is corpus-linear AFTER the isin(terms) filter
+    // (pushed to the scan), df + corpus totals are term-count-sized
+    // broadcasts, and the global top-10 is TakeOrdered (no global
+    // window) — the 10-row rank window runs post-limit.
+    "q_bm25" -> Q(
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, cast(len(t) as bigint) AS dl FROM d),
+         |tot AS (SELECT cast(count(*) as bigint) AS n_docs,
+         |               cast(sum(len(t)) as bigint) AS l FROM d),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+         |tf AS (SELECT doc_id, token, cast(count(*) as bigint) AS tf
+         |       FROM tok WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, token),
+         |dfc AS (SELECT token, cast(count(DISTINCT doc_id) as bigint) AS df
+         |        FROM tok WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |        GROUP BY token),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1))
+         |      * ((2200000 * tf) //
+         |         (tf*10000 + 3000 + (9000 * ((dl*10000*n_docs) // l)) // 10000))
+         |      // 1000000 AS s
+         |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id), tot),
+         |agg AS (SELECT doc_id, cast(sum(s) as bigint) AS score_e6
+         |        FROM scored GROUP BY doc_id)
+         |SELECT doc_id, score_e6, rk FROM (
+         |  SELECT doc_id, score_e6,
+         |    cast(row_number() OVER (ORDER BY score_e6 DESC, doc_id) as int) AS rk
+         |  FROM agg)
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+      val dl = d.select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
+      val tot = d.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast(LongType)).as("l"))
+      val tok = d.select(col("doc_id"), explode(col("t")).as("token"))
+        .filter(col("token").isin(bm25Terms: _*))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(dfc), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("s", expr(
+          """((2*n_docs - 2*df + 1) * 1000000 div (2*df + 1))
+            | * ((2200000 * tf) div
+            |    (tf*10000 + 3000 + (9000 * ((dl*10000*n_docs) div l)) div 10000))
+            | div 1000000""".stripMargin))
+      val top = scored.groupBy(col("doc_id"))
+        .agg(sum(col("s")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id"))
+        .limit(10)
+      top.withColumn("rk", row_number()
+          .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
+          .cast(IntegerType))
+        .orderBy(col("rk"))
+    }
+  )
+}

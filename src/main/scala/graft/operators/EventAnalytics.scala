@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Event-log analytics: gap sessionization, ordered funnels, retention
+  * cohorts. Not present in the reference (its event-ish surface is raw SQL
+  * passthrough, `/root/reference/pandas_redshift/core.py:84` — `EXT` in
+  * SURVEY §2); these are the standard warehouse queries a product-analytics
+  * user of the reference would run through `redshift_to_pandas`.
+  *
+  * Scale shapes: every operator here shuffles on `user_id` only — one
+  * partitioned sort for sessionize, aggregate-then-self-join for the
+  * funnel, distinct + join for cohorts. No global windows, no cross
+  * products; per-user state is bounded by that user's events.
+  */
+object EventAnalytics {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "events")
+
+  /** Session gap: a new session starts after 30 min of inactivity.
+    * Interpolated into the oracle SQL so both engines share one constant.
+    */
+  val sessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Gaps-and-islands session labeling: each row of `df` gains a
+    * `session_id` (1-based ordinal per key) that increments whenever the
+    * time since the previous event of the same key exceeds `gapUs`.
+    *
+    * Unlike `session_window` (streaming/Streams.scala) this ASSIGNS ids to
+    * individual events, so downstream operators can join on (key, session)
+    * — the labeling a warehouse sessionization produces. One shuffle on
+    * `key`; both windows share the same partitioning + (ts, tieBreak)
+    * sort order so the sort runs once.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,
+      gapUs: Long = sessionGapUs): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val brk = when(lag(col(ts), 1).over(w).isNull
+        .or(unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(w)) > gapUs), 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Per-session rollup: ordinal session ids + microsecond-exact
+    // durations (timestamps are µs-aligned in both engines — Engine.scala
+    // nanos note — so epoch_us/unix_micros arithmetic is bit-exact).
+    "q_sessionize" -> Q(
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $sessionGapUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM x)
+         |SELECT user_id, cast(sid as bigint) AS session_id,
+         |  cast(count(*) as bigint) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      sessionize(events(s, dir), "user_id", "ts", "event_id")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Ordered funnel view -> click -> purchase: each step's timestamp is
+    // the user's earliest qualifying event AT OR AFTER the previous step
+    // (min(ts) per step is deterministic, so no cross-engine tie issues).
+    // Three aggregate-then-equi-join passes, all keyed on user_id — the
+    // scale-safe formulation (no per-user event collection, no window over
+    // the whole log).
+    "q_funnel" -> Q(
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  cast(1 + (CASE WHEN t_click IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END) as int)
+        |    AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1)
+            + when(col("t_click").isNull, 0).otherwise(1)
+            + when(col("t_purchase").isNull, 0).otherwise(1))
+            .cast(IntegerType).as("stage"))
+        .orderBy(col("user_id"))
+    },
+
+    // Weekly retention cohorts: cohort = ISO week of the user's first
+    // signup; a user is active in week-offset k if they have ANY event in
+    // cohort_week + k weeks. Both engines truncate weeks to Monday.
+    // distinct (user, week) bounds the join input at users x weeks —
+    // far below the raw event count at 100 TB.
+    "q_cohort" -> Q(
+      """WITH f AS (SELECT user_id,
+        |    cast(date_trunc('week', min(ts)) as date) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS wk
+        |      FROM events)
+        |SELECT cohort_week,
+        |  date_diff('day', cohort_week, wk) // 7 AS week_offset,
+        |  cast(count(DISTINCT user_id) as bigint) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |WHERE wk >= cohort_week
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val f = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      val a = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      a.join(f, "user_id")
+        .filter(col("wk") >= col("cohort_week"))
+        .withColumn("week_offset",
+          expr("cast(datediff(wk, cohort_week) div 7 as bigint)"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }
+  )
+}

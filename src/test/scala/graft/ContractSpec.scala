@@ -21,10 +21,11 @@ class ContractSpec extends AnyFunSuite {
     val maps = Seq(
       operators.Relational.queries, operators.Aggregates.queries,
       operators.SqlSurface.queries, operators.AsOf.queries,
+      operators.EventAnalytics.queries,
       operators.Scale.queries, functions.Scalars.queries,
       connector.Connector.queries, streaming.Streams.queries,
       functions.UserFunctions.queries, llm.TextAnalysis.queries,
-      llm.Dedup.queries, llm.Components.queries,
+      llm.Dedup.queries, llm.Components.queries, llm.Search.queries,
       llm.Similarity.queries, llm.Multimodal.queries)
     val keys = maps.flatMap(_.keys)
     val dups = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }

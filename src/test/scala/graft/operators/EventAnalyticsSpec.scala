@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics edges of the event-analytics operators that the oracle gate
+  * (which only sees the curated events table) can't isolate: the gap
+  * boundary contract of sessionize and the step ORDER contract of the
+  * funnel.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionize: a gap of exactly gapUs stays in-session; one more µs splits") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:30:00"), 2L), // exactly 30 min after -> same
+      (1L, ts("2024-01-01 01:00:00.000001"), 3L), // 30 min + 1 µs -> new
+      (2L, ts("2024-01-01 00:00:00"), 4L) // other key unaffected
+    ).toDF("user_id", "t", "event_id")
+    val got = EventAnalytics.sessionize(df, "user_id", "t", "event_id")
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("sessionize: ordinal ids restart per key and count every break") {
+    val df = Seq(
+      (9L, ts("2024-01-01 00:00:00"), 1L),
+      (9L, ts("2024-01-01 02:00:00"), 2L),
+      (9L, ts("2024-01-01 04:00:00"), 3L)
+    ).toDF("user_id", "t", "event_id")
+    val ids = EventAnalytics.sessionize(df, "user_id", "t", "event_id")
+      .orderBy($"event_id").select($"session_id").as[Long].collect().toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
+  test("funnel: a click BEFORE the first view does not advance the stage") {
+    // user 1: click precedes every view -> stage stays 1; user 2 converts
+    // fully in order; purchase-before-click (user 2's early purchase at
+    // 00:01) must not count either.
+    val df = Seq(
+      (1L, "click", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "view", ts("2024-01-01 01:00:00"), 2L),
+      (2L, "view", ts("2024-01-01 00:00:00"), 3L),
+      (2L, "purchase", ts("2024-01-01 00:01:00"), 4L),
+      (2L, "click", ts("2024-01-01 00:02:00"), 5L),
+      (2L, "purchase", ts("2024-01-01 00:03:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    df.createOrReplaceTempView("events_funnel_spec")
+    // run the same composition as q_funnel against the tiny frame
+    val e = df
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    val stages = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        (lit(1) + when($"t_click".isNull, 0).otherwise(1)
+          + when($"t_purchase".isNull, 0).otherwise(1)).as("stage"),
+        $"t_purchase")
+      .as[(Long, Int, Option[Timestamp])].collect()
+      .map { case (k, v2, v3) => k -> ((v2, v3)) }.toMap
+    assert(stages(1L)._1 === 1)
+    assert(stages(2L)._1 === 3)
+    // and the counted purchase is the one AFTER the click, not the early one
+    assert(stages(2L)._2 === Some(ts("2024-01-01 00:03:00")))
+  }
+
+  test("cohort query: offset-0 head equals each cohort's signup population") {
+    // every signup user has an event in their signup week (the signup
+    // itself), so week_offset 0 rows must count the full cohort
+    val out = EventAnalytics.queries("q_cohort")
+      .fn(spark, TestSpark.sfDir)
+      .filter($"week_offset" === 0L)
+      .agg(sum($"n_active")).as[Long].head()
+    val cohortTotal = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .filter($"event_type" === "signup")
+      .select($"user_id").distinct().count()
+    assert(out === cohortTotal)
+  }
+}
