@@ -12,6 +12,20 @@ case class UserEvent(user_id: Long, value: Double)
 /** Per-user running totals held in stream state. */
 case class UserTotal(user_id: Long, n: Long, sum_value: Double)
 
+/** Typed event for the streaming sessionizer. */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+
+/** Open-session state per user: 1-based session ordinal, bounds in
+  * epoch-µs, event count. One fixed-size struct per key — state size is
+  * O(active users), independent of events per session.
+  */
+case class SessionState(ordinal: Long, startUs: Long, lastUs: Long, n: Long)
+
+/** A finalized session — the streaming twin of one q_sessionize row. */
+case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    dur_us: Long)
+
 /** Time-window operators over the `events` stream table.
   *
   * The reference has no streaming at all (SURVEY §1 last row — batch
@@ -221,6 +235,86 @@ object Streams {
           val next = UserTotal(uid, n, v)
           state.update(next)
           Iterator.single(next)
+      }
+  }
+
+  /** Streaming gap sessionization (s_sessionize): the
+    * `flatMapGroupsWithState` + `EventTimeTimeout` twin of the batch
+    * `EventAnalytics.sessionize` labeling. Per user, an open session is one
+    * fixed-size [[SessionState]]; an event that lands more than `gapUs`
+    * after the session's last event CLOSES it (emitting a row identical to
+    * q_sessionize's) and opens the next ordinal; a session with no
+    * successor closes when the watermark passes `lastUs + gapUs` — the
+    * exact instant no in-watermark event can extend it any more, provided
+    * `watermarkDelay <= gap` (a late event can be at most `delay` behind
+    * the watermark, and extending needs `ts <= last + gap`). That same
+    * inequality keeps `setTimeoutTimestamp` ahead of the current watermark
+    * (Spark rejects timeouts behind it).
+    *
+    * Batch parity: within a micro-batch events are sorted by (ts,
+    * event_id) — the batch operator's window order — so chronological
+    * feeds produce bit-identical session rows (StreamingSpec proves it on
+    * the real events table). State is ONE fixed-size struct per user:
+    * after a close it shrinks to an ordinal-only marker (session ids are
+    * per-user ordinals, so the counter must outlive the session); keying
+    * sessions by start time instead would allow full eviction on close.
+    */
+  def streamingSessionize(
+      events: Dataset[SessEvent],
+      gapUs: Long = graft.operators.EventAnalytics.sessionGapUs,
+      watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def tsUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def usTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def close(uid: Long, s: SessionState): ClosedSession =
+      ClosedSession(uid, s.ordinal, s.n, usTs(s.startUs), usTs(s.lastUs),
+        s.lastUs - s.startUs)
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val done = close(uid, state.get)
+            // keep a closed-marker (n = 0) carrying the ordinal: session
+            // ids are per-user ordinals, so the counter must survive the
+            // session — one fixed-size struct per ever-seen user, with no
+            // timeout registered until that user sends again. (If bounded
+            // keyspace matters more than ordinal continuity, key sessions
+            // by session_start and state.remove() here instead.)
+            state.update(SessionState(done.session_id, 0L, 0L, 0L))
+            Iterator.single(done)
+          } else {
+            val evs = batch.toArray.sortBy(e => (tsUs(e.ts), e.event_id))
+            val out = Seq.newBuilder[ClosedSession]
+            var st = state.getOption.orNull
+            evs.foreach { e =>
+              val t = tsUs(e.ts)
+              if (st == null) st = SessionState(1L, t, t, 1L)
+              else if (st.n == 0L) st = SessionState(st.ordinal + 1, t, t, 1L)
+              else if (t - st.lastUs > gapUs) {
+                out += close(uid, st)
+                st = SessionState(st.ordinal + 1, t, t, 1L)
+              } else st = SessionState(st.ordinal, st.startUs,
+                Math.max(st.lastUs, t), st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // timeout in event-time ms, 1 ms past the last extendable µs
+              state.setTimeoutTimestamp(
+                Math.floorDiv(st.lastUs + gapUs, 1000L) + 1L)
+            }
+            out.result().iterator
+          }
       }
   }
 

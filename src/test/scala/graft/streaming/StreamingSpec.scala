@@ -297,4 +297,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("streamingSessionize emits exactly the batch q_sessionize rows (real events)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the full sf0.001 events table, fed chronologically in three
+    // micro-batches; two far-future sentinel batches then push the
+    // watermark so every open session times out and closes
+    val evs = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"ts", $"event_id").as[SessEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val maxMs = evs.map(_.ts.getTime).max
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+    val mem = MemoryStream[SessEvent]
+    val q = Streams.streamingSessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sessionize").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // sentinel batch N advances the watermark at its END; timeouts fire
+      // in batch N+1 — hence two sentinels
+      val day = 24L * 3600 * 1000
+      mem.addData(SessEvent(-1L, new Timestamp(maxMs + 2 * day), 0L))
+      q.processAllAvailable()
+      mem.addData(SessEvent(-1L, new Timestamp(maxMs + 4 * day), 1L))
+      q.processAllAvailable()
+      val got = spark.table("t_sessionize")
+        .filter($"user_id" >= 0L)
+        .select($"user_id", $"session_id", $"n_events",
+          $"session_start", $"session_end", $"dur_us")
+        .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+      val want = graft.operators.EventAnalytics.queries("q_sessionize")
+        .fn(spark, TestSpark.sfDir)
+        .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got == want,
+        s"streaming sessions diverge from batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
 }
