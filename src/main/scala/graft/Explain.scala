@@ -25,7 +25,8 @@ object Explain {
       else Seq("q_agg_group", "q_scan_project", "q_join_broadcast",
         "q_join_multi", "q_topk", "q_sim_topk",
         "q_dedup_simhash", "q_cluster_assign", "q_join_lateral",
-        "q_tfidf", "q_merge_upsert", "q_resample", "q_embed_quant")
+        "q_tfidf", "q_merge_upsert", "q_resample", "q_embed_quant",
+        "q_sessionize", "q_funnel", "q_decontam", "q_bm25")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       Registry.all(n).fn(spark, sfDir).explain("formatted")

@@ -356,6 +356,11 @@ object Dedup {
        |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
        |         FROM bsum GROUP BY doc_id)""".stripMargin
 
+  /** q_dedup_sem's within-cluster cosine threshold (6dp-rounded compare,
+    * interpolated into the oracle SQL).
+    */
+  val semThreshold: Double = 0.45
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup via hash-groupBy: survivor id + multiplicity per key
@@ -701,6 +706,69 @@ object Dedup {
           round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos_r") >= 0.45)
         .select(col("d1"), col("d2"), col("cos_r"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    // clustering embeddings and scoring pairs only WITHIN a cluster — the
+    // k-means twin of the LSH bucketing above (cheaper than corpus-wide
+    // LSH when a clustering already exists for curation). Assignment is
+    // the q_cluster_assign mirror (6dp-rounded cosine argmax with id
+    // tiebreak recomputed identically in SQL), so both engines derive the
+    // identical partition of the corpus, then the identical pair set.
+    // Scale shape: broadcast centroid E-step + ONE shuffle on cent_id for
+    // the self-join; within-cluster pairing is quadratic in CLUSTER size,
+    // which production SemDeDup bounds by scaling k with the corpus
+    // (k ∝ N keeps expected cluster size constant); the fixed k = 8 here
+    // mirrors q_cluster_assign's curated-table setup.
+    "q_dedup_sem" -> Q(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.cent_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |SELECT p.d1, p.d2, p.cent_id,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_r
+         |FROM pairs p JOIN embeddings ea ON ea.vec_id = p.d1
+         |             JOIN embeddings eb ON eb.vec_id = p.d2
+         |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= $semThreshold
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cent_id"), Similarity.toDouble(col("embedding")).as("cv"))
+      val asg = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos_r",
+          round(Similarity.dot(col("v"), col("cv"))
+            / (Similarity.norm(col("v")) * Similarity.norm(col("cv"))), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("cos_r")),
+          struct(col("cos_r"), col("cent_id") * -1)).as("a"))
+        .select(col("vec_id"), col("a.cent_id").as("cent_id"))
+      val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
+        Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
+      asg.as("a").join(asg.as("b"),
+          col("a.cent_id") === col("b.cent_id")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          col("a.cent_id").as("cent_id"))
+        .join(v.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
+        .join(v.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
+        .withColumn("cos_r",
+          round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+        .filter(col("cos_r") >= semThreshold)
+        .select(col("d1"), col("d2"), col("cent_id"), col("cos_r"))
         .orderBy(col("d1"), col("d2"))
     }
   )

@@ -26,6 +26,17 @@ case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
     dur_us: Long)
 
+/** Typed event for the streaming funnel. */
+case class FunnelEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
+
+/** Per-user funnel progress — also the emitted row (the streaming twin of
+  * one q_funnel row; the latest emission per user is the current truth).
+  */
+case class FunnelState(user_id: Long,
+    t_view: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
+    t_purchase: Option[java.sql.Timestamp], stage: Int)
+
 /** Time-window operators over the `events` stream table.
   *
   * The reference has no streaming at all (SURVEY §1 last row — batch
@@ -315,6 +326,56 @@ object Streams {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming ordered funnel (s_funnel): the `mapGroupsWithState` twin of
+    * the batch q_funnel. Per user the state IS the funnel row (first view,
+    * first qualifying click at-or-after it, first qualifying purchase
+    * at-or-after that); an event that advances a step emits the updated
+    * row, so the LATEST emission per user is the current funnel truth —
+    * the standard emit-on-change CDC shape for a monotone per-key fact.
+    *
+    * Batch parity on chronological feeds: the first view seen is min(ts of
+    * view), and the first click after t_view is set is min(click >=
+    * t_view) (same for purchase). At equal timestamps a micro-batch is
+    * processed in step order (view < click < purchase), matching the batch
+    * operator's inclusive `>=` step predicate. State: one fixed-size
+    * struct per user who ever viewed — the same per-key cardinality the
+    * batch aggregate holds.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    def tsUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    events.filter(e => stepRank.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelState](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(uid, None, None, None, 0))
+          val before = st
+          batch.toArray
+            .sortBy(e => (tsUs(e.ts), stepRank(e.event_type)))
+            .foreach { e =>
+              (e.event_type, st.t_view, st.t_click, st.t_purchase) match {
+                case ("view", None, _, _) =>
+                  st = st.copy(t_view = Some(e.ts), stage = 1)
+                case ("click", Some(v), None, _) if !e.ts.before(v) =>
+                  st = st.copy(t_click = Some(e.ts), stage = 2)
+                case ("purchase", _, Some(c), None) if !e.ts.before(c) =>
+                  st = st.copy(t_purchase = Some(e.ts), stage = 3)
+                case _ => ()
+              }
+            }
+          if (st != before) {
+            state.update(st)
+            Iterator.single(st)
+          } else Iterator.empty
       }
   }
 

@@ -588,11 +588,11 @@ class LlmSpec extends AnyFunSuite {
     // candidate-generation plan must be an equi-join, never a nested-loop
     // or cartesian over the corpus
     val names = Seq("q_dedup_near", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_embed", "q_cluster_assign", "q_sim_ivf")
+      "q_dedup_embed", "q_cluster_assign", "q_sim_ivf", "q_dedup_sem")
     // the only legitimate nested-loop shape is broadcasting a
     // single-row/centroid table (crossJoin(broadcast(tiny))); corpus
     // self-pairing must never appear
-    val tinyBroadcastOk = Set("q_cluster_assign", "q_sim_ivf")
+    val tinyBroadcastOk = Set("q_cluster_assign", "q_sim_ivf", "q_dedup_sem")
     names.foreach { n =>
       val plan = graft.Registry.all(n).fn(spark, TestSpark.sfDir)
         .queryExecution.executedPlan.toString

@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ann",         // crossJoin(broadcast(probe set)) variant
     "q_sim_ivf",         // crossJoin(broadcast(1-row query + centroid table))
     "q_cluster_assign",  // crossJoin(broadcast(8-row centroid table))
+    "q_dedup_sem",       // crossJoin(broadcast(8-row centroid table))
     "q_scalar_subquery", // crossJoin(broadcast(1-row aggregate))
     "q_tfidf",           // crossJoin(broadcast(1-row N-docs aggregate))
     "q_embed_quant",     // crossJoin(broadcast(1-row min/max stats))

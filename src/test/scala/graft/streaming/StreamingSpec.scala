@@ -335,4 +335,34 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming sessions diverge from batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("streamingFunnel's latest emission per user matches batch q_funnel (real events)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_type", $"ts").as[FunnelEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[FunnelEvent]
+    val q = Streams.streamingFunnel(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_funnel").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // stage is monotone per user, so the latest emission = max stage
+      val got = spark.table("t_funnel")
+        .as[FunnelState].collect()
+        .groupBy(_.user_id).map { case (_, rows) => rows.maxBy(_.stage) }
+        .map(f => (f.user_id, f.t_view, f.t_click, f.t_purchase, f.stage))
+        .toSet
+      val want = graft.operators.EventAnalytics.queries("q_funnel")
+        .fn(spark, TestSpark.sfDir)
+        .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Int)]
+        .collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5))
+        .toSet
+      assert(got == want,
+        s"streaming funnel diverges: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
 }
