@@ -278,6 +278,18 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
 
+    // the timeout-at-last+gap close is only sound while delay <= gap (see
+    // scaladoc); enforce it rather than silently emitting sessions a
+    // still-in-watermark event could have extended
+    val wmIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val wmUs = wmIv.months * 2629746000000L + wmIv.days * 86400000000L +
+      wmIv.microseconds
+    require(wmUs <= gapUs,
+      s"watermark delay ($watermark) must be <= the session gap (${gapUs}us): " +
+        "a late event inside the watermark could still extend a session the " +
+        "timeout would already have closed")
+
     def tsUs(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     def usTs(us: Long): java.sql.Timestamp = {

@@ -65,4 +65,46 @@ object ExactnessProps extends Properties("Exactness") {
         }
       }
     }
+
+  // events within a few hours per user, microsecond-granular, duplicate
+  // timestamps allowed (the event_id tiebreak must resolve them)
+  private val genEvents: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.chooseNum(1L, 3L)
+      offUs <- Gen.chooseNum(0L, 4L * 3600 * 1000000)
+    } yield (user, offUs))
+
+  property("sessionize matches the single-threaded gap fold for any event set") =
+    Prop.forAll(genEvents) { evs =>
+      val gapUs = graft.operators.EventAnalytics.sessionGapUs
+      val baseUs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+      def ts(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp((baseUs + us) / 1000L)
+        t.setNanos(((baseUs + us) % 1000000L * 1000L).toInt)
+        t
+      }
+      val rows = evs.zipWithIndex.map { case ((u, off), i) => Row(u, ts(off), i.toLong) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3),
+        StructType(Seq(StructField("user_id", LongType, nullable = false),
+          StructField("t", TimestampType, nullable = false),
+          StructField("event_id", LongType, nullable = false))))
+      val got = graft.operators.EventAnalytics
+        .sessionize(df, "user_id", "t", "event_id")
+        .select(col("event_id"), col("session_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: per user, sort by (offset, event_id) and count gap breaks
+      val want = evs.zipWithIndex
+        .map { case ((u, off), i) => (u, off, i.toLong) }
+        .groupBy(_._1).values.flatMap { es =>
+          var sid = 0L
+          var last = Long.MinValue
+          es.sortBy(e => (e._2, e._3)).map { case (_, off, id) =>
+            if (last == Long.MinValue || off - last > gapUs) sid += 1
+            last = off
+            id -> sid
+          }
+        }.toMap
+      got == want
+    }
 }

@@ -336,6 +336,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSessionize rejects a watermark delay longer than the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessEvent]
+    val e = intercept[IllegalArgumentException] {
+      Streams.streamingSessionize(mem.toDS(), watermark = "2 hours")
+    }
+    assert(e.getMessage.contains("watermark delay"))
+  }
+
   test("streamingFunnel's latest emission per user matches batch q_funnel (real events)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
