@@ -33,19 +33,23 @@ object Bench {
       // query), which pollutes round-over-round comparisons. A failed
       // query must be visible in the output, not recorded as a fast
       // success — sentinel -1.
-      val sec = (0 until 2).map { _ =>
+      val runs = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      }.min
-      name -> sec
+      }
+      name -> (runs.min, runs.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // first-run sum preserved alongside: rounds 1-3 (and BASELINE.md's
+    // protocol) recorded single-shot times, so cross-round comparisons
+    // should use value_first vs old totals, value vs new ones
+    val totalFirst = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"protocol":"min_of_2","queries":$qs,"sf":"$sfDir"}"""
     // stdout scraping is lossy: the driver keeps only the LAST ~2000 chars
     // of sbt output, and the full 114-query line is ~4k chars, so its head
     // (including "metric"/"value") was truncated away in rounds 1-3 and the
@@ -55,7 +59,9 @@ object Bench {
     // The complete full-precision map always lands in /tmp/graft_bench.json.
     val budgetChars = 1700
     // failures (sentinel -1) first — they must never be truncated away
-    val sorted = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
+    val sorted = results.toSeq
+      .map { case (k, (mn, _)) => (k, mn) }
+      .sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
     val sb = new StringBuilder
     var kept = 0
     sorted.foreach { case (k, v) =>
@@ -65,7 +71,7 @@ object Bench {
         sb.append(entry); kept += 1
       }
     }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":{${sb.toString}},"sf":"$sfDir","n_queries":${results.size},"n_shown":$kept,"full":"/tmp/graft_bench.json"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"protocol":"min_of_2","queries":{${sb.toString}},"sf":"$sfDir","n_queries":${results.size},"n_shown":$kept,"full":"/tmp/graft_bench.json"}"""
     println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (fullLine + "\n").getBytes("UTF-8"))

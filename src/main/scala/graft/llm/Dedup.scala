@@ -361,6 +361,13 @@ object Dedup {
     */
   val semThreshold: Double = 0.45
 
+  /** q_dedup_sem's target cluster size: k = max(8, ceil(N / this)), so the
+    * cluster count GROWS with the corpus and expected within-cluster pair
+    * work stays ~N × docsPerCluster — linear, never the Θ(N²/k) a fixed k
+    * degenerates to at scale. Shared with the oracle's dynamic LIMIT.
+    */
+  val semDocsPerCluster: Long = 640L
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup via hash-groupBy: survivor id + multiplicity per key
@@ -718,13 +725,17 @@ object Dedup {
     // identical partition of the corpus, then the identical pair set.
     // Scale shape: broadcast centroid E-step + ONE shuffle on cent_id for
     // the self-join; within-cluster pairing is quadratic in CLUSTER size,
-    // which production SemDeDup bounds by scaling k with the corpus
-    // (k ∝ N keeps expected cluster size constant); the fixed k = 8 here
-    // mirrors q_cluster_assign's curated-table setup.
+    // so k scales with the corpus — k = max(8, ceil(N/semDocsPerCluster))
+    // on BOTH sides (Spark computes it from an eager metadata-cheap
+    // count; the oracle's LIMIT is the same expression) — keeping
+    // expected pair work ~N × docsPerCluster, i.e. linear. At the test
+    // scale factors k resolves to 8 (q_cluster_assign's setup).
     "q_dedup_sem" -> Q(
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cv
-         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |  FROM embeddings ORDER BY vec_id
+         |  LIMIT (SELECT greatest(8, (count(*) + ${semDocsPerCluster - 1}) // $semDocsPerCluster)
+         |         FROM embeddings)),
          |scored AS (
          |  SELECT e.vec_id, c.cent_id,
          |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
@@ -745,7 +756,9 @@ object Dedup {
          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= $semThreshold
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
-      val cents = emb.orderBy(col("vec_id")).limit(8)
+      val k = math.max(8L,
+        (emb.count() + semDocsPerCluster - 1) / semDocsPerCluster).toInt
+      val cents = emb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("cent_id"), Similarity.toDouble(col("embedding")).as("cv"))
       val asg = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
         .crossJoin(broadcast(cents))

@@ -339,6 +339,33 @@ object Aggregates {
           col("hr").asc_nulls_first)
     },
 
+    // Exact per-group mode with a deterministic tiebreak. Built-in mode()
+    // leaves ties engine-defined (DuckDB and Spark disagree), so both
+    // sides compute it as count-then-rank with the value as tiebreak —
+    // two partial-aggregable shuffles ((grp, val) then grp), no window
+    // over raw rows; the rank window runs on the (grp, value) aggregate,
+    // whose cardinality is bounded by distinct values per group.
+    "q_agg_mode" -> Q(
+      """SELECT l_returnflag, l_linenumber AS mode_linenumber, n FROM (
+        |  SELECT l_returnflag, l_linenumber, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY n DESC, l_linenumber) AS rk
+        |  FROM (SELECT l_returnflag, l_linenumber, count(*) AS n
+        |        FROM lineitem GROUP BY l_returnflag, l_linenumber))
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Engine.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("l_linenumber"))))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_linenumber").as("mode_linenumber"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Approximate percentiles (the mergeable-quantile-sketch tier for
     // monitoring dashboards at scale — exact quantiles need a full sort,
     // the sketch merges map-side). Sketch internals are engine-specific:

@@ -49,7 +49,21 @@ case class FunnelState(user_id: Long,
   * Scale: windowed aggregation shuffles on (window, key) — bounded
   * cardinality; watermarks bound state for unbounded streams.
   */
-object Streams {
+// Serializable: the custom-state closures call the private µs helpers
+// below, which makes the (stateless) module part of the serialized task
+object Streams extends Serializable {
+
+  /** Timestamp ↔ epoch-µs, exact for the µs-aligned timestamps both
+    * engines use (Engine.scala nanos note). Shared by the custom-state
+    * operators so the conversion can't drift between them.
+    */
+  private def tsUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Exact sum for `value` (2dp data, |v| < 1e6): decimal(18,6) per-row
     * cast, order-independent sum, final double (scaled magnitude < 2^53).
@@ -265,7 +279,13 @@ object Streams {
     * Batch parity: within a micro-batch events are sorted by (ts,
     * event_id) — the batch operator's window order — so chronological
     * feeds produce bit-identical session rows (StreamingSpec proves it on
-    * the real events table). State is ONE fixed-size struct per user:
+    * the real events table). A cross-batch late event inside the
+    * watermark merges into the open session with both bounds widened
+    * (min start / max last); parity can only break in the inherently
+    * unrepresentable case of a late event more than `gap` BEFORE the open
+    * session's start, which batch would place in an earlier, already-gone
+    * session — O(1) per-key state cannot reopen it. State is ONE
+    * fixed-size struct per user:
     * after a close it shrinks to an ordinal-only marker (session ids are
     * per-user ordinals, so the counter must outlive the session); keying
     * sessions by start time instead would allow full eviction on close.
@@ -290,13 +310,6 @@ object Streams {
         "a late event inside the watermark could still extend a session the " +
         "timeout would already have closed")
 
-    def tsUs(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def usTs(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     def close(uid: Long, s: SessionState): ClosedSession =
       ClosedSession(uid, s.ordinal, s.n, usTs(s.startUs), usTs(s.lastUs),
         s.lastUs - s.startUs)
@@ -327,8 +340,11 @@ object Streams {
               else if (t - st.lastUs > gapUs) {
                 out += close(uid, st)
                 st = SessionState(st.ordinal + 1, t, t, 1L)
-              } else st = SessionState(st.ordinal, st.startUs,
-                Math.max(st.lastUs, t), st.n + 1)
+              } else st = SessionState(st.ordinal,
+                // a late-but-in-watermark event can precede the open
+                // session's start; widen BOTH bounds or the emitted
+                // start/duration diverge from the batch labeling
+                Math.min(st.startUs, t), Math.max(st.lastUs, t), st.n + 1)
             }
             if (st != null) {
               state.update(st)
@@ -355,14 +371,19 @@ object Streams {
     * operator's inclusive `>=` step predicate. State: one fixed-size
     * struct per user who ever viewed — the same per-key cardinality the
     * batch aggregate holds.
+    *
+    * Lateness contract: this is the OBSERVED funnel — a cross-batch
+    * out-of-order event with an earlier timestamp than an already-recorded
+    * step cannot retroactively re-qualify steps (that would need the full
+    * per-user event history, not O(1) state; batch q_funnel on the final
+    * log is the reconciliation path, exactly as a warehouse would rerun
+    * it). Chronological per-user arrival ⇒ bit parity, spec-pinned.
     */
   def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelState] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val stepRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
-    def tsUs(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     events.filter(e => stepRank.contains(e.event_type))
       .groupByKey(_.user_id)

@@ -34,8 +34,9 @@ class SearchSpec extends AnyFunSuite {
       .groupBy($"doc_id").agg(countDistinct($"gram").as("n")).as[(Long, Long)]
       .collect().toMap
     val nTok = bench0.split(" ").length
-    assert(hits(1000001L) >= 1L)
-    assert(hits(1000001L) <= (nTok - Search.decontamK + 1).toLong)
+    val n = hits.getOrElse(1000001L, 0L)
+    assert(n >= 1L, "planted verbatim copy of a benchmark doc was not flagged")
+    assert(n <= (nTok - Search.decontamK + 1).toLong)
   }
 
   test("bm25 returns exactly 10 ranked rows with positive scores, rk dense 1..10") {

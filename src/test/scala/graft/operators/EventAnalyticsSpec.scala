@@ -53,22 +53,9 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2L, "click", ts("2024-01-01 00:02:00"), 5L),
       (2L, "purchase", ts("2024-01-01 00:03:00"), 6L)
     ).toDF("user_id", "event_type", "ts", "event_id")
-    df.createOrReplaceTempView("events_funnel_spec")
-    // run the same composition as q_funnel against the tiny frame
-    val e = df
-    val v = e.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts").as("t_view"))
-    val c = e.filter($"event_type" === "click")
-      .join(v, "user_id").filter($"ts" >= $"t_view")
-      .groupBy($"user_id").agg(min($"ts").as("t_click"))
-    val p = e.filter($"event_type" === "purchase")
-      .join(c, "user_id").filter($"ts" >= $"t_click")
-      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
-    val stages = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-      .select($"user_id",
-        (lit(1) + when($"t_click".isNull, 0).otherwise(1)
-          + when($"t_purchase".isNull, 0).otherwise(1)).as("stage"),
-        $"t_purchase")
+    // the PRODUCTION composition, not a copy that could drift
+    val stages = EventAnalytics.funnel(df)
+      .select($"user_id", $"stage", $"t_purchase")
       .as[(Long, Int, Option[Timestamp])].collect()
       .map { case (k, v2, v3) => k -> ((v2, v3)) }.toMap
     assert(stages(1L)._1 === 1)
