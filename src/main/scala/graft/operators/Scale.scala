@@ -145,7 +145,71 @@ object Scale {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Bloom-filter prefilter for a semi join — sideways information
+    * passing: hash the (selective) build side's keys into an `mBits`-wide
+    * bloom bitset stored as ≤ mBits/64 (widx, word) rows, broadcast it,
+    * and keep only probe rows whose `nHashes` positions are all set. No
+    * shuffle touches the probe until after the reduction; false positives
+    * only cost effectiveness (the exact join decides membership), false
+    * negatives are impossible — every build key sets exactly the bits the
+    * probe checks. This is the explicit form of Spark's runtime row-level
+    * filtering, usable when the optimizer can't inject one (e.g. across a
+    * non-join boundary or a hand-built pipeline).
+    */
+  def bloomPrefilter(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      mBits: Int = 1 << 16, nHashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    val m = lit(mBits.toLong)
+    def positions(key: Column): Seq[Column] =
+      (0 until nHashes).map(i => pmod(xxhash64(key, lit(i)), m))
+    val words = build.select(explode(array(positions(col(buildKey)): _*)).as("pos"))
+      .select((col("pos") / 64).cast(LongType).as("widx"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy(col("widx")).agg(expr("bit_or(bit)").as("word"))
+    positions(col(probeKey)).zipWithIndex.foldLeft(probe) { case (df, (p, i)) =>
+      df.withColumn(s"__pos$i", p)
+        .join(broadcast(words
+          .select(col("widx").as(s"__widx$i"), col("word").as(s"__word$i"))),
+          (col(s"__pos$i") / 64).cast(LongType) === col(s"__widx$i"))
+        .filter(expr(s"__word$i & shiftleft(1L, cast(__pos$i % 64 as int))") =!= 0)
+        .drop(s"__pos$i", s"__widx$i", s"__word$i")
+    }
+  }
+
+  /** [[bloomPrefilter]] followed by the exact left-semi join: identical
+    * result to `probe SEMI JOIN build`, with the shuffle fed only the
+    * bloom survivors.
+    */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      mBits: Int = 1 << 16, nHashes: Int = 3): DataFrame =
+    bloomPrefilter(probe, probeKey, build, buildKey, mBits, nHashes)
+      .join(build, col(probeKey) === build(buildKey), "left_semi")
+
   val queries: Map[String, Q] = Map(
+
+    // Bloom-prefiltered semi join: lineitems of high-value orders. The
+    // bloom stage is correctness-neutral (exact semi join follows), so
+    // the oracle is the plain EXISTS — hash-identical by construction;
+    // ScaleSpec pins the reduction and the no-false-negative contract.
+    "q_join_bloom" -> Q(
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty
+        |FROM lineitem WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val sel = Engine.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      bloomSemiJoin(Engine.table(s, dir, "lineitem"), "l_orderkey",
+          sel, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
 
     // Compaction round-trip: lineitem scattered into many small files,
     // compacted to 4 bounded-size files, read back and aggregated — the

@@ -163,4 +163,20 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom prefilter: real reduction, no false negatives, exact final result") {
+    val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+    val sel = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+    val pre = Scale.bloomPrefilter(li, "l_orderkey", sel, "o_orderkey")
+    val preN = pre.count()
+    val liN = li.count()
+    assert(preN < liN, s"bloom should reduce the probe ($preN vs $liN)")
+    val exact = li.join(sel, li("l_orderkey") === sel("o_orderkey"), "left_semi")
+    assert(exact.count() <= preN, "bloom survivors must be a superset of true matches")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("l_orderkey"), col("l_linenumber"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(key(Scale.bloomSemiJoin(li, "l_orderkey", sel, "o_orderkey")) === key(exact))
+  }
 }
