@@ -42,6 +42,11 @@ object TextAnalysis {
     Map("de" -> 2, "en" -> 4, "es" -> 1, "fr" -> 2, "zh" -> 1)
   val mixBudget: Int = 100
 
+  /** q_pipeline_curate's quality cut (ppm; ~p60 of the corpus) — shared
+    * with the oracle SQL.
+    */
+  val curateQualityPpm: Long = 400000L
+
   private def lexCount(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
@@ -467,6 +472,88 @@ object TextAnalysis {
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("fp"))).cast(LongType))
         .orderBy(col("doc_id"))
+    },
+
+    // End-to-end curation pipeline — the composed DAG a training-data
+    // team actually ships, as ONE declarative plan: quality filter
+    // (q_quality_score's floor-ppm formula) → exact dedup on the
+    // normalized fingerprint (q_fingerprint, min-id representative) →
+    // MinHash signature dedup (q_dedup_sig's stateless tier) → md5
+    // train/test split (q_sample_hash) → per-(lang, split) corpus stats.
+    // Every stage is an operator this suite gates individually; composing
+    // them costs exactly their plans — narrow projections, one hash
+    // shuffle on the fingerprint, one on the signature, one semi-shaped
+    // join back, and a tiny final aggregate. Catalyst prunes the full
+    // pipeline to the 4 referenced columns at the scan.
+    "q_pipeline_curate" -> Q(
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, n_chars,
+         |    cast(len(string_split(text, ' ')) as double) AS n_tok,
+         |    ${oLexCount("en")} AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT *, cast(floor((
+         |      0.3 * least(n_tok / 100.0, 1.0)
+         |    + 0.4 * (n_stop / n_tok)
+         |    + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)
+         |    AS quality_ppm
+         |  FROM base),
+         |qf AS (SELECT doc_id, lang, text, n_tok FROM q
+         |       WHERE quality_ppm >= $curateQualityPpm AND n_tok >= 3),
+         |e AS (SELECT doc_id, lang, text, n_tok FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rk
+         |    FROM qf) WHERE rk = 1),
+         |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
+         |sh2 AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(1, len(t) - 1),
+         |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |        FROM toks2),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${Dedup.minhashSeeds.zipWithIndex.map { case (seed, i) =>
+        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |  FROM sh2 GROUP BY doc_id),
+         |kept AS (SELECT min(doc_id) AS keep_id FROM sigs
+         |         GROUP BY ${Dedup.minhashSeeds.indices.map(i => s"h$i").mkString(", ")}),
+         |fin AS (
+         |  SELECT e.lang, e.n_tok, e.doc_id,
+         |    CASE WHEN ((instr('0123456789abcdef', substr(md5(cast(e.doc_id as varchar)), 1, 1)) - 1) * 16
+         |             + (instr('0123456789abcdef', substr(md5(cast(e.doc_id as varchar)), 2, 1)) - 1)) % 10 < 8
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM e JOIN kept ON e.doc_id = kept.keep_id)
+         |SELECT lang, split, cast(count(*) as bigint) AS n_docs,
+         |  cast(min(doc_id) as bigint) AS min_doc_id,
+         |  cast(sum(cast(n_tok as bigint)) as bigint) AS sum_tok
+         |FROM fin GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+        col("n_chars"), size(toks).cast(DoubleType).as("n_tok"),
+        lexCount("en").as("n_stop"))
+      val q = base
+        .withColumn("quality_ppm", floor((
+          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
+            + lit(0.4) * (col("n_stop") / col("n_tok"))
+            + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
+              lit(1.0))) * 1000000).cast(LongType))
+        .filter(col("quality_ppm") >= curateQualityPpm && col("n_tok") >= 3)
+      val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
+      val e = q.withColumn("rk", row_number().over(
+          Window.partitionBy(fp).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1).drop("rk")
+      val kept = Dedup.minhashSignaturesStateless(e.select(col("doc_id"), col("text")))
+        .groupBy(Dedup.minhashSeeds.indices.map(i => col(s"h$i")): _*)
+        .agg(min(col("doc_id")).as("keep_id"))
+      e.join(kept, col("doc_id") === col("keep_id"))
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2),
+            16, 10).cast(LongType) % 10 < 8, "train").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
+          sum(col("n_tok").cast(LongType)).as("sum_tok"))
+        .orderBy(col("lang"), col("split"))
     }
   )
 }
