@@ -107,6 +107,14 @@ object Components {
       // slower (more rounds), a second jump per round is ~35% slower
       // (plan duplication outweighs the round savings) — one fresh jump
       // is the operating point.
+      // Round-4 measurement (GRAFT_CC_TRACE): a SECOND materialized jump
+      // per round left the round count at exactly 18 and ran 1.5 s
+      // slower — the convergence tail is min-PROPAGATION along residual
+      // chains (a new minimum still travels one edge-join hop per round),
+      // not pointer-tree depth, so extra jumps have nothing to compress.
+      // Cutting the tail needs edge-rewiring contraction
+      // (large-star/small-star), which rewrites the edge set per round —
+      // not worth that complexity at ~7 s for the one multi-round query.
       val nextRdd = prop
         .join(prop.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
@@ -134,6 +142,9 @@ object Components {
       labelsRdd = nextRdd
       labels = next
       it += 1
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round $it sum=$prevSum changed=$changed " +
+          s"t=${System.nanoTime() / 1000000}ms")
     }
     sym.unpersist()
     if (changed != 0) {
