@@ -44,12 +44,17 @@ object Bench {
     }
     val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // failure sentinels stay visible per-query but are EXCLUDED from both
+    // totals (a -1 summed in would make a crashing round look faster);
+    // n_failed makes the exclusion explicit
+    val ok = results.values.filter(_._1 >= 0)
+    val total = ok.map(_._1).sum
     // first-run sum preserved alongside: rounds 1-3 (and BASELINE.md's
     // protocol) recorded single-shot times, so cross-round comparisons
     // should use value_first vs old totals, value vs new ones
-    val totalFirst = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"protocol":"min_of_2","queries":$qs,"sf":"$sfDir"}"""
+    val totalFirst = results.values.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.values.count(_._1 < 0)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"protocol":"min_of_2","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     // stdout scraping is lossy: the driver keeps only the LAST ~2000 chars
     // of sbt output, and the full 114-query line is ~4k chars, so its head
     // (including "metric"/"value") was truncated away in rounds 1-3 and the
@@ -71,7 +76,7 @@ object Bench {
         sb.append(entry); kept += 1
       }
     }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"protocol":"min_of_2","queries":{${sb.toString}},"sf":"$sfDir","n_queries":${results.size},"n_shown":$kept,"full":"/tmp/graft_bench.json"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"protocol":"min_of_2","n_failed":$nFailed,"queries":{${sb.toString}},"sf":"$sfDir","n_queries":${results.size},"n_shown":$kept,"full":"/tmp/graft_bench.json"}"""
     println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -152,6 +152,16 @@ object Dedup {
     */
   val minhashSeeds: Seq[String] = graft.functions.MinhashSignature.defaultSeeds
 
+  /** Oracle-SQL fragment computing the per-doc MinHash signature columns
+    * h0..h5 over a `(doc_id, shingle)` relation — ONE definition shared by
+    * every sig-based oracle (q_dedup_sig / minhash / fuzzy and the
+    * composed q_pipeline_curate) so they cannot drift.
+    */
+  private[llm] val oSigExprs: String =
+    minhashSeeds.zipWithIndex.map { case (seed, i) =>
+      s"min(md5('$seed' || shingle)) AS h$i"
+    }.mkString(", ")
+
   /** Per-doc MinHash signature: h_i = min over shingles of
     * md5(seed_i || shingle) (lexicographic min of fixed-width hex ==
     * numeric min of the 128-bit value).
@@ -546,8 +556,7 @@ object Dedup {
       s"""WITH $oShingleCte,
          |sigs AS (
          |  SELECT doc_id,
-         |    ${minhashSeeds.zipWithIndex.map { case (seed, i) =>
-        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |    $oSigExprs
          |  FROM sh GROUP BY doc_id)
          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM sigs GROUP BY ${minhashSeeds.indices.map(i => s"h$i").mkString(", ")}
@@ -565,8 +574,7 @@ object Dedup {
       s"""WITH $oShingleCte,
          |sigs AS (
          |  SELECT doc_id,
-         |    ${minhashSeeds.zipWithIndex.map { case (seed, i) =>
-        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |    $oSigExprs
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, g.b AS band_id,
@@ -604,8 +612,7 @@ object Dedup {
       s"""WITH $oShingleCte,
          |sigs AS (
          |  SELECT doc_id,
-         |    ${minhashSeeds.zipWithIndex.map { case (seed, i) =>
-        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |    $oSigExprs
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, g.b AS band_id,

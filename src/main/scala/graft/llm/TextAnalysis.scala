@@ -47,6 +47,43 @@ object TextAnalysis {
     */
   val curateQualityPpm: Long = 400000L
 
+  // ---- formulas shared between their defining query and the composed
+  // q_pipeline_curate, so the pipeline can't silently drift from the
+  // operators it claims to compose (one definition per engine side) ----
+
+  /** Quality blend over (n_tok, n_stop, n_chars) columns, floor-ppm
+    * (q_quality_score + q_pipeline_curate).
+    */
+  private def qualityPpmCol: Column =
+    floor((
+      lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
+        + lit(0.4) * (col("n_stop") / col("n_tok"))
+        + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
+          lit(1.0))) * 1000000).cast(LongType)
+  private val oQualityPpm: String =
+    """cast(floor((
+      |    0.3 * least(n_tok / 100.0, 1.0)
+      |  + 0.4 * (n_stop / n_tok)
+      |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)""".stripMargin
+
+  /** Whitespace-normalized lowercase md5 fingerprint
+    * (q_fingerprint + q_pipeline_curate).
+    */
+  private val fingerprintCol: Column =
+    md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
+  private val oFingerprint: String =
+    "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** First-md5-byte bucket of an id (q_sample_hash + q_pipeline_curate);
+    * bucket % 10 < 8 is the train split.
+    */
+  private def bucketCol(id: Column): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 2), 16, 10)
+      .cast(LongType)
+  private def oBucket(idExpr: String): String =
+    s"(instr('0123456789abcdef', substr(md5(cast($idExpr as varchar)), 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substr(md5(cast($idExpr as varchar)), 2, 1)) - 1)"
+
   private def lexCount(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
@@ -64,17 +101,13 @@ object TextAnalysis {
     // 80/20 by bucket mod 10. Embarrassingly parallel, zero shuffles
     // before the ordered output.
     "q_sample_hash" -> Q(
-      """SELECT doc_id, bucket,
-        |  CASE WHEN bucket % 10 < 8 THEN 'train' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |        (instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
-        |      + (instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) AS bucket
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket % 10 < 8 THEN 'train' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${oBucket("doc_id")} AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"),
-          conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2),
-            16, 10).cast(LongType).as("bucket"))
+        .select(col("doc_id"), bucketCol(col("doc_id")).as("bucket"))
         .withColumn("split",
           when(col("bucket") % 10 < 8, "train").otherwise("test"))
         .orderBy(col("doc_id"))
@@ -389,10 +422,7 @@ object TextAnalysis {
     // scores sitting exactly on a half split between them — floor of the
     // identical IEEE product cannot (found at sf0.1).
     "q_quality_score" -> Q(
-      s"""SELECT doc_id, n_tok, cast(floor((
-         |    0.3 * least(n_tok / 100.0, 1.0)
-         |  + 0.4 * (n_stop / n_tok)
-         |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)
+      s"""SELECT doc_id, n_tok, $oQualityPpm
          |  AS quality_ppm
          |FROM (
          |  SELECT doc_id, n_chars,
@@ -406,11 +436,7 @@ object TextAnalysis {
         lexCount("en").as("n_stop"))
       base.select(
         col("doc_id"), col("n_tok"),
-        floor((
-          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
-            + lit(0.4) * (col("n_stop") / col("n_tok"))
-            + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
-              lit(1.0))) * 1000000).cast(LongType).as("quality_ppm"))
+        qualityPpmCol.as("quality_ppm"))
         .orderBy(col("doc_id"))
     },
 
@@ -460,15 +486,14 @@ object TextAnalysis {
     // Document fingerprint: md5 over whitespace-normalized lowercase text
     // (identical hex in both engines) + per-fingerprint duplicate count.
     "q_fingerprint" -> Q(
-      """SELECT doc_id,
-        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
-        |  cast(count(*) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
-        |       as bigint) AS n_same
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""SELECT doc_id,
+         |  $oFingerprint AS fp,
+         |  cast(count(*) OVER (PARTITION BY $oFingerprint)
+         |       as bigint) AS n_same
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
       docs(s, dir)
-        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"), fingerprintCol.as("fp"))
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("fp"))).cast(LongType))
         .orderBy(col("doc_id"))
@@ -492,17 +517,14 @@ object TextAnalysis {
          |    ${oLexCount("en")} AS n_stop
          |  FROM documents),
          |q AS (
-         |  SELECT *, cast(floor((
-         |      0.3 * least(n_tok / 100.0, 1.0)
-         |    + 0.4 * (n_stop / n_tok)
-         |    + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)
+         |  SELECT *, $oQualityPpm
          |    AS quality_ppm
          |  FROM base),
          |qf AS (SELECT doc_id, lang, text, n_tok FROM q
          |       WHERE quality_ppm >= $curateQualityPpm AND n_tok >= 3),
          |e AS (SELECT doc_id, lang, text, n_tok FROM (
          |    SELECT *, row_number() OVER (
-         |      PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+         |      PARTITION BY $oFingerprint
          |      ORDER BY doc_id) AS rk
          |    FROM qf) WHERE rk = 1),
          |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
@@ -512,15 +534,13 @@ object TextAnalysis {
          |        FROM toks2),
          |sigs AS (
          |  SELECT doc_id,
-         |    ${Dedup.minhashSeeds.zipWithIndex.map { case (seed, i) =>
-        s"min(md5('$seed' || shingle)) AS h$i" }.mkString(", ")}
+         |    ${Dedup.oSigExprs}
          |  FROM sh2 GROUP BY doc_id),
          |kept AS (SELECT min(doc_id) AS keep_id FROM sigs
          |         GROUP BY ${Dedup.minhashSeeds.indices.map(i => s"h$i").mkString(", ")}),
          |fin AS (
          |  SELECT e.lang, e.n_tok, e.doc_id,
-         |    CASE WHEN ((instr('0123456789abcdef', substr(md5(cast(e.doc_id as varchar)), 1, 1)) - 1) * 16
-         |             + (instr('0123456789abcdef', substr(md5(cast(e.doc_id as varchar)), 2, 1)) - 1)) % 10 < 8
+         |    CASE WHEN (${oBucket("e.doc_id")}) % 10 < 8
          |         THEN 'train' ELSE 'test' END AS split
          |  FROM e JOIN kept ON e.doc_id = kept.keep_id)
          |SELECT lang, split, cast(count(*) as bigint) AS n_docs,
@@ -533,23 +553,17 @@ object TextAnalysis {
         col("n_chars"), size(toks).cast(DoubleType).as("n_tok"),
         lexCount("en").as("n_stop"))
       val q = base
-        .withColumn("quality_ppm", floor((
-          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
-            + lit(0.4) * (col("n_stop") / col("n_tok"))
-            + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
-              lit(1.0))) * 1000000).cast(LongType))
+        .withColumn("quality_ppm", qualityPpmCol)
         .filter(col("quality_ppm") >= curateQualityPpm && col("n_tok") >= 3)
-      val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
       val e = q.withColumn("rk", row_number().over(
-          Window.partitionBy(fp).orderBy(col("doc_id"))))
+          Window.partitionBy(fingerprintCol).orderBy(col("doc_id"))))
         .filter(col("rk") === 1).drop("rk")
       val kept = Dedup.minhashSignaturesStateless(e.select(col("doc_id"), col("text")))
         .groupBy(Dedup.minhashSeeds.indices.map(i => col(s"h$i")): _*)
         .agg(min(col("doc_id")).as("keep_id"))
       e.join(kept, col("doc_id") === col("keep_id"))
         .withColumn("split",
-          when(conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2),
-            16, 10).cast(LongType) % 10 < 8, "train").otherwise("test"))
+          when(bucketCol(col("doc_id")) % 10 < 8, "train").otherwise("test"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
           sum(col("n_tok").cast(LongType)).as("sum_tok"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.{Engine, Q}
 
@@ -160,21 +160,35 @@ object Scale {
       build: DataFrame, buildKey: String,
       mBits: Int = 1 << 16, nHashes: Int = 3): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    // xxhash64 hashes the TYPED bytes: INT 7 and BIGINT 7 are join-equal
+    // but hash-distinct, which would turn "no false negatives" into
+    // silent row loss. Demand identical key types instead of guessing a
+    // common cast.
+    require(probe.schema(probeKey).dataType == build.schema(buildKey).dataType,
+      s"bloom keys must have identical types: ${probe.schema(probeKey).dataType}" +
+        s" vs ${build.schema(buildKey).dataType}")
     val m = lit(mBits.toLong)
     def positions(key: Column): Seq[Column] =
       (0 until nHashes).map(i => pmod(xxhash64(key, lit(i)), m))
-    val words = build.select(explode(array(positions(col(buildKey)): _*)).as("pos"))
+    // ONE distributed aggregation builds the bitset (≤ mBits/64 longs ≈
+    // 8 KB at the default), then it rides into the probe as an array
+    // literal — the same driver-side collect Spark's own runtime bloom
+    // filters (and our IVF centroid table) do for bounded aggregates.
+    // The probe side is then a single narrow filter: no joins, no temp
+    // columns, and the build side is scanned exactly once.
+    val words = new Array[Long](mBits / 64)
+    build.select(explode(array(positions(col(buildKey)): _*)).as("pos"))
       .select((col("pos") / 64).cast(LongType).as("widx"),
         expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
       .groupBy(col("widx")).agg(expr("bit_or(bit)").as("word"))
-    positions(col(probeKey)).zipWithIndex.foldLeft(probe) { case (df, (p, i)) =>
-      df.withColumn(s"__pos$i", p)
-        .join(broadcast(words
-          .select(col("widx").as(s"__widx$i"), col("word").as(s"__word$i"))),
-          (col(s"__pos$i") / 64).cast(LongType) === col(s"__widx$i"))
-        .filter(expr(s"__word$i & shiftleft(1L, cast(__pos$i % 64 as int))") =!= 0)
-        .drop(s"__pos$i", s"__widx$i", s"__word$i")
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val wordsLit = typedLit(words)
+    val checks = positions(col(probeKey)).map { p =>
+      element_at(wordsLit, (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast(IntegerType))) =!= 0
     }
+    probe.filter(checks.reduce(_ && _))
   }
 
   /** [[bloomPrefilter]] followed by the exact left-semi join: identical
@@ -183,9 +197,12 @@ object Scale {
     */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
-      mBits: Int = 1 << 16, nHashes: Int = 3): DataFrame =
-    bloomPrefilter(probe, probeKey, build, buildKey, mBits, nHashes)
-      .join(build, col(probeKey) === build(buildKey), "left_semi")
+      mBits: Int = 1 << 16, nHashes: Int = 3): DataFrame = {
+    val pre = bloomPrefilter(probe, probeKey, build, buildKey, mBits, nHashes)
+    // bind the left side explicitly: an unresolved col(probeKey) is
+    // ambiguous whenever both sides share the key name
+    pre.join(build, pre(probeKey) === build(buildKey), "left_semi")
+  }
 
   val queries: Map[String, Q] = Map(
 

@@ -37,6 +37,24 @@ case class FunnelState(user_id: Long,
     t_view: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
     t_purchase: Option[java.sql.Timestamp], stage: Int)
 
+/** Timestamp ↔ epoch-µs, exact for the µs-aligned timestamps both engines
+  * use (Engine.scala nanos note). A SEPARATE object on purpose: calls
+  * from the custom-state closures compile to a static MODULE$ reference
+  * and capture nothing — private helpers on Streams itself would pull the
+  * whole module (including the queries map of closures) into every
+  * serialized task, and any future non-serializable field would break the
+  * streaming operators at runtime.
+  */
+private[streaming] object MicroTs {
+  def toUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+}
+
 /** Time-window operators over the `events` stream table.
   *
   * The reference has no streaming at all (SURVEY §1 last row — batch
@@ -49,21 +67,7 @@ case class FunnelState(user_id: Long,
   * Scale: windowed aggregation shuffles on (window, key) — bounded
   * cardinality; watermarks bound state for unbounded streams.
   */
-// Serializable: the custom-state closures call the private µs helpers
-// below, which makes the (stateless) module part of the serialized task
-object Streams extends Serializable {
-
-  /** Timestamp ↔ epoch-µs, exact for the µs-aligned timestamps both
-    * engines use (Engine.scala nanos note). Shared by the custom-state
-    * operators so the conversion can't drift between them.
-    */
-  private def tsUs(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-  private def usTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+object Streams {
 
   /** Exact sum for `value` (2dp data, |v| < 1e6): decimal(18,6) per-row
     * cast, order-independent sum, final double (scaled magnitude < 2^53).
@@ -311,7 +315,7 @@ object Streams extends Serializable {
         "timeout would already have closed")
 
     def close(uid: Long, s: SessionState): ClosedSession =
-      ClosedSession(uid, s.ordinal, s.n, usTs(s.startUs), usTs(s.lastUs),
+      ClosedSession(uid, s.ordinal, s.n, MicroTs.toTs(s.startUs), MicroTs.toTs(s.lastUs),
         s.lastUs - s.startUs)
 
     events.withWatermark("ts", watermark)
@@ -330,11 +334,11 @@ object Streams extends Serializable {
             state.update(SessionState(done.session_id, 0L, 0L, 0L))
             Iterator.single(done)
           } else {
-            val evs = batch.toArray.sortBy(e => (tsUs(e.ts), e.event_id))
+            val evs = batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id))
             val out = Seq.newBuilder[ClosedSession]
             var st = state.getOption.orNull
             evs.foreach { e =>
-              val t = tsUs(e.ts)
+              val t = MicroTs.toUs(e.ts)
               if (st == null) st = SessionState(1L, t, t, 1L)
               else if (st.n == 0L) st = SessionState(st.ordinal + 1, t, t, 1L)
               else if (t - st.lastUs > gapUs) {
@@ -393,7 +397,7 @@ object Streams extends Serializable {
           var st = state.getOption.getOrElse(FunnelState(uid, None, None, None, 0))
           val before = st
           batch.toArray
-            .sortBy(e => (tsUs(e.ts), stepRank(e.event_type)))
+            .sortBy(e => (MicroTs.toUs(e.ts), stepRank(e.event_type)))
             .foreach { e =>
               (e.event_type, st.t_view, st.t_click, st.t_purchase) match {
                 case ("view", None, _, _) =>
