@@ -62,7 +62,10 @@ object Bench {
     // to fit the tail window: full precision total + the slowest queries up
     // to a character budget (the omitted ones are the sub-0.1s fast tail).
     // The complete full-precision map always lands in /tmp/graft_bench.json.
-    val budgetChars = 1700
+    // 2000-char tail window minus header (~180), sbt's "[info] " prefix,
+    // and its trailing "[success] Total time: …" line (~75, timestamp
+    // width varies) — 1500 leaves real margin for interleaved log lines
+    val budgetChars = 1500
     // failures (sentinel -1) first — they must never be truncated away
     val sorted = results.toSeq
       .map { case (k, (mn, _)) => (k, mn) }
