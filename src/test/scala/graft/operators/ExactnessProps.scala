@@ -107,4 +107,48 @@ object ExactnessProps extends Properties("Exactness") {
         }.toMap
       got == want
     }
+
+  private val genFunnelEvents: Gen[List[(Long, String, Long)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.chooseNum(1L, 3L)
+      tpe <- Gen.oneOf("view", "click", "purchase", "error")
+      offUs <- Gen.chooseNum(0L, 3600L * 1000000)
+    } yield (user, tpe, offUs))
+
+  property("funnel matches the min-step reference fold for any event set") =
+    Prop.forAll(genFunnelEvents) { evs =>
+      val baseUs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+      def ts(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp((baseUs + us) / 1000L)
+        t.setNanos(((baseUs + us) % 1000000L * 1000L).toInt)
+        t
+      }
+      val rows = evs.map { case (u, tp, off) => Row(u, tp, ts(off)) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3),
+        StructType(Seq(StructField("user_id", LongType, nullable = false),
+          StructField("event_type", StringType, nullable = false),
+          StructField("ts", TimestampType, nullable = false))))
+      val got = graft.operators.EventAnalytics.funnel(df)
+        .select(col("user_id"), col("stage")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // reference: t_view = min view; t_click = min click >= t_view;
+      // t_purchase = min purchase >= t_click; stage = steps reached.
+      // Users with no view are absent entirely.
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val views = es.filter(_._2 == "view").map(_._3)
+        if (views.isEmpty) None
+        else {
+          val tv = views.min
+          val clicks = es.filter(e => e._2 == "click" && e._3 >= tv).map(_._3)
+          if (clicks.isEmpty) Some(u -> 1)
+          else {
+            val tc = clicks.min
+            val purchases = es.filter(e => e._2 == "purchase" && e._3 >= tc)
+            Some(u -> (if (purchases.isEmpty) 2 else 3))
+          }
+        }
+      }
+      got == want
+    }
 }
