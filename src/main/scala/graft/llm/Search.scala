@@ -72,6 +72,54 @@ object Search {
         .orderBy(col("doc_id"))
     },
 
+    // Contaminated-SPAN coverage: for each flagged doc, the fraction of
+    // its token positions covered by benchmark-shared 4-grams — the
+    // "how much of this document is eval data" measure (Lee et al.'s
+    // span view pointed at an EXTERNAL set; q_decontam's count answers
+    // only "is it contaminated"). Same broadcast-benchmark shape as
+    // q_decontam plus the q_dedup_span position-coverage tail; positions
+    // are 0-based in Spark and 1-based in the oracle, which cancels in
+    // the distinct-position COUNTS both report. Floor-ppm coverage.
+    "q_decontam_span" -> Q(
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i AS pos,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${decontamK - 2})) AS i
+         |        FROM toks WHERE len(t) >= $decontamK)),
+         |b AS (SELECT DISTINCT g FROM grams WHERE doc_id % $benchMod = 0),
+         |hit AS (SELECT grams.doc_id, grams.pos FROM grams JOIN b USING (g)
+         |        WHERE grams.doc_id % $benchMod <> 0),
+         |cover AS (SELECT doc_id, count(DISTINCT p) AS covered
+         |          FROM (SELECT doc_id, unnest(range(pos, pos + $decontamK)) AS p
+         |                FROM hit)
+         |          GROUP BY doc_id),
+         |base AS (SELECT doc_id, cast(len(t) as bigint) AS n_tokens FROM toks)
+         |SELECT base.doc_id, n_tokens,
+         |  cast(covered as bigint) AS covered_tokens,
+         |  cast(covered * 1000000 // n_tokens as bigint) AS contam_ppm
+         |FROM base JOIN cover USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val grams = d.select(col("doc_id"),
+        posexplode(TextExpressions.shingles(col("text"), decontamK)))
+        .toDF("doc_id", "pos", "g")
+      val bench = grams.filter(col("doc_id") % benchMod === 0)
+        .select(col("g")).distinct()
+      val cover = grams.filter(col("doc_id") % benchMod =!= 0)
+        .join(broadcast(bench), "g")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (decontamK - 1))).as("p"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("covered"))
+      d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .join(cover, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          col("covered").as("covered_tokens"),
+          expr("(covered * 1000000L) div n_tokens").as("contam_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // BM25 top-10 (k1 = 1.2, b = 0.75) in exact integer arithmetic: the
     // usual ln() idf is not bit-portable across engines, so the idf term
     // uses the raw Robertson-Spärck Jones odds (N - df + 0.5)/(df + 0.5)
