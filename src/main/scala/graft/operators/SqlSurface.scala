@@ -15,6 +15,75 @@ object SqlSurface {
 
   val queries: Map[String, Q] = Map(
 
+    // TPC-H Q3 shape (shipping priority): the classic 3-table analytic a
+    // warehouse user runs through the reference's SQL passthrough —
+    // selective dim filter, two fact joins, exact-decimal revenue, global
+    // top-10. Scale shape: customer filter pushed to its scan and
+    // broadcast; orders⋈lineitem is the one fact-fact shuffle (AQE
+    // re-plans from runtime sizes); top-10 via TakeOrdered, no global
+    // sort. Revenue is bit-exact (Exact.sumRevenue), so rank order is
+    // engine-deterministic with the orderkey tiebreak.
+    "q_tpch_q3" -> Q(
+      s"""SELECT l_orderkey, ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |              JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
+         |  AND l_shipdate > timestamp '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(expr("o_orderdate < timestamp '1998-01-01 00:00:00'"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("l_shipdate > timestamp '1998-01-01 00:00:00'"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local supplier volume): five-way star join where
+    // customer and supplier must share a nation, revenue per nation in a
+    // region-year slice. region/nation/supplier broadcast; lineitem⋈orders
+    // and the customer join are the shuffles. The c_nationkey=s_nationkey
+    // predicate rides the supplier join as an equi-key, not a filter-after
+    // cross.
+    "q_tpch_q5" -> Q(
+      s"""SELECT n_name, ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |            JOIN customer ON c_nationkey = n_nationkey
+         |            JOIN orders ON o_custkey = c_custkey
+         |            JOIN lineitem ON l_orderkey = o_orderkey
+         |            JOIN supplier ON s_suppkey = l_suppkey
+         |                         AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= timestamp '1997-01-01 00:00:00'
+         |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val nations = broadcast(
+        t(s, dir, "region").filter(col("r_name") === "ASIA")
+          .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey")))
+      t(s, dir, "customer")
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .filter(expr("o_orderdate >= timestamp '1997-01-01 00:00:00'")
+          && expr("o_orderdate < timestamp '1998-01-01 00:00:00'"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Pivot / crosstab: status columns per priority. Spark's pivot yields
     // null for empty cells where conditional counts yield 0 — coalesced
     // for parity with the FILTER form.
