@@ -151,4 +151,21 @@ object ExactnessProps extends Properties("Exactness") {
       }
       got == want
     }
+
+  property("bloomPrefilter: superset of true matches, any key sets (no false negatives)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))) { (probeKeys, buildKeys) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.parallelize(probeKeys.map(Row(_)), 2),
+        StructType(Seq(StructField("k", LongType, nullable = false))))
+      val build = spark.createDataFrame(
+        spark.sparkContext.parallelize(buildKeys.map(Row(_)), 2),
+        StructType(Seq(StructField("b", LongType, nullable = false))))
+      // tiny filter (512 bits) to force real collision pressure
+      val pre = Scale.bloomPrefilter(probe, "k", build, "b", mBits = 512)
+        .select(col("k")).collect().map(_.getLong(0)).toSet
+      val trueMatches = probeKeys.toSet.intersect(buildKeys.toSet)
+      // every true match survives the prefilter (false positives are fine)
+      trueMatches.subsetOf(pre)
+    }
 }

@@ -346,6 +346,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("watermark delay"))
   }
 
+  test("streamingSessionize with checkpoint: ordinals and open sessions survive restart") {
+    // the custom-state (flatMapGroupsWithState + EventTimeTimeout)
+    // recovery path — distinct from the dropDuplicates restart test:
+    // the open SessionState struct itself must come back from the store
+    val base = "/tmp/graft_test_stage/sessionize_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"ts", $"event_id").as[SessEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val maxMs = evs.map(_.ts.getTime).max
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    def start() = Streams.streamingSessionize(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir).as[SessEvent])
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    // second half + far-future sentinels arrive while the query is DOWN;
+    // open sessions and per-user ordinals must resume from the store
+    val day = 24L * 3600 * 1000
+    (b2.toSeq ++ Seq(SessEvent(-1L, new Timestamp(maxMs + 2 * day), 0L)))
+      .toDS().write.mode("append").parquet(srcDir)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    Seq(SessEvent(-1L, new Timestamp(maxMs + 4 * day), 1L))
+      .toDS().write.mode("append").parquet(srcDir)
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop()
+    val got = spark.read.parquet(outDir)
+      .filter($"user_id" >= 0L)
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start", $"session_end", $"dur_us")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    val want = graft.operators.EventAnalytics.queries("q_sessionize")
+      .fn(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got == want,
+      s"restart broke session state: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("streamingFunnel's latest emission per user matches batch q_funnel (real events)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
