@@ -126,6 +126,31 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Frame sampling, hash-gated: the Spark side counts what the REAL
+    // decode → frameSample Dataset pipeline (mapPartitions, typed rows)
+    // actually emitted per doc; the oracle derives the same counts from
+    // byte arithmetic — ceil(bytes/chunk) chunks, every 4th kept
+    // (0-based, so ceil(n_chunks/4)). Any drift in the chunking or
+    // sampling plumbing breaks the hash.
+    "q_mm_frames" -> Q(
+      s"""SELECT doc_id,
+         |  cast((octet_length(cast(text as BLOB)) + ${chunkBytes - 1}) // $chunkBytes as bigint)
+         |    AS n_chunks,
+         |  cast(((octet_length(cast(text as BLOB)) + ${chunkBytes - 1}) // $chunkBytes + 3) // 4 as bigint)
+         |    AS n_sampled
+         |FROM documents
+         |WHERE octet_length(cast(text as BLOB)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val feats = decodeFeatures(mediaTable(s, dir))
+      val total = feats.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"))
+      val sampled = frameSample(feats, stride = 4).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"))
+      total.join(sampled, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_sampled"))
+        .orderBy(col("doc_id"))
+    },
+
     // Decoded-feature rollup (stub decode → per-doc aggregate). The
     // decode itself is engine-local → rows-only check; MultimodalSpec
     // pins chunking/shape/determinism.
