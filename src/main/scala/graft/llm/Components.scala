@@ -15,14 +15,12 @@ import graft.{Engine, Q}
   * Not in the reference (`/root/reference/pandas_redshift/core.py` has no
   * relational operators at all) — `EXT` like the rest of the dedup family.
   *
-  * Algorithm: min-label propagation with pointer jumping. Every vertex
-  * starts labeled with its own id; each round takes the min of own and
-  * neighbors' labels (one equi-join + one groupBy-min), then follows the
-  * label pointer one hop (one self-join) — the shortcut compresses paths
-  * geometrically, so convergence is O(log diameter) rounds even on
-  * chain-shaped graphs (the sf0.1 near-dup graph IS one: diameter > 25).
-  * No all-pairs shape anywhere; converged when the exact label sum stops
-  * decreasing.
+  * Two algorithms, both free of any all-pairs shape (see the method docs):
+  * alternating large-star/small-star edge contraction (default; O(log n)
+  * rounds independent of graph diameter — the sf0.1 near-dup graph is a
+  * chain with diameter > 25, which is exactly the shape that punishes
+  * propagation) and min-label propagation with pointer jumping (fallback,
+  * `GRAFT_CC_ALGO=jump`).
   *
   * Scale notes:
   *  - Per-round lineage is re-rooted over persisted RDDs and the edge
@@ -39,9 +37,130 @@ import graft.{Engine, Q}
   */
 object Components {
 
-  /** Min-label propagation over an undirected edge list `(d1, d2)`.
+  /** Connected components over an undirected edge list `(d1, d2)`.
     * Returns `(id, label)` for every vertex incident to at least one edge,
     * where `label` = the smallest vertex id in the component.
+    *
+    * Dispatches between two implementations (env `GRAFT_CC_ALGO`):
+    * alternating large-star/small-star edge contraction (`stars`, the
+    * default — O(log n) rounds regardless of diameter) and min-label
+    * propagation with pointer jumping (`jump` — O(log diameter) in tree
+    * depth but diameter-bound on residual chains; kept as the measured
+    * fallback and for A/B tracing).
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame =
+    sys.env.getOrElse("GRAFT_CC_ALGO", "stars") match {
+      case "jump" => connectedComponentsJump(edges, maxIters)
+      case _      => connectedComponentsStars(edges, maxIters)
+    }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    * round-6 replacement for the propagation tail: instead of moving
+    * labels one edge-hop per round (18 rounds on the sf0.1 chain-shaped
+    * near-dup graph), each round REWIRES the edge set itself toward
+    * component minima:
+    *
+    *  - large-star (per node u over its full neighborhood N):
+    *    m = min(N ∪ {u}); emit (v, m) for every v ∈ N with v > u —
+    *    strictly-larger neighbors hook directly onto the local minimum,
+    *    halving star-depth like pointer jumping but ON THE EDGES, so the
+    *    next round's neighborhoods already see the compressed structure;
+    *  - small-star (per node a over its smaller neighbors N, edges kept
+    *    canonical a > b so N = all b's): m = min(N); emit (b, m) for
+    *    b ≠ m plus (a, m) — smaller neighbors consolidate onto the min.
+    *
+    * Fixed point = disjoint min-rooted stars (paper Thm 1); converged
+    * when the canonical edge set stops changing (distinct sets, so
+    * equal count + empty anti-join ⇔ equality — exact, not a hash
+    * heuristic). The labeling is then read straight off the star edges.
+    *
+    * Scale shape: every round is 2 groupBy-min + 2 equi-joins + distinct
+    * over the EDGE set (which only shrinks as stars form) — never a
+    * corpus-sized shuffle, never all-pairs. Same iterative-loop
+    * disciplines as the jump variant: edge RDD re-rooted per round via
+    * `createDataFrame(rdd, schema)`, graph-sized shuffle partitions,
+    * AQE off inside the loop, loud non-convergence failure.
+    */
+  def connectedComponentsStars(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    val canon = edges
+      .select(greatest(col("d1"), col("d2")).as("a"),
+        least(col("d1"), col("d2")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = canon.count()
+    if (nEdges == 0L) {
+      canon.unpersist()
+      return canon.select(col("a").as("id"), col("b").as("label"))
+    }
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val schema = canon.schema
+      var curRdd = canon.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      var cur = spark.createDataFrame(curRdd, schema)
+      var curCount = cur.count()
+      canon.unpersist()
+      var it = 0
+      var done = false
+      while (!done && it < maxIters) {
+        // large-star: full neighborhood view via both edge directions
+        val nbrs = cur.select(col("a").as("u"), col("b").as("v"))
+          .union(cur.select(col("b").as("u"), col("a").as("v")))
+        val mins = nbrs.groupBy(col("u"))
+          .agg(least(min(col("v")), col("u")).as("m"))
+        val ls = nbrs.join(mins, "u").where(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .distinct()
+        // small-star over the (a > b)-canonical large-star output
+        val mins2 = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+        val withM = ls.join(mins2, "a")
+        val ss = withM.where(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(mins2.select(col("a"), col("m").as("b")))
+          .distinct()
+        val nextRdd = ss.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        val next = spark.createDataFrame(nextRdd, schema)
+        val nextCount = next.count() // materializes nextRdd's blocks
+        // distinct canonical sets: equal count + empty anti-join ⇔ equal
+        done = nextCount == curCount &&
+          next.join(cur, Seq("a", "b"), "left_anti").isEmpty
+        curRdd.unpersist()
+        curRdd = nextRdd
+        cur = next
+        curCount = nextCount
+        it += 1
+        if (sys.env.contains("GRAFT_CC_TRACE"))
+          System.err.println(s"[cc-stars] round $it edges=$curCount " +
+            s"done=$done t=${System.nanoTime() / 1000000}ms")
+      }
+      if (!done) {
+        curRdd.unpersist()
+        throw new IllegalArgumentException(
+          s"connected components did not converge in $maxIters rounds — " +
+            "star contraction found no fixed point (pathological edge " +
+            "set?); inspect with GRAFT_CC_TRACE")
+      }
+      // final state is min-rooted stars (a = member, b = root): labels are
+      // the edges themselves plus one self-label per root
+      cur.select(col("a").as("id"), col("b").as("label"))
+        .union(cur.select(col("b")).distinct()
+          .select(col("b").as("id"), col("b").as("label")))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected edge
+    * list `(d1, d2)` — the pre-round-6 default, kept selectable via
+    * `GRAFT_CC_ALGO=jump`.
     *
     * Two iterative-algorithm disciplines keep rounds O(1) in driver cost
     * (first learned the hard way: without them the loop OOMs the driver
@@ -59,7 +178,7 @@ object Components {
     *    their ancestors), the same fault-tolerance story as DISK_ONLY
     *    persist everywhere else.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponentsJump(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))

@@ -151,15 +151,38 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
-    // Decoded-feature rollup (stub decode → per-doc aggregate). The
-    // decode itself is engine-local → rows-only check; MultimodalSpec
-    // pins chunking/shape/determinism.
-    "q_mm_features" -> Q.noOracle { (s, dir) =>
-      decodeFeatures(mediaTable(s, dir)).toDF()
+    // Decoded-feature rollup (stub decode → per-doc aggregate), fully
+    // hash-gated: n_chunks and total_bytes from the REAL Dataset decode
+    // pipeline must equal the oracle's byte arithmetic (chunks partition
+    // the payload, so Σ n_bytes == octet_length), and feat_ok pins energy
+    // conservation — the stub spreads each byte/255 into one feature
+    // slot, so Σ(all features)·255 must equal the exact byte sum up to
+    // float32 accumulation error (tolerance 0.1% + 1, ~100× the worst
+    // observed drift). MultimodalSpec pins chunk shape/determinism.
+    "q_mm_features" -> Q(
+      s"""SELECT doc_id,
+         |  cast((octet_length(cast(text as BLOB)) + ${chunkBytes - 1}) // $chunkBytes as bigint)
+         |    AS n_chunks,
+         |  cast(octet_length(cast(text as BLOB)) as bigint) AS total_bytes,
+         |  TRUE AS feat_ok
+         |FROM documents WHERE octet_length(cast(text as BLOB)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = mediaTable(s, dir)
+      val byteSums = media.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) => (id, p.foldLeft(0L)((a, b) => a + (b & 0xff))) }
+        .toDF("doc_id", "byte_sum")
+      decodeFeatures(media).toDF()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_bytes")).as("total_bytes"),
-          round(sum(element_at(col("features"), 1)), 4).as("f0_sum"))
+          sum(col("n_bytes")).cast(LongType).as("total_bytes"),
+          sum(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x))
+            .as("feat_total"))
+        .join(byteSums, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("total_bytes"),
+          (abs(col("feat_total") * lit(255.0) - col("byte_sum")) <=
+            col("byte_sum") * lit(0.001) + lit(1.0)).as("feat_ok"))
         .orderBy(col("doc_id"))
     }
   )

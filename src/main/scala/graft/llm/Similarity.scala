@@ -330,13 +330,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-gate wrapper for approximate top-k variants whose candidate
+    * sets are engine-local (IVF centroids, quantization stats): joins the
+    * approximate result against the brute-force exact top-k and emits one
+    * row (n_results, recall_ok). Row count, schema, and the recall floor
+    * become hash-gated cross-engine; only the candidate set itself stays
+    * engine-local (LlmSpec holds the tighter per-query recall specs).
+    */
+  private def recallGate(approx: DataFrame, emb: DataFrame, queryId: Long,
+      k: Int, minHits: Int): DataFrame = {
+    val exact = topK(emb, queryId, k)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    approx.select(col("vec_id"))
+      .join(broadcast(exact), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_results"),
+        (coalesce(sum(col("hit")), lit(0L)) >= minHits).as("recall_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
 
-    // Quantized-first-pass ANN: rows-only gate (the shortlist boundary
-    // depends on float min/max stats, not worth an oracle mirror); the
-    // LlmSpec recall spec vs brute force is the correctness pin.
-    "q_sim_quant" -> Q.noOracle { (s, dir) =>
-      quantizedTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    // Quantized-first-pass ANN: the shortlist boundary depends on float
+    // min/max stats (engine-local), so the result set itself can't be
+    // oracle-mirrored — the gate pins plumbing (1 row, k results found)
+    // plus the recall floor vs brute force; LlmSpec holds the recall spec.
+    "q_sim_quant" -> Q(
+      "SELECT cast(10 as bigint) AS n_results, TRUE AS recall_ok") { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      recallGate(quantizedTopK(emb, queryId = 0L, k = 10), emb,
+        queryId = 0L, k = 10, minHits = 8)
     },
 
     // Int8 scalar quantization, hash-gated end-to-end: the oracle rebuilds
@@ -418,10 +439,15 @@ object Similarity {
       annTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
-    // IVF variant (centroid buckets + nProbe pruning + exact rerank);
-    // recall vs brute force asserted in LlmSpec.
-    "q_sim_ivf" -> Q.noOracle { (s, dir) =>
-      ivfTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    // IVF variant (centroid buckets + nProbe pruning + exact rerank):
+    // k-means centroids are float-order-dependent (engine-local), so the
+    // gate pins plumbing + the recall floor vs brute force (same pattern
+    // as q_sim_quant); LlmSpec holds the multi-query recall curve.
+    "q_sim_ivf" -> Q(
+      "SELECT cast(10 as bigint) AS n_results, TRUE AS recall_ok") { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      recallGate(ivfTopK(emb, queryId = 0L, k = 10), emb,
+        queryId = 0L, k = 10, minHits = 8)
     },
 
     // Cluster assignment (the k-means E-step over deterministic lowest-id

@@ -97,13 +97,27 @@ object Aggregates {
     },
 
     // Approximate distinct (Redshift APPROXIMATE COUNT(DISTINCT), HLL).
-    // HLL sketches are engine-specific — no SQL oracle (rows-only check);
-    // the scalatest spec bounds the error vs exact instead.
-    "q_agg_approx" -> Q.noOracle { (s, dir) =>
+    // HLL estimates are engine-specific, so the estimate VALUE can't be
+    // hash-compared — but the group keys and exact counts can. The gate
+    // emits the exact distinct count (hash-gated cross-engine) plus a
+    // self-check boolean: the HLL++ estimate at rsd 0.02 must land within
+    // 5×rsd of the exact count, which the oracle pins TRUE. Plumbing
+    // drift (keys, row counts, schema) now fails the hard gate; only the
+    // sketch-internal value stays engine-local (LlmSpec bounds it too).
+    "q_agg_approx" -> Q(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("n_parts"), col("n"),
+          (abs(col("approx_parts") - col("n_parts")) <=
+            col("n_parts") * lit(0.1)).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -246,18 +260,30 @@ object Aggregates {
     // then re-aggregated to any coarser grain (region) by sketch UNION
     // without touching the raw data again. A real deployment persists
     // the nation-level sketch table; every later rollup is sketch-sized,
-    // not corpus-sized. DataSketches binary images are engine-specific
-    // (rows-only gate); AggregatesSpec bounds the estimate error vs the
-    // exact distinct count instead.
-    "q_sketch_union" -> Q.noOracle { (s, dir) =>
-      val perNation = t(s, dir, "customer")
+    // not corpus-sized. DataSketches binary images are engine-specific,
+    // so the sketch VALUE stays engine-local — the gate instead emits the
+    // exact per-region distinct (hash-gated cross-engine) plus a boolean
+    // pinning the sketch-union estimate within 5% of it (HLL lgK=12 ⇒
+    // rsd ≈ 1.6%; 5% is a 3σ margin). The union machinery still runs and
+    // any double-counting across shard sketches flips the boolean.
+    "q_sketch_union" -> Q(
+      """SELECT n_regionkey, count(DISTINCT c_custkey) AS n_exact, TRUE AS union_ok
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
+      val perNation = base
         .groupBy(col("n_regionkey"), col("n_nationkey"))
         .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
-      perNation.groupBy(col("n_regionkey"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("approx_customers"))
+      val unioned = perNation.groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = base.groupBy(col("n_regionkey"))
+        .agg(countDistinct(col("c_custkey")).as("n_exact"))
+      unioned.join(exact, "n_regionkey")
+        .select(col("n_regionkey"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("union_ok"))
         .orderBy(col("n_regionkey"))
     },
 
@@ -368,14 +394,34 @@ object Aggregates {
 
     // Approximate percentiles (the mergeable-quantile-sketch tier for
     // monitoring dashboards at scale — exact quantiles need a full sort,
-    // the sketch merges map-side). Sketch internals are engine-specific:
-    // rows-only gate + an error-bound spec vs the exact percentile.
-    "q_agg_approx_pct" -> Q.noOracle { (s, dir) =>
+    // the sketch merges map-side). Sketch values are engine-specific AND
+    // an array<double> column crashes the driver's comparator, so the
+    // gate emits SCALARS only: exact group keys + counts (hash-gated
+    // cross-engine) and one boolean per percentile checking the sketch
+    // value against exact-percentile bounds at ±1% rank slack — the GK
+    // guarantee at accuracy 10000 is ±0.01% rank, a 100× margin, so the
+    // booleans are deterministically TRUE (which the oracle pins).
+    "q_agg_approx_pct" -> Q(
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val price = col("l_extendedprice")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"),
+        .agg(
+          percentile_approx(price,
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+          percentile(price, lit(0.49)).as("lo50"),
+          percentile(price, lit(0.51)).as("hi50"),
+          percentile(price, lit(0.89)).as("lo90"),
+          percentile(price, lit(0.91)).as("hi90"),
+          percentile(price, lit(0.98)).as("lo99"),
+          percentile(price, lit(1.00)).as("hi99"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("ap"), 1).between(col("lo50"), col("hi50")).as("p50_ok"),
+          element_at(col("ap"), 2).between(col("lo90"), col("hi90")).as("p90_ok"),
+          element_at(col("ap"), 3).between(col("lo99"), col("hi99")).as("p99_ok"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -154,6 +154,78 @@ object SqlSurface {
         .filter(col("c_acctbal") > col("avg_bal"))
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
+    },
+
+    // QUALIFY (Redshift window-predicate sugar): Spark has no QUALIFY
+    // keyword, so the engine applies the canonical rewrite — rank in a
+    // window, filter, drop the rank — which is also exactly the plan
+    // QUALIFY lowers to. The oracle uses DuckDB's native QUALIFY, pinning
+    // the rewrite against the real dialect semantics. Top-3 per priority:
+    // partition-local TakeOrdered shape, no global sort before the final
+    // presentation ORDER BY. Values pass through unchanged (hash-safe).
+    "q_qualify" -> Q(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    },
+
+    // Ordered-set aggregate (Redshift PERCENTILE_DISC ... WITHIN GROUP):
+    // Spark's native percentile_disc runs through the SQL surface; the
+    // oracle states the ANSI definition explicitly — the SMALLEST value
+    // whose cume_dist reaches p — rather than DuckDB's quantile_disc,
+    // whose lower-index interpolation policy differs at rank boundaries.
+    // The result is always an element of the input (no interpolation), so
+    // raw doubles are hash-safe.
+    "q_pctl_disc" -> Q(
+      """SELECT l_returnflag,
+        |  min(CASE WHEN cd >= 0.25 THEN v END) AS p25,
+        |  min(CASE WHEN cd >= 0.50 THEN v END) AS p50,
+        |  min(CASE WHEN cd >= 0.90 THEN v END) AS p90,
+        |  count(*) AS n
+        |FROM (SELECT l_returnflag, l_quantity AS v,
+        |        cume_dist() OVER (PARTITION BY l_returnflag
+        |                          ORDER BY l_quantity) AS cd
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+          |  percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+          |  percentile_disc(0.90) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // DISTINCT ON-style latest/top row per key (the SQL surface of the
+    // q_dedup_latest shape): richest customer per nation. Spark rewrite =
+    // row_number + filter (one hash-partitioned window, no join); the
+    // oracle uses DuckDB's native DISTINCT ON with a fully-tiebroken
+    // ORDER BY so both engines pick the identical representative.
+    "q_distinct_on" -> Q(
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+        |  SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+        |  FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "customer")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("c_nationkey"))
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+        .filter(col("rk") === 1)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"))
     }
   )
 }

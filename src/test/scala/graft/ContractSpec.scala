@@ -65,7 +65,8 @@ class ContractSpec extends AnyFunSuite {
     val bad = SparkEntry.oracleSql.filterNot { case (_, sql) =>
       val up = sql.toUpperCase
       up.contains("ORDER BY") ||
-        (up.contains("COUNT(*)") && !up.contains("GROUP BY")) // global agg
+        (up.contains("COUNT(*)") && !up.contains("GROUP BY")) || // global agg
+        !up.contains("FROM") // constant select: single row by construction
     }.keySet
     assert(bad.isEmpty, s"oracles without total ordering: $bad")
   }
