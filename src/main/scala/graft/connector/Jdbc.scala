@@ -52,6 +52,21 @@ object Jdbc {
     }
   }
 
+  /** Preview the per-partition WHERE clauses a partitioned read with
+    * these bounds would execute — Spark's real predicate generation
+    * (stride math, bound clamping, NULL routing to partition 0, stride
+    * alignment), reached through a package bridge because the logic is
+    * `private[sql]` yet pure. Lets a user sanity-check partition skew
+    * (e.g. a sparse id range producing empty leading partitions) BEFORE
+    * paying for a live cluster read; golden-spec'd in JdbcSpec for
+    * representative bounds. A `null` element = unpredicated whole-table
+    * partition (numPartitions 1 or a degenerate lo == hi range).
+    */
+  def partitionPredicates(jdbcUrl: String, column: String, lowerBound: Long,
+      upperBound: Long, numPartitions: Int): Seq[String] =
+    org.apache.spark.sql.execution.datasources.jdbc.GraftJdbcPartitions
+      .predicates(jdbcUrl, column, lowerBound, upperBound, numPartitions)
+
   /** Configured JDBC reader over [[readerOptions]]. */
   def reader(
       spark: SparkSession,
