@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local scale-up generator for scale-proofing the engine beyond the
+  * driver-provided SFs: synthesizes an sf1.0-shaped dataset from sf0.1 by
+  * replicating every table `reps` times with consistent key offsets, so
+  * joins keep their selectivity and per-key cardinalities stay realistic
+  * (10× MORE keys, not 10× hotter keys).
+  *
+  * Content transforms keep derived-data distributions honest:
+  *  - `documents.text` is passed through a per-replica character
+  *    bijection (`translate` over a 10-letter rotation), which preserves
+  *    every within-replica shingle/near-dup relation but makes replicas
+  *    mutually dissimilar — a naive copy would make every doc a 10-way
+  *    near-dup and grow the pair graph quadratically instead of linearly
+  *    (not what a larger corpus looks like);
+  *  - `embeddings.embedding` is rotated by `i` positions per replica
+  *    (norm-preserving, direction-changing) for the same reason;
+  *  - `events.ts` is written back as raw int64 nanoseconds to mirror the
+  *    driver data's TIMESTAMP(NANOS) shape that `Engine.readEvents`
+  *    expects.
+  *
+  * Usage: `runMain graft.ScaleUp [srcDir dstDir reps]`
+  * (defaults: /root/testdata/sf0.1 → /tmp/sf1.0 × 10).
+  */
+object ScaleUp {
+
+  private val keyStride = 100000000L // replica i offsets ids by i*stride
+
+  private def replicate(df: DataFrame, reps: Int)(
+      variant: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until reps).map(i => variant(df, i)).reduce(_ union _)
+
+  private def rotated(s: String, i: Int): String =
+    s.drop(i % s.length) + s.take(i % s.length)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1.0"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = Engine.session("graft-scaleup")
+
+    def off(i: Int) = lit(i * keyStride)
+    def shiftKeys(cols: String*)(df: DataFrame, i: Int): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + off(i)))
+
+    val alpha = "aeiousnrtl"
+    val jobs: Seq[(String, DataFrame)] = Seq(
+      // shared dims: one copy — a bigger corpus has more facts, not more
+      // regions; broadcast sides must stay broadcast-sized
+      "region" -> Engine.table(spark, src, "region"),
+      "nation" -> Engine.table(spark, src, "nation"),
+      "customer" -> replicate(Engine.table(spark, src, "customer"), reps)(
+        shiftKeys("c_custkey")),
+      "supplier" -> replicate(Engine.table(spark, src, "supplier"), reps)(
+        shiftKeys("s_suppkey")),
+      "part" -> replicate(Engine.table(spark, src, "part"), reps)(
+        shiftKeys("p_partkey")),
+      "orders" -> replicate(Engine.table(spark, src, "orders"), reps)(
+        shiftKeys("o_orderkey", "o_custkey")),
+      "lineitem" -> replicate(Engine.table(spark, src, "lineitem"), reps)(
+        shiftKeys("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> replicate(Engine.table(spark, src, "events"), reps) {
+        (df, i) =>
+          shiftKeys("event_id", "user_id")(df, i)
+            .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      },
+      "documents" -> replicate(Engine.table(spark, src, "documents"), reps) {
+        (df, i) =>
+          shiftKeys("doc_id")(df, i)
+            .withColumn("text", translate(col("text"), alpha, rotated(alpha, i)))
+      },
+      "embeddings" -> replicate(Engine.table(spark, src, "embeddings"), reps) {
+        (df, i) =>
+          val dims = 64
+          val rot = i % dims
+          val emb =
+            if (rot == 0) col("embedding")
+            else concat(slice(col("embedding"), rot + 1, dims - rot),
+              slice(col("embedding"), 1, rot))
+          shiftKeys("vec_id")(df, i).withColumn("embedding", emb)
+      })
+
+    jobs.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name -> $dst/$name.parquet")
+    }
+    spark.stop()
+  }
+}

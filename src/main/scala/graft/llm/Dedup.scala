@@ -366,6 +366,28 @@ object Dedup {
        |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
        |         FROM bsum GROUP BY doc_id)""".stripMargin
 
+  /** Target mean LSH bucket occupancy for embedding near-dup pair
+    * generation: plane count derives as max(8, ceil(log2(N / this))), so
+    * the bucket COUNT grows with the corpus and expected within-bucket
+    * pair work stays ~N × occupancy — linear. A FIXED plane count
+    * degenerates to Θ(N²): occupancy grows 1:1 with N and pairs
+    * quadratically (measured on the synthetic sf1.0: 10× corpus → ~30×
+    * runtime before this derivation). Shared with the oracle's derived
+    * expression; at the driver SFs (N ≤ 2000) it resolves to the
+    * original 8 planes, so gate hashes are unchanged.
+    */
+  val embedDocsPerBucket: Long = 8L
+
+  /** ceil(log2(ceil(n / occupancy))) with an 8-plane floor — integer bit
+    * math, exactly the value the oracle's
+    * `greatest(8, ceil(log2(count(*) / 8.0)))` computes (equal because
+    * any power of two ≥ n/8 is also ≥ ceil(n/8)).
+    */
+  def embedPlanesFor(n: Long): Int = {
+    val buckets = math.max(2L, (n + embedDocsPerBucket - 1) / embedDocsPerBucket)
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
+  }
+
   /** q_dedup_sem's within-cluster cosine threshold (6dp-rounded compare,
     * interpolated into the oracle SQL).
     */
@@ -663,22 +685,28 @@ object Dedup {
     },
 
     // Embedding-cosine near-dup, ANN-shaped: candidates are pairs whose
-    // 8-bit random-hyperplane LSH buckets differ by <= 3 sign bits (an
+    // random-hyperplane LSH buckets differ by <= 3 sign bits (an
     // equi-join after multi-probe mask expansion — never all-pairs), then
     // exact cosine >= 0.45 reranks candidates only. The hyperplanes are
     // md5-derived (Similarity.planeComponent), so the oracle recomputes
     // the SAME buckets in SQL and both engines see the identical pair set
     // — the approximation is part of the operator's definition, as in any
-    // production LSH dedup. At 100 TB: more planes, fewer probes, bucketed
-    // storage (Similarity.writeLshIndex).
+    // production LSH dedup. The plane count DERIVES from the corpus size
+    // on both sides (embedPlanesFor ≙ the oracle's greatest/ceil/log2
+    // expression — 8 at the driver SFs, 12 at the synthetic sf1.0), so
+    // bucket occupancy and within-bucket pair work stay bounded as the
+    // corpus grows; bucketed storage via Similarity.writeLshIndex.
     "q_dedup_embed" -> Q(
-      """WITH planes AS (
+      s"""WITH np AS (
+        |  SELECT greatest(8, cast(ceil(log2(cast(count(*) as double)
+        |    / $embedDocsPerBucket.0)) as int)) AS n FROM embeddings),
+        |planes AS (
         |  SELECT g.p, gd.d,
         |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
         |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
         |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
         |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
-        |  FROM (SELECT cast(unnest(range(0, 8)) as varchar) AS p) g
+        |  FROM (SELECT cast(unnest(range(0, (SELECT n FROM np))) as varchar) AS p) g
         |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
         |dots AS (
         |  -- per-term floor-quantization to the 2^-30 grid: each term is an
@@ -704,13 +732,16 @@ object Dedup {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
+      // corpus-derived plane count (one cheap metadata count — parquet
+      // footers only); MUST equal the oracle's np expression
+      val nPlanes = embedPlanesFor(emb.count())
       // bucketed feeds probe expansion AND the equi-join build side;
       // bucket bits are quantized-integer dots — bit-deterministic on
       // recompute — so no materialization is needed for agreement, and
       // the join's own exchanges are what get reused
-      val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
+      val bucketed = Similarity.lshBuckets(emb, nPlanes)
         .select(col("vec_id"), col("bucket"))
-      val cands = embedCandidates(bucketed, nPlanes = 8, probeHamming = 3)
+      val cands = embedCandidates(bucketed, nPlanes, probeHamming = 3)
       val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
       cands

@@ -60,6 +60,27 @@ class LlmSpec extends AnyFunSuite {
     assert(err.getMessage.contains("did not converge"))
   }
 
+  test("embedPlanesFor is the smallest p >= 8 with 2^p buckets >= ceil(n/occupancy)") {
+    // the Scala derivation must equal the oracle's
+    // greatest(8, ceil(log2(n/8.0))) for every corpus size — spot-check
+    // the definition across boundaries (powers of two, off-by-one)
+    def reference(n: Long): Int = {
+      val target = math.max(1L, (n + Dedup.embedDocsPerBucket - 1) / Dedup.embedDocsPerBucket)
+      var p = 8
+      while ((1L << p) < target) p += 1
+      p
+    }
+    val cases = Seq(1L, 7L, 8L, 500L, 2000L, 2040L, 2048L, 2049L, 20000L,
+      1L << 20, (1L << 20) + 1, 10000000L)
+    cases.foreach { n =>
+      assert(Dedup.embedPlanesFor(n) == reference(n),
+        s"n=$n: ${Dedup.embedPlanesFor(n)} vs ${reference(n)}")
+    }
+    // driver SFs must resolve to the original 8 planes (gate-hash pin)
+    Seq(50L, 500L, 2000L).foreach(n => assert(Dedup.embedPlanesFor(n) == 8))
+    assert(Dedup.embedPlanesFor(20000L) == 12) // the sf1.0 operating point
+  }
+
   test("star-contraction and pointer-jumping CC agree on random graphs") {
     import spark.implicits._
     // seeded random edge sets spanning the adversarial shapes: long
