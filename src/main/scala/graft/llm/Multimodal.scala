@@ -151,6 +151,44 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // The full multimodal pipeline — decode → frame-sample(4) →
+    // resize(8→4 stride-mean pooling) — hash-gated end to end: n_sampled
+    // must equal the oracle's byte arithmetic, and resize_ok pins pooling
+    // energy conservation. With inDims 8 → outDims 4 every output slot
+    // pools exactly 2 inputs, so Σ(resized)·2·255 must equal the exact
+    // byte sum of the SAMPLED chunks (every 4th) up to float32 error —
+    // drift in chunking, sampling stride, pooling fan-in, or the
+    // mean division all break the boolean.
+    "q_mm_resize" -> Q(
+      s"""SELECT doc_id,
+         |  cast(((octet_length(cast(text as BLOB)) + ${chunkBytes - 1}) // $chunkBytes + 3) // 4 as bigint)
+         |    AS n_sampled,
+         |  TRUE AS resize_ok
+         |FROM documents WHERE octet_length(cast(text as BLOB)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = mediaTable(s, dir)
+      val sampledByteSums = media.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val sum = p.grouped(chunkBytes).zipWithIndex
+            .filter(_._2 % 4 == 0)
+            .map(_._1.foldLeft(0L)((a, b) => a + (b & 0xff))).sum
+          (id, sum)
+        }.toDF("doc_id", "byte_sum")
+      resizeFeatures(frameSample(decodeFeatures(media), stride = 4), outDims = 4)
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x))
+            .as("feat_total"))
+        .join(sampledByteSums, "doc_id")
+        .select(col("doc_id"), col("n_sampled"),
+          (abs(col("feat_total") * lit(2.0 * 255.0) - col("byte_sum")) <=
+            col("byte_sum") * lit(0.001) + lit(1.0)).as("resize_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // Decoded-feature rollup (stub decode → per-doc aggregate), fully
     // hash-gated: n_chunks and total_bytes from the REAL Dataset decode
     // pipeline must equal the oracle's byte arithmetic (chunks partition

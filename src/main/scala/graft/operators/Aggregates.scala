@@ -439,6 +439,31 @@ object Aggregates {
         .orderBy(col("c_nationkey"))
     },
 
+    // RATIO_TO_REPORT (Redshift-specific window function): each row's
+    // share of its partition total. Spark has no built-in — the rewrite
+    // is value / sum(value) OVER (PARTITION BY ...), which is also its
+    // definition. Determinism discipline: the partition total is an exact
+    // decimal sum cast to double (order-independent), the quotient is one
+    // exactly-rounded IEEE divide, and the emitted share is ppm-FLOORED
+    // (the q_agg_corr rule: DuckDB's decimal→double cast can sit an ulp
+    // off Java's; ppm quantization absorbs it).
+    "q_ratio_report" -> Q(
+      """SELECT c_nationkey, c_custkey,
+        |  cast(floor(1000000.0 * cast(cast(c_acctbal as decimal(18,4)) as double)
+        |    / cast(sum(cast(c_acctbal as decimal(18,4))) OVER (PARTITION BY c_nationkey) as double)) as bigint)
+        |    AS ratio_ppm
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val exact = col("c_acctbal").cast(DecimalType(18, 4))
+      t(s, dir, "customer")
+        .withColumn("total",
+          sum(exact).over(Window.partitionBy(col("c_nationkey"))).cast("double"))
+        .select(col("c_nationkey"), col("c_custkey"),
+          floor(lit(1000000.0) * exact.cast("double") / col("total"))
+            .cast(LongType).as("ratio_ppm"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+
     // ---- window functions -------------------------------------------
 
     // Exact quantiles at DYADIC points over integer values: both engines
