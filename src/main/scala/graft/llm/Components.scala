@@ -115,9 +115,12 @@ object Components {
           .union(cur.select(col("b").as("u"), col("a").as("v")))
         val mins = nbrs.groupBy(col("u"))
           .agg(least(min(col("v")), col("u")).as("m"))
+        // no distinct here: a (v, m) pair can be emitted by several of
+        // v's neighbors, but the dup factor is bounded by degree and the
+        // small-star groupBy + final distinct absorb it — cheaper than
+        // an extra edge-set shuffle every round (measured below)
         val ls = nbrs.join(mins, "u").where(col("v") > col("u"))
           .select(col("v").as("a"), col("m").as("b"))
-          .distinct()
         // small-star over the (a > b)-canonical large-star output
         val mins2 = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
         val withM = ls.join(mins2, "a")
