@@ -79,6 +79,20 @@ class PushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-predicate rewrites plan as WindowGroupLimit (top-k kept map-side)") {
+    // the QUALIFY / DISTINCT ON rewrites must trigger Spark's
+    // rank-limit pushdown: a partial WindowGroupLimit below the exchange
+    // keeps only k rows per group per map task, so the window shuffle
+    // moves k×groups rows instead of the whole table. Losing this (e.g.
+    // a filter form the optimizer can't see through) silently degrades
+    // to a full-table window sort at 100 TB.
+    Seq("q_qualify", "q_distinct_on").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$n lost the rank-limit pushdown:\n$plan")
+    }
+  }
+
   test("round-4 text/embedding scans stay column-pruned") {
     // each (query, forbidden-column) pair: a wide column that must not
     // reach the parquet scan — q_tfidf needs only (doc_id, text),
