@@ -81,6 +81,45 @@ object Aggregates {
     // GROUP BY + HAVING (flagship, also wired to SparkEntry.entry).
     "q_agg_group" -> Q(pricingSummaryOracle)(pricingSummary),
 
+    // Equi-width histogram via width_bucket — the one-pass profiling
+    // shape for value distributions at scale (one hash agg, bucket count
+    // fixed). DuckDB has no width_bucket, so the oracle states the same
+    // bucketing arithmetic: lower bound 0 and an exactly-representable
+    // width (50/10 = 5.0) make (v - lower)/width bit-identical to
+    // Spark's internal steps, so floor can't straddle engines.
+    "q_histogram" -> Q(
+      """SELECT CASE WHEN l_quantity < 0 THEN 0
+        |            WHEN l_quantity >= 50 THEN 11
+        |            ELSE cast(floor(l_quantity / 5.0) as bigint) + 1 END AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(width_bucket(col("l_quantity"), lit(0.0), lit(50.0), lit(10L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
+    // One-statement column profile (the pre-load table audit: row count,
+    // per-column cardinalities, null counts, numeric ranges in ONE pass
+    // over the scan). Multiple exact count-distincts expand map-side;
+    // the approx tier for unbounded cardinalities is q_agg_approx.
+    "q_profile" -> Q(
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT c_nationkey) AS d_nationkey,
+        |  count(DISTINCT c_mktsegment) AS d_mktsegment,
+        |  count(c_acctbal) AS nn_acctbal,
+        |  min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal
+        |FROM customer""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_nationkey")).as("d_nationkey"),
+        countDistinct(col("c_mktsegment")).as("d_mktsegment"),
+        count(col("c_acctbal")).as("nn_acctbal"),
+        min(col("c_acctbal")).as("min_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"))
+    },
+
     "q_agg_distinct" -> Q(
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
