@@ -40,6 +40,13 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1.0"
     val reps = if (args.length > 2) args(2).toInt else 10
+    // the content transforms are only injective per replica up to the
+    // rotation alphabet: replica i+10 would reuse replica i's text
+    // bijection, making byte-identical cross-replica duplicates — the
+    // exact quadratic pair-graph degeneration this tool exists to avoid.
+    // Fail loudly instead of silently measuring a degenerate corpus.
+    require(reps >= 1 && reps <= 10,
+      s"reps must be in 1..10 (text-bijection alphabet is 10 rotations); got $reps")
     val spark = Engine.session("graft-scaleup")
 
     def off(i: Int) = lit(i * keyStride)

@@ -17,9 +17,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b re-dumps just those queries into an
-    // existing outDir (local iteration; the driver never sets it)
+    // existing outDir (local iteration; the driver never sets it). A
+    // name that matches nothing must fail loudly — a typo would dump
+    // nothing and let compare.py green-light STALE outputs from the
+    // previous run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
     SparkEntry.queries.filter(q => only(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

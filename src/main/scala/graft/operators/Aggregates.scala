@@ -489,14 +489,19 @@ object Aggregates {
     "q_ratio_report" -> Q(
       """SELECT c_nationkey, c_custkey,
         |  cast(floor(1000000.0 * cast(cast(c_acctbal as decimal(18,4)) as double)
-        |    / cast(sum(cast(c_acctbal as decimal(18,4))) OVER (PARTITION BY c_nationkey) as double)) as bigint)
+        |    / nullif(cast(sum(cast(c_acctbal as decimal(18,4))) OVER (PARTITION BY c_nationkey) as double), 0.0)) as bigint)
         |    AS ratio_ppm
         |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val exact = col("c_acctbal").cast(DecimalType(18, 4))
+      // nullif guards an exactly-zero partition total (data-possible with
+      // negative balances): NULL share on BOTH engines, where a raw /0
+      // would diverge — Spark floors ±Infinity to Long extremes while
+      // DuckDB hard-errors casting it to bigint
       t(s, dir, "customer")
-        .withColumn("total",
-          sum(exact).over(Window.partitionBy(col("c_nationkey"))).cast("double"))
+        .withColumn("total", nullif(
+          sum(exact).over(Window.partitionBy(col("c_nationkey"))).cast("double"),
+          lit(0.0)))
         .select(col("c_nationkey"), col("c_custkey"),
           floor(lit(1000000.0) * exact.cast("double") / col("total"))
             .cast(LongType).as("ratio_ppm"))

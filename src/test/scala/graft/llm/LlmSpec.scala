@@ -62,13 +62,13 @@ class LlmSpec extends AnyFunSuite {
 
   test("embedPlanesFor is the smallest p >= 8 with 2^p buckets >= ceil(n/occupancy)") {
     // the Scala derivation must equal the oracle's
-    // greatest(8, ceil(log2(n/8.0))) for every corpus size — spot-check
-    // the definition across boundaries (powers of two, off-by-one)
+    // greatest(8, ceil(log2(n/8.0))) — evaluate the ORACLE'S floating
+    // form here (not the implementation's integer bit math again) so a
+    // double-boundary divergence between the two formulations would
+    // surface at unit level, not as a gate hash failure
     def reference(n: Long): Int = {
-      val target = math.max(1L, (n + Dedup.embedDocsPerBucket - 1) / Dedup.embedDocsPerBucket)
-      var p = 8
-      while ((1L << p) < target) p += 1
-      p
+      val l = math.log(n.toDouble / Dedup.embedDocsPerBucket) / math.log(2.0)
+      math.max(8, math.ceil(l).toInt)
     }
     val cases = Seq(1L, 7L, 8L, 500L, 2000L, 2040L, 2048L, 2049L, 20000L,
       1L << 20, (1L << 20) + 1, 10000000L)
