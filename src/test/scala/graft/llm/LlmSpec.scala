@@ -81,6 +81,28 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.embedPlanesFor(20000L) == 12) // the sf1.0 operating point
   }
 
+  test("star-contraction CC: duplicate/reversed edges, complete graph, 200-chain round budget") {
+    import spark.implicits._
+    // duplicate and reversed edges must canonicalize away
+    val messy = Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 7L)).toDF("d1", "d2")
+    val m = Components.connectedComponentsStars(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+    // complete K5 (densest neighborhood shape) collapses to one star
+    val k5 = (for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (100L + i, 100L + j)).toDF("d1", "d2")
+    val k = Components.connectedComponentsStars(k5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k.keySet == (0 until 5).map(100L + _).toSet && k.values.forall(_ == 100L))
+    // a 200-vertex chain is the adversarial diameter case: propagation
+    // needs ~200 rounds, contraction must stay within the default
+    // O(log n) budget of 25 — this is the pin for the round-6 claim
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val c = Components.connectedComponentsStars(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.size == 200 && c.values.forall(_ == 0L))
+  }
+
   test("star-contraction and pointer-jumping CC agree on random graphs") {
     import spark.implicits._
     // seeded random edge sets spanning the adversarial shapes: long
