@@ -103,6 +103,38 @@ class LlmSpec extends AnyFunSuite {
     assert(c.size == 200 && c.values.forall(_ == 0L))
   }
 
+  test("star-contraction CC matches an independent union-find reference") {
+    import spark.implicits._
+    // the stars-vs-jump differential below could miss a bug both Spark
+    // implementations share; union-find computed driver-side is a third,
+    // algorithmically unrelated oracle
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-of-component labeling, vertices incident to >=1 edge
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = verts.groupBy(find)
+      byRoot.valuesIterator.flatMap { vs =>
+        val m = vs.min; vs.map(_ -> m)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val edges = Seq.fill(70)(
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).filter(p => p._1 != p._2)
+      val got = Components.connectedComponentsStars(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"trial $trial diverges from union-find")
+    }
+  }
+
   test("star-contraction and pointer-jumping CC agree on random graphs") {
     import spark.implicits._
     // seeded random edge sets spanning the adversarial shapes: long
