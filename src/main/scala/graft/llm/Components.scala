@@ -16,24 +16,28 @@ import graft.{Engine, Q}
   * relational operators at all) — `EXT` like the rest of the dedup family.
   *
   * Two algorithms, both free of any all-pairs shape (see the method docs):
-  * alternating large-star/small-star edge contraction (default; O(log n)
-  * rounds independent of graph diameter — the sf0.1 near-dup graph is a
-  * chain with diameter > 25, which is exactly the shape that punishes
-  * propagation) and min-label propagation with pointer jumping (fallback,
+  * alternating large-star/small-star edge contraction (default;
+  * polylog worst-case rounds INDEPENDENT of graph diameter — Kiveris et
+  * al. prove O(log² n), observed ~6 on the sf0.1/sf1.0 near-dup graphs
+  * whose chain shape forces propagation through 18+ rounds) and
+  * min-label propagation with pointer jumping (fallback,
   * `GRAFT_CC_ALGO=jump`).
   *
   * Scale notes:
   *  - Per-round lineage is re-rooted over persisted RDDs and the edge
-  *    list is persisted once (details on [[connectedComponents]]) — the
+  *    list is materialized once (details on
+  *    [[connectedComponentsStars]] / [[connectedComponentsJump]]) — the
   *    loop is O(1) driver cost per round.
   *  - Loop shuffles are sized to the GRAPH (~100k edges/partition, AQE
-  *    off inside the loop): an iterative algorithm over a small derived
+  *    off inside the loop, shared [[withGraphLoopConf]] scaffolding):
+  *    an iterative algorithm over a small derived
   *    graph must not inherit a corpus-sized partition count, or it pays
   *    rounds × partitions empty tasks (measured 2× the query's wall
   *    time at sf0.1).
   *  - The maxIters guard fails loudly rather than returning a
-  *    half-propagated labeling; at log-diameter convergence 25 rounds
-  *    covers any realistic graph (2^25-diameter ≫ any corpus).
+  *    half-propagated labeling; 25 rounds sits far above the observed
+  *    ~6-round contraction convergence (and covers 2^25-diameter graphs
+  *    for the jump variant).
   */
 object Components {
 
@@ -43,16 +47,43 @@ object Components {
     *
     * Dispatches between two implementations (env `GRAFT_CC_ALGO`):
     * alternating large-star/small-star edge contraction (`stars`, the
-    * default — O(log n) rounds regardless of diameter) and min-label
+    * default — polylog rounds regardless of diameter) and min-label
     * propagation with pointer jumping (`jump` — O(log diameter) in tree
     * depth but diameter-bound on residual chains; kept as the measured
-    * fallback and for A/B tracing).
+    * fallback and for A/B tracing). Any other value fails loudly — a
+    * typo silently running the wrong variant would poison an A/B trace.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame =
     sys.env.getOrElse("GRAFT_CC_ALGO", "stars") match {
-      case "jump" => connectedComponentsJump(edges, maxIters)
-      case _      => connectedComponentsStars(edges, maxIters)
+      case "jump"  => connectedComponentsJump(edges, maxIters)
+      case "stars" => connectedComponentsStars(edges, maxIters)
+      case other => throw new IllegalArgumentException(
+        s"GRAFT_CC_ALGO must be 'stars' or 'jump'; got '$other'")
     }
+
+  /** Shared iterative-loop scaffolding for both CC variants: size the
+    * loop's shuffle partitions to the derived graph (~100k rows per
+    * partition — a 100 TB pair graph stays fully parallel, a small graph
+    * runs in a handful of tasks), disable AQE inside the eager loop (its
+    * per-stage re-planning measured 2× the query's wall time on tiny
+    * rounds), and restore both session-global keys afterwards (the
+    * Engine.readEvents pattern). One helper so a tuning change can never
+    * drift between the variants.
+    */
+  private def withGraphLoopConf[T](spark: SparkSession, graphRows: Long)(
+      body: Int => T): T = {
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (graphRows / 100000L).toInt + 1))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body(nPart)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SOCC'14) — the
@@ -84,29 +115,45 @@ object Components {
     */
   def connectedComponentsStars(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = edges.sparkSession
-    val canon = edges
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val canonAll = edges
       .select(greatest(col("d1"), col("d2")).as("a"),
         least(col("d1"), col("d2")).as("b"))
-      .where(col("a") =!= col("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = canon.count()
-    if (nEdges == 0L) {
-      canon.unpersist()
-      return canon.select(col("a").as("id"), col("b").as("label"))
+    val schema = canonAll.schema
+    val outSchema = StructType(Seq(
+      StructField("id", schema("a").dataType),
+      StructField("label", schema("b").dataType)))
+    // materialized empty result — returning a plan over the (unpersisted)
+    // canonical edges would re-run the whole upstream pair pipeline when
+    // the caller consumes it, just to rediscover emptiness
+    def emptyLabels: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // ONE materialization of the edge set: the persisted Row RDD feeds
+    // the loop's round-0 LogicalRDD, the self-loop split, and the count
+    val allRdd = canonAll.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val allDf = spark.createDataFrame(allRdd, schema)
+    val nAll = allDf.count()
+    if (nAll == 0L) {
+      allRdd.unpersist()
+      return emptyLabels
     }
-    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (nEdges / 100000L).toInt + 1))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val schema = canon.schema
-      var curRdd = canon.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // self-loop vertices are incident to an edge (the contract labels
+    // them, and the jump variant does) but VANISH under star contraction
+    // — split them out and self-label at the end. The common case (pair
+    // generators emit strict d1 < d2) pays only one count over cached
+    // blocks and skips the split entirely.
+    val nLoops = allDf.where(col("a") === col("b")).count()
+    val (initRdd, initCount) =
+      if (nLoops == 0L) (allRdd, nAll)
+      else (allDf.where(col("a") =!= col("b")).rdd
+        .persist(StorageLevel.MEMORY_AND_DISK), nAll - nLoops)
+    val stars: DataFrame =
+      if (initCount == 0L) emptyLabels
+      else withGraphLoopConf(spark, initCount) { _ =>
+      var curRdd = initRdd
       var cur = spark.createDataFrame(curRdd, schema)
-      var curCount = cur.count()
-      canon.unpersist()
+      var curCount = initCount
       var it = 0
       var done = false
       while (!done && it < maxIters) {
@@ -155,9 +202,15 @@ object Components {
       cur.select(col("a").as("id"), col("b").as("label"))
         .union(cur.select(col("b")).distinct()
           .select(col("b").as("id"), col("b").as("label")))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    if (nLoops == 0L) stars
+    else {
+      // self-loop-only vertices label themselves; allRdd stays persisted
+      // for this lineage (reclaimed by the ContextCleaner once the
+      // returned plan is unreferenced — same policy as the labels RDD)
+      val loops = allDf.where(col("a") === col("b")).select(col("a").as("id"))
+      stars.union(loops.join(stars, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
     }
   }
 
@@ -187,20 +240,10 @@ object Components {
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(StorageLevel.DISK_ONLY)
     // Size the loop's shuffles to the graph, not the session default:
-    // every round re-shuffles |V|-ish rows, and a tiny graph under the
-    // session's partition count pays (rounds × partitions) near-empty
-    // tasks plus an AQE re-planning pass per stage — measured 2× the
-    // whole query's wall time at sf0.1. ~100k edges per partition keeps
-    // a 100 TB pair graph fully parallel while a small graph runs in a
-    // handful of tasks. Conf is session-global, so restore both keys
-    // after the eager loop (same pattern as Engine.readEvents).
-    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (sym.count() / 100000L).toInt + 1))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // every round re-shuffles |V|-ish rows (withGraphLoopConf sizes the
+    // loop's shuffles to the 2× symmetric edge count and restores the
+    // session confs afterwards)
+    withGraphLoopConf(spark, sym.count()) { _ =>
     val seed = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     val schema = seed.schema
@@ -236,7 +279,8 @@ object Components {
       // not pointer-tree depth, so extra jumps have nothing to compress.
       // Cutting the tail needs edge-rewiring contraction
       // (large-star/small-star), which rewrites the edge set per round —
-      // not worth that complexity at ~7 s for the one multi-round query.
+      // landed in round 6 as [[connectedComponentsStars]] (6 rounds vs
+      // 18, ~1.8× faster); this variant stays as the measured fallback.
       val nextRdd = prop
         .join(prop.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
@@ -280,9 +324,6 @@ object Components {
           "large-star/small-star for chain-shaped graphs")
     }
     labels
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 

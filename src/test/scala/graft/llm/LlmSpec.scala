@@ -83,11 +83,18 @@ class LlmSpec extends AnyFunSuite {
 
   test("star-contraction CC: duplicate/reversed edges, complete graph, 200-chain round budget") {
     import spark.implicits._
-    // duplicate and reversed edges must canonicalize away
-    val messy = Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 7L)).toDF("d1", "d2")
+    // duplicate and reversed edges must canonicalize away; a self-loop
+    // vertex is incident to an edge, so BOTH algorithms must label it
+    // ((9,9) vanishes under contraction — the split-and-relabel path)
+    val messy = Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 7L), (9L, 9L))
+      .toDF("d1", "d2")
+    val expect = Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 9L)
     val m = Components.connectedComponentsStars(messy)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(m == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+    assert(m == expect)
+    val mj = Components.connectedComponentsJump(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mj == expect, "jump/stars self-loop contract divergence")
     // complete K5 (densest neighborhood shape) collapses to one star
     val k5 = (for (i <- 0 until 5; j <- i + 1 until 5)
       yield (100L + i, 100L + j)).toDF("d1", "d2")
