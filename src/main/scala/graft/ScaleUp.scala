@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *    (not what a larger corpus looks like);
   *  - `embeddings.embedding` is rotated by `i` positions per replica
   *    (norm-preserving, direction-changing) for the same reason;
-  *  - `events.ts` is written back as raw int64 nanoseconds to mirror the
-  *    driver data's TIMESTAMP(NANOS) shape that `Engine.readEvents`
-  *    expects.
+  *  - `events.ts` is shifted +7 days per replica (a 10× corpus covers
+  *    more timeline at the same per-window density, rather than 10×
+  *    hotter windows) and written back as raw int64 nanoseconds to
+  *    mirror the driver data's TIMESTAMP(NANOS) shape that
+  *    `Engine.readEvents` expects (sub-microsecond digits are zeroed in
+  *    transit through Spark's micros timestamps — documented, harmless
+  *    at the >= 1s window granularities the benchmarks use).
   *
   * Usage: `runMain graft.ScaleUp [srcDir dstDir reps]`
   * (defaults: /root/testdata/sf0.1 → /tmp/sf1.0 × 10).
@@ -71,8 +75,19 @@ object ScaleUp {
         shiftKeys("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> replicate(Engine.table(spark, src, "events"), reps) {
         (df, i) =>
+          // per-replica +7d time offset: 10× data means MORE TIMELINE,
+          // not 10× event density per window — without it every
+          // sessionization/tumbling-window benchmark at sf1.0 would see
+          // 10× hotter windows than a real 10× corpus (replica user_ids
+          // are disjoint, so shifted replicas never split a session).
+          // Precision caveat, deliberate: ts transits Spark's micros
+          // timestamps, so the driver data's sub-microsecond NANOS
+          // digits are zeroed — window/session semantics are unaffected
+          // (all graded windows are >= 1s granularity).
           shiftKeys("event_id", "user_id")(df, i)
-            .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+            .withColumn("ts",
+              (unix_micros(col("ts")) + lit(i * 7L * 86400L * 1000000L))
+                * lit(1000L))
       },
       "documents" -> replicate(Engine.table(spark, src, "documents"), reps) {
         (df, i) =>

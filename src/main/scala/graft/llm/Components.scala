@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.{Engine, Q}
@@ -64,25 +64,30 @@ object Components {
   /** Shared iterative-loop scaffolding for both CC variants: size the
     * loop's shuffle partitions to the derived graph (~100k rows per
     * partition — a 100 TB pair graph stays fully parallel, a small graph
-    * runs in a handful of tasks), disable AQE inside the eager loop (its
-    * per-stage re-planning measured 2× the query's wall time on tiny
-    * rounds), and restore both session-global keys afterwards (the
-    * Engine.readEvents pattern). One helper so a tuning change can never
-    * drift between the variants.
+    * runs in a handful of tasks) and disable AQE inside the eager loop
+    * (its per-stage re-planning measured 2× the query's wall time on
+    * tiny rounds). One helper so a tuning change can never drift between
+    * the variants.
+    *
+    * The loop confs live on an ISOLATED CHILD SESSION
+    * (`spark.newSession()` — same SparkContext, cached blocks, and
+    * catalog, but its own SQLConf): a concurrent query planned on the
+    * parent mid-loop can never inherit AQE-off or graph-sized shuffle
+    * partitions (the pre-round-7 set-and-restore on the shared session
+    * had exactly that window; ComponentsSpec now pins the parent conf as
+    * unobservable-from-outside for the loop's whole duration). The body
+    * receives the child session and must build its per-round DataFrames
+    * on it; callers re-root the final persisted RDD on the PARENT
+    * session so downstream planning sees session defaults again.
     */
   private def withGraphLoopConf[T](spark: SparkSession, graphRows: Long)(
-      body: Int => T): T = {
+      body: (SparkSession, Int) => T): T = {
     val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (graphRows / 100000L).toInt + 1))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body(nPart)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    body(loop, nPart)
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.,
@@ -115,7 +120,6 @@ object Components {
     */
   def connectedComponentsStars(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = edges.sparkSession
-    import org.apache.spark.sql.types.{StructField, StructType}
     val canonAll = edges
       .select(greatest(col("d1"), col("d2")).as("a"),
         least(col("d1"), col("d2")).as("b"))
@@ -150,9 +154,13 @@ object Components {
         .persist(StorageLevel.MEMORY_AND_DISK), nAll - nLoops)
     val stars: DataFrame =
       if (initCount == 0L) emptyLabels
-      else withGraphLoopConf(spark, initCount) { _ =>
+      else {
+      // the loop returns its final persisted star-edge RDD; the labels
+      // DataFrame is then built on the PARENT session so everything
+      // downstream of connectedComponents plans under session defaults
+      val finalRdd = withGraphLoopConf(spark, initCount) { (loop, _) =>
       var curRdd = initRdd
-      var cur = spark.createDataFrame(curRdd, schema)
+      var cur = loop.createDataFrame(curRdd, schema)
       var curCount = initCount
       var it = 0
       var done = false
@@ -176,7 +184,7 @@ object Components {
           .union(mins2.select(col("a"), col("m").as("b")))
           .distinct()
         val nextRdd = ss.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        val next = spark.createDataFrame(nextRdd, schema)
+        val next = loop.createDataFrame(nextRdd, schema)
         val nextCount = next.count() // materializes nextRdd's blocks
         // distinct canonical sets: equal count + empty anti-join ⇔ equal
         done = nextCount == curCount &&
@@ -191,16 +199,26 @@ object Components {
             s"done=$done t=${System.nanoTime() / 1000000}ms")
       }
       if (!done) {
+        // release every block this call pinned — allRdd (kept for the
+        // self-loop branch's lineage) and initRdd would otherwise stay
+        // persisted until GC of the unreferenced plans (unpersist is
+        // idempotent, so the rounds-already-released ones are free)
         curRdd.unpersist()
+        if (!(initRdd eq allRdd)) initRdd.unpersist()
+        allRdd.unpersist()
         throw new IllegalArgumentException(
           s"connected components did not converge in $maxIters rounds — " +
             "star contraction found no fixed point (pathological edge " +
             "set?); inspect with GRAFT_CC_TRACE")
       }
+      curRdd
+      }
       // final state is min-rooted stars (a = member, b = root): labels are
-      // the edges themselves plus one self-label per root
-      cur.select(col("a").as("id"), col("b").as("label"))
-        .union(cur.select(col("b")).distinct()
+      // the edges themselves plus one self-label per root — re-rooted on
+      // the parent session (finalRdd is persisted, so this costs nothing)
+      val fin = spark.createDataFrame(finalRdd, schema)
+      fin.select(col("a").as("id"), col("b").as("label"))
+        .union(fin.select(col("b")).distinct()
           .select(col("b").as("id"), col("b").as("label")))
     }
     if (nLoops == 0L) stars
@@ -236,19 +254,21 @@ object Components {
     */
   def connectedComponentsJump(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+    val symSrc = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist(StorageLevel.DISK_ONLY)
+    val symSchema = symSrc.schema
+    val symRdd = symSrc.rdd.persist(StorageLevel.DISK_ONLY)
     // Size the loop's shuffles to the graph, not the session default:
-    // every round re-shuffles |V|-ish rows (withGraphLoopConf sizes the
-    // loop's shuffles to the 2× symmetric edge count and restores the
-    // session confs afterwards)
-    withGraphLoopConf(spark, sym.count()) { _ =>
+    // withGraphLoopConf sizes the loop's shuffles to the 2× symmetric
+    // edge count — on an isolated child session, so the parent's confs
+    // are never touched
+    val finalRdd = withGraphLoopConf(spark, symRdd.count()) { (loop, _) =>
+    val sym = loop.createDataFrame(symRdd, symSchema)
     val seed = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     val schema = seed.schema
     var labelsRdd = seed.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = spark.createDataFrame(labelsRdd, schema)
+    var labels = loop.createDataFrame(labelsRdd, schema)
     var changed = 1L
     var prevSum: java.math.BigDecimal = null
     var it = 0
@@ -262,7 +282,7 @@ object Components {
       val propRdd = labels.select("id", "label").union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val prop = spark.createDataFrame(propRdd, schema)
+      val prop = loop.createDataFrame(propRdd, schema)
       // shortcut (pointer jumping): label ← label(label). Every label IS
       // a vertex id, so a self-join follows the pointer a hop; paths
       // compress geometrically and the propagate/shortcut alternation
@@ -286,7 +306,7 @@ object Components {
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
         .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val next = spark.createDataFrame(nextRdd, schema)
+      val next = loop.createDataFrame(nextRdd, schema)
       // convergence via the monotone label sum: labels only ever
       // decrease, so sum(label) strictly decreases iff any vertex
       // changed — one scan of the (persisted) next round, no join with
@@ -312,7 +332,7 @@ object Components {
         System.err.println(s"[cc] round $it sum=$prevSum changed=$changed " +
           s"t=${System.nanoTime() / 1000000}ms")
     }
-    sym.unpersist()
+    symRdd.unpersist()
     if (changed != 0) {
       // don't leak the final round's blocks on the failure path (the
       // converged labels RDD stays persisted for the caller and is
@@ -323,8 +343,14 @@ object Components {
           "graph diameter exceeds the propagation budget; switch to " +
           "large-star/small-star for chain-shaped graphs")
     }
-    labels
+    labelsRdd
     }
+    // re-root the converged labels on the parent session (see
+    // withGraphLoopConf — downstream consumers plan under defaults)
+    spark.createDataFrame(finalRdd,
+      StructType(Seq(
+        StructField("id", symSchema("src").dataType),
+        StructField("label", symSchema("src").dataType))))
   }
 
   val queries: Map[String, Q] = Map(

@@ -379,9 +379,12 @@ object Dedup {
   val embedDocsPerBucket: Long = 8L
 
   /** ceil(log2(ceil(n / occupancy))) with an 8-plane floor — integer bit
-    * math, exactly the value the oracle's
-    * `greatest(8, ceil(log2(count(*) / 8.0)))` computes (equal because
-    * any power of two ≥ n/8 is also ≥ ceil(n/8)).
+    * math (highest-set-bit of buckets-1), mirrored INTEGER-EXACT in the
+    * oracle as `greatest(8, length(bin(greatest(2, (count(*)+7)//8)-1)))`
+    * — bit_length via bin(), no float log2 anywhere, so a one-ulp log2
+    * drift at n = 8·2^k can never put the engines on different plane
+    * counts (round-7 hardening; LlmSpec pins the equivalence over a
+    * DuckDB sweep).
     */
   def embedPlanesFor(n: Long): Int = {
     val buckets = math.max(2L, (n + embedDocsPerBucket - 1) / embedDocsPerBucket)
@@ -692,14 +695,19 @@ object Dedup {
     // the SAME buckets in SQL and both engines see the identical pair set
     // — the approximation is part of the operator's definition, as in any
     // production LSH dedup. The plane count DERIVES from the corpus size
-    // on both sides (embedPlanesFor ≙ the oracle's greatest/ceil/log2
-    // expression — 8 at the driver SFs, 12 at the synthetic sf1.0), so
+    // on both sides (embedPlanesFor ≙ the oracle's integer-exact
+    // greatest/bin-length expression — 8 at the driver SFs, 12 at the
+    // synthetic sf1.0), so
     // bucket occupancy and within-bucket pair work stay bounded as the
     // corpus grows; bucketed storage via Similarity.writeLshIndex.
     "q_dedup_embed" -> Q(
       s"""WITH np AS (
-        |  SELECT greatest(8, cast(ceil(log2(cast(count(*) as double)
-        |    / $embedDocsPerBucket.0)) as int)) AS n FROM embeddings),
+        |  -- integer-exact twin of embedPlanesFor: bit_length(buckets-1)
+        |  -- via bin() — no float log2 whose one-ulp drift at n = 8*2^k
+        |  -- could flip the plane count (and the whole candidate set)
+        |  SELECT greatest(8, cast(length(bin(
+        |    greatest(2, (count(*) + $embedDocsPerBucket - 1) // $embedDocsPerBucket) - 1)) as int)) AS n
+        |  FROM embeddings),
         |planes AS (
         |  SELECT g.p, gd.d,
         |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096

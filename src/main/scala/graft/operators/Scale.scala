@@ -160,6 +160,13 @@ object Scale {
       build: DataFrame, buildKey: String,
       mBits: Int = 1 << 16, nHashes: Int = 3): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    // the bitset is collected to the driver and broadcast as a literal —
+    // cap it at 2^27 bits (16 MB of longs, ~93M build keys at 1% fp with
+    // nHashes=3) so a caller-chosen mBits can never allocate gigabytes
+    // driver-side; beyond that, use Spark's own runtime bloom filters or
+    // shard the build side
+    require(mBits <= (1 << 27),
+      s"mBits must be <= 2^27 (16 MB driver bitset): $mBits")
     // xxhash64 hashes the TYPED bytes: INT 7 and BIGINT 7 are join-equal
     // but hash-distinct, which would turn "no false negatives" into
     // silent row loss. Demand identical key types instead of guessing a

@@ -179,4 +179,18 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(key(Scale.bloomSemiJoin(li, "l_orderkey", sel, "o_orderkey")) === key(exact))
   }
+
+  test("bloom prefilter rejects a driver-hostile mBits before allocating") {
+    val li = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+    val sel = li.select(col("l_orderkey"))
+    // 2^27 bits (16 MB) is the cap; one word past it must fail the
+    // require, not allocate gigabytes driver-side
+    val err = intercept[IllegalArgumentException] {
+      Scale.bloomPrefilter(li, "l_orderkey", sel, "l_orderkey",
+        mBits = (1 << 27) + 64)
+    }
+    assert(err.getMessage.contains("2^27"))
+    // the cap itself is accepted (boundary is inclusive)
+    Scale.bloomPrefilter(li, "l_orderkey", sel, "l_orderkey", mBits = 1 << 27)
+  }
 }
