@@ -184,6 +184,47 @@ object Search {
           .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
           .cast(IntegerType))
         .orderBy(col("rk"))
+    },
+
+    // Inverted-index construction (round 7): the serving structure BM25
+    // assumes — per-term posting lists, here materialized for the 8
+    // highest-df terms with each term's top-5 postings by tf. Scale
+    // shape: the (doc, term) tf agg and the term-level df agg are both
+    // corpus-linear and map-side combined; the term shortlist is
+    // TakeOrdered (8 rows, broadcast back), so the ranking window runs
+    // only over the shortlisted terms' postings AND Spark rewrites the
+    // rank<=5 filter into WindowGroupLimit (per-partition partial top-5
+    // before the shuffle — the same rank-pushdown PlanAuditSpec pins for
+    // the other rank-predicate queries), so a 100 TB stopword posting
+    // list never sorts whole. Postings emitted EXPLODED (term, df,
+    // doc_id, tf, pos_rk) — the gate cannot hash array cells.
+    "q_postings" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tfc AS (SELECT token, doc_id, cast(count(*) as bigint) AS tf
+        |        FROM tok GROUP BY token, doc_id),
+        |dfc AS (SELECT token, cast(count(*) as bigint) AS df
+        |        FROM tfc GROUP BY token),
+        |top AS (SELECT token, df FROM dfc ORDER BY df DESC, token LIMIT 8),
+        |p AS (SELECT token, df, doc_id, tf,
+        |        cast(row_number() OVER (PARTITION BY token
+        |               ORDER BY tf DESC, doc_id) as int) AS pos_rk
+        |      FROM tfc JOIN top USING (token))
+        |SELECT token, df, doc_id, tf, pos_rk FROM p
+        |WHERE pos_rk <= 5 ORDER BY token, pos_rk""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+      val tfc = tok.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val top = tfc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(8)
+      tfc.join(broadcast(top), "token")
+        .withColumn("pos_rk", row_number().over(
+          Window.partitionBy(col("token"))
+            .orderBy(col("tf").desc, col("doc_id"))).cast(IntegerType))
+        .filter(col("pos_rk") <= 5)
+        .select(col("token"), col("df"), col("doc_id"), col("tf"), col("pos_rk"))
+        .orderBy(col("token"), col("pos_rk"))
     }
   )
 }

@@ -163,6 +163,58 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Phrase mining via PMI (round 7, the word2vec-phrases shape,
+    // Mikolov et al. 2013 §4): corpus bigram count vs the product of its
+    // words' unigram counts — high ratio = collocation ("new york"),
+    // ratio ~1 = chance co-occurrence. Entirely integer-exact: the ratio
+    // is (1e6 * c_xy * n_uni) div (c_x * c_y) with the product lifted to
+    // decimal(38) (HUGEINT oracle-side) so it cannot overflow bigint at
+    // corpus scale; no float log anywhere (ln-PMI's last ulp is not
+    // engine-portable, and log is monotone so the ranking is identical).
+    // Scale shape: unigram + bigram counts are corpus-linear map-side
+    // combined aggs; the min-count 5 filter bounds the scored table; the
+    // two word-count joins are vocab-sized equi-joins; the final top-20
+    // is TakeOrdered, never a global window.
+    "q_phrase_pmi" -> Q(
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM t),
+        |uc AS (SELECT w, cast(count(*) as bigint) AS c FROM uni GROUP BY w),
+        |n AS (SELECT cast(count(*) as bigint) AS n_uni FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM t WHERE len(t) >= 2),
+        |bc AS (SELECT b, cast(count(*) as bigint) AS c_xy FROM bg
+        |       GROUP BY b HAVING count(*) >= 5),
+        |sc AS (SELECT b AS bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+        |         cast((cast(1000000 as hugeint) * c_xy * n_uni)
+        |              // (u1.c * u2.c) as bigint) AS pmi_ratio_ppm
+        |       FROM bc
+        |       JOIN uc u1 ON u1.w = string_split(b, ' ')[1]
+        |       JOIN uc u2 ON u2.w = string_split(b, ' ')[2], n)
+        |SELECT bigram, c_xy, c_x, c_y, pmi_ratio_ppm FROM sc
+        |ORDER BY pmi_ratio_ppm DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).select(explode(toks).as("w"))
+      val uc = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nUni = tok.agg(count(lit(1)).as("n_uni"))
+      docs(s, dir).filter(size(toks) >= 2)
+        .select(explode(
+          graft.functions.TextExpressions.shingles(col("text"), 2)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("w1", split(col("b"), " ").getItem(0))
+        .withColumn("w2", split(col("b"), " ").getItem(1))
+        .join(uc.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(nUni))
+        .withColumn("pmi_ratio_ppm", expr(
+          "cast(((cast(1000000 as decimal(38,0)) * c_xy) * n_uni)" +
+            " div (c_x * c_y) as bigint)"))
+        .select(col("b").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+          col("pmi_ratio_ppm"))
+        .orderBy(col("pmi_ratio_ppm").desc, col("bigram"))
+        .limit(20)
+    },
+
     // Stratified deterministic sampling: a fixed-size quota PER STRATUM
     // (language), drawn in md5-of-id order — the balanced-subset draw a
     // training mix needs (uniform sampling starves rare languages), made

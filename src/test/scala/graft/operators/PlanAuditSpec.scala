@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tfidf",           // crossJoin(broadcast(1-row N-docs aggregate))
     "q_embed_quant",     // crossJoin(broadcast(1-row min/max stats))
     "q_sim_quant",       // crossJoin(broadcast(1-row query vector)) + stats
-    "q_bm25")            // crossJoin(broadcast(1-row corpus totals))
+    "q_bm25",            // crossJoin(broadcast(1-row corpus totals))
+    "q_phrase_pmi")      // crossJoin(broadcast(1-row n_uni aggregate))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
