@@ -163,6 +163,85 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Sliding-window chunking (round 7): the RAG/embedding prep step —
+    // fixed 128-token chunks at stride 96 (32-token overlap), one row
+    // per (doc, chunk) with offsets AND the md5 of the extracted token
+    // slice, so the gate pins the actual text extraction, not just
+    // offset arithmetic (both engines md5 the single-space re-join of
+    // the identical 1-based slice). Differs from q_pack_chunks (which
+    // packs docs into a fixed token budget); this one windows WITHIN a
+    // doc. Scale shape: one narrow per-doc explode (sequence of starts,
+    // ~n/stride rows), zero shuffles before the ordered output; the
+    // tail chunk is the natural short remainder, emitted as-is.
+    "q_chunk_slide" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, t, n, unnest(range(0, n, 96)) AS start_tok
+        |      FROM t WHERE n >= 1)
+        |SELECT doc_id, cast(start_tok // 96 as bigint) AS chunk_id,
+        |  cast(start_tok as bigint) AS start_tok,
+        |  cast(least(128, n - start_tok) as bigint) AS n_chunk_tok,
+        |  md5(array_to_string(
+        |    t[start_tok + 1 : start_tok + least(128, n - start_tok)], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("t"), size(toks).cast(LongType).as("n"))
+        .filter(col("n") >= 1)
+        .withColumn("start_tok",
+          explode(sequence(lit(0L), col("n") - 1L, lit(96L))))
+        .withColumn("n_chunk_tok", least(lit(128L), col("n") - col("start_tok")))
+        .select(col("doc_id"),
+          (col("start_tok") / 96L).cast(LongType).as("chunk_id"),
+          col("start_tok"),
+          col("n_chunk_tok"),
+          md5(array_join(
+            slice(col("t"), (col("start_tok") + 1L).cast(IntegerType),
+              col("n_chunk_tok").cast(IntegerType)), " ").cast(BinaryType))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Out-of-vocabulary rate vs the corpus top-1000 vocab (round 7): the
+    // token-coverage curation metric behind vocab pruning / tokenizer
+    // fit — docs whose tokens fall mostly outside the frequency-ranked
+    // vocab are noise or wrong-language. Scale shape: the vocab is
+    // TakeOrdered (bounded 1000 rows, tie-broken by token) and broadcast
+    // into a map-side anti join; per-doc counts are corpus-linear
+    // map-side-combined aggs; ppm = floor of an exact-integer IEEE
+    // division (the q_rep_ngram precedent — no round(), no raw float
+    // sums).
+    "q_oov_rate" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |v AS (SELECT token FROM (
+        |        SELECT token, count(*) AS c FROM tok GROUP BY token
+        |        ORDER BY c DESC, token LIMIT 1000)),
+        |base AS (SELECT doc_id, cast(count(*) as bigint) AS n_tok
+        |         FROM tok GROUP BY doc_id),
+        |o AS (SELECT doc_id, cast(count(*) as bigint) AS n_oov FROM tok
+        |      WHERE token NOT IN (SELECT token FROM v) GROUP BY doc_id)
+        |SELECT b.doc_id, n_tok, coalesce(n_oov, 0) AS n_oov,
+        |  cast(floor(coalesce(n_oov, 0) * 1000000.0 / n_tok) as bigint)
+        |    AS oov_ppm
+        |FROM base b LEFT JOIN o USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token"))
+        .limit(1000)
+        .select(col("token"))
+      val base = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val oov = tok.join(broadcast(vocab), Seq("token"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+      base.join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          floor(coalesce(col("n_oov"), lit(0L)) * 1000000.0 / col("n_tok"))
+            .cast(LongType).as("oov_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Phrase mining via PMI (round 7, the word2vec-phrases shape,
     // Mikolov et al. 2013 §4): corpus bigram count vs the product of its
     // words' unigram counts — high ratio = collocation ("new york"),
