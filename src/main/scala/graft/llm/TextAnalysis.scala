@@ -266,7 +266,7 @@ object TextAnalysis {
         |       GROUP BY b HAVING count(*) >= 5),
         |sc AS (SELECT b AS bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
         |         cast((cast(1000000 as hugeint) * c_xy * n_uni)
-        |              // (u1.c * u2.c) as bigint) AS pmi_ratio_ppm
+        |              // (cast(u1.c as hugeint) * u2.c) as bigint) AS pmi_ratio_ppm
         |       FROM bc
         |       JOIN uc u1 ON u1.w = string_split(b, ' ')[1]
         |       JOIN uc u2 ON u2.w = string_split(b, ' ')[2], n)
@@ -286,8 +286,10 @@ object TextAnalysis {
         .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
         .crossJoin(broadcast(nUni))
         .withColumn("pmi_ratio_ppm", expr(
+          // denominator lifted to decimal too: bigint c_x*c_y would
+          // overflow (ANSI: throw) once both words pass ~3e9 occurrences
           "cast(((cast(1000000 as decimal(38,0)) * c_xy) * n_uni)" +
-            " div (c_x * c_y) as bigint)"))
+            " div (cast(c_x as decimal(38,0)) * c_y) as bigint)"))
         .select(col("b").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
           col("pmi_ratio_ppm"))
         .orderBy(col("pmi_ratio_ppm").desc, col("bigram"))

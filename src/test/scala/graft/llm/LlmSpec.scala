@@ -61,11 +61,14 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("embedPlanesFor is the smallest p >= 8 with 2^p buckets >= ceil(n/occupancy)") {
-    // the Scala derivation must equal the oracle's
-    // greatest(8, ceil(log2(n/8.0))) — evaluate the ORACLE'S floating
-    // form here (not the implementation's integer bit math again) so a
-    // double-boundary divergence between the two formulations would
-    // surface at unit level, not as a gate hash failure
+    // since round 7 the oracle is INTEGER-EXACT
+    // (greatest(8, length(bin(greatest(2,(n+7)//8)-1))) — bit_length of
+    // buckets-1 via bin()), structurally identical to embedPlanesFor's
+    // bit math, so no float boundary exists between the engines anymore.
+    // This test keeps the FLOATING reference form as a third,
+    // independently-derived formulation: it pins that the documented
+    // formula max(8, ceil(log2(n/8))) and the bit math agree across
+    // power-of-two boundaries (where a one-ulp log2 drift would bite)
     def reference(n: Long): Int = {
       val l = math.log(n.toDouble / Dedup.embedDocsPerBucket) / math.log(2.0)
       math.max(8, math.ceil(l).toInt)
