@@ -749,4 +749,33 @@ class LlmSpec extends AnyFunSuite {
       assert(unionOk, s"region $rk: sketch-union estimate outside 5% of $n")
     }
   }
+
+  test("q_chunk_slide: per-doc stride/length/coverage invariants (round 7)") {
+    // closed-form contract for every doc: starts are exactly
+    // 0, 96, 192, ... while start < n; each chunk holds
+    // min(128, n - start) tokens (non-tail chunks therefore 97..128,
+    // the tail is the natural remainder); n reconstructs as
+    // last start + last length. Catches off-by-one drift (a start AT n,
+    // a dropped 1-token tail, an overlong tail) that the hash gate
+    // would also catch but not localize.
+    val rows = graft.Registry.all("q_chunk_slide").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.Engine.table(spark, TestSpark.sfDir, "documents").count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == nDocs, "every non-empty doc must chunk")
+    byDoc.foreach { case (d, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong),
+        s"doc $d: chunk_ids not contiguous")
+      val n = sorted.last._3 + sorted.last._4
+      val expectStarts = (0L until n by 96L).toSeq
+      assert(sorted.map(_._3).toSeq == expectStarts,
+        s"doc $d: starts ${sorted.map(_._3).toSeq} != $expectStarts")
+      sorted.foreach { case (_, _, start, len) =>
+        assert(len == math.min(128L, n - start),
+          s"doc $d: chunk at $start has $len tokens, n=$n")
+      }
+    }
+  }
 }

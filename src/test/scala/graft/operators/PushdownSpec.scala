@@ -101,7 +101,13 @@ class PushdownSpec extends AnyFunSuite {
     val cases = Seq(
       ("q_tfidf", Seq("lang", "source", "n_chars")),
       ("q_merge_upsert", Seq("o_", "event_type", "props")),
-      ("q_embed_quant", Seq("label")))
+      ("q_embed_quant", Seq("label")),
+      // round-7 text ops need only (doc_id, text) — or just text for the
+      // corpus-level pmi aggregates
+      ("q_chunk_slide", Seq("lang", "source", "n_chars")),
+      ("q_oov_rate", Seq("lang", "source", "n_chars")),
+      ("q_phrase_pmi", Seq("lang", "source", "n_chars")),
+      ("q_postings", Seq("lang", "source", "n_chars")))
     cases.foreach { case (n, forbidden) =>
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(planOf(n)).map(_.group(1)).toSeq
