@@ -84,6 +84,61 @@ object TextAnalysis {
     s"(instr('0123456789abcdef', substr(md5(cast($idExpr as varchar)), 1, 1)) - 1) * 16" +
       s" + (instr('0123456789abcdef', substr(md5(cast($idExpr as varchar)), 2, 1)) - 1)"
 
+  /** q_normalize's canonicalization chain: lowercase, non-alphanumerics
+    * to spaces, collapse space runs, trim. `[^a-z0-9 ]` and `" +"` parse
+    * identically in Java regex and DuckDB's RE2, so both engines agree
+    * byte-for-byte (multi-byte UTF-8 chars are non-matching codepoints in
+    * both — stripped whole, never split).
+    */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** q_normalize core over any (doc_id, text, n_chars) frame: normalized
+    * length + digest, and the size of each post-normalization duplicate
+    * group (count over a hash-partitioned window on the digest — one
+    * shuffle, no sort).
+    */
+  def normalizedDups(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    d.select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars_raw"),
+      normalizeCol(col("text")).as("norm"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        length(col("norm")).cast(LongType).as("n_chars_norm"),
+        md5(col("norm").cast(BinaryType)).as("norm_md5"))
+      .withColumn("n_norm_dup",
+        count(lit(1)).over(Window.partitionBy(col("norm_md5"))).cast(LongType))
+  }
+
+  /** q_rarity_score core over any (doc_id, text) frame: per-doc mean
+    * corpus token frequency in ppm of the corpus token count, integer-
+    * exact (decimal(38) ≙ HUGEINT lift before one floor division — 1e6 *
+    * sum_c overflows bigint once the corpus passes ~3e6 tokens per
+    * doc-token; `div` floors like DuckDB's `//`).
+    *
+    * Scale shape: the oracle's per-OCCURRENCE tok⋈counts join would
+    * shuffle the raw token stream on a stopword-skewed key; instead the
+    * map-side-combinable (doc, term) tf aggregate runs first, so the
+    * vocab join carries one row per doc-distinct term ("the" appears
+    * once per doc, not once per occurrence) and Σc rewrites exactly as
+    * Σ tf·c. The tf·c product lifts to decimal(38) BEFORE the sum —
+    * tf·c can pass 2^63 once a stopword's corpus count does.
+    */
+  def rarityScores(d: DataFrame): DataFrame = {
+    val tf = d.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val uc = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val nUni = uc.agg(sum(col("c")).as("n_uni"))
+    tf.join(uc, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf").cast(DecimalType(38, 0)) * col("c")).as("sum_c"))
+      .crossJoin(broadcast(nUni))
+      .withColumn("mean_freq_ppm", expr(
+        "cast(((cast(1000000 as decimal(38,0)) * sum_c))" +
+          " div (cast(n_tok as decimal(38,0)) * n_uni) as bigint)"))
+      .select(col("doc_id"), col("n_tok"), col("mean_freq_ppm"))
+  }
+
   private def lexCount(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
@@ -294,6 +349,59 @@ object TextAnalysis {
           col("pmi_ratio_ppm"))
         .orderBy(col("pmi_ratio_ppm").desc, col("bigram"))
         .limit(20)
+    },
+
+    // Text canonicalization (round 7) — the normalize stage every
+    // pipeline runs before dedup (C4 strips punctuation before its
+    // three-sentence dedup; fastText lowercases before language ID):
+    // lowercase → non-alphanumerics to spaces → collapse runs → trim,
+    // then detect documents that become byte-identical only AFTER
+    // normalization (q_fingerprint collapses whitespace alone; this
+    // catches "Hello, World!" ≡ "hello world"). The character classes
+    // [^a-z0-9 ] and " +" mean the same thing in Java regex and RE2, so
+    // both engines normalize identically. Scale shape: the normalize
+    // chain is a narrow codegen'd projection; the dup-group count is one
+    // hash shuffle on the 32-char digest (count over a hash-partitioned
+    // window, never a sort); ordered output only at the gate's ORDER BY.
+    "q_normalize" -> Q(
+      """WITH n AS (SELECT doc_id, n_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, cast(n_chars as bigint) AS n_chars_raw,
+        |  cast(length(norm) as bigint) AS n_chars_norm,
+        |  md5(norm) AS norm_md5,
+        |  cast(count(*) OVER (PARTITION BY md5(norm)) as bigint) AS n_norm_dup
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      normalizedDups(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM rarity score (round 7) — the model-free stand-in for
+    // perplexity filtering (CCNet buckets documents by LM score; the
+    // unigram version needs no trained model, just the corpus itself):
+    // score = mean corpus frequency of the document's tokens, in ppm of
+    // the corpus token count. Low score = mostly rare tokens (noise,
+    // wrong language, mojibake); high = stopword soup. Fully integer-
+    // exact — per-token counts are bigints, the scaled mean lifts to
+    // decimal(38)/HUGEINT before one floor division (no float log:
+    // ln-perplexity's last ulp is not engine-portable, and the unigram
+    // mean ranks the same tail). Scale shape: token counts are corpus-
+    // linear map-side-combined aggs; the tok→count join is a vocab-sized
+    // equi-join (broadcastable while the vocab fits, shuffle hash join
+    // beyond); the 1-row corpus total is a broadcast cross join.
+    "q_rarity_score" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |uc AS (SELECT w, cast(count(*) as bigint) AS c FROM tok GROUP BY w),
+        |n AS (SELECT cast(count(*) as bigint) AS n_uni FROM tok),
+        |d AS (SELECT doc_id, cast(count(*) as bigint) AS n_tok,
+        |        cast(sum(c) as bigint) AS sum_c
+        |      FROM tok JOIN uc USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  cast((cast(1000000 as hugeint) * sum_c)
+        |       // (cast(n_tok as hugeint) * n_uni) as bigint) AS mean_freq_ppm
+        |FROM d, n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      rarityScores(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // Stratified deterministic sampling: a fixed-size quota PER STRATUM

@@ -226,8 +226,64 @@ object SqlSurface {
         .filter(col("rk") === 1)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // Winsorization (round 7) — percentile clipping, the numeric-outlier
+    // cleaning step (clamp to [p05, p95] per group) a feature pipeline
+    // runs before training on heavy-tailed columns. Both engines take
+    // the ANSI discrete percentile (smallest value whose cume_dist
+    // reaches p — always an element of the input, so the clamp bounds
+    // are bit-identical raw doubles, the q_pctl_disc precedent), clamp
+    // with least/greatest (value selection, no arithmetic), and sum the
+    // clamped column through bounded decimals (Exact.sumMoney). Scale
+    // shape: bounds are a group-count-sized agg broadcast back into the
+    // fact scan (per-group percentile_disc sorts within hash partitions,
+    // no global sort); the clamp+stats pass is one map-side-combined
+    // hash agg over a 3-column pruned scan.
+    "q_winsorize" -> Q(
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    min(CASE WHEN cd >= 0.05 THEN v END) AS lo,
+         |    min(CASE WHEN cd >= 0.95 THEN v END) AS hi
+         |  FROM (SELECT l_returnflag, l_extendedprice AS v,
+         |          cume_dist() OVER (PARTITION BY l_returnflag
+         |                            ORDER BY l_extendedprice) AS cd
+         |        FROM lineitem)
+         |  GROUP BY l_returnflag)
+         |SELECT l.l_returnflag,
+         |  cast(count(CASE WHEN l_extendedprice < lo THEN 1 END) as bigint) AS n_lo,
+         |  cast(count(CASE WHEN l_extendedprice > hi THEN 1 END) as bigint) AS n_hi,
+         |  cast(count(*) as bigint) AS n,
+         |  ${Exact.oSumMoney("greatest(lo, least(hi, l_extendedprice))")} AS sum_wins,
+         |  min(greatest(lo, least(hi, l_extendedprice))) AS min_wins,
+         |  max(greatest(lo, least(hi, l_extendedprice))) AS max_wins
+         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      winsorize(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
     }
   )
+
+  /** q_winsorize core over any frame: per-`key` ANSI discrete p05/p95 of
+    * `value` (always an element of the input — bit-identical raw doubles,
+    * no interpolation), broadcast back for the clamp+stats pass.
+    */
+  def winsorize(d: DataFrame, key: String, value: String): DataFrame = {
+    val bounds = d.groupBy(col(key)).agg(
+      expr(s"percentile_disc(0.05) WITHIN GROUP (ORDER BY $value)").as("lo"),
+      expr(s"percentile_disc(0.95) WITHIN GROUP (ORDER BY $value)").as("hi"))
+    d.select(col(key), col(value))
+      .join(broadcast(bounds), key)
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col(value))))
+      .groupBy(col(key))
+      .agg(
+        count(when(col(value) < col("lo"), 1)).as("n_lo"),
+        count(when(col(value) > col("hi"), 1)).as("n_hi"),
+        count(lit(1)).as("n"),
+        Exact.sumMoney(col("w")).as("sum_wins"),
+        min(col("w")).as("min_wins"),
+        max(col("w")).as("max_wins"))
+  }
 }
 
 /** SQL texts shared verbatim between the Spark run and the DuckDB oracle. */

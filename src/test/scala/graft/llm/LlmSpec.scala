@@ -778,4 +778,44 @@ class LlmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_normalize: canonicalization chain on punctuation/case/whitespace edges (round 7)") {
+    import spark.implicits._
+    // the sf corpora are pre-normalized, so the punctuation behavior only
+    // shows on synthetic docs: case folds, punctuation/controls become
+    // spaces and collapse, multi-byte UTF-8 strips whole (never split
+    // into bytes), digits survive, and an all-punctuation doc trims to ""
+    val df = Seq(
+      (1L, "Hello,  World!!"),
+      (2L, "hello world"),
+      (3L, "café für 2"),
+      (4L, "a\tb\nc"),
+      (5L, "!!! ???")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val norm = df.select(col("doc_id"),
+      TextAnalysis.normalizeCol(col("text")).as("n")).as[(Long, String)]
+      .collect().toMap
+    assert(norm(1L) == "hello world")
+    assert(norm(3L) == "caf f r 2")
+    assert(norm(4L) == "a b c")
+    assert(norm(5L) == "")
+    // docs 1 and 2 agree only AFTER normalization → one dup group of 2
+    val dups = TextAnalysis.normalizedDups(df)
+      .select("doc_id", "n_norm_dup").as[(Long, Long)].collect().toMap
+    assert(dups(1L) == 2L && dups(2L) == 2L)
+    assert(dups(3L) == 1L && dups(4L) == 1L)
+  }
+
+  test("q_rarity_score: hand-computed unigram mean-frequency ppm (round 7)") {
+    import spark.implicits._
+    // corpus: counts a=2, b=1, c=1, N=4.
+    //   doc 1 "a a b": n_tok=3, sum_c=2+2+1=5 → floor(1e6*5/(3*4)) = 416666
+    //   doc 2 "c":     n_tok=1, sum_c=1       → floor(1e6*1/(1*4)) = 250000
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.rarityScores(df)
+      .select("doc_id", "n_tok", "mean_freq_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, ppm) => id -> ((n, ppm)) }.toMap
+    assert(got == Map(1L -> ((3L, 416666L)), 2L -> ((1L, 250000L))))
+  }
 }

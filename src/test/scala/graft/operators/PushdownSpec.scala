@@ -107,7 +107,13 @@ class PushdownSpec extends AnyFunSuite {
       ("q_chunk_slide", Seq("lang", "source", "n_chars")),
       ("q_oov_rate", Seq("lang", "source", "n_chars")),
       ("q_phrase_pmi", Seq("lang", "source", "n_chars")),
-      ("q_postings", Seq("lang", "source", "n_chars")))
+      ("q_postings", Seq("lang", "source", "n_chars")),
+      ("q_rarity_score", Seq("lang", "source", "n_chars")),
+      // q_normalize reports the raw n_chars, so only lang/source are dead
+      ("q_normalize", Seq("lang", "source")),
+      // q_winsorize touches lineitem twice (bounds + clamp) — both scans
+      // must prune to (l_returnflag, l_extendedprice)
+      ("q_winsorize", Seq("l_quantity", "l_orderkey", "l_shipdate")))
     cases.foreach { case (n, forbidden) =>
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(planOf(n)).map(_.group(1)).toSeq

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavior specs for the SQL-surface cleaning operators whose clamp
+  * arithmetic the oracle gate exercises only at corpus scale.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q_winsorize: hand-computed p05/p95 clamp on 1..100 (round 7)") {
+    import spark.implicits._
+    // key A: values 1..100 → ANSI discrete p05 = 5 (smallest value whose
+    // cume_dist reaches 0.05), p95 = 95. Clamp sends 1..4 up to 5
+    // (n_lo = 4) and 96..100 down to 95 (n_hi = 5);
+    // sum = 4*5 + (5+...+95) + 5*95 = 20 + 4550 + 475 = 5045.
+    // key B: a single row is its own p05 and p95 — nothing clamps.
+    val df = ((1 to 100).map(v => ("A", v.toDouble)) :+ (("B", 42.0)))
+      .toDF("k", "v")
+    val got = SqlSurface.winsorize(df, "k", "v")
+      .select("k", "n_lo", "n_hi", "n", "sum_wins", "min_wins", "max_wins")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got("A") == ((4L, 5L, 100L, 5045.0, 5.0, 95.0)))
+    assert(got("B") == ((0L, 0L, 1L, 42.0, 42.0, 42.0)))
+  }
+
+  test("q_winsorize: clamped output is always an element of the input (no interpolation)") {
+    import spark.implicits._
+    // 7 irregular values: discrete percentiles must select existing
+    // doubles bit-for-bit, so min/max after clamping are members of the
+    // input set — the property that makes the gate hash-safe on raw
+    // doubles.
+    val vals = Seq(3.25, -1.5, 99.875, 0.125, 17.0, 17.0, 42.0625)
+    val df = vals.map(("X", _)).toDF("k", "v")
+    val r = SqlSurface.winsorize(df, "k", "v")
+      .select("min_wins", "max_wins").as[(Double, Double)].head()
+    assert(vals.contains(r._1) && vals.contains(r._2))
+    assert(r._1 <= r._2)
+  }
+}
