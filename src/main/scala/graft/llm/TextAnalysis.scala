@@ -139,6 +139,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("mean_freq_ppm"))
   }
 
+  /** Gopher rule-filter thresholds (Rae et al. 2021 table A1, ppm-scaled
+    * where the paper uses ratios) — shared with the oracle SQL.
+    */
+  val gopherMinTok = 30L
+  val gopherMaxTok = 100000L
+  val gopherMeanLoPpm = 3000000L   // mean word length ≥ 3 chars
+  val gopherMeanHiPpm = 10000000L  // … and ≤ 10 chars
+  val gopherAlphaMinPpm = 800000L  // ≥80% of tokens purely alphabetic
+  val gopherMinStop = 2L           // ≥2 English stopword hits
+
+  /** q_gopher_rules core over any (doc_id, text) frame: integer-exact ppm
+    * signals + per-rule booleans + the AND'd keep flag. One narrow
+    * projection, no shuffle.
+    */
+  def gopherRules(d: DataFrame): DataFrame = {
+    val nTok = size(toks).cast(LongType)
+    val sumLen = aggregate(transform(toks, x => length(x).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val alphaCnt = size(filter(toks, x => x.rlike("^[a-z]+$"))).cast(LongType)
+    // two steps so the div operands are named columns in expr scope
+    d.select(col("doc_id"), nTok.as("n_tok"), sumLen.as("sum_len"),
+      alphaCnt.as("alpha_cnt"), lexCount("en").cast(LongType).as("stop_hits"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000000 * sum_len) div n_tok").as("mean_len_ppm"),
+        expr("(1000000 * alpha_cnt) div n_tok").as("alpha_ppm"),
+        col("stop_hits"))
+      .withColumn("r_len",
+        col("n_tok").between(gopherMinTok, gopherMaxTok))
+      .withColumn("r_mean",
+        col("mean_len_ppm").between(gopherMeanLoPpm, gopherMeanHiPpm))
+      .withColumn("r_alpha", col("alpha_ppm") >= gopherAlphaMinPpm)
+      .withColumn("r_stop", col("stop_hits") >= gopherMinStop)
+      .withColumn("keep",
+        col("r_len") && col("r_mean") && col("r_alpha") && col("r_stop"))
+  }
+
   private def lexCount(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
@@ -402,6 +438,42 @@ object TextAnalysis {
         |       // (cast(n_tok as hugeint) * n_uni) as bigint) AS mean_freq_ppm
         |FROM d, n ORDER BY doc_id""".stripMargin) { (s, dir) =>
       rarityScores(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // Gopher-style rule filter (Rae et al. 2021, "Scaling Language
+    // Models" table A1) — the published THRESHOLD-rule quality gate, as
+    // opposed to q_quality_score's weighted blend: word count in range,
+    // mean word length in [3, 10] chars, ≥80% alphabetic tokens, ≥2
+    // stopword hits; keep = AND of all four. Every signal is integer-
+    // exact (ppm floor divisions — no float ratio can straddle an
+    // engine-specific ulp) and every rule a boolean both engines derive
+    // from the same integers. Scale shape: one narrow codegen'd
+    // projection over a 2-column pruned scan — embarrassingly parallel,
+    // zero shuffles before the gate's ORDER BY.
+    "q_gopher_rules" -> Q(
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    cast(len(tk) as bigint) AS n_tok,
+         |    (1000000 * cast(list_sum(list_transform(tk, x -> len(x))) as bigint))
+         |      // cast(len(tk) as bigint) AS mean_len_ppm,
+         |    (1000000 * cast(len(list_filter(tk,
+         |        x -> regexp_full_match(x, '[a-z]+'))) as bigint))
+         |      // cast(len(tk) as bigint) AS alpha_ppm,
+         |    cast(len(list_filter(tk, x -> x IN
+         |      (${lexicons("en").map(w => s"'$w'").mkString(", ")}))) as bigint)
+         |      AS stop_hits
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+         |SELECT doc_id, n_tok, mean_len_ppm, alpha_ppm, stop_hits,
+         |  n_tok BETWEEN $gopherMinTok AND $gopherMaxTok AS r_len,
+         |  mean_len_ppm BETWEEN $gopherMeanLoPpm AND $gopherMeanHiPpm AS r_mean,
+         |  alpha_ppm >= $gopherAlphaMinPpm AS r_alpha,
+         |  stop_hits >= $gopherMinStop AS r_stop,
+         |  (n_tok BETWEEN $gopherMinTok AND $gopherMaxTok)
+         |    AND (mean_len_ppm BETWEEN $gopherMeanLoPpm AND $gopherMeanHiPpm)
+         |    AND alpha_ppm >= $gopherAlphaMinPpm
+         |    AND stop_hits >= $gopherMinStop AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      gopherRules(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // Stratified deterministic sampling: a fixed-size quota PER STRATUM

@@ -806,6 +806,38 @@ class LlmSpec extends AnyFunSuite {
     assert(dups(3L) == 1L && dups(4L) == 1L)
   }
 
+  test("q_gopher_rules: each rule trips exactly on its published boundary (round 7)") {
+    import spark.implicits._
+    val stop30 = (Seq.fill(28)("xxx") ++ Seq("the", "and")).mkString(" ")
+    val df = Seq(
+      // 30 tokens incl. 2 stopwords, all-alpha, mean len in range → keep
+      (1L, stop30),
+      // 29 tokens → r_len fails (boundary is ≥ 30)
+      (2L, (Seq.fill(27)("xx") ++ Seq("the", "and")).mkString(" ")),
+      // only 1 stopword → r_stop fails (boundary is ≥ 2)
+      (3L, (Seq.fill(29)("xx") ++ Seq("the")).mkString(" ")),
+      // mean word length 2 chars → 2000000 ppm < 3000000 floor → r_mean fails
+      (4L, (Seq.fill(28)("xy") ++ Seq("to", "of")).mkString(" ")),
+      // 10 of 30 tokens carry a digit → alpha_ppm = 666666 < 800000 → r_alpha fails
+      (5L, (Seq.fill(10)("x1") ++ Seq.fill(18)("xxx") ++ Seq("the", "and")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(df)
+      .select("doc_id", "r_len", "r_mean", "r_alpha", "r_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(got(2L)._1 == false && got(2L)._5 == false)
+    assert(got(3L)._4 == false && got(3L)._5 == false)
+    assert(got(4L)._2 == false && got(4L)._5 == false)
+    assert(got(5L)._3 == false && got(5L)._5 == false)
+    // mean-length boundary from the pass side: exactly 3.0 chars is kept
+    val b = Seq((9L, (Seq.fill(28)("xyz") ++ Seq("the", "and")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bm = TextAnalysis.gopherRules(b).select("mean_len_ppm", "r_mean")
+      .as[(Long, Boolean)].head()
+    assert(bm == ((3000000L, true)))
+  }
+
   test("q_rarity_score: hand-computed unigram mean-frequency ppm (round 7)") {
     import spark.implicits._
     // corpus: counts a=2, b=1, c=1, N=4.

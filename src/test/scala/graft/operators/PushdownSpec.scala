@@ -109,6 +109,7 @@ class PushdownSpec extends AnyFunSuite {
       ("q_phrase_pmi", Seq("lang", "source", "n_chars")),
       ("q_postings", Seq("lang", "source", "n_chars")),
       ("q_rarity_score", Seq("lang", "source", "n_chars")),
+      ("q_gopher_rules", Seq("lang", "source", "n_chars")),
       // q_normalize reports the raw n_chars, so only lang/source are dead
       ("q_normalize", Seq("lang", "source")),
       // q_winsorize touches lineitem twice (bounds + clamp) — both scans
