@@ -211,7 +211,72 @@ object Scale {
     pre.join(build, pre(probeKey) === build(buildKey), "left_semi")
   }
 
+  /** Distributed global row_number — the scale-safe form of the
+    * single-partition window Spark plans for `row_number() OVER (ORDER BY
+    * …)` with no PARTITION BY (every row through ONE reducer; the classic
+    * 100 TB cliff, and the one shape WindowExec itself warns about).
+    *
+    * Two-phase instead: range-repartition + sort within partitions on the
+    * caller's total order, then `zipWithIndex` (one lightweight count job
+    * for per-partition offsets, Spark's standard global-index primitive).
+    * Ranks are independent of the sampled range boundaries because
+    * partitions are range-ordered and internally sorted — the
+    * concatenation IS the total order. `order` must be total (include a
+    * unique tiebreak) or ranks within ties are partition-placement-
+    * dependent; ScaleSpec pins equality with the window form and the
+    * absence of any SinglePartition exchange.
+    */
+  def rankGlobal(df: DataFrame, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add("rank", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Distributed global ranking (round 7): rank every document by size
+    // with a unique tiebreak — the primitive behind pack/shard/topk-cut
+    // steps. The oracle states it as the single-partition window;
+    // the graded plan is rankGlobal's range-partition + zipWithIndex,
+    // which never funnels the corpus through one reducer.
+    "q_rank_global" -> Q(
+      """SELECT doc_id, n_chars,
+        |  cast(row_number() OVER (ORDER BY n_chars DESC, doc_id) as bigint)
+        |    AS rank
+        |FROM documents ORDER BY rank""".stripMargin) { (s, dir) =>
+      rankGlobal(
+        Engine.table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("n_chars").desc, col("doc_id"))
+        .orderBy(col("rank"))
+    },
+
+    // Size-balanced shard assignment (round 7): round-robin the
+    // size-DESC global rank across 16 output shards (longest-processing-
+    // time-style: each shard receives one doc per 16-rank stripe, so
+    // per-shard totals stay within one max-document of each other — the
+    // balance a training-data writer needs so no output file stalls the
+    // epoch). Emits per-shard counts + exact char totals; balance spread
+    // is pinned in ScaleSpec, exact totals are pinned here by the oracle.
+    "q_shard_balance" -> Q(
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT cast((rank - 1) % 16 as bigint) AS shard_id,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      rankGlobal(
+        Engine.table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("n_chars").desc, col("doc_id"))
+        .withColumn("shard_id", (col("rank") - 1) % 16)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("shard_id"))
+    },
 
     // Bloom-prefiltered semi join: lineitems of high-value orders. The
     // bloom stage is correctness-neutral (exact semi join follows), so

@@ -193,4 +193,42 @@ class ScaleSpec extends AnyFunSuite {
     // the cap itself is accepted (boundary is inclusive)
     Scale.bloomPrefilter(li, "l_orderkey", sel, "l_orderkey", mBits = 1 << 27)
   }
+
+  test("rankGlobal equals the single-partition window and never plans one (round 7)") {
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val windowed = docs.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+    val ranked = Scale.rankGlobal(docs, col("n_chars").desc, col("doc_id"))
+    assert(windowed.except(ranked).isEmpty && ranked.except(windowed).isEmpty)
+    // the scale point: the window form funnels every row through ONE
+    // reducer; rankGlobal's plan must not contain that exchange
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"rankGlobal planned a single-partition exchange:\n$plan")
+    assert(windowed.queryExecution.executedPlan.toString
+      .contains("SinglePartition")) // the window form really is the cliff
+  }
+
+  test("rankGlobal ranks are boundary-independent: stable across partition counts (round 7)") {
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val at4 = Scale.rankGlobal(docs.repartition(4),
+      col("n_chars").desc, col("doc_id"))
+    val at17 = Scale.rankGlobal(docs.repartition(17),
+      col("n_chars").desc, col("doc_id"))
+    assert(at4.except(at17).isEmpty && at17.except(at4).isEmpty)
+  }
+
+  test("q_shard_balance: round-robin-by-size totals spread at most one max document (round 7)") {
+    val stats = graft.Registry.all("q_shard_balance")
+      .fn(spark, TestSpark.sfDir)
+      .select(col("sum_chars").cast("long")).collect().map(_.getLong(0))
+    val maxDoc = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .agg(max(col("n_chars"))).head().getLong(0)
+    assert(stats.length == 16)
+    assert(stats.max - stats.min <= maxDoc,
+      s"shard spread ${stats.max - stats.min} exceeds one max doc ($maxDoc)")
+  }
 }
