@@ -353,7 +353,145 @@ object Components {
         StructField("label", symSchema("src").dataType))))
   }
 
+  /** Fixed-iteration integer-exact PageRank over an undirected edge list
+    * `(d1, d2)` plus a vertex frame `(doc_id)` — the centrality score a
+    * curation pipeline uses to weight documents by how referenced they
+    * are within a near-dup/citation graph (the CommonCrawl-style "rank
+    * the cluster, keep the center" selection).
+    *
+    * Arithmetic is INTEGER-ONLY so the oracle can replay it bit-for-bit:
+    * ranks live in parts-per-billion (initial r0 = 1e9 div N), each
+    * round does r' = base + (85 · Σ_u r(u) div deg(u)) div 100 with
+    * base = (15 · r0) div 100 — floor divisions on non-negative longs
+    * are identical in Spark (`div`) and DuckDB (`//`), so K rounds stay
+    * exact with no float damping anywhere. Dangling vertices (deg 0)
+    * keep teleport-only mass (their leaked share is not redistributed —
+    * deliberate, mirrored on both engines, and irrelevant to ranking).
+    *
+    * Scale shape: same iterative discipline as the CC variants — the
+    * symmetric edge RDD and degree RDD are persisted ONCE, each round is
+    * two equi-joins + one map-side-combinable sum re-rooted via
+    * `createDataFrame(rdd, schema)` on the [[withGraphLoopConf]] child
+    * session, and K is a compile-time constant (3) — never a
+    * convergence loop whose round count could drift between engines.
+    */
+  def pageRank(edges: DataFrame, verts: DataFrame,
+      iters: Int = pageRankIters): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"pageRank iters must be in [1, 10], got $iters")
+    val spark = verts.sparkSession
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    val symSchema = sym.schema
+    val symRdd = sym.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val vSrc = verts.select(col("doc_id"))
+    val vSchema = vSrc.schema
+    val vRdd = vSrc.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = spark.createDataFrame(vRdd, vSchema).count()
+    require(n > 0, "pageRank needs at least one vertex")
+    // driver-side scalars, mirrored as integer SQL in the oracle
+    val r0 = 1000000000L / n
+    val base = (15L * r0) / 100L
+    val prSchema = StructType(Seq(
+      StructField("doc_id", vSchema("doc_id").dataType),
+      StructField("r", org.apache.spark.sql.types.LongType)))
+    val nEdges = symRdd.count()
+    val (finalPrRdd, degRdd, degSchema) =
+      withGraphLoopConf(spark, math.max(nEdges, n)) { (loop, _) =>
+        val e = loop.createDataFrame(symRdd, symSchema)
+        val degDf = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val degSch = degDf.schema
+        val dRdd = degDf.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        val deg = loop.createDataFrame(dRdd, degSch)
+        val v = loop.createDataFrame(vRdd, vSchema)
+        var prRdd = v.select(col("doc_id"), lit(r0).as("r")).rdd
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var it = 0
+        while (it < iters) {
+          val pr = loop.createDataFrame(prRdd, prSchema)
+          val contrib = e
+            .join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(col("dst").as("doc_id"), expr("r div deg").as("t"))
+            .groupBy(col("doc_id")).agg(sum(col("t")).as("c"))
+          val nextRdd = v.join(contrib, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+            .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          // materialize the round BEFORE releasing its parent: nextRdd's
+          // lineage runs through prRdd's blocks
+          loop.createDataFrame(nextRdd, prSchema).count()
+          prRdd.unpersist()
+          prRdd = nextRdd
+          it += 1
+        }
+        (prRdd, dRdd, degSch)
+      }
+    symRdd.unpersist()
+    // re-root everything on the PARENT session (vRdd/degRdd/finalPrRdd
+    // stay persisted for the returned lineage; ContextCleaner reclaims
+    // them once the plan is unreferenced — same policy as the CC labels)
+    val pr = spark.createDataFrame(finalPrRdd, prSchema)
+    val deg = spark.createDataFrame(degRdd, degSchema)
+      .select(col("src").as("doc_id"), col("deg"))
+    spark.createDataFrame(vRdd, vSchema)
+      .join(deg, Seq("doc_id"), "left")
+      .join(pr, "doc_id")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("r").as("rank_ppb"))
+  }
+
+  /** PageRank round count — compile-time constant shared with the
+    * unrolled oracle CTE chain.
+    */
+  val pageRankIters: Int = 3
+
+  /** One oracle PageRank round: contributions from `p${k-1}`, then the
+    * damped update — the SQL twin of the loop body in [[pageRank]].
+    */
+  private def oPrRound(k: Int): String =
+    s"""c$k AS (SELECT e.dst AS doc_id, cast(sum(p.r // d.deg) as bigint) AS c
+       |        FROM edges e JOIN p${k - 1} p ON p.doc_id = e.src
+       |                     JOIN deg d ON d.doc_id = e.src
+       |        GROUP BY e.dst),
+       |p$k AS (SELECT v.doc_id,
+       |          (15 * (1000000000 // n)) // 100
+       |            + (85 * coalesce(c.c, 0)) // 100 AS r
+       |        FROM documents v LEFT JOIN c$k c ON v.doc_id = c.doc_id, nn)"""
+      .stripMargin
+
   val queries: Map[String, Q] = Map(
+
+    // Graph centrality over the near-dup graph (round 7): fixed-3-round
+    // integer-exact PageRank — the q_dedup_simhash edge set (mirrored
+    // bit-for-bit like q_dedup_cc's), every document a vertex, ranks in
+    // parts-per-billion. The oracle unrolls the identical three rounds
+    // as chained CTEs from the same shared round template.
+    "q_pagerank" -> Q(
+      s"""WITH ${Dedup.oSimhashSigsCte},
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |deg AS (SELECT src AS doc_id, cast(count(*) as bigint) AS deg
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT cast(count(*) as bigint) AS n FROM documents),
+         |p0 AS (SELECT doc_id, (1000000000 // n) AS r FROM documents, nn),
+         |${(1 to pageRankIters).map(oPrRound).mkString(",\n")}
+         |SELECT v.doc_id, cast(coalesce(d.deg, 0) as bigint) AS deg,
+         |  cast(p.r as bigint) AS rank_ppb
+         |FROM documents v LEFT JOIN deg d ON v.doc_id = d.doc_id
+         |JOIN p$pageRankIters p ON v.doc_id = p.doc_id
+         |ORDER BY v.doc_id""".stripMargin) { (s, dir) =>
+      val docsDf = Engine.table(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup(
+          Dedup.simhashSignaturesStateless(docsDf),
+          maxHamming = Dedup.simhashMaxHamming)
+        .select(col("d1"), col("d2"))
+      pageRank(pairs, docsDf.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
 
     // Dedup clustering: SimHash near-dup pairs (the q_dedup_simhash edge
     // set, mirrored bit-for-bit in the oracle) → transitive closure →

@@ -97,4 +97,63 @@ class ComponentsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 5051L)
     assert(row.getLong(1) == 1L && row.getLong(2) == 0L)
   }
+
+  /** Driver-side reference of [[Components.pageRank]]'s integer formula:
+    * the exact same floor-division rounds over Scala Maps.
+    */
+  private def refPageRank(n: Long, edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    val r0 = 1000000000L / n
+    val base = (15L * r0) / 100L
+    var r = (0L until n).map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = (0L until n).map(v => v -> (base + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the driver-side integer reference on a seeded random graph (round 7)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 200L
+    val edges = (0 until 400).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = Components.pageRank(
+      edges.toDF("d1", "d2"),
+      spark.range(n).select(col("id").as("doc_id")),
+      iters = 3)
+      .select("doc_id", "rank_ppb").as[(Long, Long)].collect().toMap
+    val want = refPageRank(n, edges, iters = 3)
+    assert(got.size == n)
+    assert((0L until n).forall(v => got(v) == want(v)),
+      (0L until n).filter(v => got(v) != want(v)).take(5)
+        .map(v => s"$v: got ${got(v)} want ${want(v)}").mkString("; "))
+  }
+
+  test("pageRank mass bounds: every rank >= teleport base, total <= initial mass (round 7)") {
+    import spark.implicits._
+    val n = 100L
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val pr = Components.pageRank(edges,
+      spark.range(n).select(col("id").as("doc_id")), iters = 3)
+    val r0 = 1000000000L / n
+    val base = (15L * r0) / 100L
+    val row = pr.agg(min(col("rank_ppb")), sum(col("rank_ppb")),
+      count(lit(1))).head()
+    assert(row.getLong(2) == n)
+    // floor divisions only ever LOSE mass: nothing exceeds the exact sum
+    assert(row.getLong(0) >= base)
+    assert(row.getLong(1) <= 1000000000L)
+    // isolated vertices sit exactly at the teleport floor
+    val isolated = pr.filter(col("deg") === 0).agg(
+      min(col("rank_ppb")), max(col("rank_ppb"))).head()
+    assert(isolated.getLong(0) == base && isolated.getLong(1) == base)
+  }
 }

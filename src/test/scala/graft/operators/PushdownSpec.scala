@@ -110,6 +110,9 @@ class PushdownSpec extends AnyFunSuite {
       ("q_postings", Seq("lang", "source", "n_chars")),
       ("q_rarity_score", Seq("lang", "source", "n_chars")),
       ("q_gopher_rules", Seq("lang", "source", "n_chars")),
+      // q_pagerank's visible plan is the verts scan (the edge pipeline
+      // runs inside the persisted RDD lineage) — doc_id only
+      ("q_pagerank", Seq("lang", "source", "n_chars", "text")),
       // q_normalize reports the raw n_chars, so only lang/source are dead
       ("q_normalize", Seq("lang", "source")),
       // q_winsorize touches lineitem twice (bounds + clamp) — both scans
