@@ -139,6 +139,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("mean_freq_ppm"))
   }
 
+  /** q_cooccur_window's forward context window (positions ahead of the
+    * center token that form a pair) — shared with the oracle SQL.
+    */
+  val cooccurWindow: Int = 3
+
+  /** q_cooccur_window core over any (text) frame: one exploded
+    * "center context" pair row per in-window position pair, generated
+    * inside the row by a codegen'd nested array transform — no positional
+    * self-join, no shuffle. The `size >= 2` guard matters: Spark's
+    * sequence(1, 0) would generate a DESCENDING range, not an empty one.
+    */
+  def cooccurPairs(d: DataFrame, window: Int = cooccurWindow): DataFrame =
+    d.select(explode(expr(
+      s"""CASE WHEN size(split(text, ' ')) >= 2 THEN
+         |  flatten(transform(sequence(1, size(split(text, ' ')) - 1),
+         |    i -> transform(
+         |      sequence(i + 1, least(i + $window, size(split(text, ' ')))),
+         |      j -> concat(element_at(split(text, ' '), i), ' ',
+         |                  element_at(split(text, ' '), j)))))
+         |ELSE array() END""".stripMargin)).as("pair"))
+
   /** Gopher rule-filter thresholds (Rae et al. 2021 table A1, ppm-scaled
     * where the paper uses ratios) — shared with the oracle SQL.
     */
@@ -474,6 +495,29 @@ object TextAnalysis {
          |    AND stop_hits >= $gopherMinStop AS keep
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
       gopherRules(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // Skip-window co-occurrence counts (round 7) — the (center, context)
+    // pair statistics word2vec/GloVe training consumes (window = 3
+    // forward positions; q_phrase_pmi is the adjacent-only special
+    // case). Scale shape: pair generation happens INSIDE the row — a
+    // codegen'd nested array transform (~w·n_tok short strings per doc,
+    // no positional self-join, no shuffle) — then one map-side-combined
+    // count and a TakeOrdered top-25. The guard `size >= 2` matters:
+    // Spark's sequence(1, 0) would generate a DESCENDING range rather
+    // than an empty one (DuckDB's range() is empty on start >= stop).
+    "q_cooccur_window" -> Q(
+      s"""WITH prs AS (
+         |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+         |    i -> list_transform(range(i + 1, least(i + $cooccurWindow, len(t)) + 1),
+         |      j -> t[i] || ' ' || t[j])))) AS pair
+         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+         |SELECT pair, cast(count(*) as bigint) AS n
+         |FROM prs GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 25""".stripMargin) { (s, dir) =>
+      cooccurPairs(docs(s, dir))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(25)
     },
 
     // Stratified deterministic sampling: a fixed-size quota PER STRATUM

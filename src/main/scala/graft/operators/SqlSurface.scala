@@ -261,8 +261,64 @@ object SqlSurface {
          |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
       winsorize(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
         .orderBy(col("l_returnflag"))
+    },
+
+    // Robust outlier detection (round 7) — median/MAD flagging, the
+    // heavy-tail-safe sibling of z-scores (one extreme value corrupts a
+    // mean/stddev fence; the median absolute deviation shrugs it off).
+    // Hash-safe on raw doubles because every number is either an ANSI
+    // discrete percentile (an ELEMENT of the input, the q_winsorize
+    // precedent) or an IEEE-deterministic derivation of one (abs/sub/
+    // mul are bit-defined on identical inputs in both engines — no
+    // accumulation order anywhere). Scale shape: two group-count-sized
+    // percentile aggs broadcast back into 2-column pruned fact scans;
+    // counting pass is one map-side-combined hash agg.
+    "q_mad_outliers" -> Q(
+      """WITH m AS (
+        |  SELECT l_returnflag, min(CASE WHEN cd >= 0.5 THEN v END) AS med
+        |  FROM (SELECT l_returnflag, l_extendedprice AS v,
+        |          cume_dist() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice) AS cd
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, med,
+        |        abs(l_extendedprice - med) AS adev
+        |      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag),
+        |md AS (SELECT l_returnflag, min(CASE WHEN cd >= 0.5 THEN adev END) AS mad
+        |       FROM (SELECT l_returnflag, adev,
+        |               cume_dist() OVER (PARTITION BY l_returnflag
+        |                                 ORDER BY adev) AS cd
+        |             FROM d)
+        |       GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, min(d.med) AS med, min(md.mad) AS mad,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(count(CASE WHEN d.adev > 3.0 * md.mad THEN 1 END) as bigint)
+        |    AS n_outliers
+        |FROM d JOIN md ON d.l_returnflag = md.l_returnflag
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin) { (s, dir) =>
+      madOutliers(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
     }
   )
+
+  /** q_mad_outliers core over any frame: per-`key` median and MAD of
+    * `value` via ANSI discrete percentiles (element selection, never
+    * interpolation), then the |x − med| > 3·MAD outlier count.
+    */
+  def madOutliers(d: DataFrame, key: String, value: String): DataFrame = {
+    val slim = d.select(col(key), col(value))
+    val med = slim.groupBy(col(key)).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $value)").as("med"))
+    val dev = slim.join(broadcast(med), key)
+      .withColumn("adev", abs(col(value) - col("med")))
+    val mad = dev.groupBy(col(key)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+    dev.join(broadcast(mad), key)
+      .groupBy(col(key))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("adev") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+  }
 
   /** q_winsorize core over any frame: per-`key` ANSI discrete p05/p95 of
     * `value` (always an element of the input — bit-identical raw doubles,

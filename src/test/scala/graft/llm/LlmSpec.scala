@@ -838,6 +838,18 @@ class LlmSpec extends AnyFunSuite {
     assert(bm == ((3000000L, true)))
   }
 
+  test("q_cooccur_window: exact pair set on hand-sized docs, empty-doc guard (round 7)") {
+    import spark.implicits._
+    // "a b c d", w=3: every forward pair within 3 positions
+    val df = Seq((1L, "a b c d"), (2L, "x"), (3L, "p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurPairs(df).as[String].collect().sorted.toSeq
+    assert(got == Seq("a b", "a c", "a d", "b c", "b d", "c d", "p q"))
+    // window 1 degenerates to adjacent bigrams
+    val w1 = TextAnalysis.cooccurPairs(df, window = 1)
+      .as[String].collect().sorted.toSeq
+    assert(w1 == Seq("a b", "b c", "c d", "p q"))
+  }
+
   test("q_rarity_score: hand-computed unigram mean-frequency ppm (round 7)") {
     import spark.implicits._
     // corpus: counts a=2, b=1, c=1, N=4.

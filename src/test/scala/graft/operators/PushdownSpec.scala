@@ -117,7 +117,9 @@ class PushdownSpec extends AnyFunSuite {
       ("q_normalize", Seq("lang", "source")),
       // q_winsorize touches lineitem twice (bounds + clamp) — both scans
       // must prune to (l_returnflag, l_extendedprice)
-      ("q_winsorize", Seq("l_quantity", "l_orderkey", "l_shipdate")))
+      ("q_winsorize", Seq("l_quantity", "l_orderkey", "l_shipdate")),
+      ("q_mad_outliers", Seq("l_quantity", "l_orderkey", "l_shipdate")),
+      ("q_cooccur_window", Seq("lang", "source", "n_chars")))
     cases.foreach { case (n, forbidden) =>
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(planOf(n)).map(_.group(1)).toSeq

@@ -28,6 +28,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got("B") == ((0L, 0L, 1L, 42.0, 42.0, 42.0)))
   }
 
+  test("q_mad_outliers: hand-computed median/MAD and the 3-MAD fence (round 7)") {
+    import spark.implicits._
+    // values 1..9 plus one wild 1000: med = 5 (ANSI discrete p50 of 10
+    // values = 5th element), adevs sorted 0,1,1,2,2,3,3,4,4,995 → mad =
+    // 2; fence 3·2 = 6 catches only the 1000 (adev 995).
+    val df = ((1 to 9).map(v => ("X", v.toDouble)) :+ (("X", 1000.0)))
+      .toDF("k", "v")
+    val r = SqlSurface.madOutliers(df, "k", "v")
+      .select("med", "mad", "n", "n_outliers")
+      .as[(Double, Double, Long, Long)].head()
+    assert(r == ((5.0, 2.0, 10L, 1L)))
+  }
+
   test("q_winsorize: clamped output is always an element of the input (no interpolation)") {
     import spark.implicits._
     // 7 irregular values: discrete percentiles must select existing
