@@ -163,6 +163,150 @@ object EventAnalytics {
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Gaps-and-islands interval merge: each order opens a 30-day activity
+    // interval; overlapping/touching intervals per customer coalesce into
+    // islands (running-max-of-end vs next start — one window pass, one
+    // shuffle on the key). The standard warehouse "merge overlapping
+    // ranges" primitive; dates are integer-exact in both engines.
+    "q_interval_merge" -> Q(
+      """WITH iv AS (SELECT o_custkey, cast(o_orderdate as date) AS ivl_start,
+        |              cast(o_orderdate as date) + 30 AS ivl_end, o_orderkey FROM orders),
+        |x AS (SELECT o_custkey, ivl_start, ivl_end, o_orderkey,
+        |        CASE WHEN pmax IS NULL OR ivl_start > pmax THEN 1 ELSE 0 END AS brk
+        |      FROM (SELECT *, max(ivl_end) OVER (PARTITION BY o_custkey
+        |              ORDER BY ivl_start, ivl_end, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |            FROM iv)),
+        |y AS (SELECT o_custkey, ivl_start, ivl_end,
+        |        sum(brk) OVER (PARTITION BY o_custkey
+        |          ORDER BY ivl_start, ivl_end, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS island_id
+        |      FROM x)
+        |SELECT o_custkey, cast(island_id as bigint) AS island_id,
+        |  min(ivl_start) AS island_start, max(ivl_end) AS island_end,
+        |  cast(count(*) as bigint) AS n_intervals
+        |FROM y GROUP BY o_custkey, island_id
+        |ORDER BY o_custkey, island_id""".stripMargin) { (s, dir) =>
+      val iv = Engine.table(s, dir, "orders").select(
+        col("o_custkey"), to_date(col("o_orderdate")).as("ivl_start"),
+        date_add(col("o_orderdate"), 30).as("ivl_end"), col("o_orderkey"))
+      mergeIntervals(iv, "o_custkey", "ivl_start", "ivl_end", "o_orderkey")
+        .groupBy(col("o_custkey"), col("island_id"))
+        .agg(min(col("ivl_start")).as("island_start"),
+          max(col("ivl_end")).as("island_end"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy(col("o_custkey"), col("island_id"))
+    },
+
+    // Calendar densification: a month spine (global min..max order month,
+    // one-row agg -> sequence) cross-joined with the 25-row nation dim
+    // (the one legal BroadcastNestedLoopJoin shape: crossJoin(broadcast(
+    // tiny))), left-joined with per-(nation, month) order counts and
+    // zero-filled — the gap-fill every reporting rollup needs. The spine
+    // is O(months), never O(rows); the count agg is the only real shuffle.
+    "q_gap_fill" -> Q(
+      """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |             date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |months AS (SELECT cast(unnest(generate_series(lo, hi,
+        |             INTERVAL 1 MONTH)) as date) AS month FROM b),
+        |cnt AS (SELECT c_nationkey,
+        |          date_trunc('month', o_orderdate) AS month,
+        |          count(*) AS n_orders
+        |        FROM orders JOIN customer ON o_custkey = c_custkey
+        |        GROUP BY 1, 2)
+        |SELECT n.n_name, m.month,
+        |  cast(coalesce(cnt.n_orders, 0) as bigint) AS n_orders
+        |FROM months m CROSS JOIN nation n
+        |LEFT JOIN cnt ON cnt.c_nationkey = n.n_nationkey
+        |             AND cnt.month = m.month
+        |ORDER BY n.n_name, m.month""".stripMargin) { (s, dir) =>
+      val orders = Engine.table(s, dir, "orders")
+      val spine = orders
+        .agg(trunc(min(col("o_orderdate")), "MM").as("lo"),
+          trunc(max(col("o_orderdate")), "MM").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("month"))
+      val cnt = orders
+        .join(Engine.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"),
+          trunc(col("o_orderdate"), "MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      val grid = spine.crossJoin(broadcast(
+        Engine.table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))))
+      grid
+        .join(cnt, cnt("c_nationkey") === grid("n_nationkey")
+          && cnt("month") === grid("month"), "left")
+        .select(col("n_name"), grid("month").as("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("n_name"), col("month"))
+    },
+
+    // SCD Type 2 from an event log: per user, consecutive runs of the
+    // tracked attribute (event_type) collapse to versioned rows with
+    // [valid_from, valid_to) ranges and an is_current flag — the
+    // dimension-versioning pattern every warehouse load pipeline carries.
+    // One shuffle on user_id; both windows share its sort.
+    "q_scd2" -> Q(
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, ts, event_type,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS version
+        |      FROM x),
+        |v AS (SELECT user_id, cast(version as bigint) AS version, event_type,
+        |        min(ts) AS valid_from, cast(count(*) as bigint) AS n_events
+        |      FROM r GROUP BY user_id, version, event_type)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current, n_events
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      scd2(events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("version"))
     }
   )
+
+  /** q_interval_merge core over any (key, start, end) frame: running max
+    * of interval ends (excluding the current row) vs the current start —
+    * a new island begins when the start clears every previous end. Adds
+    * `island_id` (1-based per key). Same single-sort discipline as
+    * [[sessionize]]: both windows share one partitioning + total order.
+    */
+  def mergeIntervals(df: DataFrame, key: String, start: String, end: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(start), col(end), col(tieBreak))
+    val pmax = max(col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(pmax.isNull.or(col(start) > pmax), 1L).otherwise(0L)
+    df.withColumn("island_id",
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** q_scd2 core: run-length collapse of `attr` per `key` in (ts,
+    * tieBreak) order → (key, version, attr, valid_from, valid_to,
+    * is_current, n_events). valid_to is the next version's valid_from
+    * (half-open ranges); NULL marks the current row.
+    */
+  def scd2(df: DataFrame, key: String, attr: String, ts: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val prev = lag(col(attr), 1).over(w)
+    val chg = when(prev.isNull.or(prev =!= col(attr)), 1L).otherwise(0L)
+    val runs = df.withColumn("version",
+      sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val v = runs.groupBy(col(key), col("version"), col(attr))
+      .agg(min(col(ts)).as("valid_from"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col(key)).orderBy(col("version"))
+    v.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key), col("version"), col(attr), col("valid_from"),
+        col("valid_to"), col("is_current"), col("n_events"))
+  }
 }

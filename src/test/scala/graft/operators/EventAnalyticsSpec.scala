@@ -64,6 +64,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(stages(2L)._2 === Some(ts("2024-01-01 00:03:00")))
   }
 
+  test("mergeIntervals: touching intervals coalesce; a later short interval " +
+      "inside an earlier long one does not split the island") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val df = Seq(
+      // key 1: [01,10] then [05,07] (nested) then [10,12] (touching) -> one island
+      (1L, d("2024-01-01"), d("2024-01-10"), 1L),
+      (1L, d("2024-01-05"), d("2024-01-07"), 2L),
+      (1L, d("2024-01-10"), d("2024-01-12"), 3L),
+      // then a gap -> island 2
+      (1L, d("2024-01-20"), d("2024-01-21"), 4L),
+      // key 2 independent
+      (2L, d("2024-01-01"), d("2024-01-02"), 5L)
+    ).toDF("k", "s", "e", "id")
+    val got = EventAnalytics.mergeIntervals(df, "k", "s", "e", "id")
+      .select($"id", $"island_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("scd2: A->B->A yields three versions with a half-open valid_to chain") {
+    val df = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "A", ts("2024-01-02 00:00:00"), 2L),
+      (1L, "B", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "A", ts("2024-01-04 00:00:00"), 4L)
+    ).toDF("k", "attr", "t", "id")
+    val rows = EventAnalytics.scd2(df, "k", "attr", "t", "id")
+      .orderBy($"version")
+      .select($"version", $"attr", $"valid_from", $"valid_to", $"is_current", $"n_events")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Long)]
+      .collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._6)) === Seq((1L, "A", 2L), (2L, "B", 1L), (3L, "A", 1L)))
+    // valid_to of version n == valid_from of version n+1; only the last is current
+    assert(rows.init.zip(rows.tail).forall { case (a, b) => a._4 === Some(b._3) })
+    assert(rows.map(_._5) === Seq(false, false, true))
+  }
+
   test("cohort query: offset-0 head equals each cohort's signup population") {
     // every signup user has an event in their signup week (the signup
     // itself), so week_offset 0 rows must count the full cohort
