@@ -40,25 +40,40 @@ object Engine {
       if (name == "events") readEvents(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** events.ts is parquet TIMESTAMP(NANOS, NTZ), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds with integer division (ns epochs exceed 2^53, so double
-    * math would lose precision) — the same ns→µs truncation DuckDB applies,
-    * keeping oracle parity.
+  /** events.ts arrives in either of two physical parquet encodings depending
+    * on how the dataset was generated: TIMESTAMP(NANOS, NTZ) (which Spark's
+    * vectorized reader rejects — read as raw nanos via the legacy conf and
+    * truncate to microseconds with integer division; ns epochs exceed 2^53,
+    * so double math would lose precision) or plain TIMESTAMP(MICROS) (read
+    * directly). Both land on the same µs-precision timestamp column DuckDB
+    * sees, keeping oracle parity. The branch is picked from the resolved
+    * schema, not a config, so regenerated testdata can't silently skew types.
     */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     // The legacy conf is consulted at schema resolution (read.parquet is
     // eager about footers), so it can be restored immediately — other
     // reads on the shared session keep normal nanos-rejection behavior.
+    // It only affects NANOS columns; a MICROS file resolves identically
+    // with or without it.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"), col("props"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val withTs = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ =>
+          // Plain TIMESTAMP(MICROS): parquet NTZ resolves to TIMESTAMP_NTZ;
+          // normalize to TIMESTAMP (LTZ) so downstream operators see the
+          // same type every generation of the data has presented
+          // (timestamp_micros returns LTZ; unix_micros & friends require
+          // it). Session TZ is pinned UTC, so the cast is value-exact.
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      withTs.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
