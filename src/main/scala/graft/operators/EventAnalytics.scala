@@ -270,6 +270,111 @@ object EventAnalytics {
         |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
       scd2(events(s, dir), "user_id", "event_type", "ts", "event_id")
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // First-order Markov transition matrix over per-user event streams:
+    // lead(event_type) within each user's (ts, event_id) order, pair
+    // counts, and an integer-exact transition probability in ppm
+    // (n*1e6 div row_total — both engines use integer division, so no
+    // float ratio ever crosses the gate). Scale shape: one shuffle on
+    // user_id for the lead window, then an agg to |types|² rows; the
+    // normalizing window runs on that tiny table.
+    "q_event_transitions" -> Q(
+      """WITH x AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        count(*) AS n
+        |      FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cast(n as bigint) AS n,
+        |  cast((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+        |       as bigint) AS p_ppm
+        |FROM p ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p_ppm", expr(
+          "(n * CAST(1000000 AS BIGINT)) div sum(n) OVER (PARTITION BY from_type)"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Rolling 7-day distinct actives (the DAU/WAU reporting primitive):
+    // exact rolling COUNT(DISTINCT) is not window-expressible, so both
+    // engines expand each (user, day) to the 7 window-ends it supports
+    // and hash-aggregate — input bounded at users × days × 7, far below
+    // the raw event count, and the only real shuffle is that agg. The
+    // day-spine clamp (windows ending after the last observed day are
+    // dropped) rides the one legal BNLJ shape: crossJoin(broadcast(
+    // 1-row max-date aggregate)).
+    "q_dau_window" -> Q(
+      """WITH du AS (SELECT DISTINCT cast(ts as date) AS d, user_id
+        |            FROM events),
+        |mx AS (SELECT max(cast(ts as date)) AS dmax FROM events),
+        |w AS (SELECT d + cast(o as int) AS win_end, user_id
+        |      FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o))
+        |SELECT win_end, cast(count(DISTINCT user_id) as bigint) AS active_7d
+        |FROM w, mx WHERE win_end <= dmax
+        |GROUP BY win_end ORDER BY win_end""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val du = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val dmax = e.agg(max(to_date(col("ts"))).as("dmax"))
+      du.withColumn("o", explode(sequence(lit(0), lit(6))))
+        .withColumn("win_end", expr("date_add(d, o)"))
+        .crossJoin(broadcast(dmax))
+        .filter(col("win_end") <= col("dmax"))
+        .groupBy(col("win_end"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("win_end"))
+    },
+
+    // Conversion-latency distribution: per user, first signup -> first
+    // purchase at or after it (the q_funnel step discipline), duration in
+    // integer microseconds, then the ANSI discrete percentiles (always an
+    // element of the input — exact bigints cross the gate). The oracle
+    // states the smallest-value-whose-cume_dist-reaches-p definition
+    // explicitly (the q_pctl_disc precedent; its global window is
+    // oracle-side only). Spark side: two user-keyed agg+join passes and
+    // one ordered-set aggregate over the users-sized duration table.
+    "q_latency_dist" -> Q(
+      """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+        |      GROUP BY e.user_id),
+        |d AS (SELECT epoch_us(t_purchase) - epoch_us(t_signup) AS dur_us
+        |      FROM s JOIN p USING (user_id)),
+        |c AS (SELECT dur_us, cume_dist() OVER (ORDER BY dur_us) AS cd FROM d)
+        |SELECT cast(count(*) as bigint) AS n_converted,
+        |  cast(min(CASE WHEN cd >= 0.50 THEN dur_us END) as bigint) AS p50_us,
+        |  cast(min(CASE WHEN cd >= 0.90 THEN dur_us END) as bigint) AS p90_us
+        |FROM c ORDER BY n_converted""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(su, "user_id").filter(col("ts") >= col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      su.join(pu, "user_id")
+        .select((unix_micros(col("t_purchase"))
+          - unix_micros(col("t_signup"))).as("dur_us"))
+        .createOrReplaceTempView("graft_latency_dur")
+      s.sql(
+        """SELECT count(*) AS n_converted,
+          |  cast(percentile_disc(0.50) WITHIN GROUP (ORDER BY dur_us)
+          |       as bigint) AS p50_us,
+          |  cast(percentile_disc(0.90) WITHIN GROUP (ORDER BY dur_us)
+          |       as bigint) AS p90_us
+          |FROM graft_latency_dur""".stripMargin)
     }
   )
 

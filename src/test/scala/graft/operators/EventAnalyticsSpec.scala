@@ -113,4 +113,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .select($"user_id").distinct().count()
     assert(out === cohortTotal)
   }
+
+  test("event transitions: counts conserve (rows - users) and ppm rows " +
+      "sum to 1e6 within floor loss per from_type") {
+    val events = graft.Engine.table(spark, TestSpark.sfDir, "events")
+    val out = EventAnalytics.queries("q_event_transitions")
+      .fn(spark, TestSpark.sfDir).collect()
+    // each user contributes (n_events - 1) transitions
+    val expected = events.count() - events.select($"user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum === expected)
+    // per from_type, integer-division ppm sums land in (1e6 - fanout, 1e6]
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rows) =>
+      val s = rows.map(_.getAs[Long]("p_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"$ft ppm sum $s outside floor-loss band")
+    }
+  }
+
+  test("dau window: one row per observed day; a window-end's count is at " +
+      "least that single day's distinct actives") {
+    val events = graft.Engine.table(spark, TestSpark.sfDir, "events")
+    val daily = events.select(to_date($"ts").as("d"), $"user_id").distinct()
+      .groupBy($"d").agg(countDistinct($"user_id").as("n1"))
+    val out = EventAnalytics.queries("q_dau_window").fn(spark, TestSpark.sfDir)
+    assert(out.count() === daily.count(), "one window per observed day-end")
+    val violations = out.join(daily, out("win_end") === daily("d"))
+      .filter($"active_7d" < $"n1").count()
+    assert(violations === 0L, "7-day active count must dominate the 1-day count")
+  }
+
+  test("latency dist: percentiles are ordered, non-negative, and bounded " +
+      "by the converted-user count") {
+    val row = EventAnalytics.queries("q_latency_dist")
+      .fn(spark, TestSpark.sfDir).head()
+    val (n, p50, p90) = (row.getAs[Long]("n_converted"),
+      row.getAs[Long]("p50_us"), row.getAs[Long]("p90_us"))
+    assert(n > 0L)
+    assert(p50 >= 0L && p50 <= p90, s"p50=$p50 p90=$p90")
+    val signups = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .filter($"event_type" === "signup").select($"user_id").distinct().count()
+    assert(n <= signups, "conversions cannot exceed signup users")
+  }
 }

@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bm25",            // crossJoin(broadcast(1-row corpus totals))
     "q_phrase_pmi",      // crossJoin(broadcast(1-row n_uni aggregate))
     "q_rarity_score",    // crossJoin(broadcast(1-row n_uni aggregate))
-    "q_gap_fill")        // crossJoin(broadcast(25-row nation dim)) × month spine
+    "q_gap_fill",        // crossJoin(broadcast(25-row nation dim)) × month spine
+    "q_dau_window")      // crossJoin(broadcast(1-row max-date aggregate))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
