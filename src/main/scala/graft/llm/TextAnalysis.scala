@@ -147,18 +147,24 @@ object TextAnalysis {
   /** q_cooccur_window core over any (text) frame: one exploded
     * "center context" pair row per in-window position pair, generated
     * inside the row by a codegen'd nested array transform — no positional
-    * self-join, no shuffle. The `size >= 2` guard matters: Spark's
+    * self-join, no shuffle. The tokenization is hoisted into its own
+    * projection so `split` runs ONCE per row: referencing it by attribute
+    * inside the lambdas keeps the pair stage O(n_tok·window), where
+    * inlining split at each element_at would be O(n_tok²·window) char
+    * work per doc (measured 8.1 s → sub-second at sf0.1). CollapseProject
+    * leaves the split un-inlined because the reference is non-cheap and
+    * multiply-used. The `size >= 2` guard matters: Spark's
     * sequence(1, 0) would generate a DESCENDING range, not an empty one.
     */
   def cooccurPairs(d: DataFrame, window: Int = cooccurWindow): DataFrame =
-    d.select(explode(expr(
-      s"""CASE WHEN size(split(text, ' ')) >= 2 THEN
-         |  flatten(transform(sequence(1, size(split(text, ' ')) - 1),
-         |    i -> transform(
-         |      sequence(i + 1, least(i + $window, size(split(text, ' ')))),
-         |      j -> concat(element_at(split(text, ' '), i), ' ',
-         |                  element_at(split(text, ' '), j)))))
-         |ELSE array() END""".stripMargin)).as("pair"))
+    d.select(split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        s"""CASE WHEN size(t) >= 2 THEN
+           |  flatten(transform(sequence(1, size(t) - 1),
+           |    i -> transform(
+           |      sequence(i + 1, least(i + $window, size(t))),
+           |      j -> concat(element_at(t, i), ' ', element_at(t, j)))))
+           |ELSE array() END""".stripMargin)).as("pair"))
 
   /** Gopher rule-filter thresholds (Rae et al. 2021 table A1, ppm-scaled
     * where the paper uses ratios) — shared with the oracle SQL.

@@ -44,6 +44,26 @@ class ContractSpec extends AnyFunSuite {
     assert(ev.count() > 0, "plan must stay executable after conf restore")
   }
 
+  test("events reader: nanos-long and micros-timestamp generations read identically") {
+    // The driver has shipped events.ts as parquet TIMESTAMP(NANOS) (which
+    // resolves to int64 under the legacy conf) in some rounds and
+    // TIMESTAMP(MICROS) in others. readEvents branches on the resolved
+    // schema; both branches must yield the same rows. Re-encode the
+    // current generation as the OTHER physical type and diff.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val canon = Engine.table(spark, TestSpark.sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events_gen").toString
+    // write the nanos-long twin (what ScaleUp also emits)
+    canon.withColumn("ts", unix_micros(col("ts")) * expr("CAST(1000 AS BIGINT)"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val viaNanos = Engine.table(spark, dir, "events")
+    assert(viaNanos.schema("ts").dataType === canon.schema("ts").dataType,
+      "both branches must surface the same ts type")
+    assert(viaNanos.exceptAll(canon).isEmpty && canon.exceptAll(viaNanos).isEmpty,
+      "nanos-long and micros generations must read to identical rows")
+  }
+
   test("array_dot rejects non-double arrays with an analysis error") {
     val spark = TestSpark.spark
     GraftExtensions.register(spark)
