@@ -375,6 +375,32 @@ object EventAnalytics {
           |  cast(percentile_disc(0.90) WITHIN GROUP (ORDER BY dur_us)
           |       as bigint) AS p90_us
           |FROM graft_latency_dur""".stripMargin)
+    },
+
+    // Cumulative-unique growth curve (the "total users to date" metric
+    // every activation dashboard carries): first-seen day per user, new
+    // users per day, running total. Exact distributed shape: the
+    // first-seen agg shuffles on user_id once; the running sum's window
+    // input is DAYS (timeline-bounded — 30 rows here, ~36k rows for a
+    // century), never users or events, so the global window is safe at
+    // any corpus size.
+    "q_user_growth" -> Q(
+      """WITH f AS (SELECT user_id, min(cast(ts as date)) AS first_day
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT first_day, count(*) AS n_new FROM f GROUP BY first_day)
+        |SELECT first_day, cast(n_new as bigint) AS n_new,
+        |  cast(sum(n_new) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING)
+        |       as bigint) AS cum_users
+        |FROM d ORDER BY first_day""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"))
+        .groupBy(col("first_day"))
+        .agg(count(lit(1)).as("n_new"))
+      d.withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("first_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("first_day"))
     }
   )
 

@@ -371,6 +371,32 @@ object Scale {
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
         .orderBy(col("s_nationkey"))
+    },
+
+    // Gaps-in-sequence detection (data-quality audit: which orderkeys
+    // are referenced by no lineitem). The oracle states the textbook
+    // single-partition lead() window; the graded plan finds each id's
+    // successor DISTRIBUTED — rankGlobal (range partition +
+    // zipWithIndex, never one reducer) then an adjacent-rank equi-join,
+    // so neighbor pairing is a plain hash shuffle on rank that survives
+    // any id count. A gap is a successor more than 1 away.
+    "q_id_gaps" -> Q(
+      """WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+        |x AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+        |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - id - 1 AS n_missing
+        |FROM x WHERE nxt - id > 1 ORDER BY gap_start""".stripMargin) { (s, dir) =>
+      val ids = Engine.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("id")).distinct()
+      val ranked = rankGlobal(ids, col("id"))
+      val nxt = ranked.select((col("rank") - 1L).as("rank"),
+        col("id").as("nxt_id"))
+      ranked.join(nxt, "rank")
+        .filter(col("nxt_id") - col("id") > 1L)
+        .select((col("id") + 1L).as("gap_start"),
+          (col("nxt_id") - 1L).as("gap_end"),
+          (col("nxt_id") - col("id") - 1L).as("n_missing"))
+        .orderBy(col("gap_start"))
     }
   )
 }

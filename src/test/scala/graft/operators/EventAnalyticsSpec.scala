@@ -154,4 +154,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .filter($"event_type" === "signup").select($"user_id").distinct().count()
     assert(n <= signups, "conversions cannot exceed signup users")
   }
+
+  test("user growth: running total is monotone and lands on the distinct-user count") {
+    val rows = EventAnalytics.queries("q_user_growth")
+      .fn(spark, TestSpark.sfDir)
+      .select($"n_new", $"cum_users").as[(Long, Long)].collect()
+    val cums = rows.map(_._2)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+      "cumulative curve must strictly increase (each day adds n_new >= 1)")
+    assert(rows.map(_._1).sum === cums.last, "sum of news must equal the final total")
+    val totalUsers = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(cums.last === totalUsers)
+  }
 }

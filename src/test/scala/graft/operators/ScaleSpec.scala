@@ -231,4 +231,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(stats.max - stats.min <= maxDoc,
       s"shard spread ${stats.max - stats.min} exceeds one max doc ($maxDoc)")
   }
+
+  test("q_id_gaps: gaps partition the id range exactly and contain no present id") {
+    val ids = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey").as("id")).distinct()
+    val gaps = graft.Registry.all("q_id_gaps").fn(spark, TestSpark.sfDir)
+    // conservation: present ids + missing ids tile [min, max] exactly
+    val (mn, mx, n) = {
+      val r = ids.agg(min(col("id")), max(col("id")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val missing = gaps.agg(coalesce(sum(col("n_missing")), lit(0L)))
+      .head().getLong(0)
+    assert(n + missing === mx - mn + 1,
+      s"ids($n) + missing($missing) must tile the range (${mx - mn + 1})")
+    // soundness: no present id falls inside any reported gap
+    val inside = gaps.join(ids,
+        col("id") >= col("gap_start") && col("id") <= col("gap_end"))
+      .count()
+    assert(inside === 0L, "a reported gap contains a present id")
+    assert(gaps.count() > 0, "test data is known to contain gaps")
+  }
 }
