@@ -621,6 +621,57 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // Count-min-sketch heavy hitters (round 7) — completes the sketch
+    // family (HLL cardinality, quantile sketch, bloom join, minhash/
+    // simhash signatures) with the frequency sketch a streaming/
+    // multi-shard pipeline merges instead of exact counts. Gate shape
+    // per the self-verifying-sketch rule: the top-25 keys + EXACT counts
+    // are hash-gated (deterministic tiebreak), while the engine-local CMS
+    // estimates are pinned by the structure's two guarantees — estimate ≥
+    // exact (always true for CMS) and overestimate ≤ ⌈eps·N⌉ (holds with
+    // prob ≥ confidence per key; eps=0.001, depth 5). Spark's builtin
+    // count_min_sketch aggregate is map-side mergeable (the 100 TB
+    // story: one ~80 KB sketch per partition merged associatively, never
+    // a vocab-sized shuffle when only frequencies-of-known-keys are
+    // needed); the finished sketch and the 25 survivor rows are
+    // driver-bounded, the q_join_bloom precedent.
+    "q_heavy_hitters" -> Q(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, cast(count(*) as bigint) AS n_exact
+        |      FROM tok GROUP BY token)
+        |SELECT token, n_exact, TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+        |FROM c ORDER BY n_exact DESC, token LIMIT 25""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, StringType,
+        LongType, BooleanType}
+      val eps = 0.001
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("token")).limit(25)
+        .collect() // bounded: exactly 25 rows survive the TakeOrdered
+      val nTotal = exact.agg(sum(col("n_exact"))).head().getLong(0)
+      val sketchBytes = toks
+        .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val bound = math.ceil(eps * nTotal).toLong
+      val rows = top.map { r =>
+        val (t, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(t)
+        Row(t, n, est >= n, est - n <= bound)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        StructType(Seq(StructField("token", StringType),
+          StructField("n_exact", LongType),
+          StructField("cms_ge_exact", BooleanType),
+          StructField("cms_within_eps", BooleanType))))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+
     // tf-idf keyword extraction: top-3 terms per doc ranked by
     // tf · idf with a reciprocal idf (idf_ppm = 1e6·N/df, integer
     // division) — log-idf is a float whose last-ulp differs across
