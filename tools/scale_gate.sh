@@ -16,7 +16,8 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
   QUERIES=(q_dedup_cc q_dedup_simhash q_dedup_embed q_dedup_minhash
            q_dedup_near q_dedup_containment q_dedup_fuzzy q_dedup_sem
            q_sim_ann q_join_range q_join_skew q_pipeline_curate
-           q_pagerank q_rank_global q_cooccur_window q_rarity_score)
+           q_pagerank q_rank_global q_cooccur_window q_rarity_score
+           q_id_gaps q_heavy_hitters)
 fi
 
 echo "[scale_gate] regenerating /tmp/sf1.0 from /root/testdata/sf0.1 (10x)"
