@@ -37,6 +37,20 @@ case class FunnelState(user_id: Long,
     t_view: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
     t_purchase: Option[java.sql.Timestamp], stage: Int)
 
+/** A fully-typed event row for [[Streams.streamingTransitions]]. */
+case class TypedEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, event_id: Long)
+
+/** Per-user last-event marker for [[Streams.streamingTransitions]] — one
+  * fixed-size struct per ever-seen user.
+  */
+case class LastEvent(event_type: String, lastUs: Long, event_id: Long)
+
+/** One emitted first-order transition (the streaming twin of one
+  * q_event_transitions pair before aggregation).
+  */
+case class TransPair(user_id: Long, from_type: String, to_type: String)
+
 /** Timestamp ↔ epoch-µs, exact for the µs-aligned timestamps both engines
   * use (Engine.scala nanos note). A SEPARATE object on purpose: calls
   * from the custom-state closures compile to a static MODULE$ reference
@@ -413,6 +427,43 @@ object Streams {
             state.update(st)
             Iterator.single(st)
           } else Iterator.empty
+      }
+  }
+
+  /** Streaming first-order transitions (s_transitions): the
+    * `flatMapGroupsWithState` twin of batch q_event_transitions' lead
+    * window. Per user the state is the LAST event seen ((type, ts, id) —
+    * one fixed-size struct, the q_funnel state discipline); each arriving
+    * event emits one (prev_type, cur_type) pair and replaces the marker.
+    * Downstream the pair stream aggregates to the transition matrix
+    * incrementally — the pairs are the CDC feed, counts are a trivial
+    * rollup on whatever store consumes them.
+    *
+    * Batch parity: within a micro-batch events sort by (ts, event_id) —
+    * the batch window's order — so chronological feeds produce the exact
+    * batch pair multiset (spec-pinned on the real events table). Lateness
+    * contract: like streamingFunnel this is the OBSERVED stream — a
+    * cross-batch out-of-order event pairs with the last event seen, not
+    * with its timestamp-order neighbors (that would need the full per-user
+    * history; batch q_event_transitions over the final log is the
+    * reconciliation path).
+    */
+  def streamingTransitions(events: Dataset[TypedEvent]): Dataset[TransPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[TransPair]
+          batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id)).foreach { e =>
+            if (last != null) out += TransPair(uid, last.event_type, e.event_type)
+            last = LastEvent(e.event_type, MicroTs.toUs(e.ts), e.event_id)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
       }
   }
 

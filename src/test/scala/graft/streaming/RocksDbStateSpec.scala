@@ -126,6 +126,32 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_transitions: last-event state under RocksDB matches batch pair counts") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val evs = graft.Engine.table(rocks, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id").as[TypedEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.streamingTransitions(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("r_transitions").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      assertRocksDbActive(q)
+      val got = rocks.table("r_transitions")
+        .groupBy($"from_type", $"to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.operators.EventAnalytics.queries("q_event_transitions")
+        .fn(rocks, TestSpark.sfDir)
+        .select($"from_type", $"to_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == want,
+        s"rocksdb transitions diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("checkpoint restart under RocksDB: sig-dedup state reloads from SSTs") {
     val base = "/tmp/graft_test_stage/rocksdb_restart"
     graft.util.Fs.deleteRecursively(base)

@@ -336,6 +336,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingTransitions pair counts match batch q_event_transitions (real events)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // full sf0.001 events, chronological, three micro-batches — the
+    // streamingSessionize parity discipline; NoTimeout state needs no
+    // watermark sentinels
+    val evs = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id").as[TypedEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+    val mem = MemoryStream[TypedEvent]
+    val q = Streams.streamingTransitions(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_transitions").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("t_transitions")
+        .groupBy($"from_type", $"to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.operators.EventAnalytics.queries("q_event_transitions")
+        .fn(spark, TestSpark.sfDir)
+        .select($"from_type", $"to_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == want,
+        s"streaming transition counts diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streamingSessionize rejects a watermark delay longer than the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
