@@ -208,6 +208,32 @@ object SqlSurface {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // Interpolated ANSI percentile (PERCENTILE_CONT ... WITHIN GROUP,
+    // q_pctl_disc's continuous sibling). lo + (hi-lo)·frac over
+    // integer-valued inputs with dyadic fractions (0.25/0.50/0.75) is the
+    // same two-term IEEE expression in both engines — bit-equal, no
+    // decimal scaffolding needed (the q_agg_quantile precedent).
+    "q_pctl_cont" -> Q(
+      """SELECT l_returnflag,
+        |  quantile_cont(qty, 0.25) AS p25,
+        |  quantile_cont(qty, 0.50) AS p50,
+        |  quantile_cont(qty, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM (SELECT l_returnflag, cast(round(l_quantity, 0) as bigint) AS qty
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_cont(0.25) WITHIN GROUP (ORDER BY qty) AS p25,
+          |  percentile_cont(0.50) WITHIN GROUP (ORDER BY qty) AS p50,
+          |  percentile_cont(0.75) WITHIN GROUP (ORDER BY qty) AS p75,
+          |  count(*) AS n
+          |FROM (SELECT l_returnflag, cast(round(l_quantity, 0) as bigint) AS qty
+          |      FROM lineitem)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // DISTINCT ON-style latest/top row per key (the SQL surface of the
     // q_dedup_latest shape): richest customer per nation. Spark rewrite =
     // row_number + filter (one hash-partitioned window, no join); the
