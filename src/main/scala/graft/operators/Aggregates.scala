@@ -294,6 +294,39 @@ object Aggregates {
         .orderBy(col("l_linestatus"))
     },
 
+    // Simple OLS regression (slope/intercept of price on quantity per
+    // supplier) from the same exact-integer-sums discipline as
+    // q_agg_moments: x = integer quantity, y = whole-dollar price, so
+    // every aggregated sum is an exactly-representable double (per-
+    // supplier row counts are SF-invariant in TPC-H scaling, keeping
+    // n·Σxy far under 2^53 at any corpus size); the closing divisions
+    // are the SAME IEEE expression tree in both engines — identical
+    // bits, no tolerance. Scale shape: one map-side-combined agg,
+    // no joins, no windows.
+    "q_linreg" -> Q(
+      """SELECT l_suppkey, cast(n as bigint) AS n,
+        |  (nd*sxy - sx*sy) / (nd*sx2 - sx*sx) AS slope,
+        |  (sy - ((nd*sxy - sx*sy) / (nd*sx2 - sx*sx)) * sx) / nd AS intercept
+        |FROM (
+        |  SELECT l_suppkey, count(*) AS n, cast(count(*) as double) AS nd,
+        |    cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        |    cast(sum(x*y) as double) AS sxy, cast(sum(x*x) as double) AS sx2
+        |  FROM (SELECT l_suppkey,
+        |          cast(round(l_quantity, 0) as bigint) AS x,
+        |          cast(floor(l_extendedprice) as bigint) AS y
+        |        FROM lineitem WHERE l_suppkey <= 20)
+        |  GROUP BY l_suppkey)
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      olsFit(
+        t(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 20)
+          .select(col("l_suppkey"),
+            round(col("l_quantity"), 0).cast(LongType).as("x"),
+            floor(col("l_extendedprice")).cast(LongType).as("y")),
+        "l_suppkey")
+        .orderBy(col("l_suppkey"))
+    },
+
     // Mergeable-sketch rollup — THE pattern for distinct counting at
     // 100 TB: per-shard HLL sketches (here per nation) are built once,
     // then re-aggregated to any coarser grain (region) by sketch UNION
@@ -760,4 +793,26 @@ object Aggregates {
       a.except(b).orderBy(col("k"))
     }
   )
+
+  /** q_linreg core over any (key, x, y) frame with INTEGER x/y: per-key
+    * OLS fit y = slope·x + intercept from exact integer sums (every
+    * aggregated sum must stay under 2^53 — the caller controls magnitudes
+    * and per-key cardinality), closed with a fixed IEEE expression tree
+    * so the doubles are engine-portable (q_agg_moments discipline).
+    * One map-side-combined aggregation, no joins.
+    */
+  def olsFit(df: DataFrame, key: String): DataFrame = {
+    val base = df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sx2"))
+    val (nd, sx, sy, sxy, sx2) =
+      (col("nd"), col("sx"), col("sy"), col("sxy"), col("sx2"))
+    val slope = (nd * sxy - sx * sy) / (nd * sx2 - sx * sx)
+    base.select(col(key), col("n"), slope.as("slope"),
+      ((sy - slope * sx) / nd).as("intercept"))
+  }
 }

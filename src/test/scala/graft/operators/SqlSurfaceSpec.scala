@@ -11,6 +11,25 @@ import graft.TestSpark
 class SqlSurfaceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("olsFit: exact fit on collinear points; hand-checked fit on a known set (round 7)") {
+    import spark.implicits._
+    // key 1: y = 2x exactly -> slope 2, intercept 0 (exact in IEEE)
+    // key 2: points (1,1),(2,3),(3,4) -> slope 1.5, intercept -1/3
+    val df = Seq(
+      (1L, 1L, 2L), (1L, 2L, 4L), (1L, 3L, 6L),
+      (2L, 1L, 1L), (2L, 2L, 3L), (2L, 3L, 4L)
+    ).toDF("k", "x", "y")
+    val got = Aggregates.olsFit(df, "k")
+      .select($"k", $"slope", $"intercept")
+      .as[(Long, Double, Double)].collect()
+      .map { case (k, s, i) => k -> ((s, i)) }.toMap
+    assert(got(1L) === ((2.0, 0.0)))
+    val (s2, i2) = got(2L)
+    assert(s2 === 1.5)
+    // intercept = (sy - slope*sx)/n = (8 - 1.5*6)/3 = -1/3 in IEEE
+    assert(i2 === (8.0 - 1.5 * 6.0) / 3.0)
+  }
+
   test("q_winsorize: hand-computed p05/p95 clamp on 1..100 (round 7)") {
     import spark.implicits._
     // key A: values 1..100 → ANSI discrete p05 = 5 (smallest value whose
