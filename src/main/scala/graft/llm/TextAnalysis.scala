@@ -651,18 +651,22 @@ object TextAnalysis {
       val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
       val top = exact.orderBy(col("n_exact").desc, col("token")).limit(25)
         .collect() // bounded: exactly 25 rows survive the TakeOrdered
-      val nTotal = exact.agg(sum(col("n_exact"))).head().getLong(0)
-      val sketchBytes = toks
-        .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
-          "CAST(0.99 AS DOUBLE), 42)"))
-        .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
-      val bound = math.ceil(eps * nTotal).toLong
-      val rows = top.map { r =>
-        val (t, n) = (r.getString(0), r.getLong(1))
-        val est = cms.estimateCount(t)
-        Row(t, n, est >= n, est - n <= bound)
+      val rows = if (top.isEmpty) Array.empty[Row] else {
+        // empty corpus would make the sketch aggregate NULL — guarded
+        // above so readFrom never sees null bytes
+        val nTotal = exact.agg(sum(col("n_exact"))).head().getLong(0)
+        val sketchBytes = toks
+          .agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
+            "CAST(0.99 AS DOUBLE), 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val bound = math.ceil(eps * nTotal).toLong
+        top.map { r =>
+          val (t, n) = (r.getString(0), r.getLong(1))
+          val est = cms.estimateCount(t)
+          Row(t, n, est >= n, est - n <= bound)
+        }
       }
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
         StructType(Seq(StructField("token", StringType),
