@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,6 +145,57 @@ object Dedup {
       .withColumn("jac",
         col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
       .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
+  }
+
+  /** Prefix-filtering candidate generation (the PPJoin/AllPairs family —
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
+    * order every doc's shingles by GLOBAL rarity (document frequency asc,
+    * shingle asc — one total order both engines replay), and keep only
+    * each doc's first `n - ceil(t·n) + 1` shingles as its prefix. Two
+    * docs with Jaccard ≥ t MUST share a prefix shingle (if they shared
+    * none, the intersection is confined to the suffixes, which are too
+    * short to reach the required overlap ceil(t·n) — the standard prefix
+    * -filter theorem), so an equi-join on prefix shingles is a LOSSLESS
+    * candidate generator — unlike the df-cap heuristic
+    * ([[jaccardPairsCapped]]), no recall proof per corpus is needed.
+    *
+    * Scale shape: the prefix keeps the RAREST shingles, so the posting
+    * lists the join fans out over are the short ones by construction —
+    * the hot-shingle d²/2 blowup the df-cap excludes never enters pair
+    * generation here at all (a shingle in the prefix of many docs is, by
+    * the ordering's definition, globally rare). The per-doc rank window
+    * partitions by doc_id (doc-sized sorts, thousands of rows max), the
+    * length filter `t·max(n1,n2) ≤ min(n1,n2)` prunes cross-size pairs
+    * before the distinct, and exact verification runs only on candidates
+    * via [[jaccardForCandidates]]. At 100 TB this is the exact-similarity
+    * join you run when the df-cap's "hot shingles carry no signal"
+    * assumption is not safe for the corpus.
+    *
+    * Returns (d1, d2) candidate pairs, d1 < d2, distinct. `t` is given as
+    * an exact rational thresholdNum/thresholdDen so the prefix length and
+    * length filter stay in integer arithmetic on both engines.
+    */
+  def prefixCandidates(sh: DataFrame, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // ceil(t*n) = (num*n + den - 1) div den — pure integer on both engines
+    val need = s"(($thresholdNum * n + $thresholdDen - 1) div $thresholdDen)"
+    val pref = sh.join(dfs, "shingle").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("pos") <= col("n") - expr(need) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          // length filter: jac ≤ n_small/n_large, so jac ≥ t needs
+          // den*n_small ≥ num*n_large (both orderings, integer-exact)
+          && col("a.n") * thresholdDen >= col("b.n") * thresholdNum
+          && col("b.n") * thresholdDen >= col("a.n") * thresholdNum)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
   }
 
   /** MinHash seeds: k portable "permutations" via seeded md5 (shared with
@@ -828,6 +880,48 @@ object Dedup {
           round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos_r") >= semThreshold)
         .select(col("d1"), col("d2"), col("cent_id"), col("cos_r"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Prefix-filtering exact similarity join (AllPairs/PPJoin): LOSSLESS
+    // candidate generation — docs are joined on their rarest
+    // `n - ceil(n/2) + 1` shingles in a global (df, shingle) order, so
+    // every jac >= 0.5 pair is guaranteed a shared prefix shingle (no
+    // per-corpus recall proof needed, unlike q_dedup_near's df cap) and
+    // the join only ever fans out over globally-RARE posting lists.
+    // Verification is exact full-set Jaccard on candidates; the final
+    // threshold compares integers (3·inter >= n1+n2 ⇔ jac >= 1/2).
+    "q_dedup_prefix" -> Q(
+      s"""WITH $oShingleCte,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |rk AS (SELECT s.doc_id, s.shingle, z.n,
+         |         row_number() OVER (PARTITION BY s.doc_id
+         |                            ORDER BY f.df, s.shingle) AS pos
+         |       FROM sh s JOIN dfs f USING (shingle)
+         |                 JOIN sizes z USING (doc_id)),
+         |pref AS (SELECT doc_id, shingle, n FROM rk
+         |         WHERE pos <= n - (n + 1) // 2 + 1),
+         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM pref a JOIN pref b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          WHERE 2 * a.n >= b.n AND 2 * b.n >= a.n),
+         |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
+         |           FROM cands c
+         |           JOIN sh s1 ON s1.doc_id = c.d1
+         |           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+         |           GROUP BY 1, 2)
+         |SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
+         |  cast(inter as double) / (s1.n + s2.n - inter) AS jac
+         |FROM cinter JOIN sizes s1 ON d1 = s1.doc_id
+         |            JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE 3 * inter >= s1.n + s2.n
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sh = shingles(docs(s, dir))
+      jaccardForCandidates(sh, prefixCandidates(sh, 1, 2))
+        // integer-exact form of jac >= 0.5; the emitted double jac is the
+        // division of exact integers (same IEEE op both engines)
+        .filter(col("inter") * 3 >= col("n1") + col("n2"))
+        .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
     }
   )
