@@ -441,6 +441,68 @@ object Components {
         col("r").as("rank_ppb"))
   }
 
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected pair list `(d1, d2)` (d1 < d2, distinct) and a vertex
+    * frame `(doc_id)` — the graph-density signal a dedup pipeline uses to
+    * separate tight near-dup cliques (template spam: every pair similar)
+    * from chains of incidental pairwise matches before picking cluster
+    * representatives.
+    *
+    * Algorithm: degree orientation (Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer", WWW'11). Each edge is
+    * oriented toward its higher-(deg, id) endpoint, wedges are generated
+    * only between a vertex's oriented out-neighbors (taken in the same
+    * total order, so each candidate wedge appears exactly once), and a
+    * final equi-join against the oriented edge list closes them. The
+    * out-degree of every vertex under this orientation is O(√m), so wedge
+    * fan-out is Σ outdeg² = O(m^1.5) worst case INDEPENDENT of hot-vertex
+    * skew — a star graph's hub emits zero wedges (all its edges point
+    * outward from the leaves), which is exactly the "last reducer" blowup
+    * the naive neighbor-pairs join dies on. Every step is an equi-join or
+    * hash agg; all counts integer-exact. The local clustering coefficient
+    * is emitted in floor-ppm (2·tri·10⁶ div deg·(deg−1)) to stay off
+    * float division.
+    */
+  def triangleCounts(pairs: DataFrame, verts: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // orient src -> dst iff (deg(src), src) < (deg(dst), dst)
+    val oriented = edges
+      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(col("sdeg") < col("ddeg")
+        || (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddeg"))
+    // wedges u -> {v, w} with (deg(v), v) < (deg(w), w): each unordered
+    // out-neighbor pair once, in the orientation's own order — so the
+    // closing edge, if it exists, is oriented exactly v -> w
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+      col("ddeg").as("vdeg"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"),
+      col("ddeg").as("wdeg"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("vdeg") < col("wdeg")
+        || (col("vdeg") === col("wdeg") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perV = tris.select(col("u").as("doc_id"))
+      .union(tris.select(col("v")))
+      .union(tris.select(col("w")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tri"))
+    verts
+      .join(deg.select(col("id").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+      .join(perV, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_ppm",
+        expr("CASE WHEN deg >= 2 THEN (2 * tri * 1000000) div (deg * (deg - 1)) " +
+          "ELSE 0 END").cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** PageRank round count — compile-time constant shared with the
     * unrolled oracle CTE chain.
     */
@@ -490,6 +552,51 @@ object Components {
           maxHamming = Dedup.simhashMaxHamming)
         .select(col("d1"), col("d2"))
       pageRank(pairs, docsDf.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
+
+    // Graph density (round 7): per-vertex triangle counts + clustering
+    // coefficient over the same mirrored near-dup edge set — tight
+    // near-dup CLIQUES (template spam) score lcc ≈ 1, chains of
+    // incidental pairwise matches score 0. The oracle replays the
+    // identical degree orientation; the orientation is a total order, so
+    // both engines enumerate the exact same wedge set.
+    "q_triangles" -> Q(
+      s"""WITH ${Dedup.oSimhashSigsCte},
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |deg AS (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |        FROM edges GROUP BY src),
+         |o AS (SELECT e.src, e.dst, dd.deg AS ddeg
+         |      FROM edges e JOIN deg ds ON ds.id = e.src
+         |                   JOIN deg dd ON dd.id = e.dst
+         |      WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+         |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |        FROM o e1 JOIN o e2 ON e1.src = e2.src
+         |          AND (e1.ddeg < e2.ddeg
+         |               OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tv AS (SELECT u AS doc_id FROM tri
+         |       UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+         |pv AS (SELECT doc_id, cast(count(*) as bigint) AS tri
+         |       FROM tv GROUP BY doc_id)
+         |SELECT d.doc_id, cast(coalesce(g.deg, 0) as bigint) AS deg,
+         |  cast(coalesce(pv.tri, 0) as bigint) AS tri,
+         |  cast(CASE WHEN coalesce(g.deg, 0) >= 2
+         |    THEN (2 * coalesce(pv.tri, 0) * 1000000) // (g.deg * (g.deg - 1))
+         |    ELSE 0 END as bigint) AS lcc_ppm
+         |FROM documents d LEFT JOIN deg g ON d.doc_id = g.id
+         |                 LEFT JOIN pv ON d.doc_id = pv.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docsDf = Engine.table(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup(
+          Dedup.simhashSignaturesStateless(docsDf),
+          maxHamming = Dedup.simhashMaxHamming)
+        .select(col("d1"), col("d2"))
+      triangleCounts(pairs, docsDf.select(col("doc_id")))
         .orderBy(col("doc_id"))
     },
 
