@@ -67,6 +67,40 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** 32-bit Morton (Z-order) interleave of two 16-bit dimensions, emitted
+    * as a SQL expression string — ONE term-list generator serves both the
+    * Spark plan (`shiftright` spelling) and the DuckDB oracle (`>>`
+    * spelling), so the curve definition cannot drift between engines.
+    * Pure integer arithmetic: bit k of x lands at position 2k, bit k of y
+    * at 2k+1, each extracted with shift+mask and placed with a
+    * power-of-two multiply (no float anywhere).
+    */
+  private def mortonTerms(x: String, y: String,
+      shr: (String, Int) => String): String =
+    (0 until 16).map { k =>
+      s"(${shr(x, k)} & 1) * ${1L << (2 * k)} + (${shr(y, k)} & 1) * ${1L << (2 * k + 1)}"
+    }.mkString(" + ")
+
+  def mortonSpark(x: String, y: String): String =
+    mortonTerms(x, y, (c, k) => s"shiftright($c, $k)")
+
+  def mortonDuck(x: String, y: String): String =
+    mortonTerms(x, y, (c, k) => s"($c >> $k)")
+
+  /** Z-ORDER layout (the multi-dim generalization of sortkey zone maps —
+    * what Delta/Iceberg `OPTIMIZE ZORDER BY` does): range-partition +
+    * sort on the Morton code of the clustering dims, so every output
+    * file's min/max footer stats are tight in BOTH dimensions at once and
+    * a predicate on EITHER dim prunes most files. A single-column sort
+    * clusters only its leading dim; at 100 TB the interleaved curve is
+    * what keeps `WHERE custkey = ?` AND `WHERE orderdate = ?` queries
+    * both sub-linear on the same copy of the data.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCol: Column,
+      parts: Int = 8): Unit =
+    df.repartitionByRange(parts, zCol).sortWithinPartitions(zCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Banded band-join: `|leftDate - rightDate| <= band` as an EQUI-join.
     * Each row maps to a `width`-day bucket of the epoch-day line; with
     * `band <= width` a row's ±band window overlaps at most two buckets,
@@ -397,6 +431,77 @@ object Scale {
           (col("nxt_id") - 1L).as("gap_end"),
           (col("nxt_id") - col("id") - 1L).as("n_missing"))
         .orderBy(col("gap_start"))
+    },
+
+    // Z-order clustering audit (round 7): min-max-normalize both dims to
+    // a common 16-bit grid (what Delta/Iceberg OPTIMIZE ZORDER does with
+    // per-column range ids — raw values of unequal bit width would let
+    // the wider dim dominate the curve and degenerate it to a single-dim
+    // sort), Morton-interleave, and report each curve bucket's row count
+    // + per-dim min/max — the zone-map tightness a Z-ordered layout
+    // gives every file. Both engines compute the same 32-bit curve from
+    // one shared term generator (mortonSpark/mortonDuck); the 1-row
+    // min/max stats ride the legal crossJoin(broadcast(tiny)) shape.
+    // writeZOrdered is the layout writer the audit models, spec'd for
+    // actual per-file span reduction in BOTH dims in ScaleSpec.
+    "q_zorder" -> Q(
+      s"""WITH base AS (SELECT o_custkey,
+         |  datediff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS eday
+         |  FROM orders),
+         |b AS (SELECT min(o_custkey) AS ck_mn, max(o_custkey) AS ck_mx,
+         |             min(eday) AS day_mn, max(eday) AS day_mx FROM base),
+         |q AS (SELECT o_custkey, eday,
+         |  ((o_custkey - ck_mn) * 65535) // greatest(ck_mx - ck_mn, 1) AS xq,
+         |  ((eday - day_mn) * 65535) // greatest(day_mx - day_mn, 1) AS yq
+         |  FROM base CROSS JOIN b),
+         |z AS (SELECT o_custkey, eday, ${mortonDuck("xq", "yq")} AS z FROM q)
+         |SELECT z // 16777216 AS zbucket, count(*) AS n,
+         |  min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+         |  min(eday) AS day_min, max(eday) AS day_max
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin) { (s, dir) =>
+      val base = Engine.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("datediff(cast(o_orderdate as date), to_date('1970-01-01'))")
+            .cast(LongType).as("eday"))
+      val b = base.agg(min(col("o_custkey")).as("ck_mn"),
+        max(col("o_custkey")).as("ck_mx"),
+        min(col("eday")).as("day_mn"), max(col("eday")).as("day_mx"))
+      base.crossJoin(broadcast(b))
+        .withColumn("xq",
+          expr("((o_custkey - ck_mn) * 65535) div greatest(ck_mx - ck_mn, 1)"))
+        .withColumn("yq",
+          expr("((eday - day_mn) * 65535) div greatest(day_mx - day_mn, 1)"))
+        .withColumn("z", expr(mortonSpark("xq", "yq")))
+        .groupBy(expr("z div 16777216").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+          min(col("eday")).as("day_min"), max(col("eday")).as("day_max"))
+        .orderBy(col("zbucket"))
+    },
+
+    // Co-located (bucketed) fact-fact join (round 7): both sides are
+    // written bucketBy(8, key) + sortBy — the persisted analog of
+    // matching Redshift distkeys (core.py:205-207's diststyle KEY) — so
+    // the join AND the follow-on per-key aggregate plan with ZERO
+    // Exchange (ScaleSpec pins the shuffle-free physical plan; this
+    // gate pins the result). At 100 TB this is the difference between
+    // re-shuffling the fact table on every join and reading pre-hashed
+    // buckets.
+    "q_join_bucketed" -> Q(
+      """SELECT o.o_orderkey, count(*) AS n_lines,
+        |  cast(sum(cast(round(l.l_quantity, 0) as bigint)) as bigint) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Engine.table(s, dir, "orders").select(col("o_orderkey"))
+      val li = Engine.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      writeBucketed(orders, "g_bkt_orders", "o_orderkey")
+      writeBucketed(li, "g_bkt_lineitem", "o_orderkey")
+      s.table("g_bkt_orders").join(s.table("g_bkt_lineitem"), "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

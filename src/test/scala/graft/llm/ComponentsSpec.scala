@@ -156,4 +156,61 @@ class ComponentsSpec extends AnyFunSuite {
       min(col("rank_ppb")), max(col("rank_ppb"))).head()
     assert(isolated.getLong(0) == base && isolated.getLong(1) == base)
   }
+
+  test("triangleCounts matches a brute-force triple scan on a seeded random graph (round 7)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val edges = (0 until 300).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val eset = edges.toSet
+    def conn(a: Long, b: Long) = eset((math.min(a, b), math.max(a, b)))
+    val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n)
+      if (conn(a, b) && conn(a, c) && conn(b, c)) {
+        want(a) += 1; want(b) += 1; want(c) += 1
+      }
+    val degW = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Components.triangleCounts(edges.toDF("d1", "d2"),
+        spark.range(n).select(col("id").as("doc_id")))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == n)
+    (0 until n).foreach { v =>
+      val (dg, tr, lcc) = got(v.toLong)
+      assert(dg == degW.getOrElse(v.toLong, 0L), s"deg at $v")
+      assert(tr == want(v.toLong), s"tri at $v: got $tr want ${want(v.toLong)}")
+      val wantLcc = if (dg >= 2) 2L * tr * 1000000L / (dg * (dg - 1)) else 0L
+      assert(lcc == wantLcc, s"lcc at $v")
+    }
+  }
+
+  test("triangleCounts: clique scores lcc 1.0; star and chain have zero triangles (round 7)") {
+    import spark.implicits._
+    // K5: every vertex deg 4, tri C(4,2)=6, lcc exactly 1.0 (1e6 ppm)
+    val k5 = (for (a <- 0 until 5; b <- a + 1 until 5)
+      yield (a.toLong, b.toLong)).toDF("d1", "d2")
+    val rk5 = Components.triangleCounts(k5,
+      spark.range(5).select(col("id").as("doc_id"))).collect()
+    assert(rk5.length == 5)
+    assert(rk5.forall(r => r.getLong(1) == 4L && r.getLong(2) == 6L
+      && r.getLong(3) == 1000000L))
+    // hot-vertex star: the hub has every edge but zero triangles — under
+    // degree orientation it emits NO wedges (all edges point outward
+    // from the leaves), the exact "last reducer" shape the naive
+    // neighbor-pairs join explodes on
+    val star = (1L to 50L).map(i => (0L, i)).toDF("d1", "d2")
+    val rs = Components.triangleCounts(star,
+        spark.range(51).select(col("id").as("doc_id")))
+      .agg(sum(col("tri")), max(col("deg"))).head()
+    assert(rs.getLong(0) == 0L && rs.getLong(1) == 50L)
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val rc = Components.triangleCounts(chain,
+        spark.range(11).select(col("id").as("doc_id")))
+      .agg(sum(col("tri"))).head()
+    assert(rc.getLong(0) == 0L)
+  }
 }

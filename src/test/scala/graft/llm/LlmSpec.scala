@@ -208,6 +208,31 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("prefix-filter candidates are LOSSLESS at jac >= 1/2 and survivors equal the all-pairs truth (round 7)") {
+    val sh = Dedup.shingles(docs).cache()
+    try {
+      val truth = Dedup.jaccardPairs(sh).filter(col("jac") >= 0.5)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, "fixture should contain >= 0.5 pairs")
+      // the prefix-filter theorem guarantees every true pair shares a
+      // prefix shingle — candidate recall must be exactly 1.0, no
+      // per-corpus argument needed (unlike the df cap)
+      val cands = Dedup.prefixCandidates(sh, 1, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.subsetOf(cands),
+        s"prefix filter lost true pairs: ${truth.diff(cands).take(5)}")
+      // end-to-end: the graded integer-threshold survivors are the exact
+      // all-pairs >= 0.5 result — lossless generation + exact verify
+      val got = graft.Registry.all("q_dedup_prefix")
+        .fn(spark, TestSpark.sfDir)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth,
+        s"extra: ${got.diff(truth).take(3)}; missing: ${truth.diff(got).take(3)}")
+    } finally sh.unpersist()
+  }
+
   test("probeMasks enumerates exactly the <=h-bit patterns") {
     for (n <- Seq(4, 8); h <- 0 to 3) {
       val expect = (0 until (1 << n))

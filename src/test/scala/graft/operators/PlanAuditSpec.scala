@@ -21,6 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sideEffecting = Set(
     "q_csv_sink", "q_df_write", "q_exec_ddl", "q_ctas", "q_insert_append",
     "q_overwrite", "q_scan_csv", "q_scan_json", "q_scan_orc", "q_compact",
+    // building q_join_bucketed's DataFrame writes both bucketed tables;
+    // ScaleSpec pins its Exchange-free physical shape
+    "q_join_bucketed",
     // building q_dedup_cc's DataFrame runs the eager label-propagation
     // loop (real jobs), and its returned plan is just a window over a
     // LogicalRDD — the per-round join shapes the audit would care about
@@ -51,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_phrase_pmi",      // crossJoin(broadcast(1-row n_uni aggregate))
     "q_rarity_score",    // crossJoin(broadcast(1-row n_uni aggregate))
     "q_gap_fill",        // crossJoin(broadcast(25-row nation dim)) × month spine
-    "q_dau_window")      // crossJoin(broadcast(1-row max-date aggregate))
+    "q_dau_window",      // crossJoin(broadcast(1-row max-date aggregate))
+    "q_zorder")          // crossJoin(broadcast(1-row min/max stats))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting

@@ -161,7 +161,75 @@ class ScaleSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() > 0)
+      // the follow-on per-key aggregate (q_join_bucketed's shape) also
+      // rides the bucket partitioning: zero hash exchanges end to end
+      val aggPlan = joined.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join + key agg should not shuffle:\n$aggPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("morton curve: known values and bijection on the 8-bit grid (round 7)") {
+    val df = spark.range(256)
+      .select(expr("id % 16").as("x"), expr("id div 16").as("y"))
+      .withColumn("z", expr(Scale.mortonSpark("x", "y")))
+    // a bijection [0,16)² → [0,256): every z distinct and the max is 255
+    assert(df.select("z").distinct().count() == 256)
+    val mm = df.agg(min(col("z")), max(col("z"))).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 255L)
+    // hand-checked value: x=3 → bits {0,2} → 1+4=5; y=5 → bits {1,5} →
+    // 2+32=34; z=39
+    assert(df.filter(col("x") === 3 && col("y") === 5)
+      .select("z").head().getLong(0) == 39L)
+  }
+
+  test("writeZOrdered: per-file zone maps tight in BOTH dims; date sort is not (round 7)") {
+    val orders = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+      .select(col("o_custkey"),
+        expr("datediff(cast(o_orderdate as date), to_date('1970-01-01'))")
+          .cast("long").as("eday"))
+    val b = orders.agg(min(col("o_custkey")).as("ck_mn"),
+      max(col("o_custkey")).as("ck_mx"),
+      min(col("eday")).as("day_mn"), max(col("eday")).as("day_mx"))
+    val z = orders.crossJoin(broadcast(b))
+      .withColumn("xq",
+        expr("((o_custkey - ck_mn) * 65535) div greatest(ck_mx - ck_mn, 1)"))
+      .withColumn("yq",
+        expr("((eday - day_mn) * 65535) div greatest(day_mx - day_mn, 1)"))
+      .withColumn("z", expr(Scale.mortonSpark("xq", "yq")))
+      .select("o_custkey", "eday", "z")
+    val zPath = "/tmp/graft_zorder_files"
+    Scale.writeZOrdered(z, zPath, col("z"), parts = 16)
+    val dPath = "/tmp/graft_datesort_files"
+    orders.repartitionByRange(16, col("eday")).sortWithinPartitions(col("eday"))
+      .write.mode("overwrite").parquet(dPath)
+    def avgSpan(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length >= 8, s"expected many part files under $path")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    val g = orders.agg(
+      (max(col("o_custkey")) - min(col("o_custkey"))).cast("double"),
+      (max(col("eday")) - min(col("eday"))).cast("double")).head()
+    val (gCk, gDay) = (g.getDouble(0), g.getDouble(1))
+    // Z-order: every file's zone map is well under the global span in
+    // BOTH dims (16 curve ranges ≈ a 4×4 grid → ~1/4 span each)
+    assert(avgSpan(zPath, "o_custkey") < 0.55 * gCk,
+      "z-order should bound custkey per file")
+    assert(avgSpan(zPath, "eday") < 0.55 * gDay,
+      "z-order should bound eday per file")
+    // single-dim date sort: dates tight, but custkey spans stay ~global —
+    // the failure mode Z-ordering exists to fix
+    assert(avgSpan(dPath, "eday") < 0.25 * gDay)
+    assert(avgSpan(dPath, "o_custkey") > 0.8 * gCk)
   }
 
   test("bloom prefilter: real reduction, no false negatives, exact final result") {
