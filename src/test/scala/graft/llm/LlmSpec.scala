@@ -208,22 +208,24 @@ class LlmSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
-  test("prefix-filter candidates are LOSSLESS at jac >= 1/2 and survivors equal the all-pairs truth (round 7)") {
+  test("prefix-filter candidates are LOSSLESS at jac >= 4/5 and survivors equal the all-pairs truth (round 7)") {
     val sh = Dedup.shingles(docs).cache()
     try {
-      val truth = Dedup.jaccardPairs(sh).filter(col("jac") >= 0.5)
+      // jaccardPairs' double jac: a/b where a/b = 4/5 exactly rounds to
+      // the same double as the 0.8 literal, so >= 0.8 is boundary-safe
+      val truth = Dedup.jaccardPairs(sh).filter(col("jac") >= 0.8)
         .select("d1", "d2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(truth.nonEmpty, "fixture should contain >= 0.5 pairs")
+      assert(truth.nonEmpty, "fixture should contain >= 0.8 pairs")
       // the prefix-filter theorem guarantees every true pair shares a
       // prefix shingle — candidate recall must be exactly 1.0, no
       // per-corpus argument needed (unlike the df cap)
-      val cands = Dedup.prefixCandidates(sh, 1, 2)
+      val cands = Dedup.prefixCandidates(sh, 4, 5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(truth.subsetOf(cands),
         s"prefix filter lost true pairs: ${truth.diff(cands).take(5)}")
       // end-to-end: the graded integer-threshold survivors are the exact
-      // all-pairs >= 0.5 result — lossless generation + exact verify
+      // all-pairs >= 4/5 result — lossless generation + exact verify
       val got = graft.Registry.all("q_dedup_prefix")
         .fn(spark, TestSpark.sfDir)
         .select("d1", "d2").collect()
