@@ -791,6 +791,48 @@ object Aggregates {
         .select(col("c_custkey").as("k"))
       val b = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
       a.except(b).orderBy(col("k"))
+    },
+
+    // Weighted median (round 7): per return flag, the smallest quantity
+    // whose cumulative revenue weight reaches half the group total — the
+    // order-statistic that answers "what quantity level splits revenue in
+    // half", which a plain median (row-weighted) misstates. Weights are
+    // exact integer cents (bounded decimal cast ×100), the crossing test
+    // is 2·cum ≥ total in integers, and the per-value pre-aggregation
+    // makes the cumulative sum independent of intra-value row order —
+    // fully deterministic on both engines. Scale shape: one hash agg to
+    // ~50 (flag, qty) cells, then a window over value-count-sized groups
+    // (never the raw fact rows), then one row per flag.
+    "q_weighted_median" -> Q(
+      """WITH wv AS (
+        |  SELECT l_returnflag, cast(round(l_quantity, 0) as bigint) AS qty,
+        |    cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100
+        |      as decimal(20,0))) as bigint) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, qty, w,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |                     ROWS UNBOUNDED PRECEDING) AS cw,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM wv)
+        |SELECT l_returnflag, min(qty) AS w_median_qty,
+        |  cast(min(tw) as bigint) AS total_cents
+        |FROM c WHERE 2 * cw >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val wv = Engine.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          round(col("l_quantity"), 0).cast(LongType).as("qty"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(20, 0))).cast(LongType).as("w"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("l_returnflag"))
+      wv.withColumn("cw", sum(col("w")).over(wCum))
+        .withColumn("tw", sum(col("w")).over(wTot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("qty")).as("w_median_qty"),
+          min(col("tw")).as("total_cents"))
+        .orderBy(col("l_returnflag"))
     }
   )
 

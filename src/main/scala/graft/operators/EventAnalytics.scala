@@ -401,6 +401,41 @@ object EventAnalytics {
         sum(col("n_new")).over(Window.orderBy(col("first_day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy(col("first_day"))
+    },
+
+    // Activity streaks (round 7): per user, the longest run of
+    // CONSECUTIVE active days plus streak count — the gaps-and-islands
+    // kernel (day − row_number over distinct days is constant within a
+    // run) applied to engagement analysis. All integers; windows
+    // partition by user over that user's distinct DAYS (bounded by the
+    // calendar, not the event volume — a user's million events collapse
+    // to ≤ a few thousand day rows before any sort).
+    "q_streaks" -> Q(
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', cast(ts as date)) AS day
+        |  FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, cast(sum(len) as bigint) AS n_active_days,
+        |  cast(max(len) as bigint) AS longest_streak,
+        |  cast(count(*) as bigint) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val days = events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast(LongType).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
     }
   )
 
