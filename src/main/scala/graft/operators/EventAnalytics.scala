@@ -436,6 +436,66 @@ object EventAnalytics {
           max(col("len")).as("longest_streak"),
           count(lit(1)).as("n_streaks"))
         .orderBy(col("user_id"))
+    },
+
+    // Lag-1 autocorrelation of the daily event-count series per event
+    // type (round 7) — the day-over-day persistence signal behind
+    // anomaly detection and seasonality checks. Daily counts are pure
+    // integers, so every moment sum is integer-valued under 2^53 and
+    // both engines close the SAME IEEE expression tree (the q_agg_corr /
+    // q_linreg float-portability discipline); the result is ppm-floored.
+    // The lagged pair comes from a (type, day = day+1) EQUI-join on the
+    // day-aggregated series — calendar-sized input, never raw events,
+    // and no window at all. Zero-variance groups are excluded by the
+    // same exact-double predicate on both engines.
+    "q_autocorr" -> Q(
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', cast(ts as date)) AS day,
+        |    cast(count(*) as bigint) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, b.c AS x, a.c AS y
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.day = b.day + 1),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        cast(count(*) as double) AS n_d,
+        |        cast(sum(x) as double) AS sx, cast(sum(y) as double) AS sy,
+        |        cast(sum(x*y) as double) AS sxy,
+        |        cast(sum(x*x) as double) AS sxx,
+        |        cast(sum(y*y) as double) AS syy
+        |      FROM p GROUP BY event_type)
+        |SELECT event_type, cast(n as bigint) AS n_pairs,
+        |  cast(floor(((n_d*sxy - sx*sy)
+        |    / (sqrt(n_d*sxx - sx*sx) * sqrt(n_d*syy - sy*sy))) * 1000000)
+        |    as bigint) AS autocorr_ppm
+        |FROM m
+        |WHERE n_d*sxx - sx*sx > 0 AND n_d*syy - sy*sy > 0
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val cur = daily.select(col("event_type"), col("day"), col("c").as("y"))
+      val prev = daily.select(col("event_type"),
+        (col("day") + 1L).as("day"), col("c").as("x"))
+      val m = cur.join(prev, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(lit(1)).cast(DoubleType).as("n_d"),
+          sum(col("x")).cast(DoubleType).as("sx"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+      val (nD, sx, sy, sxy, sxx, syy) = (col("n_d"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"))
+      m.filter(nD * sxx - sx * sx > 0 && nD * syy - sy * sy > 0)
+        .select(col("event_type"), col("n").as("n_pairs"),
+          floor(((nD * sxy - sx * sy)
+            / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))) * 1000000)
+            .cast(LongType).as("autocorr_ppm"))
+        .orderBy(col("event_type"))
     }
   )
 
