@@ -69,6 +69,39 @@ private[streaming] object MicroTs {
   }
 }
 
+/** One observed active day — input to [[Streams.streamingStreaks]]. */
+case class DayActive(user_id: Long, day: Long)
+
+/** Per-user state for [[Streams.streamingStreaks]]: sorted disjoint
+  * non-adjacent [start, end] runs of consecutive active days. Size is
+  * bounded by the user's streak count, not event volume — re-observed
+  * days are absorbed without growth.
+  */
+case class DayRuns(runs: Seq[(Long, Long)])
+
+/** Emitted snapshot — the streaming twin of one q_streaks row. */
+case class StreakRow(user_id: Long, n_active_days: Long,
+    longest_streak: Long, n_streaks: Long)
+
+/** Interval-merge kernel for [[Streams.streamingStreaks]] — standalone
+  * object for the same capture-free serialization reason as [[MicroTs]].
+  * Insertion is ORDER-INDEPENDENT: the final run set depends only on the
+  * day SET, so late/out-of-order arrivals (including a day that bridges
+  * two existing streaks) converge to the exact batch answer.
+  */
+private[streaming] object DayRunOps {
+  def insert(runs: List[(Long, Long)], day: Long): List[(Long, Long)] =
+    if (runs.exists(r => r._1 <= day && day <= r._2)) runs
+    else {
+      // a new day touches at most two runs: one ending at day-1, one
+      // starting at day+1 — merge them all into one
+      val touch = runs.filter(r => r._2 == day - 1 || r._1 == day + 1)
+      val merged = ((day, day) :: touch)
+        .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+      (merged :: runs.filterNot(touch.contains)).sortBy(_._1)
+    }
+}
+
 /** Time-window operators over the `events` stream table.
   *
   * The reference has no streaming at all (SURVEY §1 last row — batch
@@ -464,6 +497,33 @@ object Streams {
           }
           if (last != null) state.update(last)
           out.result().iterator
+      }
+  }
+
+  /** Streaming twin of q_streaks (s_streaks): per-user consecutive-day
+    * runs maintained as merged day INTERVALS in
+    * `flatMapGroupsWithState`, emitting the updated
+    * (n_active_days, longest_streak, n_streaks) snapshot per user per
+    * batch. Unlike last-event state (transitions) this state is
+    * ORDER-INDEPENDENT — a late day that bridges two streaks merges them
+    * exactly, so any arrival order converges to the batch q_streaks
+    * answer (StreamingSpec feeds a seeded SHUFFLE of the day set and
+    * pins equality). State per user = its run list: bounded by streak
+    * count, immune to duplicate re-delivery.
+    */
+  def streamingStreaks(days: Dataset[DayActive]): Dataset[StreakRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = days.sparkSession
+    import spark.implicits._
+    days.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DayRuns, StreakRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[DayActive], state: GroupState[DayRuns]) =>
+          var runs = state.getOption.map(_.runs.toList).getOrElse(Nil)
+          batch.foreach(d => runs = DayRunOps.insert(runs, d.day))
+          state.update(DayRuns(runs))
+          val lens = runs.map(r => r._2 - r._1 + 1)
+          Iterator.single(StreakRow(uid, lens.sum, lens.max, runs.size))
       }
   }
 

@@ -445,4 +445,38 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming funnel diverges: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("streamingStreaks converges to batch q_streaks under SHUFFLED arrival order (round 7)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // feed the real per-user day set in a seeded RANDOM order: the
+    // interval-merge state is order-independent, so even days that
+    // bridge two already-seen streaks must land on the exact batch answer
+    val days = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"user_id",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .distinct().as[DayActive].collect()
+    val shuffled = new scala.util.Random(7).shuffle(days.toSeq)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+    val mem = MemoryStream[DayActive]
+    val q = Streams.streamingStreaks(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("t_streaks").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // n_active_days grows monotonically with the observed day set, so
+      // the latest snapshot per user = its max-n_active_days row
+      val got = spark.table("t_streaks").as[StreakRow].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) => rows.maxBy(_.n_active_days) }
+        .map(r => (r.user_id, r.n_active_days, r.longest_streak, r.n_streaks))
+        .toSet
+      val want = graft.operators.EventAnalytics.queries("q_streaks")
+        .fn(spark, TestSpark.sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"streaming streaks diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
 }
