@@ -84,6 +84,57 @@ object SqlSurface {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q7-shaped composite (round 7): bilateral shipping volume
+    // between two nations by ship year — the multi-join + OR-pair
+    // predicate planner exercise. The OR over (supp, cust) nation pairs
+    // cannot push into either dimension alone, but it IMPLIES
+    // n_name ∈ {A, B} on both sides, so each nation dim is prefiltered
+    // to 2 rows and broadcast (with supplier riding the broadcast too);
+    // only the orders⋈lineitem fact-fact edge shuffles. The year comes
+    // off l_shipdate (cast long — DuckDB date parts are BIGINT);
+    // revenue via the bounded-decimal Exact chain.
+    "q_tpch_q7" -> Q(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  count(*) AS n,
+         |  ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         |              JOIN nation n1 ON n1.n_nationkey = s_nationkey
+         |              JOIN orders ON o_orderkey = l_orderkey
+         |              JOIN customer ON c_custkey = o_custkey
+         |              JOIN nation n2 ON n2.n_nationkey = c_nationkey
+         |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND l_shipdate >= timestamp '1996-01-01 00:00:00'
+         |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val picked = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(picked: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(picked: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1996-01-01 00:00:00'")
+          && expr("l_shipdate < timestamp '1998-01-01 00:00:00'"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
     // Pivot / crosstab: status columns per priority. Spark's pivot yields
     // null for empty cells where conditional counts yield 0 — coalesced
     // for parity with the FILTER form.
