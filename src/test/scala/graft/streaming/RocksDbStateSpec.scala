@@ -152,6 +152,36 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_streaks: day-interval merge state under RocksDB matches batch q_streaks (round 7)") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val days = graft.Engine.table(rocks, TestSpark.sfDir, "events")
+      .select($"user_id",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .distinct().as[DayActive].collect()
+    val shuffled = new scala.util.Random(11).shuffle(days.toSeq)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+    val mem = MemoryStream[DayActive]
+    val q = Streams.streamingStreaks(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("r_streaks").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      assertRocksDbActive(q)
+      val got = rocks.table("r_streaks").as[StreakRow].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) => rows.maxBy(_.n_active_days) }
+        .map(r => (r.user_id, r.n_active_days, r.longest_streak, r.n_streaks))
+        .toSet
+      val want = graft.operators.EventAnalytics.queries("q_streaks")
+        .fn(rocks, TestSpark.sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"rocksdb streaks diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("checkpoint restart under RocksDB: sig-dedup state reloads from SSTs") {
     val base = "/tmp/graft_test_stage/rocksdb_restart"
     graft.util.Fs.deleteRecursively(base)
