@@ -101,6 +101,58 @@ object Scale {
     df.repartitionByRange(parts, zCol).sortWithinPartitions(zCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Distributed prefix-min over a global order WITHOUT a single-partition
+    * window (the two-pass parallel-scan pattern): range-partition the
+    * (UNIQUE-key, value) pairs descending by key, take the
+    * within-partition running min, collect only the P per-partition
+    * minima to the driver (bounded by the partition COUNT like
+    * bloomPrefilter's bitset — never by data size), and combine each
+    * row's within-partition prefix with the prefix-min of all
+    * higher-key partitions. Emits `min_above` = min of `v` over rows
+    * with STRICTLY greater `k` (null when none). Key uniqueness is
+    * REQUIRED (pre-aggregate first — every caller here feeds a
+    * groupBy(k) output) so a range boundary can never split a key group
+    * and the lag-row is always a strictly-greater key.
+    * The oracle-side twin of this primitive is the
+    * plain `min(...) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING TO
+    * 1 PRECEDING)` window this plan refuses to run globally.
+    */
+  def minAboveStrict(pairs: DataFrame, k: String, v: String,
+      parts: Int = 32): DataFrame = {
+    val sorted = pairs.select(col(k), col(v))
+      .repartitionByRange(parts, col(k).desc)
+      .sortWithinPartitions(col(k).desc)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(k).desc)
+    val within = sorted
+      .withColumn("__cum", min(col(v)).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__above_in_part", lag(col("__cum"), 1).over(w))
+    // P rows to the driver — partition-count-bounded, like Spark's own
+    // range-boundary sampling
+    val partMins = within.groupBy(col("__pid"))
+      .agg(min(col(v)).as("__pmin"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = partMins.scanLeft((Int.MinValue, Long.MaxValue)) {
+      case ((_, acc), (pid, m)) => (pid, math.min(acc, m))
+    }
+    val prefixOfEarlier = partMins.map(_._1).zip(
+      prefix.map(_._2).dropRight(1)).toMap // pid -> min over pids < pid
+    val spark = pairs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val pm = spark.createDataFrame(
+      prefixOfEarlier.toSeq.map { case (pid, m) =>
+        org.apache.spark.sql.Row(pid, if (m == Long.MaxValue) null else Long.box(m))
+      }.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("__pid", IntegerType, nullable = false)
+        .add("__prefmin", LongType, nullable = true))
+    within.join(broadcast(pm), Seq("__pid"), "left")
+      .withColumn("min_above", least(col("__above_in_part"), col("__prefmin")))
+      .select(col(k), col(v), col("min_above"))
+  }
+
   /** Banded band-join: `|leftDate - rightDate| <= band` as an EQUI-join.
     * Each row maps to a `width`-day bucket of the epoch-day line; with
     * `band <= width` a row's ±band window overlaps at most two buckets,
@@ -501,6 +553,51 @@ object Scale {
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
           sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // 2-D skyline / Pareto frontier (round 7): orders not strictly
+    // dominated on (maximize totalprice, minimize orderdate) — the
+    // classic multi-criteria operator (Börzsönyi et al., ICDE'01,
+    // "The Skyline Operator"). A row is dominated iff some order has
+    // BOTH a strictly higher price and a strictly earlier day, so
+    // membership reduces to one scalar per price level: min day among
+    // strictly-higher prices. The oracle states that as the global
+    // ORDER BY price DESC running-min window; the graded plan computes
+    // the identical scalar with minAboveStrict — range-partitioned
+    // two-pass prefix scan over the DISTINCT price levels, driver cost
+    // bounded by the partition count — and never runs a
+    // single-partition window at any data size. Prices in exact integer
+    // cents; everything else integer days.
+    "q_skyline" -> Q(
+      """WITH r AS (SELECT o_orderkey,
+        |    cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)
+        |      AS price_cents,
+        |    datediff('day', DATE '1970-01-01', cast(o_orderdate as date))
+        |      AS day
+        |  FROM orders),
+        |ux AS (SELECT price_cents, min(day) AS gmin FROM r GROUP BY price_cents),
+        |mda AS (SELECT price_cents,
+        |    min(gmin) OVER (ORDER BY price_cents DESC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS min_above
+        |  FROM ux)
+        |SELECT o_orderkey, price_cents, cast(day as bigint) AS day
+        |FROM r JOIN mda USING (price_cents)
+        |WHERE min_above IS NULL OR day <= min_above
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val r = Engine.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+            .cast(LongType).as("price_cents"),
+          expr("datediff(cast(o_orderdate as date), to_date('1970-01-01'))")
+            .cast(LongType).as("day"))
+      val ux = r.groupBy(col("price_cents")).agg(min(col("day")).as("gmin"))
+      val mda = minAboveStrict(ux, "price_cents", "gmin")
+        .select(col("price_cents"), col("min_above"))
+      r.join(mda, "price_cents")
+        .filter(col("min_above").isNull || col("day") <= col("min_above"))
+        .select(col("o_orderkey"), col("price_cents"), col("day"))
         .orderBy(col("o_orderkey"))
     }
   )

@@ -171,6 +171,31 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("minAboveStrict equals the driver reference at any partition count, no single-partition exchange (round 7)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pairs = (0 until 500)
+      .map(_ => (rnd.nextInt(100000).toLong, rnd.nextInt(1000).toLong))
+      .distinctBy(_._1)
+    val df = pairs.toDF("k", "v")
+    val want: Map[Long, Option[Long]] = pairs.map { case (k, _) =>
+      val above = pairs.filter(_._1 > k).map(_._2)
+      k -> (if (above.isEmpty) None else Some(above.min))
+    }.toMap
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Scale.minAboveStrict(df, "k", "v", parts).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(got == want, s"diverges at parts=$parts: " +
+        want.collect { case (k, w) if got.get(k) != Some(w) =>
+          s"$k: got ${got.get(k)} want $w" }.take(3).mkString("; "))
+    }
+    val plan = Scale.minAboveStrict(df, "k", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix scan must never plan a global window:\n$plan")
+  }
+
   test("morton curve: known values and bijection on the 8-bit grid (round 7)") {
     val df = spark.range(256)
       .select(expr("id % 16").as("x"), expr("id div 16").as("y"))
