@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.{Engine, Q}
 
@@ -133,6 +134,144 @@ object SqlSurface {
         .agg(count(lit(1)).as("n"),
           Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): which customers returned
+    // the most revenue in a half-year window. Scale shape: revenue is
+    // pre-aggregated per custkey BEFORE the customer join — the fact-fact
+    // lineitem⋈orders edge shuffles once, then the agg collapses it to at
+    // most |customers| rows, so the customer join input is
+    // customer-cardinality, not lineitem-cardinality (at 100 TB the
+    // difference is the whole query). nation broadcasts; top-20 is
+    // TakeOrdered on the exact-decimal revenue with a custkey tiebreak.
+    "q_tpch_q10" -> Q(
+      s"""SELECT c_custkey, c_name,
+         |  ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |  c_acctbal, n_name
+         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |              JOIN customer ON c_custkey = o_custkey
+         |              JOIN nation ON n_nationkey = c_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= timestamp '1997-01-01 00:00:00'
+         |  AND o_orderdate < timestamp '1997-07-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .filter(expr("o_orderdate >= timestamp '1997-01-01 00:00:00'")
+            && expr("o_orderdate < timestamp '1997-07-01 00:00:00'"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      rev.join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
+    // orders below 20% of a part's average order quantity. The correlated
+    // scalar subquery (avg per part) is decorrelated by hand into an
+    // aggregate-then-join-back — and the brand/size part filter is pushed
+    // BELOW the per-part aggregate (broadcast semi shape), so the agg runs
+    // over the selected parts' lineitems only, never the whole fact table.
+    // The 0.2·avg comparison is integer-exact: qty < sum/(5·cnt) ⇔
+    // 5·qty·cnt < sum over bigint quantities — no float threshold to
+    // straddle engines (DuckDB's sum(BIGINT) is HUGEINT; the comparison is
+    // exact in both). Single-row output via one final agg.
+    "q_tpch_q17" -> Q(
+      s"""WITH pp AS (SELECT p_partkey FROM part
+         |            WHERE p_brand = 'Brand#4' AND p_size < 15),
+         |l AS (SELECT l_partkey, cast(round(l_quantity, 0) as bigint) AS qty,
+         |        l_extendedprice
+         |      FROM lineitem JOIN pp ON p_partkey = l_partkey),
+         |a AS (SELECT l_partkey, sum(qty) AS sq, count(*) AS cnt
+         |      FROM l GROUP BY l_partkey)
+         |SELECT cast(count(*) as bigint) AS n,
+         |  ${Exact.oSumMoney("l_extendedprice")} AS total_price
+         |FROM l JOIN a USING (l_partkey)
+         |WHERE qty * 5 * cnt < sq""".stripMargin) { (s, dir) =>
+      val pp = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4" && col("p_size") < 15)
+        .select(col("p_partkey")))
+      val l = t(s, dir, "lineitem")
+        .join(pp, col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"),
+          expr("cast(round(l_quantity, 0) as bigint)").as("qty"),
+          col("l_extendedprice"))
+      val a = l.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+      l.join(a, "l_partkey")
+        .filter(col("qty") * lit(5L) * col("cnt") < col("sq"))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumMoney(col("l_extendedprice")).as("total_price"))
+    },
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity exceeds a threshold, with their customers. Scale shape: the
+    // HAVING aggregate shuffles lineitem once on l_orderkey and collapses
+    // it to the (rare) qualifying orders before any dimension is touched;
+    // AQE then broadcasts that small set into orders and customer instead
+    // of shuffling the dimensions. Quantities sum as bigint (integer-exact,
+    // DuckDB's HUGEINT re-cast); o_totalprice passes through unchanged
+    // (hash-safe); top-100 is TakeOrdered with full tiebreak.
+    "q_tpch_q18" -> Q(
+      """WITH big AS (
+        |  SELECT l_orderkey, cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(cast(round(l_quantity, 0) as bigint)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |         JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("cast(round(l_quantity, 0) as bigint)")).as("sum_qty"))
+        .filter(col("sum_qty") > 250L)
+      big.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Incremental materialized-view maintenance (round 7 continuation):
+    // per-customer order count + exact-decimal total maintained as
+    // merge(agg(base), agg(delta)) — the refresh path a warehouse MV takes
+    // when new partitions land, proven equal to full recompute (the oracle
+    // aggregates the whole table directly; the hash gate IS the
+    // equivalence proof). Works because count and decimal-sum are
+    // commutative monoids — coalesce-to-identity + add on the FULL OUTER
+    // merge. Scale shape: refresh cost ∝ delta (one delta-sized agg + one
+    // MV-key shuffle against the stored aggregate), never a rescan of the
+    // 100 TB base; the final decimal→double cast happens only AFTER the
+    // merge, so partial aggregates stay exact.
+    "q_mv_delta" -> Q(
+      s"""SELECT o_custkey, cast(count(*) as bigint) AS n_orders,
+         |  ${Exact.oSumMoney("o_totalprice")} AS total
+         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cut = "timestamp '1997-06-01 00:00:00'"
+      def mv(d: DataFrame, suffix: String): DataFrame =
+        d.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as(s"n_$suffix"),
+            sum(Exact.dec(col("o_totalprice"), 18, 4)).as(s"tot_$suffix"))
+      val base = mv(orders.filter(expr(s"o_orderdate < $cut")), "b")
+      val delta = mv(orders.filter(expr(s"o_orderdate >= $cut")), "d")
+      val zero = lit(BigDecimal(0)).cast(DecimalType(28, 4))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("tot_b"), zero) + coalesce(col("tot_d"), zero))
+            .cast(DecimalType(30, 2)).cast(DoubleType).as("total"))
+        .orderBy(col("o_custkey"))
     },
 
     // Pivot / crosstab: status columns per priority. Spark's pivot yields
