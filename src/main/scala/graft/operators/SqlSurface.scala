@@ -195,7 +195,7 @@ object SqlSurface {
          |SELECT cast(count(*) as bigint) AS n,
          |  ${Exact.oSumMoney("l_extendedprice")} AS total_price
          |FROM l JOIN a USING (l_partkey)
-         |WHERE qty * 5 * cnt < sq""".stripMargin) { (s, dir) =>
+         |WHERE qty * 5 * cnt < sq ORDER BY n""".stripMargin) { (s, dir) =>
       val pp = broadcast(t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4" && col("p_size") < 15)
         .select(col("p_partkey")))
