@@ -439,6 +439,92 @@ object TextAnalysis {
       normalizedDups(docs(s, dir)).orderBy(col("doc_id"))
     },
 
+    // Cross-source contamination audit (round 7 continuation) — for every
+    // pair of sources, how many distinct word-5-grams they share, with a
+    // containment coefficient (shared / smaller side's gram vocabulary)
+    // in floor ppm. The provenance question behind train/eval splits and
+    // license audits ("does crawl-B republish crawl-A's content?") at the
+    // n-gram granularity the GPT-3 appendix-C contamination check uses —
+    // whole-document fingerprints miss partial quoting, and at sf0.01 the
+    // corpus has zero identical documents but a measurable shared-gram
+    // tail, so the gate checks real values, not empty≡empty. Scale shape:
+    // the corpus collapses to distinct (source, gram) FIRST (one hash
+    // shuffle off the codegen'd Shingles explode), so the self-join runs
+    // on the source-level gram vocabulary and each gram fans out at most
+    // C(n_sources, 2) pairs — never doc×doc; per-source vocabulary sizes
+    // are a sources-sized dim broadcast back. All counts integer-exact;
+    // ppm is one bigint floor division.
+    "q_cross_source_overlap" -> Q(
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |d AS (
+        |  SELECT DISTINCT source,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 3)) AS i FROM toks)),
+        |c AS (SELECT source, cast(count(*) as bigint) AS n FROM d GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  min(ca.n) AS n_a, min(cb.n) AS n_b,
+        |  cast(count(*) as bigint) AS n_shared,
+        |  cast(count(*) * 1000000 // least(min(ca.n), min(cb.n)) as bigint)
+        |    AS containment_ppm
+        |FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+        |  JOIN c ca ON ca.source = a.source
+        |  JOIN c cb ON cb.source = b.source
+        |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextExpressions.shingles(col("text"), 5)).as("g"))
+        .distinct()
+      val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = d.toDF("source_a", "g")
+      val b = d.toDF("source_b", "g_b")
+      a.join(b, col("g") === col("g_b") && col("source_a") < col("source_b"))
+        .join(broadcast(totals.toDF("source_a", "n_a")), "source_a")
+        .join(broadcast(totals.toDF("source_b", "n_b")), "source_b")
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+          count(lit(1)).as("n_shared"))
+        .withColumn("containment_ppm",
+          expr("(n_shared * 1000000L) div least(n_a, n_b)"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Per-document n-gram novelty (round 7 continuation) — the fraction
+    // of a doc's distinct word-3-grams whose FIRST corpus occurrence (min
+    // doc_id) is this doc: the marginal-contribution signal an
+    // incremental crawl uses to decide whether a newly fetched page adds
+    // anything (near-1 = fresh content, near-0 = reshuffled boilerplate).
+    // Scale shape: distinct (doc, gram) is one shuffle; first-occurrence
+    // is a vocab-sized min agg keyed on the gram (map-side combinable,
+    // AQE splits hot grams); the join back reuses the gram partitioning
+    // and the per-doc count agg is map-side combinable. Nothing
+    // quadratic, no window. Counts are bigints; the ppm is one floor
+    // division — integer-exact in both engines. Docs shorter than 3
+    // tokens have no grams and are consistently absent on both sides.
+    "q_ngram_novelty" -> Q(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+        |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_grams,
+        |  cast(count(CASE WHEN first_doc = doc_id THEN 1 END) as bigint) AS n_novel,
+        |  cast(count(CASE WHEN first_doc = doc_id THEN 1 END) * 1000000
+        |       // count(*) as bigint) AS novel_ppm
+        |FROM grams JOIN first USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.shingles(col("text"), 3)).as("g"))
+        .distinct()
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .withColumn("novel_ppm", expr("(n_novel * 1000000L) div n_grams"))
+        .orderBy(col("doc_id"))
+    },
+
     // Unigram-LM rarity score (round 7) — the model-free stand-in for
     // perplexity filtering (CCNet buckets documents by LM score; the
     // unigram version needs no trained model, just the corpus itself):
