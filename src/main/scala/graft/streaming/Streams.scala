@@ -290,6 +290,88 @@ object Streams {
     }
   }
 
+  /** Streaming incremental materialized-view maintenance (s_mv_delta):
+    * the streaming twin of q_mv_delta. Each micro-batch is reduced to its
+    * per-key (count, exact-decimal sum) aggregate and folded into a
+    * parquet MV target with the same coalesce-to-identity monoid merge
+    * the batch operator proves against full recompute — decimal sums are
+    * order-independent, so ANY batch split of the input converges to the
+    * bit-identical MV (StreamingSpec pins it against the batch aggregate
+    * over the whole events table).
+    *
+    * Exactly-once across replays: `foreachBatch` is at-least-once under
+    * failure, and a re-applied delta would DOUBLE-COUNT (unlike the
+    * upsert's idempotent newest-wins resolution), so the applied batch id
+    * rides inside the target directory as an `_applied_batch` marker
+    * (underscore-prefixed files are invisible to parquet readers, like
+    * `_SUCCESS`) — the write-then-swap rename publishes data + marker
+    * atomically, and [[applyMvDelta]] drops any batch at or below the
+    * marker. Per batch the merge reads |MV| + |batch-agg| rows — the MV
+    * refresh cost a transactional lake format optimizes further with
+    * file pruning; the fold logic is identical.
+    */
+  def streamingMvDelta(stream: DataFrame, targetPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyMvDelta(batch, batchId, targetPath)
+    }
+
+  /** One s_mv_delta fold: idempotent on `batchId` (replays are dropped),
+    * monoid-merges the batch aggregate into the parquet MV at
+    * `targetPath`. Factored out of the stream writer so specs can drive
+    * replay semantics directly.
+    */
+  def applyMvDelta(batch: DataFrame, batchId: Long, targetPath: String): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val hfs = targetP.getFileSystem(hconf)
+    val markerName = "_applied_batch"
+    val dec = DecimalType(28, 4)
+    val mvSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("sum_value", dec)))
+    def readMarker: Long = {
+      val m = new org.apache.hadoop.fs.Path(targetP, markerName)
+      if (!hfs.exists(m)) -1L
+      else {
+        val in = hfs.open(m)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    if (hfs.exists(targetP) && batchId <= readMarker) return
+    val delta = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(dec).as("sum_value"))
+    val target =
+      if (hfs.exists(targetP)) spark.read.schema(mvSchema).parquet(targetPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvSchema)
+    val t = target.select(col("user_id").as("t_user_id"),
+      col("n_events").as("t_n"), col("sum_value").as("t_sum"))
+    val zero = lit(BigDecimal(0)).cast(dec)
+    val merged = t.join(delta, col("t_user_id") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("t_user_id")).as("user_id"),
+        (coalesce(col("t_n"), lit(0L)) + coalesce(col("n_events"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("t_sum"), zero) + coalesce(col("sum_value"), zero))
+          .cast(dec).as("sum_value"))
+    // write-then-swap (the streamingUpsert discipline): the tmp write
+    // completes against the intact old target; marker lands INSIDE tmp
+    // before the rename so data + applied-id publish together.
+    val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+    hfs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(tmp, markerName), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    hfs.delete(targetP, true)
+    hfs.rename(tmp, targetP)
+    ()
+  }
+
   /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2
     * s_dedup_stream): per-user cumulative event count + running value sum,
     * emitted on every update. State is one tiny struct per key; a real

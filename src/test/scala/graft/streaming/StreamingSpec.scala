@@ -278,6 +278,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MV delta converges to the batch aggregate and ignores replayed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = "/tmp/graft_test/stream_mv_delta"
+    graft.util.Fs.deleteRecursively(path)
+    // the real sf0.001 events table, split into three arbitrary batches —
+    // decimal sums are order-independent, so the MV must land bit-equal
+    // to the one-shot batch aggregate no matter the split
+    val evs = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+      .collect()
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingMvDelta(mem.toDF(), path)
+      .option("checkpointLocation", s"$path.ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val mv = spark.read.parquet(path)
+    val expected = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,4)")).cast("decimal(28,4)").as("sum_value"))
+    assert(mv.exceptAll(expected).isEmpty && expected.exceptAll(mv).isEmpty,
+      "incrementally-maintained MV must equal the batch aggregate")
+    // a replayed batch id must be a no-op (at-least-once foreachBatch):
+    // re-apply the LAST batch's data with an already-applied id
+    Streams.applyMvDelta(b3.toSeq.toDF(), 2L, path)
+    val after = spark.read.parquet(path)
+    assert(after.exceptAll(expected).isEmpty && expected.exceptAll(after).isEmpty,
+      "replayed batch must not double-count")
+    // a genuinely NEW batch id still applies
+    Streams.applyMvDelta(Seq(Ev(99999, ts(1), 424242L, "view", 2.5)).toDF(), 3L, path)
+    val bumped = spark.read.parquet(path).filter($"user_id" === 424242L).collect()
+    assert(bumped.length == 1 && bumped.head.getAs[Long]("n_events") == 1L,
+      "new batch id must fold in")
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
