@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.{Engine, Q}
@@ -598,6 +598,51 @@ object Components {
         .select(col("d1"), col("d2"))
       triangleCounts(pairs, docsDf.select(col("doc_id")))
         .orderBy(col("doc_id"))
+    },
+
+    // Graph-shape audit (round 7 continuation): log2-bucketed degree
+    // distribution of the near-dup graph — the health check run BEFORE
+    // committing to transitive-closure dedup at scale (a power-law hub
+    // tail predicts giant components that merge unrelated documents;
+    // near-uniform low degrees predict clean small clusters). Bucket =
+    // bit-length of the degree (integer-exact log2 via bin(), the
+    // embedPlanesFor discipline — no float log), isolated vertices land
+    // in bucket 0. Scale shape: one graph-sized degree agg + one
+    // ~64-bucket agg; the vertex left-join keys on doc_id. Nothing about
+    // this query touches raw text.
+    "q_graph_degree_hist" -> Q(
+      s"""WITH ${Dedup.oSimhashSigsCte},
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |deg AS (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |        FROM edges GROUP BY src),
+         |vd AS (SELECT d.doc_id, coalesce(g.deg, 0) AS deg
+         |       FROM documents d LEFT JOIN deg g ON d.doc_id = g.id)
+         |SELECT cast(CASE WHEN deg = 0 THEN 0
+         |            ELSE length(bin(deg)) END as bigint) AS bucket,
+         |  cast(count(*) as bigint) AS n_vertices,
+         |  cast(min(deg) as bigint) AS min_deg,
+         |  cast(max(deg) as bigint) AS max_deg
+         |FROM vd GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docsDf = Engine.table(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup(
+          Dedup.simhashSignaturesStateless(docsDf),
+          maxHamming = Dedup.simhashMaxHamming)
+        .select(col("d1"), col("d2"))
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2"), col("d1")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      docsDf.select(col("doc_id"))
+        .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy(when(col("deg") === 0L, lit(0L))
+          .otherwise(length(bin(col("deg"))).cast(LongType)).as("bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy(col("bucket"))
     },
 
     // Dedup clustering: SimHash near-dup pairs (the q_dedup_simhash edge
