@@ -642,6 +642,41 @@ object Aggregates {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // IGNORE NULLS analytics (round 7 continuation) — the Redshift window
+    // dialect's sparse-series tools: last_value(... IGNORE NULLS) as
+    // forward fill and lag(... IGNORE NULLS) as previous-non-null, over a
+    // deterministically-sparsified value column ('view' events carry no
+    // value). Both engines support IGNORE NULLS natively; values pass
+    // through unchanged (no arithmetic — hash-safe doubles). Scale shape:
+    // one hash partition on user_id, both windows share the single
+    // (ts, event_id) sort; per-user state is O(1) per row.
+    "q_win_ignore_nulls" -> Q(
+      """WITH n AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, v,
+        |  last_value(v IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  lag(v, 1, NULL IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_nn
+        |FROM n ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Engine.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "view", lit(null)).otherwise(col("value"))
+            .as("v"))
+        .select(col("event_id"), col("user_id"), col("v"),
+          last(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("filled"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          col("ts"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+        .drop("ts")
+    },
+
     // Frames: running total (ROWS UNBOUNDED PRECEDING), moving window
     // (ROWS 3 PRECEDING), RANGE frame — integer-valued quantities keep the
     // sliding-frame aggregation exact in both engines (DuckDB's segment
