@@ -241,6 +241,53 @@ object SqlSurface {
         .limit(100)
     },
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): on orders with
+    // 2+ suppliers, find the SOLE supplier whose shipment came last —
+    // Q21's EXISTS (another supplier) + NOT EXISTS (another equally-late
+    // supplier) pair, expressed as aggregates instead of correlated
+    // subqueries (the testdata lacks commit/receipt dates; max(l_shipdate)
+    // stands in for the lateness signal, the shape is identical). Scale
+    // shape: every heavy step keys on l_orderkey — the per-order agg, the
+    // join back, the distinct last-shipper set and the sole-shipper agg
+    // all reuse one hash partitioning (no second fact-wide key); the
+    // per-supplier count is supplier-cardinality and the dim join
+    // broadcasts. All values integer/timestamp-exact.
+    "q_tpch_q21" -> Q(
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+        |o AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+        |        max(l_shipdate) AS mx
+        |      FROM l GROUP BY l_orderkey),
+        |last AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |         FROM l JOIN o ON l.l_orderkey = o.l_orderkey
+        |         WHERE l.l_shipdate = o.mx AND o.ns >= 2),
+        |sole AS (SELECT l_orderkey, min(l_suppkey) AS s_suppkey
+        |         FROM last GROUP BY l_orderkey HAVING count(*) = 1),
+        |w AS (SELECT s_suppkey, cast(count(*) as bigint) AS numwait
+        |      FROM sole GROUP BY s_suppkey)
+        |SELECT s_suppkey, s_name, numwait
+        |FROM w JOIN supplier USING (s_suppkey)
+        |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = l.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"),
+          max(col("l_shipdate")).as("mx"))
+        .filter(col("ns") >= 2)
+      val lastShippers = l.join(o, "l_orderkey")
+        .filter(col("l_shipdate") === col("mx"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+      val sole = lastShippers.groupBy(col("l_orderkey"))
+        .agg(min(col("l_suppkey")).as("s_suppkey"), count(lit(1)).as("nlast"))
+        .filter(col("nlast") === 1L)
+      sole.groupBy(col("s_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    },
+
     // Incremental materialized-view maintenance (round 7 continuation):
     // per-customer order count + exact-decimal total maintained as
     // merge(agg(base), agg(delta)) — the refresh path a warehouse MV takes
