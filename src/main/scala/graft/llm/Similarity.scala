@@ -499,6 +499,68 @@ object Similarity {
         .select(col("vec_id"), col("a.cent_id").as("cent_id"),
           col("a.cos_r").as("cos_r"))
         .orderBy(col("vec_id"))
+    },
+
+    // Clustering-quality evaluation (round 7 continuation): per-cluster
+    // purity against the embeddings table's ground-truth labels — the
+    // external-validity check run after any unsupervised partitioning
+    // (does the k-means cell structure recover the labeled classes?).
+    // Rides q_cluster_assign's mirrored 6dp-rounded argmax assignment so
+    // both engines score the IDENTICAL partition; the majority label per
+    // cluster is tie-broken by smallest label and purity is one integer
+    // floor division. Scale shape: the corpus collapses to the
+    // (cent_id, label) confusion matrix in one map-side-combined agg;
+    // the majority window and totals run on that k×labels table, never
+    // on vectors.
+    "q_cluster_purity" -> Q(
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
+        |  FROM scored),
+        |asg AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+        |conf AS (SELECT cent_id, label, cast(count(*) as bigint) AS c
+        |         FROM asg JOIN embeddings USING (vec_id)
+        |         GROUP BY cent_id, label),
+        |tot AS (SELECT cent_id, cast(sum(c) as bigint) AS n
+        |        FROM conf GROUP BY cent_id),
+        |best AS (SELECT cent_id, c AS n_majority, label AS majority_label,
+        |           row_number() OVER (PARTITION BY cent_id
+        |                              ORDER BY c DESC, label) AS rk
+        |         FROM conf)
+        |SELECT b.cent_id, t.n, b.n_majority, b.majority_label,
+        |  cast(b.n_majority * 1000000 // t.n as bigint) AS purity_ppm
+        |FROM best b JOIN tot t ON b.cent_id = t.cent_id
+        |WHERE b.rk = 1 ORDER BY b.cent_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Engine.table(s, dir, "embeddings")
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+      val asg = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos_r",
+          round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), struct(col("cos_r"), col("cent_id") * -1))
+          .as("cent_id"))
+      val conf = asg.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("c"))
+      val tot = conf.groupBy(col("cent_id")).agg(sum(col("c")).as("n"))
+      conf.withColumn("rk", row_number().over(
+          Window.partitionBy(col("cent_id"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .join(tot, "cent_id")
+        .select(col("cent_id"), col("n"), col("c").as("n_majority"),
+          col("label").as("majority_label"),
+          expr("(c * 1000000L) div n").as("purity_ppm"))
+        .orderBy(col("cent_id"))
     }
   )
 }
