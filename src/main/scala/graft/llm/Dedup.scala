@@ -449,6 +449,41 @@ object Dedup {
     math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
   }
 
+  /** Shared oracle CTE chain for the md5-hyperplane LSH signatures over
+    * `embeddings` (np → planes → dots → sigs) — the SQL twin of
+    * [[Similarity.lshBuckets]] at the corpus-derived [[embedPlanesFor]]
+    * plane count. Used by q_dedup_embed and q_knn_label_acc so the two
+    * gates can never desynchronize their candidate generation.
+    */
+  val oEmbedSigsCte: String =
+    s"""np AS (
+       |  -- integer-exact twin of embedPlanesFor: bit_length(buckets-1)
+       |  -- via bin() — no float log2 whose one-ulp drift at n = 8*2^k
+       |  -- could flip the plane count (and the whole candidate set)
+       |  SELECT greatest(8, cast(length(bin(
+       |    greatest(2, (count(*) + $embedDocsPerBucket - 1) // $embedDocsPerBucket) - 1)) as int)) AS n
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT g.p, gd.d,
+       |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
+       |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
+       |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
+       |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
+       |  FROM (SELECT cast(unnest(range(0, (SELECT n FROM np))) as varchar) AS p) g
+       |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
+       |dots AS (
+       |  -- per-term floor-quantization to the 2^-30 grid: each term is an
+       |  -- exact BIGINT, so this sum is order-independent and bit-equal
+       |  -- to Spark's fold (raw double sums could flip a near-zero sign)
+       |  SELECT e.vec_id, pl.p,
+       |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
   /** q_dedup_sem's within-cluster cosine threshold (6dp-rounded compare,
     * interpolated into the oracle SQL).
     */
@@ -759,33 +794,7 @@ object Dedup {
     // bucket occupancy and within-bucket pair work stay bounded as the
     // corpus grows; bucketed storage via Similarity.writeLshIndex.
     "q_dedup_embed" -> Q(
-      s"""WITH np AS (
-        |  -- integer-exact twin of embedPlanesFor: bit_length(buckets-1)
-        |  -- via bin() — no float log2 whose one-ulp drift at n = 8*2^k
-        |  -- could flip the plane count (and the whole candidate set)
-        |  SELECT greatest(8, cast(length(bin(
-        |    greatest(2, (count(*) + $embedDocsPerBucket - 1) // $embedDocsPerBucket) - 1)) as int)) AS n
-        |  FROM embeddings),
-        |planes AS (
-        |  SELECT g.p, gd.d,
-        |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
-        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
-        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
-        |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
-        |  FROM (SELECT cast(unnest(range(0, (SELECT n FROM np))) as varchar) AS p) g
-        |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
-        |dots AS (
-        |  -- per-term floor-quantization to the 2^-30 grid: each term is an
-        |  -- exact BIGINT, so this sum is order-independent and bit-equal
-        |  -- to Spark's fold (raw double sums could flip a near-zero sign)
-        |  SELECT e.vec_id, pl.p,
-        |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
-        |  FROM embeddings e CROSS JOIN planes pl
-        |  GROUP BY e.vec_id, pl.p),
-        |sigs AS (
-        |  SELECT vec_id,
-        |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
-        |  FROM dots GROUP BY vec_id),
+      s"""WITH $oEmbedSigsCte,
         |cands AS (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2
         |  FROM sigs a JOIN sigs b

@@ -561,6 +561,70 @@ object Similarity {
           col("label").as("majority_label"),
           expr("(c * 1000000L) div n").as("purity_ppm"))
         .orderBy(col("cent_id"))
+    },
+
+    // 1-NN label consistency (round 7 continuation): for each vector, its
+    // nearest LSH-candidate neighbor (rounded cosine, id tiebreak) — does
+    // the neighbor carry the same ground-truth label? The standard
+    // embedding-quality eval (a space where 1-NN accuracy is high
+    // supports label propagation / retrieval), run over the SAME mirrored
+    // md5-hyperplane candidate set as q_dedup_embed so both engines rank
+    // the identical neighbor lists. Vectors with no candidate within
+    // hamming ≤ 3 are consistently absent on both sides. Scale shape:
+    // candidates come from the bucket equi-join (never all-pairs), the
+    // per-vector argmax is a map-side-combinable max_by (no window over
+    // the candidate table), and the accuracy agg runs on labels-sized
+    // groups. Counts integer-exact; accuracy in floor ppm.
+    "q_knn_label_acc" -> Q(
+      s"""WITH ${graft.llm.Dedup.oEmbedSigsCte},
+        |cands AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM sigs a JOIN sigs b
+        |    ON a.vec_id < b.vec_id
+        |   AND bit_count(xor(a.bucket, b.bucket)) <= 3),
+        |sym AS (SELECT d1 AS v, d2 AS nb FROM cands
+        |        UNION ALL SELECT d2, d1 FROM cands),
+        |sc AS (
+        |  SELECT s.v, s.nb,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
+        |  FROM sym s JOIN embeddings a ON a.vec_id = s.v
+        |             JOIN embeddings b ON b.vec_id = s.nb),
+        |rk AS (SELECT v, nb,
+        |         row_number() OVER (PARTITION BY v ORDER BY cos_r DESC, nb) AS rn
+        |       FROM sc),
+        |nn AS (SELECT v, nb FROM rk WHERE rn = 1)
+        |SELECT la.label, cast(count(*) as bigint) AS n,
+        |  cast(count(CASE WHEN la.label = lb.label THEN 1 END) as bigint) AS n_correct,
+        |  cast(count(CASE WHEN la.label = lb.label THEN 1 END) * 1000000
+        |       // count(*) as bigint) AS acc_ppm
+        |FROM nn JOIN embeddings la ON la.vec_id = nn.v
+        |        JOIN embeddings lb ON lb.vec_id = nn.nb
+        |GROUP BY la.label ORDER BY la.label""".stripMargin) { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      val nPlanes = graft.llm.Dedup.embedPlanesFor(emb.count())
+      val bucketed = lshBuckets(emb, nPlanes).select(col("vec_id"), col("bucket"))
+      val cands = graft.llm.Dedup.embedCandidates(bucketed, nPlanes, probeHamming = 3)
+      val sym = cands.select(col("d1").as("v"), col("d2").as("nb"))
+        .union(cands.select(col("d2"), col("d1")))
+      val vec = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+      val nn = sym
+        .join(vec.select(col("vec_id").as("v"), col("e").as("v1"),
+          col("nrm").as("n1")), "v")
+        .join(vec.select(col("vec_id").as("nb"), col("e").as("v2"),
+          col("nrm").as("n2")), "nb")
+        .withColumn("cos_r",
+          round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+        .groupBy(col("v"))
+        .agg(max_by(col("nb"), struct(col("cos_r"), col("nb") * -1)).as("nb"))
+      val lab = emb.select(col("vec_id"), col("label"))
+      nn.join(lab.toDF("v", "label"), "v")
+        .join(lab.toDF("nb", "nb_label"), "nb")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("label") === col("nb_label"), 1)).as("n_correct"))
+        .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n"))
+        .orderBy(col("label"))
     }
   )
 }
