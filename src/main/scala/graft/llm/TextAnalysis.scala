@@ -42,6 +42,9 @@ object TextAnalysis {
     Map("de" -> 2, "en" -> 4, "es" -> 1, "fr" -> 2, "zh" -> 1)
   val mixBudget: Int = 100
 
+  /** q_mix_tokens per-language token budget; shared with its oracle SQL. */
+  val mixTokenBudget: Long = 5000L
+
   /** q_pipeline_curate's quality cut (ppm; ~p60 of the corpus) — shared
     * with the oracle SQL.
     */
@@ -679,6 +682,41 @@ object TextAnalysis {
         .filter(col("rk") <= col("quota"))
         .select(col("lang"), col("doc_id"), col("rk"), col("quota"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // Token-budget training mix (round 7 continuation): q_mix_weighted
+    // fills per-language DOC quotas, but training recipes are specified
+    // in TOKENS — greedily take documents in the deterministic md5 order
+    // until each language's token budget is crossed (the budget-crossing
+    // doc is kept: standard greedy fill, so every language lands within
+    // one document of its budget). The cumulative token sum is a
+    // per-stratum prefix-sum window (the q_pack_chunks shape — strata
+    // bound the sort); all counts integer-exact. At 100 TB strata
+    // needing sub-splits use the same two-level form as stratified
+    // sampling.
+    "q_mix_tokens" -> Q(
+      s"""SELECT lang, doc_id, n_tok, cum_tok FROM (
+         |  SELECT lang, doc_id, n_tok,
+         |    cast(sum(n_tok) OVER (PARTITION BY lang
+         |           ORDER BY md5(cast(doc_id as varchar)), doc_id
+         |           ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tok
+         |  FROM (SELECT lang, doc_id,
+         |          cast(len(string_split(text, ' ')) as bigint) AS n_tok
+         |        FROM documents))
+         |WHERE cum_tok - n_tok < $mixTokenBudget
+         |ORDER BY lang, cum_tok, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") - col("n_tok") < mixTokenBudget)
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("lang"), col("cum_tok"), col("doc_id"))
     },
 
     // Vocabulary extraction: top-5 tokens per language by frequency with

@@ -324,6 +324,94 @@ object Scale {
 
   val queries: Map[String, Q] = Map(
 
+    // Join-size estimation via count-min inner product (round 7
+    // continuation) — the sideways-planning primitive: before shuffling
+    // two 100 TB fact tables, estimate |L ⋈ R| from two ~KB sketches
+    // (Σ_b cntL(r,b)·cntR(r,b), minimized over depth rows — an upper
+    // bound on Σ_k cntL(k)·cntR(k), tight when collisions are rare).
+    // Unlike q_heavy_hitters' engine-local builtin sketch, the hashes
+    // here are md5-derived, so BOTH engines compute the bit-identical
+    // sketch and the estimate itself is hash-gated, not just bounded.
+    // Scale shape: per-key count aggs (map-side combined) collapse each
+    // side to its key spectrum; the sketches are depth×256 rows; the
+    // exact check joins the two key-count tables (key-cardinality, the
+    // thing the sketch avoids at planning time — here it IS the gate).
+    "q_join_size_est" -> Q {
+      // first 8 hex chars of md5(seed:key) as a bigint in [0, 16^8)
+      def oHash8(seed: String, k: String): String =
+        (0 until 8).map { i =>
+          val mult = math.pow(16, 7 - i).toLong
+          s"(instr('0123456789abcdef', substr(md5($seed || ':' || $k), ${i + 1}, 1)) - 1) * $mult"
+        }.mkString("(", " + ", ")")
+      val h = oHash8("cast(g.r as varchar)", "cast(k as varchar)")
+      s"""WITH l AS (SELECT l_orderkey AS k FROM lineitem
+         |           WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'),
+         |r AS (SELECT o_orderkey AS k FROM orders
+         |      WHERE o_orderpriority = '1-URGENT'),
+         |lc AS (SELECT k, cast(count(*) as bigint) AS c FROM l GROUP BY k),
+         |rc AS (SELECT k, cast(count(*) as bigint) AS c FROM r GROUP BY k),
+         |-- width derives from the key cardinality (the embedPlanesFor
+         |-- rule: no fixed sketch size to outgrow), so the collision term
+         |-- n_l*n_r/w stays ~n_l*n_r/keys as the corpus scales
+         |ks AS (SELECT greatest(256, (SELECT count(*) FROM lc),
+         |                       (SELECT count(*) FROM rc)) AS w),
+         |ex AS (SELECT cast(coalesce(sum(lc.c * rc.c), 0) as bigint) AS exact_size
+         |       FROM lc JOIN rc USING (k)),
+         |ls AS (SELECT g.r, $h % (SELECT w FROM ks) AS b,
+         |         cast(sum(c) as bigint) AS c
+         |       FROM lc CROSS JOIN (SELECT unnest(range(0, 3)) AS r) g
+         |       GROUP BY 1, 2),
+         |rs AS (SELECT g.r, $h % (SELECT w FROM ks) AS b,
+         |         cast(sum(c) as bigint) AS c
+         |       FROM rc CROSS JOIN (SELECT unnest(range(0, 3)) AS r) g
+         |       GROUP BY 1, 2),
+         |ip AS (SELECT ls.r, sum(ls.c * rs.c) AS est
+         |       FROM ls JOIN rs ON ls.r = rs.r AND ls.b = rs.b GROUP BY ls.r)
+         |SELECT (SELECT cast(count(*) as bigint) FROM l) AS n_l,
+         |  (SELECT cast(count(*) as bigint) FROM r) AS n_r,
+         |  (SELECT cast(w as bigint) FROM ks) AS w,
+         |  ex.exact_size,
+         |  (SELECT cast(coalesce(min(est), 0) as bigint) FROM ip) AS est_size,
+         |  (SELECT cast(((SELECT count(*) FROM l) * (SELECT count(*) FROM r)) // w
+         |          as bigint) FROM ks) AS err_bound
+         |FROM ex ORDER BY n_l""".stripMargin
+    } { (s, dir) =>
+      def hash8(seed: Column, k: Column): Column =
+        conv(substring(md5(concat(seed.cast("string"), lit(":"),
+          k.cast("string")).cast("binary")), 1, 8), 16, 10).cast(LongType)
+      def keyCounts(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val lc = keyCounts(Engine.table(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01 00:00:00'")), "l_orderkey")
+      val rc = keyCounts(Engine.table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"), "o_orderkey")
+      val wDf = lc.agg(count(lit(1)).as("nk1"))
+        .crossJoin(broadcast(rc.agg(count(lit(1)).as("nk2"))))
+        .select(greatest(lit(256L), col("nk1"), col("nk2")).as("w"))
+      def sketch(kc: DataFrame): DataFrame =
+        kc.select(col("k"), col("c"),
+          explode(sequence(lit(0L), lit(2L))).as("r"))
+          .crossJoin(broadcast(wDf))
+          .select(col("r"), hash8(col("r"), col("k")) % col("w") as "b", col("c"))
+          .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      val exact = lc.join(rc.withColumnRenamed("c", "c2"), "k")
+        .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).as("exact_size"))
+      val ip = sketch(lc)
+        .join(sketch(rc).withColumnRenamed("c", "c2"), Seq("r", "b"))
+        .groupBy(col("r")).agg(sum(col("c") * col("c2")).as("est"))
+        .agg(coalesce(min(col("est")), lit(0L)).as("est_size"))
+      val nl = lc.agg(sum(col("c")).as("n_l"))
+      val nr = rc.agg(sum(col("c")).as("n_r"))
+      nl.crossJoin(broadcast(nr))
+        .crossJoin(broadcast(wDf))
+        .crossJoin(broadcast(exact))
+        .crossJoin(broadcast(ip))
+        .select(col("n_l"), col("n_r"), col("w"), col("exact_size"),
+          col("est_size"),
+          expr("(n_l * n_r) div w").as("err_bound"))
+        .orderBy(col("n_l"))
+    },
+
     // Distributed global ranking (round 7): rank every document by size
     // with a unique tiebreak — the primitive behind pack/shard/topk-cut
     // steps. The oracle states it as the single-partition window;

@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rarity_score",    // crossJoin(broadcast(1-row n_uni aggregate))
     "q_gap_fill",        // crossJoin(broadcast(25-row nation dim)) × month spine
     "q_dau_window",      // crossJoin(broadcast(1-row max-date aggregate))
-    "q_zorder")          // crossJoin(broadcast(1-row min/max stats))
+    "q_zorder",          // crossJoin(broadcast(1-row min/max stats))
+    "q_join_size_est")   // crossJoin(broadcast(1-row sketch/count aggregates))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
