@@ -126,6 +126,11 @@ object Similarity {
   val annPlanes: Int = 4
   val annProbeHamming: Int = 2
 
+  /** q_knn_label_acc's probe radius over the q_dedup_embed bucket space —
+    * single source for the plan AND the oracle's interpolated constant.
+    */
+  val knnProbeHamming: Int = 2
+
   /** ANN top-k: probe the query's bucket plus all buckets within
     * `probeHamming` sign flips (multi-probe LSH), rerank exactly. The
     * testdata embeddings are near-uniform (best cosine ≈ 0.5), so wide
@@ -567,21 +572,26 @@ object Similarity {
     // nearest LSH-candidate neighbor (rounded cosine, id tiebreak) — does
     // the neighbor carry the same ground-truth label? The standard
     // embedding-quality eval (a space where 1-NN accuracy is high
-    // supports label propagation / retrieval), run over the SAME mirrored
-    // md5-hyperplane candidate set as q_dedup_embed so both engines rank
-    // the identical neighbor lists. Vectors with no candidate within
-    // hamming ≤ 3 are consistently absent on both sides. Scale shape:
-    // candidates come from the bucket equi-join (never all-pairs), the
-    // per-vector argmax is a map-side-combinable max_by (no window over
-    // the candidate table), and the accuracy agg runs on labels-sized
-    // groups. Counts integer-exact; accuracy in floor ppm.
+    // supports label propagation / retrieval), run over the mirrored
+    // md5-hyperplane buckets (q_dedup_embed's shared sigs CTE) so both
+    // engines rank the identical neighbor lists. Probe radius is
+    // hamming ≤ [[knnProbeHamming]] — TIGHTER than the dedup query's 3:
+    // a 1-NN eval needs one near neighbor per vector, not the dedup
+    // query's recall over all near pairs, and the candidate pair count
+    // grows ~4× per extra hamming step (measured 32 s → 8 s at the
+    // synthetic sf1.0). Vectors with no candidate in the radius are
+    // consistently absent on both sides. Scale shape: candidates come
+    // from the bucket equi-join (never all-pairs), the per-vector argmax
+    // is a map-side-combinable max_by (no window over the candidate
+    // table), and the accuracy agg runs on labels-sized groups. Counts
+    // integer-exact; accuracy in floor ppm.
     "q_knn_label_acc" -> Q(
       s"""WITH ${graft.llm.Dedup.oEmbedSigsCte},
         |cands AS (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2
         |  FROM sigs a JOIN sigs b
         |    ON a.vec_id < b.vec_id
-        |   AND bit_count(xor(a.bucket, b.bucket)) <= 3),
+        |   AND bit_count(xor(a.bucket, b.bucket)) <= $knnProbeHamming),
         |sym AS (SELECT d1 AS v, d2 AS nb FROM cands
         |        UNION ALL SELECT d2, d1 FROM cands),
         |sc AS (
@@ -603,7 +613,8 @@ object Similarity {
       val emb = Engine.table(s, dir, "embeddings")
       val nPlanes = graft.llm.Dedup.embedPlanesFor(emb.count())
       val bucketed = lshBuckets(emb, nPlanes).select(col("vec_id"), col("bucket"))
-      val cands = graft.llm.Dedup.embedCandidates(bucketed, nPlanes, probeHamming = 3)
+      val cands = graft.llm.Dedup.embedCandidates(bucketed, nPlanes,
+        probeHamming = knnProbeHamming)
       val sym = cands.select(col("d1").as("v"), col("d2").as("nb"))
         .union(cands.select(col("d2"), col("d1")))
       val vec = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
