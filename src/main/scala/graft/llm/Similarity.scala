@@ -568,6 +568,64 @@ object Similarity {
         .orderBy(col("cent_id"))
     },
 
+    // Embedding-space outlier audit (round 7 continuation): per cluster,
+    // the ANSI discrete p10 of the (6dp-rounded) cosine-to-own-centroid,
+    // and how many members fall below it minus a fixed margin — the
+    // SemDeDup companion that flags vectors which joined a cluster but
+    // sit far from its center (mislabeled, mojibake, or out-of-domain
+    // points a curation pass reviews). Portable because every number is
+    // either a rounded cosine (identical in both engines), an element
+    // selected by percentile_disc (the q_winsorize precedent — no
+    // interpolation), or an exact count. Scale shape: assignment is the
+    // broadcast argmax; the percentile agg runs per cluster over member
+    // cosines (hash-partitioned); the flag pass is one broadcast join of
+    // the k-row bounds table back onto members.
+    "q_embed_outliers" -> Q(
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cent_id, cos_r,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
+        |  FROM scored),
+        |asg AS (SELECT vec_id, cent_id, cos_r FROM ranked WHERE rk = 1),
+        |b AS (SELECT cent_id,
+        |        min(CASE WHEN cd >= 0.10 THEN v END) AS p10
+        |      FROM (SELECT cent_id, cos_r AS v,
+        |              cume_dist() OVER (PARTITION BY cent_id
+        |                                ORDER BY cos_r) AS cd
+        |            FROM asg)
+        |      GROUP BY cent_id)
+        |SELECT a.cent_id, cast(count(*) as bigint) AS n, min(b.p10) AS p10_cos,
+        |  cast(count(CASE WHEN a.cos_r < b.p10 - 0.05 THEN 1 END) as bigint)
+        |    AS n_outliers
+        |FROM asg a JOIN b ON a.cent_id = b.cent_id
+        |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin) { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+      val asg = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos_r",
+          round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("cos_r")),
+          struct(col("cos_r"), col("cent_id") * -1)).as("a"))
+        .select(col("vec_id"), col("a.cent_id").as("cent_id"),
+          col("a.cos_r").as("cos_r"))
+      val bounds = asg.groupBy(col("cent_id")).agg(
+        expr("percentile_disc(0.10) WITHIN GROUP (ORDER BY cos_r)").as("p10"))
+      asg.join(broadcast(bounds), "cent_id")
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n"), min(col("p10")).as("p10_cos"),
+          count(when(col("cos_r") < col("p10") - 0.05, 1)).as("n_outliers"))
+        .orderBy(col("cent_id"))
+    },
+
     // 1-NN label consistency (round 7 continuation): for each vector, its
     // nearest LSH-candidate neighbor (rounded cosine, id tiebreak) — does
     // the neighbor carry the same ground-truth label? The standard

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ivf",         // crossJoin(broadcast(1-row query + centroid table))
     "q_cluster_assign",  // crossJoin(broadcast(8-row centroid table))
     "q_cluster_purity",  // crossJoin(broadcast(8-row centroid table))
+    "q_embed_outliers",  // crossJoin(broadcast(8-row centroid table))
     "q_dedup_sem",       // crossJoin(broadcast(8-row centroid table))
     "q_scalar_subquery", // crossJoin(broadcast(1-row aggregate))
     "q_tfidf",           // crossJoin(broadcast(1-row N-docs aggregate))
