@@ -186,6 +186,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming builtin session window (the native-operator sibling of the
+    * custom-state [[streamingSessionize]]): the same `session_window`
+    * aggregation as the batch [[session]] twin — identical plan modulo the
+    * gate's presentation ORDER BY (streaming append mode forbids sorting;
+    * the watermark closes a session once no in-watermark event can merge
+    * into it). StreamingSpec pins closed-session equality with the batch
+    * twin on the real events table.
+    */
+  def streamingSession(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"),
+        col("sum_value"))
+
   /** Stateful stream dedup: watermark + dropDuplicates on the event key —
     * state for keys older than the watermark is evicted (s_dedup_stream).
     */

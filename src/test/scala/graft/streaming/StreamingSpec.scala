@@ -278,6 +278,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("builtin session_window streaming equals the batch twin on closed sessions (real events)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.Engine.table(spark, TestSpark.sfDir, "events")
+    val batch = Streams.session(events)
+      .select("s_start", "s_end", "user_id", "n", "sum_value")
+      .collect().toSet
+    val evs = events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val maxMs = evs.map(_.ts.getTime).max
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingSession(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_session_builtin").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // sentinel far past every session's end: the watermark advances and
+      // every open session window finalizes and emits
+      mem.addData(Ev(-1, new Timestamp(maxMs + 3600L * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(-2, new Timestamp(maxMs + 2 * 3600L * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("t_session_builtin")
+        .filter($"user_id" =!= -1L)
+        .select("s_start", "s_end", "user_id", "n", "sum_value")
+        .collect().toSet
+      assert(stream == batch,
+        s"streaming session windows diverge: only-batch=${(batch -- stream).take(3)} " +
+          s"only-stream=${(stream -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming MV delta converges to the batch aggregate and ignores replayed batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
