@@ -355,7 +355,10 @@ object Scale {
          |-- n_l*n_r/w stays ~n_l*n_r/keys as the corpus scales
          |ks AS (SELECT greatest(256, (SELECT count(*) FROM lc),
          |                       (SELECT count(*) FROM rc)) AS w),
-         |ex AS (SELECT cast(coalesce(sum(lc.c * rc.c), 0) as bigint) AS exact_size
+         |-- products/sums lift to HUGEINT (≙ Spark decimal(38)) BEFORE
+         |-- summing: at 100 TB per-key/bucket count products overflow
+         |-- bigint (the q_rarity_score lift discipline)
+         |ex AS (SELECT cast(coalesce(sum(cast(lc.c as hugeint) * rc.c), 0) as bigint) AS exact_size
          |       FROM lc JOIN rc USING (k)),
          |ls AS (SELECT g.r, $h % (SELECT w FROM ks) AS b,
          |         cast(sum(c) as bigint) AS c
@@ -365,14 +368,15 @@ object Scale {
          |         cast(sum(c) as bigint) AS c
          |       FROM rc CROSS JOIN (SELECT unnest(range(0, 3)) AS r) g
          |       GROUP BY 1, 2),
-         |ip AS (SELECT ls.r, sum(ls.c * rs.c) AS est
+         |ip AS (SELECT ls.r, sum(cast(ls.c as hugeint) * rs.c) AS est
          |       FROM ls JOIN rs ON ls.r = rs.r AND ls.b = rs.b GROUP BY ls.r)
          |SELECT (SELECT cast(count(*) as bigint) FROM l) AS n_l,
          |  (SELECT cast(count(*) as bigint) FROM r) AS n_r,
          |  (SELECT cast(w as bigint) FROM ks) AS w,
          |  ex.exact_size,
          |  (SELECT cast(coalesce(min(est), 0) as bigint) FROM ip) AS est_size,
-         |  (SELECT cast(((SELECT count(*) FROM l) * (SELECT count(*) FROM r)) // w
+         |  (SELECT cast((cast((SELECT count(*) FROM l) as hugeint)
+         |                * (SELECT count(*) FROM r)) // w
          |          as bigint) FROM ks) AS err_bound
          |FROM ex ORDER BY n_l""".stripMargin
     } { (s, dir) =>
@@ -394,12 +398,15 @@ object Scale {
           .crossJoin(broadcast(wDf))
           .select(col("r"), hash8(col("r"), col("k")) % col("w") as "b", col("c"))
           .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      // decimal(38) lift before the sums (≙ the oracle's HUGEINT): at
+      // 100 TB per-key/bucket count products overflow bigint
+      val prod = col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("c2")
       val exact = lc.join(rc.withColumnRenamed("c", "c2"), "k")
-        .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).as("exact_size"))
+        .agg(coalesce(sum(prod), lit(0L)).cast(LongType).as("exact_size"))
       val ip = sketch(lc)
         .join(sketch(rc).withColumnRenamed("c", "c2"), Seq("r", "b"))
-        .groupBy(col("r")).agg(sum(col("c") * col("c2")).as("est"))
-        .agg(coalesce(min(col("est")), lit(0L)).as("est_size"))
+        .groupBy(col("r")).agg(sum(prod).as("est"))
+        .agg(coalesce(min(col("est")), lit(0L)).cast(LongType).as("est_size"))
       val nl = lc.agg(sum(col("c")).as("n_l"))
       val nr = rc.agg(sum(col("c")).as("n_r"))
       nl.crossJoin(broadcast(nr))
@@ -408,7 +415,8 @@ object Scale {
         .crossJoin(broadcast(ip))
         .select(col("n_l"), col("n_r"), col("w"), col("exact_size"),
           col("est_size"),
-          expr("(n_l * n_r) div w").as("err_bound"))
+          expr("cast((cast(n_l as decimal(38,0)) * n_r) div w as bigint)")
+            .as("err_bound"))
         .orderBy(col("n_l"))
     },
 
