@@ -38,6 +38,9 @@ object EventAnalytics {
     * `key`; both windows share the same partitioning + (ts, tieBreak)
     * sort order so the sort runs once.
     */
+  /** q_dedup_window's cooldown (1 h in µs); shared with its oracle SQL. */
+  val debounceUs: Long = 3600L * 1000000L
+
   def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,
       gapUs: Long = sessionGapUs): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
@@ -104,6 +107,58 @@ object EventAnalytics {
           max(col("ts")).as("session_end"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Event debouncing (round 7 continuation): within each (user, type)
+    // stream, keep only the FIRST event of every burst — bursts being the
+    // gaps-and-islands under a 1-hour cooldown (the sessionize kernel on
+    // a composite key) — and count what was suppressed. The rate-limit
+    // dedup a notification/alerting pipeline runs (send the first alert,
+    // swallow the repeats until the stream goes quiet for the cooldown).
+    // Scale shape: one hash partition on (user_id, event_type), both the
+    // break flag and the island sum share one sort, and the per-island
+    // representative is a map-side-combinable min/min_by — state per
+    // group is that group's events, never the whole log. µs arithmetic is
+    // integer-exact in both engines.
+    "q_dedup_window" -> Q(
+      s"""WITH x AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $debounceUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+         |isl AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    sum(brk) OVER (PARTITION BY user_id, event_type
+         |                   ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM x)
+         |SELECT user_id, event_type,
+         |  min(event_id) FILTER (ts = kept_ts) AS kept_event_id, kept_ts,
+         |  cast(count(*) - 1 as bigint) AS n_suppressed
+         |FROM (SELECT *, min(ts) OVER (PARTITION BY user_id, event_type, island)
+         |        AS kept_ts FROM isl)
+         |GROUP BY user_id, event_type, island, kept_ts
+         |ORDER BY user_id, event_type, kept_ts""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val brk = when(lag(col("ts"), 1).over(w).isNull
+          .or(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > debounceUs), 1L)
+        .otherwise(0L)
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("island",
+          sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("event_type"), col("island"))
+        .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("kept_event_id"),
+          min(col("ts")).as("kept_ts"),
+          (count(lit(1)) - 1).as("n_suppressed"))
+        .select(col("user_id"), col("event_type"), col("kept_event_id"),
+          col("kept_ts"), col("n_suppressed"))
+        .orderBy(col("user_id"), col("event_type"), col("kept_ts"))
     },
 
     // Ordered funnel view -> click -> purchase: each step's timestamp is
