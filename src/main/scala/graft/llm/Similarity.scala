@@ -131,6 +131,45 @@ object Similarity {
     */
   val knnProbeHamming: Int = 2
 
+  /** The mirrored k-means E-step shared by q_cluster_assign /
+    * q_cluster_purity / q_embed_outliers: deterministic lowest-id seeds,
+    * broadcast against the corpus, 6dp-rounded cosine argmax with
+    * smallest-cent_id tiebreak as a map-side-combinable max_by — the
+    * assignment both engines derive identically. Returns
+    * (vec_id, cent_id, cos_r).
+    */
+  def roundedArgmaxAssign(emb: DataFrame, k: Int = 8): DataFrame = {
+    val cents = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_r",
+        round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("cos_r")),
+        struct(col("cos_r"), col("cent_id") * -1)).as("a"))
+      .select(col("vec_id"), col("a.cent_id").as("cent_id"),
+        col("a.cos_r").as("cos_r"))
+  }
+
+  /** SQL twin of [[roundedArgmaxAssign]] at k = 8 — the oracle CTE chain
+    * (cents → scored → ranked → asg with columns vec_id, cent_id, cos_r)
+    * shared by the same three gates so they can never desynchronize.
+    */
+  val oAssignCte: String =
+    """cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |scored AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
+      |  FROM embeddings e CROSS JOIN cents c),
+      |ranked AS (
+      |  SELECT vec_id, cent_id, cos_r,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
+      |  FROM scored),
+      |asg AS (SELECT vec_id, cent_id, cos_r FROM ranked WHERE rk = 1)""".stripMargin
+
   /** ANN top-k: probe the query's bucket plus all buckets within
     * `probeHamming` sign flips (multi-probe LSH), rerank exactly. The
     * testdata embeddings are near-uniform (best cosine ≈ 0.5), so wide
@@ -478,31 +517,10 @@ object Similarity {
     // [[ivfCentroids]], pinned by LlmSpec rather than SQL (float mean
     // summation order is engine-specific).
     "q_cluster_assign" -> Q(
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv
-        |  FROM embeddings ORDER BY vec_id LIMIT 8),
-        |scored AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
-        |  FROM embeddings e CROSS JOIN cents c),
-        |ranked AS (
-        |  SELECT vec_id, cent_id, cos_r,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
-        |  FROM scored)
-        |SELECT vec_id, cent_id, cos_r FROM ranked WHERE rk = 1
+      s"""WITH $oAssignCte
+        |SELECT vec_id, cent_id, cos_r FROM asg
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val emb = Engine.table(s, dir, "embeddings")
-      val cents = emb.orderBy(col("vec_id")).limit(8)
-        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
-      emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cos_r",
-          round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("cos_r")),
-          struct(col("cos_r"), col("cent_id") * -1)).as("a"))
-        .select(col("vec_id"), col("a.cent_id").as("cent_id"),
-          col("a.cos_r").as("cos_r"))
+      roundedArgmaxAssign(Engine.table(s, dir, "embeddings"))
         .orderBy(col("vec_id"))
     },
 
@@ -518,18 +536,7 @@ object Similarity {
     // the majority window and totals run on that k×labels table, never
     // on vectors.
     "q_cluster_purity" -> Q(
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv
-        |  FROM embeddings ORDER BY vec_id LIMIT 8),
-        |scored AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
-        |  FROM embeddings e CROSS JOIN cents c),
-        |ranked AS (
-        |  SELECT vec_id, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
-        |  FROM scored),
-        |asg AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+      s"""WITH $oAssignCte,
         |conf AS (SELECT cent_id, label, cast(count(*) as bigint) AS c
         |         FROM asg JOIN embeddings USING (vec_id)
         |         GROUP BY cent_id, label),
@@ -545,15 +552,7 @@ object Similarity {
         |WHERE b.rk = 1 ORDER BY b.cent_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val emb = Engine.table(s, dir, "embeddings")
-      val cents = emb.orderBy(col("vec_id")).limit(8)
-        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
-      val asg = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cos_r",
-          round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cent_id"), struct(col("cos_r"), col("cent_id") * -1))
-          .as("cent_id"))
+      val asg = roundedArgmaxAssign(emb).select(col("vec_id"), col("cent_id"))
       val conf = asg.join(emb.select(col("vec_id"), col("label")), "vec_id")
         .groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("c"))
       val tot = conf.groupBy(col("cent_id")).agg(sum(col("c")).as("n"))
@@ -581,18 +580,7 @@ object Similarity {
     // cosines (hash-partitioned); the flag pass is one broadcast join of
     // the k-row bounds table back onto members.
     "q_embed_outliers" -> Q(
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv
-        |  FROM embeddings ORDER BY vec_id LIMIT 8),
-        |scored AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS cos_r
-        |  FROM embeddings e CROSS JOIN cents c),
-        |ranked AS (
-        |  SELECT vec_id, cent_id, cos_r,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cent_id) AS rk
-        |  FROM scored),
-        |asg AS (SELECT vec_id, cent_id, cos_r FROM ranked WHERE rk = 1),
+      s"""WITH $oAssignCte,
         |b AS (SELECT cent_id,
         |        min(CASE WHEN cd >= 0.10 THEN v END) AS p10
         |      FROM (SELECT cent_id, cos_r AS v,
@@ -605,18 +593,7 @@ object Similarity {
         |    AS n_outliers
         |FROM asg a JOIN b ON a.cent_id = b.cent_id
         |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin) { (s, dir) =>
-      val emb = Engine.table(s, dir, "embeddings")
-      val cents = emb.orderBy(col("vec_id")).limit(8)
-        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
-      val asg = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cos_r",
-          round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("cos_r")),
-          struct(col("cos_r"), col("cent_id") * -1)).as("a"))
-        .select(col("vec_id"), col("a.cent_id").as("cent_id"),
-          col("a.cos_r").as("cos_r"))
+      val asg = roundedArgmaxAssign(Engine.table(s, dir, "embeddings"))
       val bounds = asg.groupBy(col("cent_id")).agg(
         expr("percentile_disc(0.10) WITHIN GROUP (ORDER BY cos_r)").as("p10"))
       asg.join(broadcast(bounds), "cent_id")
