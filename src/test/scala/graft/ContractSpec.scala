@@ -81,6 +81,28 @@ class ContractSpec extends AnyFunSuite {
     assert(e.getMessage.contains("saltedJoin supports"))
   }
 
+  test("concurrent queries on one shared session equal their serial results") {
+    // Multi-tenant shape: Engine.table's plan cache (a TrieMap) and the
+    // temp-view registry are shared across threads; four dissimilar
+    // queries planned and executed simultaneously must produce exactly
+    // the rows they produce serially. (Iterative-loop confs are already
+    // isolated on child sessions — ComponentsSpec — this pins the plain
+    // query path.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = TestSpark.spark
+    val names = Seq("q_agg_group", "q_topk", "q_fn_string", "q_mv_delta")
+    val serial = names.map(n =>
+      n -> Registry.all(n).fn(spark, TestSpark.sfDir).collect().toSeq)
+    val parallel = Await.result(
+      Future.sequence(names.map(n => Future {
+        n -> Registry.all(n).fn(spark, TestSpark.sfDir).collect().toSeq
+      })), 5.minutes)
+    assert(parallel.toMap == serial.toMap,
+      "concurrent execution must not perturb results")
+  }
+
   test("every oracle is deterministic: ORDER BY present or single-row aggregate") {
     val bad = SparkEntry.oracleSql.filterNot { case (_, sql) =>
       val up = sql.toUpperCase
