@@ -531,12 +531,12 @@ object Components {
     // as chained CTEs from the same shared round template.
     "q_pagerank" -> Q(
       s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
          |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
-         |deg AS (SELECT src AS doc_id, cast(count(*) as bigint) AS deg
+         |deg AS MATERIALIZED (SELECT src AS doc_id, cast(count(*) as bigint) AS deg
          |        FROM edges GROUP BY src),
          |nn AS (SELECT cast(count(*) as bigint) AS n FROM documents),
          |p0 AS (SELECT doc_id, (1000000000 // n) AS r FROM documents, nn),
@@ -563,14 +563,14 @@ object Components {
     // both engines enumerate the exact same wedge set.
     "q_triangles" -> Q(
       s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
          |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
-         |deg AS (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
          |        FROM edges GROUP BY src),
-         |o AS (SELECT e.src, e.dst, dd.deg AS ddeg
+         |o AS MATERIALIZED (SELECT e.src, e.dst, dd.deg AS ddeg
          |      FROM edges e JOIN deg ds ON ds.id = e.src
          |                   JOIN deg dd ON dd.id = e.dst
          |      WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
@@ -612,12 +612,12 @@ object Components {
     // this query touches raw text.
     "q_graph_degree_hist" -> Q(
       s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
          |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
-         |deg AS (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
          |        FROM edges GROUP BY src),
          |vd AS (SELECT d.doc_id, coalesce(g.deg, 0) AS deg
          |       FROM documents d LEFT JOIN deg g ON d.doc_id = g.id)
@@ -653,10 +653,10 @@ object Components {
     // is order-independent.
     "q_dedup_cc" -> Q(
       s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
-         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
          |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |reach(id, lab) AS (
          |  SELECT src, src FROM edges

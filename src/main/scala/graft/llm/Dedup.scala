@@ -388,10 +388,16 @@ object Dedup {
   val simhashMaxHamming: Int = 6
 
   // Shared oracle CTEs (the SQL twin of shingles/jaccardPairs above).
+  // `AS MATERIALIZED`: DuckDB inlines plain CTEs, re-deriving a CTE's
+  // whole upstream chain once per reference — a self-join on `sh` (or a
+  // triple wedge join on an oriented edge CTE) re-runs the shingle+md5
+  // pipeline multiplicatively, measured >15 min vs 1.4 s for the
+  // q_triangles oracle at sf0.1. The hint pins single evaluation; result
+  // semantics (and gate hashes) are unchanged.
   private val oShingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |         WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(t) - 1),
       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |       FROM toks),
@@ -420,7 +426,7 @@ object Dedup {
        |           CASE WHEN ((hv >> g.b) & 1) = 1 THEN 1 ELSE -1 END AS sign
        |         FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g),
        |bsum AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY doc_id, b),
-       |sigs AS (SELECT doc_id,
+       |sigs AS MATERIALIZED (SELECT doc_id,
        |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
        |         FROM bsum GROUP BY doc_id)""".stripMargin
 
@@ -479,7 +485,7 @@ object Dedup {
        |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
        |  FROM embeddings e CROSS JOIN planes pl
        |  GROUP BY e.vec_id, pl.p),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  SELECT vec_id,
        |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
        |  FROM dots GROUP BY vec_id)""".stripMargin
@@ -602,7 +608,7 @@ object Dedup {
          |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
          |rsh AS (SELECT s.doc_id, s.shingle FROM sh s
          |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df <= 50),
-         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |          FROM rsh a JOIN rsh b
          |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
@@ -641,7 +647,7 @@ object Dedup {
          |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
          |rsh AS (SELECT s.doc_id, s.shingle FROM sh s
          |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df <= 50),
-         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |          FROM rsh a JOIN rsh b
          |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
@@ -672,7 +678,7 @@ object Dedup {
     // dropDuplicates state.
     "q_dedup_sig" -> Q(
       s"""WITH $oShingleCte,
-         |sigs AS (
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id,
          |    $oSigExprs
          |  FROM sh GROUP BY doc_id)
@@ -690,15 +696,15 @@ object Dedup {
     // path), exact Jaccard >= 0.35 verifies them.
     "q_dedup_minhash" -> Q(
       s"""WITH $oShingleCte,
-         |sigs AS (
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id,
          |    $oSigExprs
          |  FROM sh GROUP BY doc_id),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, g.b AS band_id,
          |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
          |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
-         |cands AS (
+         |cands AS MATERIALIZED (
          |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
          |  FROM bands l JOIN bands r
          |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id)
@@ -728,15 +734,15 @@ object Dedup {
     // has no such restriction.
     "q_dedup_fuzzy" -> Q(
       s"""WITH $oShingleCte,
-         |sigs AS (
+         |sigs AS MATERIALIZED (
          |  SELECT doc_id,
          |    $oSigExprs
          |  FROM sh GROUP BY doc_id),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, g.b AS band_id,
          |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
          |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
-         |cands AS (
+         |cands AS MATERIALIZED (
          |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
          |  FROM bands l JOIN bands r
          |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id),
@@ -795,7 +801,7 @@ object Dedup {
     // corpus grows; bucketed storage via Similarity.writeLshIndex.
     "q_dedup_embed" -> Q(
       s"""WITH $oEmbedSigsCte,
-        |cands AS (
+        |cands AS MATERIALIZED (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2
         |  FROM sigs a JOIN sigs b
         |    ON a.vec_id < b.vec_id
@@ -919,7 +925,7 @@ object Dedup {
          |                 JOIN sizes z USING (doc_id)),
          |pref AS (SELECT doc_id, shingle, n FROM rk
          |         WHERE pos <= n - (4 * n + 4) // 5 + 1),
-         |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |          FROM pref a JOIN pref b
          |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |cinter AS (SELECT c.d1, c.d2, count(*) AS inter

@@ -479,12 +479,12 @@ object Similarity {
         |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
         |  FROM embeddings e CROSS JOIN planes pl
         |  GROUP BY e.vec_id, pl.p),
-        |sigs AS (
+        |sigs AS MATERIALIZED (
         |  SELECT vec_id,
         |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
         |  FROM dots GROUP BY vec_id),
         |qb AS (SELECT bucket AS b FROM sigs WHERE vec_id = 0),
-        |cands AS (
+        |cands AS MATERIALIZED (
         |  SELECT s.vec_id FROM sigs s CROSS JOIN qb
         |  WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qb.b)) <= $annProbeHamming)
         |SELECT c.vec_id,
@@ -622,7 +622,7 @@ object Similarity {
     // integer-exact; accuracy in floor ppm.
     "q_knn_label_acc" -> Q(
       s"""WITH ${graft.llm.Dedup.oEmbedSigsCte},
-        |cands AS (
+        |cands AS MATERIALIZED (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2
         |  FROM sigs a JOIN sigs b
         |    ON a.vec_id < b.vec_id

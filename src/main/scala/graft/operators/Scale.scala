@@ -125,10 +125,23 @@ object Scale {
       .withColumn("__pid", spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col(k).desc)
-    val within = sorted
+    val withinPlan = sorted
       .withColumn("__cum", min(col(v)).over(
         w.rowsBetween(Long.MinValue, 0)))
       .withColumn("__above_in_part", lag(col("__cum"), 1).over(w))
+    // Materialize ONCE and re-root both consumers on the persisted RDD
+    // (the Components loop discipline): the per-partition-minima collect
+    // below and the caller's eventual execution of the returned join are
+    // SEPARATE queries, and each would otherwise re-run
+    // repartitionByRange with freshly sampled boundaries — a boundary
+    // that shifts by one key between the two executions pairs pids with
+    // the WRONG prefix map (observed: one spurious skyline survivor at
+    // sf0.01, nonreproducible run to run). The persisted blocks pin one
+    // partitioning for both; the ContextCleaner reclaims them once the
+    // caller's plan is unreferenced (the CC-labels policy).
+    val withinRdd = withinPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = pairs.sparkSession.createDataFrame(withinRdd, withinPlan.schema)
     // P rows to the driver — partition-count-bounded, like Spark's own
     // range-boundary sampling
     val partMins = within.groupBy(col("__pid"))
