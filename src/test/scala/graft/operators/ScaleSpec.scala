@@ -190,10 +190,19 @@ class ScaleSpec extends AnyFunSuite {
         want.collect { case (k, w) if got.get(k) != Some(w) =>
           s"$k: got ${got.get(k)} want $w" }.take(3).mkString("; "))
     }
-    val plan = Scale.minAboveStrict(df, "k", "v")
-      .queryExecution.executedPlan.toString
+    val result = Scale.minAboveStrict(df, "k", "v")
+    val plan = result.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"prefix scan must never plan a global window:\n$plan")
+    // The returned plan must read the SAME materialized partitioning the
+    // driver combine observed (a LogicalRDD leaf over the persisted
+    // scan) — an unpinned plan re-runs repartitionByRange with fresh
+    // boundary samples and can pair pids with the wrong prefix map (the
+    // one-row skyline drift this structure fixed).
+    val leaves = result.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"two-pass scan must be re-rooted on the persisted RDD: $leaves")
   }
 
   test("morton curve: known values and bijection on the 8-bit grid (round 7)") {
