@@ -109,6 +109,57 @@ object EventAnalytics {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // A/B-test readout (round 7 continuation): users deterministically
+    // hash-split into two arms (first md5 nibble parity — the
+    // q_sample_hash discipline, no rng), conversion = the user ever
+    // purchased; emits per-arm exposure/conversion counts, conversion
+    // rates, and the relative lift of B over A — every number an exact
+    // integer or a floor-ppm ratio of exact integers, so the whole
+    // experiment readout is hash-gated (significance testing would sit
+    // on top of these same four counts). Scale shape: one map-side-
+    // combinable per-user agg (the only corpus shuffle), then a single-
+    // row conditional aggregate.
+    "q_abtest_lift" -> Q(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (instr('0123456789abcdef',
+        |           substr(md5(cast(user_id as varchar)), 1, 1)) - 1) % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  cast(count(CASE WHEN arm = 0 THEN 1 END) as bigint) AS n_a,
+        |  cast(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) as bigint) AS conv_a,
+        |  cast(count(CASE WHEN arm = 1 THEN 1 END) as bigint) AS n_b,
+        |  cast(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) as bigint) AS conv_b,
+        |  cast(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) * 1000000
+        |       // count(CASE WHEN arm = 0 THEN 1 END) as bigint) AS cvr_a_ppm,
+        |  cast(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) * 1000000
+        |       // count(CASE WHEN arm = 1 THEN 1 END) as bigint) AS cvr_b_ppm,
+        |  cast((sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+        |        * count(CASE WHEN arm = 0 THEN 1 END) * 1000000)
+        |       // (sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+        |           * count(CASE WHEN arm = 1 THEN 1 END))
+        |       - 1000000 as bigint) AS lift_ppm
+        |FROM u ORDER BY n_a""".stripMargin) { (s, dir) =>
+      val u = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)),
+            1, 1), 16, 10).cast(LongType) % 2)
+      u.agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0)).as("conv_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0)).as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          expr("(conv_a * 1000000L) div n_a").as("cvr_a_ppm"),
+          expr("(conv_b * 1000000L) div n_b").as("cvr_b_ppm"),
+          expr("(conv_b * n_a * 1000000L) div (conv_a * n_b) - 1000000L")
+            .as("lift_ppm"))
+    },
+
     // Event debouncing (round 7 continuation): within each (user, type)
     // stream, keep only the FIRST event of every burst — bursts being the
     // gaps-and-islands under a 1-hour cooldown (the sessionize kernel on
