@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.{Engine, Q}
@@ -643,6 +643,68 @@ object Components {
         .agg(count(lit(1)).as("n_vertices"),
           min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
         .orderBy(col("bucket"))
+    },
+
+    // Representative selection (round 7 continuation) — the step AFTER
+    // transitive closure that q_dedup_cc stops short of: per near-dup
+    // cluster, KEEP the highest-quality member (q_quality_score's
+    // mirrored floor-ppm blend, smallest-doc_id tiebreak) instead of the
+    // arbitrary min-id — detect (simhash) → cluster (cc) → select, the
+    // complete production dedup story as one hash-gated plan. Scale
+    // shape: the labels table is vertex-sized, the quality projection is
+    // a narrow codegen'd pass, their equi-join keys on doc_id, and the
+    // per-cluster argmax is a map-side-combinable max_by — no window
+    // over members.
+    "q_dedup_keep_best" -> Q(
+      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY id),
+         |qual AS (SELECT doc_id, ${TextAnalysis.oQualityPpm} AS quality_ppm
+         |         FROM (SELECT doc_id, n_chars,
+         |                 cast(len(string_split(text, ' ')) as double) AS n_tok,
+         |                 ${TextAnalysis.oLexCount("en")} AS n_stop
+         |               FROM documents)),
+         |j AS (SELECT comp.cluster_id, comp.doc_id, quality_ppm
+         |      FROM comp JOIN qual USING (doc_id)),
+         |best AS (SELECT cluster_id, doc_id AS keep_id, quality_ppm,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |                              ORDER BY quality_ppm DESC, doc_id) AS rk
+         |         FROM j),
+         |sz AS (SELECT cluster_id, cast(count(*) as bigint) AS cluster_size
+         |       FROM j GROUP BY cluster_id)
+         |SELECT b.cluster_id, b.keep_id,
+         |  cast(b.quality_ppm as bigint) AS best_quality_ppm, sz.cluster_size
+         |FROM best b JOIN sz USING (cluster_id)
+         |WHERE b.rk = 1 ORDER BY b.cluster_id""".stripMargin) { (s, dir) =>
+      val docsDf = Engine.table(s, dir, "documents")
+      val pairs = Dedup.simhashNearDup(
+          Dedup.simhashSignaturesStateless(docsDf),
+          maxHamming = Dedup.simhashMaxHamming)
+        .select(col("d1"), col("d2"))
+      val labels = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val qual = docsDf.select(
+          col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast(DoubleType).as("n_tok"),
+          TextAnalysis.lexCount("en").as("n_stop"))
+        .select(col("doc_id"), TextAnalysis.qualityPpmCol.as("quality_ppm"))
+      labels.join(qual, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"), struct(col("quality_ppm"), col("doc_id") * -1))
+            .as("keep_id"),
+          max(col("quality_ppm")).as("best_quality_ppm"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy(col("cluster_id"))
     },
 
     // Dedup clustering: SimHash near-dup pairs (the q_dedup_simhash edge

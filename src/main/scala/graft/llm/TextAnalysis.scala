@@ -57,13 +57,13 @@ object TextAnalysis {
   /** Quality blend over (n_tok, n_stop, n_chars) columns, floor-ppm
     * (q_quality_score + q_pipeline_curate).
     */
-  private def qualityPpmCol: Column =
+  private[llm] def qualityPpmCol: Column =
     floor((
       lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))
         + lit(0.4) * (col("n_stop") / col("n_tok"))
         + lit(0.3) * least(((col("n_chars") - col("n_tok") + 1.0) / col("n_tok")) / 8.0,
           lit(1.0))) * 1000000).cast(LongType)
-  private val oQualityPpm: String =
+  private[llm] val oQualityPpm: String =
     """cast(floor((
       |    0.3 * least(n_tok / 100.0, 1.0)
       |  + 0.4 * (n_stop / n_tok)
@@ -205,11 +205,11 @@ object TextAnalysis {
         col("r_len") && col("r_mean") && col("r_alpha") && col("r_stop"))
   }
 
-  private def lexCount(lang: String): Column = {
+  private[llm] def lexCount(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
   }
-  private def oLexCount(lang: String): String = {
+  private[llm] def oLexCount(lang: String): String = {
     val in = lexicons(lang).map(w => s"'$w'").mkString(", ")
     s"cast(len(list_filter(string_split(text, ' '), x -> x IN ($in))) as double)"
   }

@@ -17,7 +17,9 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
            q_dedup_near q_dedup_containment q_dedup_fuzzy q_dedup_sem
            q_sim_ann q_join_range q_join_skew q_pipeline_curate
            q_pagerank q_rank_global q_cooccur_window q_rarity_score
-           q_id_gaps q_heavy_hitters q_triangles q_dedup_prefix q_zorder)
+           q_id_gaps q_heavy_hitters q_triangles q_dedup_prefix q_zorder
+           q_knn_label_acc q_cross_source_overlap q_join_size_est
+           q_graph_degree_hist q_skyline)
 fi
 
 echo "[scale_gate] regenerating /tmp/sf1.0 from /root/testdata/sf0.1 (10x)"
