@@ -136,6 +136,82 @@ object SqlSurface {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
+    // TPC-H Q8 shape (national market share): one nation's share of the
+    // region's revenue in a product segment, by order year — the classic
+    // 7-table planner benchmark plus a conditional-aggregate ratio. The
+    // share is exact end to end: both the CASE'd numerator and the
+    // denominator stay bounded decimals through the sum, lift to
+    // decimal(38) and close with ONE integer floor division to ppm (the
+    // q_rarity_score discipline — a double ratio of float sums would not
+    // hash across engines). Scale shape: part (segment filter), the
+    // ASIA customer-nation dim and the supplier⋈nation side all
+    // broadcast; lineitem⋈orders is the only fact-fact shuffle; the
+    // final agg is years-sized.
+    "q_tpch_q8" -> Q(
+      s"""SELECT year(o_orderdate) AS l_year,
+         |  cast(count(*) as bigint) AS n,
+         |  ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |  cast((cast(coalesce(sum(CASE WHEN sn.n_name = 'NATION_1'
+         |            THEN cast(l_extendedprice as decimal(12,2))
+         |                 * cast(1 - l_discount as decimal(4,2)) END), 0) * 10000
+         |        as hugeint) * 1000000)
+         |       // cast(sum(cast(l_extendedprice as decimal(12,2))
+         |             * cast(1 - l_discount as decimal(4,2))) * 10000 as hugeint)
+         |       as bigint) AS share_ppm
+         |FROM part JOIN lineitem ON p_partkey = l_partkey
+         |          JOIN orders ON o_orderkey = l_orderkey
+         |          JOIN customer ON c_custkey = o_custkey
+         |          JOIN nation cn ON cn.n_nationkey = c_nationkey
+         |          JOIN region ON r_regionkey = cn.n_regionkey
+         |          JOIN supplier ON s_suppkey = l_suppkey
+         |          JOIN nation sn ON sn.n_nationkey = s_nationkey
+         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+         |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY l_year""".stripMargin) { (s, dir) =>
+      val custAsia = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region"), col("r_regionkey") === col("n_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppN = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val pp = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")))
+      val term = Exact.dec(col("l_extendedprice"), 12, 2) *
+        Exact.dec(lit(1.0) - col("l_discount"), 4, 2)
+      t(s, dir, "lineitem")
+        .join(pp, col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(expr("o_orderdate >= timestamp '1996-01-01 00:00:00'")
+            && expr("o_orderdate < timestamp '1998-01-01 00:00:00'"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(custAsia, col("c_custkey") === col("o_custkey"))
+        .join(suppN, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("l_year"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"),
+          coalesce(sum(when(col("supp_nation") === "NATION_1", term)),
+            lit(BigDecimal(0))).as("num_dec"),
+          sum(term).as("den_dec"))
+        .select(col("l_year"), col("n"), col("revenue"),
+          // scale-0 integer lift BEFORE the floor division — decimal
+          // division at fractional scales rounds differently across
+          // engines (observed one-ulp ppm drift); integer div does not
+          expr("cast((cast(num_dec * 10000 as decimal(38,0)) * 1000000) " +
+            "div cast(den_dec * 10000 as decimal(38,0)) as bigint)")
+            .as("share_ppm"))
+        .orderBy(col("l_year"))
+    },
+
     // TPC-H Q10 shape (returned-item reporting): which customers returned
     // the most revenue in a half-year window. Scale shape: revenue is
     // pre-aggregated per custkey BEFORE the customer join — the fact-fact
