@@ -364,6 +364,45 @@ object SqlSurface {
         .limit(10)
     },
 
+    // TPC-H Q22 shape (global sales opportunity): high-balance customers
+    // gone quiet — acctbal above the positive-balance average AND no
+    // order since the cutoff, counted per nation. Exercises the scalar
+    // subquery (1-row broadcast threshold, the q_scalar_subquery shape)
+    // plus a LEFT ANTI join whose build side is pre-filtered to the
+    // recent-order custkey set (the testdata's every-customer-orders
+    // density makes the unwindowed Q22 anti leg vacuous, so the cutoff
+    // carries the semantics). Threshold = exact decimal sum / count (one
+    // IEEE division, deterministic both engines); balances sum through
+    // bounded decimals. Scale shape: the anti join shuffles on custkey;
+    // everything else is customer-sized.
+    "q_tpch_q22" -> Q(
+      s"""WITH a AS (SELECT cast(sum(cast(c_acctbal as decimal(18,4))) as double)
+         |             / count(*) AS avg_bal
+         |           FROM customer WHERE c_acctbal > 0.0),
+         |recent AS (SELECT DISTINCT o_custkey FROM orders
+         |           WHERE o_orderdate >= timestamp '2000-01-01 00:00:00')
+         |SELECT c_nationkey, cast(count(*) as bigint) AS n_cust,
+         |  ${Exact.oSumMoney("c_acctbal")} AS total_bal
+         |FROM customer c, a
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val customer = t(s, dir, "customer")
+      val avgBal = customer.filter(col("c_acctbal") > 0.0)
+        .agg((sum(Exact.dec(col("c_acctbal"), 18, 4)).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp '2000-01-01 00:00:00'"))
+        .select(col("o_custkey")).distinct()
+      customer.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          Exact.sumMoney(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // Incremental materialized-view maintenance (round 7 continuation):
     // per-customer order count + exact-decimal total maintained as
     // merge(agg(base), agg(delta)) — the refresh path a warehouse MV takes
