@@ -118,29 +118,38 @@ object EventAnalytics {
     // experiment readout is hash-gated (significance testing would sit
     // on top of these same four counts). Scale shape: one map-side-
     // combinable per-user agg (the only corpus shuffle), then a single-
-    // row conditional aggregate.
+    // row conditional aggregate. Every ratio is guarded (empty arm or
+    // zero-conversion arm A → NULL on BOTH engines — DuckDB's `//`
+    // raises on a zero divisor where Spark `div` yields NULL) and lifted
+    // to decimal(38,0)/HUGEINT before the multiply: conv_b * n_a * 1e6
+    // passes 2^63 at ~3M users/arm, where non-ANSI Spark wraps silently
+    // while DuckDB errors (the q_rarity_score lift discipline).
     "q_abtest_lift" -> Q(
       """WITH u AS (
         |  SELECT user_id,
         |    (instr('0123456789abcdef',
         |           substr(md5(cast(user_id as varchar)), 1, 1)) - 1) % 2 AS arm,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        |  FROM events GROUP BY user_id)
-        |SELECT
-        |  cast(count(CASE WHEN arm = 0 THEN 1 END) as bigint) AS n_a,
-        |  cast(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) as bigint) AS conv_a,
-        |  cast(count(CASE WHEN arm = 1 THEN 1 END) as bigint) AS n_b,
-        |  cast(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) as bigint) AS conv_b,
-        |  cast(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) * 1000000
-        |       // count(CASE WHEN arm = 0 THEN 1 END) as bigint) AS cvr_a_ppm,
-        |  cast(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) * 1000000
-        |       // count(CASE WHEN arm = 1 THEN 1 END) as bigint) AS cvr_b_ppm,
-        |  cast((sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
-        |        * count(CASE WHEN arm = 0 THEN 1 END) * 1000000)
-        |       // (sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
-        |           * count(CASE WHEN arm = 1 THEN 1 END))
-        |       - 1000000 as bigint) AS lift_ppm
-        |FROM u ORDER BY n_a""".stripMargin) { (s, dir) =>
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    cast(count(CASE WHEN arm = 0 THEN 1 END) as bigint) AS n_a,
+        |    cast(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) as bigint) AS conv_a,
+        |    cast(count(CASE WHEN arm = 1 THEN 1 END) as bigint) AS n_b,
+        |    cast(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) as bigint) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a = 0 THEN NULL
+        |       ELSE cast((cast(1000000 as hugeint) * conv_a) // n_a as bigint)
+        |       END AS cvr_a_ppm,
+        |  CASE WHEN n_b = 0 THEN NULL
+        |       ELSE cast((cast(1000000 as hugeint) * conv_b) // n_b as bigint)
+        |       END AS cvr_b_ppm,
+        |  CASE WHEN conv_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE cast((cast(1000000 as hugeint) * conv_b * n_a)
+        |            // (cast(conv_a as hugeint) * n_b) - 1000000 as bigint)
+        |       END AS lift_ppm
+        |FROM c ORDER BY n_a""".stripMargin) { (s, dir) =>
       val u = events(s, dir)
         .groupBy(col("user_id"))
         .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
@@ -154,9 +163,15 @@ object EventAnalytics {
         count(when(col("arm") === 1, 1)).as("n_b"),
         sum(when(col("arm") === 1, col("conv")).otherwise(0)).as("conv_b"))
         .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-          expr("(conv_a * 1000000L) div n_a").as("cvr_a_ppm"),
-          expr("(conv_b * 1000000L) div n_b").as("cvr_b_ppm"),
-          expr("(conv_b * n_a * 1000000L) div (conv_a * n_b) - 1000000L")
+          expr("CASE WHEN n_a = 0 THEN NULL ELSE cast(" +
+            "(cast(1000000 as decimal(38,0)) * conv_a) div n_a as bigint) END")
+            .as("cvr_a_ppm"),
+          expr("CASE WHEN n_b = 0 THEN NULL ELSE cast(" +
+            "(cast(1000000 as decimal(38,0)) * conv_b) div n_b as bigint) END")
+            .as("cvr_b_ppm"),
+          expr("CASE WHEN conv_a = 0 OR n_b = 0 THEN NULL ELSE cast(" +
+            "(cast(1000000 as decimal(38,0)) * conv_b * n_a)" +
+            " div (cast(conv_a as decimal(38,0)) * n_b) - 1000000 as bigint) END")
             .as("lift_ppm"))
     },
 

@@ -121,6 +121,47 @@ object Streams {
     */
   private def sumValue = sum(col("value").cast(DecimalType(18, 6)))
     .cast(DecimalType(30, 6)).cast(DoubleType)
+
+  /** Crash-safe publish of a freshly-written `tmp` directory as `target`.
+    * A bare delete(target)+rename(tmp, target) is NOT atomic: a crash
+    * between the two leaves NO target at all — for the MV path that
+    * silently resets history (readMarker → -1, the replayed batch
+    * rebuilds the MV from one batch). This protocol keeps a recoverable
+    * copy at every instant:
+    *   1. target → target.old   (old state survives as .old)
+    *   2. tmp    → target       (publish; data + marker move together)
+    *   3. delete target.old
+    * [[recoverSwap]] runs at every entry before target is read: a crash
+    * before (1) changed nothing; between (1) and (2) the surviving .old
+    * is promoted back and the batch replays (idempotent via the marker /
+    * newest-wins merge); after (2) the new state is live and .old is
+    * swept. Rename booleans are CHECKED — Hadoop FileSystem.rename
+    * reports failure by returning false, not by throwing, so an ignored
+    * return makes a failed publish indistinguishable from success.
+    */
+  private[streaming] def publishSwap(hfs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
+    hfs.delete(old, true)
+    if (hfs.exists(target) && !hfs.rename(target, old))
+      throw new java.io.IOException(s"publishSwap: rename $target -> $old failed")
+    if (!hfs.rename(tmp, target))
+      throw new java.io.IOException(s"publishSwap: rename $tmp -> $target failed")
+    hfs.delete(old, true)
+    ()
+  }
+
+  /** Recovery half of [[publishSwap]]: if a crash left `target` missing
+    * but `target.old` present, promote the old state back so the caller
+    * reads intact history and the in-flight batch simply replays.
+    */
+  private[streaming] def recoverSwap(hfs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
+    if (!hfs.exists(target) && hfs.exists(old) && !hfs.rename(old, target))
+      throw new java.io.IOException(s"recoverSwap: rename $old -> $target failed")
+    ()
+  }
   private val oSumValue =
     "cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double)"
 
@@ -276,6 +317,7 @@ object Streams {
       val hconf = spark.sparkContext.hadoopConfiguration
       val targetP = new org.apache.hadoop.fs.Path(targetPath)
       val hfs = targetP.getFileSystem(hconf)
+      recoverSwap(hfs, targetP)
       val newest = batch
         .groupBy(col("user_id"))
         .agg(max_by(struct(cols.tail.map(col): _*),
@@ -297,13 +339,12 @@ object Streams {
       // targetPath would delete the very files merged's lineage reads,
       // so any recompute-on-loss during the write (or a mid-write crash)
       // would see a deleted/half-written target. The tmp write completes
-      // against the intact old target; the swap is two metadata renames.
+      // against the intact old target; publishSwap keeps a recoverable
+      // copy through the promote (see its scaladoc).
       val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
       hfs.delete(tmp, true)
       merged.write.mode("overwrite").parquet(tmp.toString)
-      hfs.delete(targetP, true)
-      hfs.rename(tmp, targetP)
-      ()
+      publishSwap(hfs, tmp, targetP)
     }
   }
 
@@ -321,9 +362,11 @@ object Streams {
     * upsert's idempotent newest-wins resolution), so the applied batch id
     * rides inside the target directory as an `_applied_batch` marker
     * (underscore-prefixed files are invisible to parquet readers, like
-    * `_SUCCESS`) — the write-then-swap rename publishes data + marker
-    * atomically, and [[applyMvDelta]] drops any batch at or below the
-    * marker. Per batch the merge reads |MV| + |batch-agg| rows — the MV
+    * `_SUCCESS`) — data + marker always move in the SAME rename, and the
+    * [[publishSwap]]/[[recoverSwap]] protocol keeps either the old or
+    * the new (data, marker) pair recoverable through a crash at any
+    * instant of the promote; [[applyMvDelta]] drops any batch at or
+    * below the marker. Per batch the merge reads |MV| + |batch-agg| rows — the MV
     * refresh cost a transactional lake format optimizes further with
     * file pruning; the fold logic is identical.
     */
@@ -343,6 +386,7 @@ object Streams {
     val hconf = spark.sparkContext.hadoopConfiguration
     val targetP = new org.apache.hadoop.fs.Path(targetPath)
     val hfs = targetP.getFileSystem(hconf)
+    recoverSwap(hfs, targetP)
     val markerName = "_applied_batch"
     val dec = DecimalType(28, 4)
     val mvSchema = StructType(Seq(
@@ -378,15 +422,14 @@ object Streams {
           .cast(dec).as("sum_value"))
     // write-then-swap (the streamingUpsert discipline): the tmp write
     // completes against the intact old target; marker lands INSIDE tmp
-    // before the rename so data + applied-id publish together.
+    // before the promote so data + applied-id publish together, and
+    // publishSwap keeps the old MV recoverable through the promote.
     val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
     hfs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
     val out = hfs.create(new org.apache.hadoop.fs.Path(tmp, markerName), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    hfs.delete(targetP, true)
-    hfs.rename(tmp, targetP)
-    ()
+    publishSwap(hfs, tmp, targetP)
   }
 
   /** Custom arbitrary state (the flatMapGroupsWithState tier of SURVEY §2

@@ -155,6 +155,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(n <= signups, "conversions cannot exceed signup users")
   }
 
+  test("abtest lift: a zero-conversion control arm yields NULL lift, not an error") {
+    // strip every purchase so conv_a = conv_b = 0: the guarded ratio must
+    // emit NULL (DuckDB's // would raise on the zero divisor; the oracle
+    // carries the same CASE guard so both engines agree)
+    val dir = "/tmp/graft_test/abtest_zero"
+    graft.util.Fs.deleteRecursively(dir)
+    graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .filter($"event_type" =!= "purchase")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = EventAnalytics.queries("q_abtest_lift").fn(spark, dir).head()
+    assert(row.getAs[Long]("conv_a") === 0L)
+    assert(row.isNullAt(row.fieldIndex("lift_ppm")),
+      "lift over a zero-conversion arm must be NULL")
+    assert(row.getAs[Long]("cvr_a_ppm") === 0L,
+      "cvr of a populated arm with zero conversions is exactly 0")
+  }
+
   test("user growth: running total is monotone and lands on the distinct-user count") {
     val rows = EventAnalytics.queries("q_user_growth")
       .fn(spark, TestSpark.sfDir)

@@ -352,6 +352,38 @@ class StreamingSpec extends AnyFunSuite {
       "new batch id must fold in")
   }
 
+  test("applyMvDelta recovers intact history from a crash between the swap renames") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/mv_delta_crash"
+    Seq(path, path + ".old", path + ".tmp").foreach(graft.util.Fs.deleteRecursively)
+    Streams.applyMvDelta(
+      Seq(Ev(1, ts(1), 10L, "view", 1.0), Ev(2, ts(2), 11L, "view", 2.0)).toDF(),
+      0L, path)
+    Streams.applyMvDelta(Seq(Ev(3, ts(3), 10L, "view", 3.0)).toDF(), 1L, path)
+    val expected = spark.read.parquet(path).as[(Long, Long, java.math.BigDecimal)]
+      .collect().toSet
+    // simulate the worst crash instant of the promote: target renamed
+    // aside, tmp never promoted — the old delete-then-rename protocol
+    // would now read an EMPTY MV and rebuild history from one batch
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")))
+    // the engine replays batch 1 (foreachBatch is at-least-once):
+    // recoverSwap must restore the old MV first, then the marker drops
+    // the replay — history intact, nothing double-counted
+    Streams.applyMvDelta(Seq(Ev(3, ts(3), 10L, "view", 3.0)).toDF(), 1L, path)
+    val after = spark.read.parquet(path).as[(Long, Long, java.math.BigDecimal)]
+      .collect().toSet
+    assert(after == expected,
+      s"crash recovery lost or double-counted history: $after vs $expected")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(path + ".old")),
+      "recovery must consume the .old copy")
+    // and a genuinely new batch still folds in on top of recovered state
+    Streams.applyMvDelta(Seq(Ev(4, ts(4), 12L, "view", 4.0)).toDF(), 2L, path)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("batch and streaming tumble agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
