@@ -403,6 +403,153 @@ object SqlSurface {
         .orderBy(col("c_nationkey"))
     },
 
+    // TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three disjoint
+    // brand/size/quantity bands OR'd together over the part⋈lineitem
+    // join — the classic disjunct-pushdown planner exercise. Written as
+    // ONE post-join OR filter (not hand-split): Catalyst's CNF
+    // conversion must extract the implied common conjuncts — p_brand ∈
+    // {3 brands} to the part side and the quantity envelope [1,30] to
+    // the lineitem scan — so each scan reads only its band union, and
+    // the surviving part set broadcasts (PushdownSpec pins the derived
+    // IN filter reaching the part scan). The reference reaches this
+    // query only as passthrough SQL (core.py:84). Quantities are
+    // integer-valued doubles (exact comparisons both engines); revenue
+    // via the bounded-decimal Exact chain; single row, ordered by n.
+    "q_tpch_q19" -> Q(
+      s"""SELECT cast(count(*) as bigint) AS n,
+         |  ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 20 AND l_quantity <= 30)
+         |ORDER BY n""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity") >= 1 && col("l_quantity") <= 11)
+          || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity") >= 10 && col("l_quantity") <= 20)
+          || (col("p_brand") === "Brand#5" && col("p_size").between(1, 15)
+            && col("l_quantity") >= 20 && col("l_quantity") <= 30))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"))
+    },
+
+    // TPC-H Q4 shape (order priority checking): orders in a quarter with
+    // at least one line shipped after the order date — the EXISTS-semi
+    // planner exercise, and deliberately a semi with a NON-equi conjunct
+    // (l_shipdate > o_orderdate stands in for the missing
+    // commitdate<receiptdate): the decorrelated LeftSemi carries the
+    // equi key l_orderkey=o_orderkey for the hash exchange plus the
+    // correlated comparison as a join residual, never a post-join
+    // distinct. Scale shape: the quarter filter prunes orders before
+    // the semi; lineitem projects two columns; one orderkey shuffle;
+    // the agg output is priority-cardinality (5 rows).
+    "q_tpch_q4" -> Q(
+      """SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= timestamp '1997-07-01 00:00:00'
+        |  AND o_orderdate < timestamp '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp '1997-07-01 00:00:00'")
+          && expr("o_orderdate < timestamp '1997-10-01 00:00:00'"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): how many
+    // customers placed 0, 1, 2, … qualifying orders — the classic
+    // LEFT-join null-handling exercise. The priority filter lives in the
+    // JOIN CONDITION, not a WHERE (a where-filter would silently drop
+    // the zero-order customers that are the query's whole point), and
+    // count(o_orderkey) counts non-null matches only, so unmatched
+    // customers land in the c_count=0 bucket. Scale shape: one custkey
+    // shuffle for the left join + per-customer count (both map-side
+    // combinable), then the distribution agg runs on a
+    // distinct-count-sized input.
+    "q_tpch_q13" -> Q(
+      """SELECT c_count, cast(count(*) as bigint) AS custdist
+        |FROM (SELECT c_custkey, cast(count(o_orderkey) as bigint) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): for every part in a
+    // type/size slice, the supplier(s) who shipped it at the lowest
+    // observed price — the correlated-min subquery, decorrelated by hand
+    // into aggregate-then-join-back on (partkey, min_price) exactly as a
+    // planner would (the testdata lacks partsupp; lineitem's observed
+    // l_extendedprice per (part, supplier) stands in for ps_supplycost).
+    // Price equality/min on raw parquet doubles is bit-exact in both
+    // engines (no arithmetic touches the value). Scale shape: the part
+    // slice broadcasts under the per-part agg AND the join-back (both
+    // sides pre-pruned to the slice's lineitems); supplier⋈nation
+    // broadcasts; DISTINCT collapses per-(part,supplier) line
+    // multiplicity before the dim join; top-100 by TakeOrdered.
+    "q_tpch_q2" -> Q(
+      """WITH pl AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'LARGE' AND p_size < 10),
+        |mn AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+        |       FROM pl GROUP BY l_partkey)
+        |SELECT DISTINCT pl.l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        |  min_price
+        |FROM pl JOIN mn ON pl.l_partkey = mn.l_partkey
+        |                AND pl.l_extendedprice = mn.min_price
+        |        JOIN supplier ON s_suppkey = l_suppkey
+        |        JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val slice = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "LARGE" && col("p_size") < 10)
+        .select(col("p_partkey")))
+      val pl = t(s, dir, "lineitem")
+        .join(slice, col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val mn = pl.groupBy(col("l_partkey")).agg(min(col("l_extendedprice"))
+        .as("min_price")).withColumnRenamed("l_partkey", "m_partkey")
+      pl.join(mn, col("l_partkey") === col("m_partkey")
+          && col("l_extendedprice") === col("min_price"))
+        .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+          col("min_price"))
+        .distinct()
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("min_price"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
+
     // Incremental materialized-view maintenance (round 7 continuation):
     // per-customer order count + exact-decimal total maintained as
     // merge(agg(base), agg(delta)) — the refresh path a warehouse MV takes

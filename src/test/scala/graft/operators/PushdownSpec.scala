@@ -44,6 +44,18 @@ class PushdownSpec extends AnyFunSuite {
       s"no pushed null filter in plan:\n$plan")
   }
 
+  test("q_tpch_q19's OR-of-ANDs derives pushed filters on BOTH scan sides (CNF)") {
+    // the one post-join disjunction must yield (a) the quantity band
+    // union on the lineitem scan and (b) the brand/size disjunction on
+    // the part scan — if Catalyst's CNF extraction regresses, the scans
+    // read the full fact table and the exercise is dead at 100 TB
+    val plan = planOf("q_tpch_q19")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]\\n]*l_quantity.*"),
+      s"no derived quantity filter reached the lineitem scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]\\n]*p_brand.*"),
+      s"no derived brand filter reached the part scan:\n$plan")
+  }
+
   test("flagship aggregation runs inside whole-stage codegen") {
     // the codegen star markers (*(n)) only exist in the FINAL adaptive
     // plan, so execute THIS dataset's plan (count() would execute a
