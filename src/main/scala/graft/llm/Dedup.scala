@@ -387,6 +387,18 @@ object Dedup {
     */
   val simhashMaxHamming: Int = 6
 
+  /** Materialize the shared simhash near-dup pair graph once (the
+    * writeIvfIndex pattern): one signature+band+verify pass, persisted as
+    * (d1, d2, hamming) parquet for every graph-family consumer to read
+    * instead of re-deriving. [[graft.PairGraphBench]] measures this
+    * trade; the per-query graded plans stay self-contained (recompute)
+    * because the driver runs each `queries` entry independently.
+    */
+  def writePairGraph(docs: DataFrame, path: String): Unit =
+    simhashNearDup(simhashSignaturesStateless(docs),
+      maxHamming = simhashMaxHamming)
+      .write.mode("overwrite").parquet(path)
+
   // Shared oracle CTEs (the SQL twin of shingles/jaccardPairs above).
   // `AS MATERIALIZED`: DuckDB inlines plain CTEs, re-deriving a CTE's
   // whole upstream chain once per reference — a self-join on `sh` (or a
