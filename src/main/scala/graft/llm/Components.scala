@@ -80,6 +80,16 @@ object Components {
     * on it; callers re-root the final persisted RDD on the PARENT
     * session so downstream planning sees session defaults again.
     */
+  /** Test-only hook: observes each contraction round's edge DataFrame
+    * (plus the loop's derived partition count) BEFORE it executes, so
+    * ComponentsSpec can audit the per-round physical plans that the
+    * graded q_dedup_cc plan cannot show (its returned plan is a window
+    * over the final LogicalRDD). Planning only — the observer must not
+    * execute the frame. Never set outside tests.
+    */
+  @volatile private[graft] var ccRoundObserver
+      : Option[(DataFrame, Int) => Unit] = None
+
   private def withGraphLoopConf[T](spark: SparkSession, graphRows: Long)(
       body: (SparkSession, Int) => T): T = {
     val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
@@ -158,7 +168,7 @@ object Components {
       // the loop returns its final persisted star-edge RDD; the labels
       // DataFrame is then built on the PARENT session so everything
       // downstream of connectedComponents plans under session defaults
-      val finalRdd = withGraphLoopConf(spark, initCount) { (loop, _) =>
+      val finalRdd = withGraphLoopConf(spark, initCount) { (loop, nPart) =>
       var curRdd = initRdd
       var cur = loop.createDataFrame(curRdd, schema)
       var curCount = initCount
@@ -183,6 +193,7 @@ object Components {
           .select(col("b").as("a"), col("m").as("b"))
           .union(mins2.select(col("a"), col("m").as("b")))
           .distinct()
+        ccRoundObserver.foreach(_(ss, nPart))
         val nextRdd = ss.rdd.persist(StorageLevel.MEMORY_AND_DISK)
         val next = loop.createDataFrame(nextRdd, schema)
         val nextCount = next.count() // materializes nextRdd's blocks

@@ -58,6 +58,37 @@ class ComponentsSpec extends AnyFunSuite {
     keys.foreach(k => assert(spark.conf.get(k) == before(k)))
   }
 
+  test("cc loop per-round plans: graph-sized hash joins, no cartesian/nested-loop (round 8)") {
+    import spark.implicits._
+    // the graded q_dedup_cc plan PlanAuditSpec sees is only a window over
+    // the final LogicalRDD — the joins that matter run INSIDE the eager
+    // loop. The ccRoundObserver hook hands each round's edge frame (and
+    // the loop's derived partition count) to this audit before execution.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    Components.ccRoundObserver = Some { (df, nPart) =>
+      plans += ((df.queryExecution.executedPlan.toString, nPart))
+    }
+    try {
+      // the REAL graded upstream at sf0.001: the simhash pair graph
+      val labels = Components.ccFromPairs(
+        Components.simhashPairs(spark, TestSpark.sfDir))
+      assert(labels.count() > 0)
+    } finally Components.ccRoundObserver = None
+    assert(plans.nonEmpty, "observer saw no rounds — hook detached?")
+    plans.foreach { case (p, nPart) =>
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"cc round planned an all-pairs join:\n$p")
+      // both round joins are equi-joins on vertex keys; AQE is off inside
+      // the loop, so exchanges must hash-partition at the loop's derived
+      // graph-sized count, not the session default
+      assert(p.contains("hashpartitioning"),
+        s"cc round lost hash partitioning:\n$p")
+      assert(p.contains(s", $nPart)") || p.contains(s", $nPart),"),
+        s"cc round exchanges not sized to the graph (expected $nPart):\n$p")
+    }
+  }
+
   test("10^6-edge star (one hot vertex) converges within a tight round budget") {
     // maximal skew: vertex 0 has degree 10^6, every other vertex degree 1
     // — large-star's neighborhood groupBy sees ONE key carrying the whole

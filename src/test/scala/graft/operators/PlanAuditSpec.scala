@@ -26,8 +26,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_join_bucketed",
     // building q_dedup_cc's DataFrame runs the eager label-propagation
     // loop (real jobs), and its returned plan is just a window over a
-    // LogicalRDD — the per-round join shapes the audit would care about
-    // are not in it anyway (LlmSpec pins the pair-generation plan)
+    // LogicalRDD. The per-round join shapes this audit cannot see are
+    // covered directly since round 8: ComponentsSpec's ccRoundObserver
+    // audit asserts every round plans graph-sized hash joins with no
+    // cartesian/nested-loop (LlmSpec pins the pair-generation plan)
     "q_dedup_cc")
 
   /** Queries whose plans legitimately contain a cross/nested-loop join:

@@ -98,7 +98,7 @@ class PushdownSpec extends AnyFunSuite {
     // moves k×groups rows instead of the whole table. Losing this (e.g.
     // a filter form the optimizer can't see through) silently degrades
     // to a full-table window sort at 100 TB.
-    Seq("q_qualify", "q_distinct_on", "q_postings").foreach { n =>
+    Seq("q_topk", "q_qualify", "q_distinct_on", "q_postings").foreach { n =>
       val plan = planOf(n)
       assert(plan.contains("WindowGroupLimit"),
         s"$n lost the rank-limit pushdown:\n$plan")
