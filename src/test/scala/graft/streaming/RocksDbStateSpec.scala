@@ -205,4 +205,54 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 4L),
       "restarted query must still suppress the pre-restart signature")
   }
+
+  test("injected mid-batch failure + restart under RocksDB: session state rolls back and replays (round 8)") {
+    // the stateful failure path: a task dies INSIDE a batch that has
+    // already started mutating flatMapGroupsWithState state. The RocksDB
+    // store must discard the uncommitted version on the engine-driven
+    // replay — final sessions bit-equal to the batch operator's.
+    val base = "/tmp/graft_test_stage/rocksdb_fail"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val evs = graft.Engine.table(rocks, TestSpark.sfDir, "events")
+      .select($"user_id", $"ts", $"event_id").as[SessEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val maxMs = evs.map(_.ts.getTime).max
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    def start() = Streams.streamingSessionize(
+        rocks.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .as[SessEvent].map(e => InjectFault.tap(e)))
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    val q1 = start(); try { q1.processAllAvailable(); assertRocksDbActive(q1) } finally q1.stop()
+    val day = 24L * 3600 * 1000
+    (b2.toSeq ++ Seq(SessEvent(-1L, new Timestamp(maxMs + 2 * day), 0L)))
+      .toDS().write.mode("append").parquet(srcDir)
+    InjectFault.armed.set(true)
+    val q2 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    q2.stop()
+    assert(!InjectFault.armed.get(), "fault never fired")
+    // engine replay of the failed batch, then a second sentinel closes
+    // everything still open
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop()
+    Seq(SessEvent(-1L, new Timestamp(maxMs + 4 * day), 1L))
+      .toDS().write.mode("append").parquet(srcDir)
+    val q4 = start(); try q4.processAllAvailable() finally q4.stop()
+    val got = rocks.read.parquet(outDir)
+      .filter($"user_id" >= 0L)
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start", $"session_end", $"dur_us")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    val want = graft.operators.EventAnalytics.queries("q_sessionize")
+      .fn(rocks, TestSpark.sfDir)
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got == want,
+      s"mid-batch failure broke session state: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
 }

@@ -11,6 +11,21 @@ import graft.TestSpark
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** One-shot fault injector for failure-path specs: while `armed`, the
+  * first task that calls [[tap]] throws (then disarms), so exactly one
+  * task attempt of exactly one batch dies mid-flight — the query
+  * terminates (local mode has task maxFailures = 1) and the restart
+  * exercises the engine's own checkpoint-replay machinery.
+  */
+object InjectFault {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def tap[T](x: T): T = {
+    if (armed.compareAndSet(true, false))
+      throw new RuntimeException("injected mid-batch task failure")
+    x
+  }
+}
+
 /** Streaming-mode semantics that have no DuckDB oracle (SURVEY §2
   * s_watermark / s_dedup_stream): watermark-driven state eviction and
   * stateful dedup, driven through MemoryStream + processAllAvailable.
@@ -350,6 +365,54 @@ class StreamingSpec extends AnyFunSuite {
     val bumped = spark.read.parquet(path).filter($"user_id" === 424242L).collect()
     assert(bumped.length == 1 && bumped.head.getAs[Long]("n_events") == 1L,
       "new batch id must fold in")
+  }
+
+  test("MV delta: injected mid-batch task failure + engine restart yields the bit-identical MV") {
+    // the round-7 replay tests re-called applyMvDelta by hand; this one
+    // drives the REAL failure path: a task dies inside batch 2 (thrown
+    // from a column expression), the query terminates (local mode:
+    // task maxFailures = 1), and a restarted query on the same
+    // checkpoint replays the batch through Spark's own WAL/commit-log
+    // machinery. The MV must come out bit-identical to the one-shot
+    // batch aggregate — nothing lost, nothing double-counted.
+    import spark.implicits._
+    val base = "/tmp/graft_test_stage/mv_delta_fail"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val mvPath = s"$base/mv"; val ckpt = s"$base/ckpt"
+    val evs = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+      .collect()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val tapUdf = udf((x: Long) => InjectFault.tap(x))
+    def start() = Streams.streamingMvDelta(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .withColumn("user_id", tapUdf($"user_id")),
+        mvPath)
+      .option("checkpointLocation", ckpt).start()
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    // arm the fault, deliver batch 2: its first task attempt throws and
+    // the query dies mid-batch
+    b2.toSeq.toDS().write.mode("append").parquet(srcDir)
+    InjectFault.armed.set(true)
+    val q2 = start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("injected") ||
+      Option(err.getCause).exists(_.getMessage.contains("injected")) ||
+      !InjectFault.armed.get(), s"query died for the wrong reason: $err")
+    assert(!InjectFault.armed.get(), "fault never fired")
+    // restart on the same checkpoint: the engine replays batch 2
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop()
+    val mv = spark.read.parquet(mvPath)
+    val expected = graft.Engine.table(spark, TestSpark.sfDir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,4)")).cast("decimal(28,4)").as("sum_value"))
+    assert(mv.exceptAll(expected).isEmpty && expected.exceptAll(mv).isEmpty,
+      "MV after mid-batch failure + restart must equal the batch aggregate")
   }
 
   test("applyMvDelta recovers intact history from a crash between the swap renames") {
