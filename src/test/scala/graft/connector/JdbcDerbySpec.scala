@@ -104,6 +104,105 @@ class JdbcDerbySpec extends AnyFunSuite {
       "no source row may be lost")
   }
 
+  test("NULL partition-column rows route to partition 0 in a REAL partitioned read") {
+    // partitionPredicates' NULL routing was golden-spec'd only; drive it:
+    // Spark's first generated WHERE clause carries `OR col IS NULL`, so
+    // rows with a NULL partition column must land in partition 0 and be
+    // neither lost nor duplicated across the others
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE people_nulls") catch { case _: Exception => () }
+      st.executeUpdate("CREATE TABLE people_nulls (id INT, name VARCHAR(32))")
+      val ps = conn.prepareStatement("INSERT INTO people_nulls VALUES (?, ?)")
+      (0 until 90).foreach { i => ps.setInt(1, i); ps.setString(2, s"n_$i"); ps.addBatch() }
+      (0 until 10).foreach { i =>
+        ps.setNull(1, java.sql.Types.INTEGER); ps.setString(2, s"null_$i"); ps.addBatch()
+      }
+      ps.executeBatch(); st.close(); ps.close()
+    } finally conn.close()
+    val preds = Jdbc.partitionPredicates(url, "ID", 0L, 90L, 3)
+    assert(preds.head.toLowerCase.contains("is null"),
+      s"first partition predicate must route NULLs: ${preds.head}")
+    assert(preds.tail.forall(p => !p.toLowerCase.contains("is null")),
+      s"only partition 0 may claim NULLs: $preds")
+    val df = Jdbc.reader(spark, url, "SELECT id, name FROM people_nulls",
+      "", "", Some("ID"), Some(0L), Some(90L), numPartitions = 3).load()
+    val perPart = df.rdd.mapPartitionsWithIndex((i, it) => Iterator(i -> it.size))
+      .collect().toMap
+    assert(perPart == Map(0 -> 40, 1 -> 30, 2 -> 30),
+      s"NULLs must all land in partition 0 (30+10|30|30): got $perPart")
+    assert(df.count() == 100 && df.filter(col("ID").isNull).count() == 10)
+  }
+
+  test("reserved-word columns are rejected BEFORE any load; whitespace names reach Derby DDL quoted") {
+    // reserved word: the validator throws on the driver — nothing is
+    // staged and no table (Spark or Derby) is touched
+    val bad = spark.range(3).select(col("id").as("select"))
+    val sess = Connector.connectStaging(spark, "/tmp/graft_stage/derby_colrules")
+    val e = intercept[IllegalArgumentException] {
+      Connector.writeTable(sess, bad, "derby_reserved", verbose = false)
+    }
+    assert(e.getMessage.contains("reserve word"))
+    assert(!spark.catalog.tableExists("derby_reserved"),
+      "rejection must happen before any DDL executes")
+    // whitespace: ColumnRules quotes the lowercased name; that quoted
+    // form is valid delimited-identifier DDL on a real database
+    val quoted = ColumnRules.validateName("First Name")
+    assert(quoted == "\"first name\"")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE spacey") catch { case _: Exception => () }
+      st.executeUpdate(s"CREATE TABLE spacey ($quoted VARCHAR(32), amount INT)")
+      st.close()
+    } finally conn.close()
+    // Spark's JDBC writer quotes identifiers itself, so it gets the RAW
+    // validated name (quotes are DDL text, not part of the identifier)
+    val raw = quoted.stripPrefix("\"").stripSuffix("\"")
+    val rows = spark.range(5).select(
+      concat(lit("v"), col("id")).as(raw), col("id").cast("int").as("amount"))
+    Jdbc.writeTable(rows, url, "spacey", "", "", append = true)
+    val back = Jdbc.reader(spark, url,
+      s"SELECT $quoted, amount FROM spacey", "", "").load()
+    assert(back.columns.map(_.toLowerCase).contains("first name"))
+    assert(back.count() == 5)
+    assert(back.filter(col("`first name`") === "v3").count() == 1)
+  }
+
+  test("two concurrent staged appends both land exactly once (uuid stage isolation)") {
+    // writeTable names its staged CSV with a fresh UUID (core.py:291
+    // parity), so two racing loads must never clobber each other's
+    // stage; the appends themselves go through Spark's file commit
+    // protocol. Run both appends truly concurrently and assert the
+    // union landed exactly once.
+    val sess = Connector.connectStaging(spark, "/tmp/graft_stage/derby_race")
+    import spark.implicits._
+    val base = Seq((0L, "base")).toDF("id", "grp")
+    spark.sql("DROP TABLE IF EXISTS race_target")
+    Connector.writeTable(sess, base, "race_target", verbose = false)
+    val a = (1L to 50L).map(i => (i, "a")).toDF("id", "grp")
+    val b = (51L to 100L).map(i => (i, "b")).toDF("id", "grp")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = Seq(a, b).map { d =>
+      Future { gate.await(); Connector.writeTable(sess, d, "race_target",
+        append = true, verbose = false) }
+    }
+    gate.countDown()
+    Await.result(Future.sequence(fs), 120.seconds)
+    pool.shutdown()
+    val got = spark.table("race_target")
+    assert(got.count() == 101L, "both concurrent appends must land")
+    assert(got.select("id").distinct().count() == 101L, "no duplicated rows")
+    assert(got.filter($"grp" === "a").count() == 50L
+      && got.filter($"grp" === "b").count() == 50L)
+    spark.sql("DROP TABLE IF EXISTS race_target")
+  }
+
   test("staged path: JDBC read feeds the connector's CSV-stage + COPY-shaped load") {
     seed()
     // the reference's full pipeline shape (pandas_to_redshift,
