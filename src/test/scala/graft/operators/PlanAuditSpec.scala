@@ -52,6 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_sem",       // crossJoin(broadcast(8-row centroid table))
     "q_scalar_subquery", // crossJoin(broadcast(1-row aggregate))
     "q_tpch_q22",        // crossJoin(broadcast(1-row average-balance threshold))
+    "q_tpch_q11",        // crossJoin(broadcast(1-row national-total aggregate))
+    "q_tpch_q15",        // crossJoin(broadcast(1-row max-revenue aggregate))
     "q_tfidf",           // crossJoin(broadcast(1-row N-docs aggregate))
     "q_embed_quant",     // crossJoin(broadcast(1-row min/max stats))
     "q_sim_quant",       // crossJoin(broadcast(1-row query vector)) + stats

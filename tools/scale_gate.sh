@@ -1,15 +1,23 @@
 #!/bin/bash
-# Per-round scale proof (round 7, VERDICT #8): regenerate the synthetic
-# sf1.0 (10x sf0.1 — key-offset replicas with text/embedding/timestamp
-# variants, see graft.ScaleUp) and re-run the iterative / candidate-capped
-# query set against it with BenchOne. Run this whenever an iterative loop,
-# candidate cap, or derived sizing constant changes; paste the numbers
-# into DESIGN.md's sf1.0 table at round close.
+# Per-round scale proof (round 7, VERDICT #8; factor-parameterized in
+# round 8): regenerate a synthetic scale-up of sf0.1 (key-offset replicas
+# with text/embedding/timestamp variants, see graft.ScaleUp) and re-run
+# the iterative / candidate-capped query set against it with BenchOne.
+# Run this whenever an iterative loop, candidate cap, or derived sizing
+# constant changes; paste the numbers into DESIGN.md's scale table at
+# round close.
 #
-# Usage: tools/scale_gate.sh [query ...]
-#   (default set = the queries whose shape depends on a loop/cap/constant)
+# Usage: [GRAFT_SCALE_FACTOR=N] tools/scale_gate.sh [query ...]
+#   GRAFT_SCALE_FACTOR: replicas of sf0.1 (default 10 = sf1.0; up to 100
+#     = sf10). Output lands in /tmp/sfN/10 (e.g. factor 30 -> /tmp/sf3.0)
+#     and is reused if already generated (delete the dir to force regen).
+#   default query set = the queries whose shape depends on a
+#     loop/cap/derived constant.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+FACTOR="${GRAFT_SCALE_FACTOR:-10}"
+DST="/tmp/sf$(python3 -c "print($FACTOR/10)")"
 
 QUERIES=("$@")
 if [ ${#QUERIES[@]} -eq 0 ]; then
@@ -22,9 +30,13 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
            q_graph_degree_hist q_skyline)
 fi
 
-echo "[scale_gate] regenerating /tmp/sf1.0 from /root/testdata/sf0.1 (10x)"
-sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1.0 10"
+if [ ! -d "$DST" ]; then
+  echo "[scale_gate] regenerating $DST from /root/testdata/sf0.1 (${FACTOR}x)"
+  sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $DST $FACTOR"
+else
+  echo "[scale_gate] reusing existing $DST (delete to force regen)"
+fi
 
-echo "[scale_gate] timing ${#QUERIES[@]} queries at sf1.0 (local[${SPARK_GRAFT_CPUS:-32}])"
-SPARK_GRAFT_SF_DIR=/tmp/sf1.0 sbt -batch "runMain graft.BenchOne ${QUERIES[*]}" \
+echo "[scale_gate] timing ${#QUERIES[@]} queries at ${FACTOR}x (local[${SPARK_GRAFT_CPUS:-32}])"
+SPARK_GRAFT_SF_DIR="$DST" sbt -batch "runMain graft.BenchOne ${QUERIES[*]}" \
   | grep -E "\[benchone\]" || true
