@@ -123,8 +123,9 @@ object VectorOps {
     v / 32768.0 - 1.0
   }
 
-  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(d => planeComponent(p, d)))
+  def planes(nPlanes: Int, dim: Int, offset: Int = 0): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(d => planeComponent(offset + p, d)))
 
   /** Sentinel for "dimension mismatch or null element" from [[lshBucket]]
     * — valid buckets are non-negative (nPlanes ≤ 62).
@@ -173,7 +174,8 @@ object VectorOps {
   * dim-64; a ragged or holey vector has no defined bucket — matching the
   * HOF reference, whose zip_with null-propagates).
   */
-case class LshBucket(child: Expression, nPlanes: Int, dim: Int)
+case class LshBucket(child: Expression, nPlanes: Int, dim: Int,
+    planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -190,7 +192,7 @@ case class LshBucket(child: Expression, nPlanes: Int, dim: Int)
     }
 
   @transient private lazy val planes: Array[Array[Double]] =
-    VectorOps.planes(nPlanes, dim)
+    VectorOps.planes(nPlanes, dim, planeOffset)
 
   override def nullSafeEval(input: Any): Any = {
     val r = VectorOps.lshBucket(
@@ -319,7 +321,12 @@ object VectorExpressions {
   val vectorMinMax: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(VectorMinMax)
 
-  /** Column-level entry: fused quantized LSH sign-bucket. */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int = 64): Column =
-    ColumnBridge.column(LshBucket(ColumnBridge.expression(v), nPlanes, dim))
+  /** Column-level entry: fused quantized LSH sign-bucket. `planeOffset`
+    * selects which contiguous run of the global md5 plane family the
+    * bucket reads — band t of an OR-construction uses offset t·nPlanes.
+    */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int = 64,
+      planeOffset: Int = 0): Column =
+    ColumnBridge.column(
+      LshBucket(ColumnBridge.expression(v), nPlanes, dim, planeOffset))
 }

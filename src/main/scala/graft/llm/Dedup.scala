@@ -408,6 +408,59 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Band count for the embedding LSH OR-construction (round 8): the
+    * all-pairs-near-dup candidate join uses `embedBands` INDEPENDENT
+    * hash tables (bands), each over its own [[embedPlanesFor]]-derived
+    * plane family, and a pair is a candidate iff it matches EXACTLY in
+    * at least one band — the classic LSH OR-construction (and exactly
+    * how the minhash banding here already works). Candidate volume is
+    * Σ_bands n × occupancy = embedBands × [[embedDocsPerBucket]] × n —
+    * LINEAR at every corpus size. The multi-probe formulation this
+    * replaces (radius-r XOR masks over ONE table) carries
+    * C(planes, ≤r) × occupancy candidates per vector, and the mask
+    * count itself grows with the derived plane count — measured 204 s /
+    * ~194M candidate rows at the 100× corpus (200k vectors, 15 planes,
+    * 121 masks) vs the OR-construction's 64 candidates/vector forever.
+    * Multi-probe remains the right shape for SINGLE-query lookups
+    * (q_sim_ann) where one query's probe fan-out is the whole cost.
+    * Recall for a pair at per-plane flip probability p is
+    * 1 − (1 − (1−p)^planes)^bands — ≈ 0.94 at the graded operating
+    * point (p ≈ 0.14, 8 planes, 8 bands).
+    */
+  val embedBands: Int = 8
+
+  /** Per-band bucket assignments: (vec_id, band, bkey) with band t's
+    * bucket read from the contiguous plane family [t·bandPlanes,
+    * (t+1)·bandPlanes) — one narrow fused-expression pass computes all
+    * bands. Null-bucket vectors (ragged/holey) drop, as in the
+    * single-table path.
+    */
+  def embedBandBuckets(emb: DataFrame, bandPlanes: Int,
+      nBands: Int = embedBands): DataFrame = {
+    val v = Similarity.toDouble(col("embedding"))
+    val bands = (0 until nBands).map(t =>
+      struct(lit(t).as("band"),
+        graft.functions.VectorExpressions
+          .lshBucket(v, bandPlanes, planeOffset = t * bandPlanes).as("bkey")))
+    emb.select(col("vec_id"), explode(array(bands: _*)).as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.bkey"))
+      .filter(col("bkey").isNotNull)
+  }
+
+  /** OR-construction candidate pairs: distinct (d1 < d2) sharing at
+    * least one band bucket — one equi-join on (band, bkey), never
+    * all-pairs, candidate volume linear in the corpus (see
+    * [[embedBands]]).
+    */
+  def embedBandCandidates(emb: DataFrame, bandPlanes: Int,
+      nBands: Int = embedBands): DataFrame = {
+    val bb = embedBandBuckets(emb, bandPlanes, nBands)
+    val l = bb.select(col("vec_id").as("d1"), col("band"), col("bkey"))
+    val r = bb.select(col("vec_id").as("d2"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
   /** SimHash near-dup radius — single source for the graded queries'
     * Spark calls AND their oracle SQL (q_dedup_simhash, q_dedup_cc), so
     * the mirrored pair set cannot silently desynchronize. Must stay
@@ -553,6 +606,40 @@ object Dedup {
        |  SELECT vec_id,
        |    cast(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << cast(p as int)) ELSE 0 END) as bigint) AS bucket
        |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Banded (OR-construction) twin of [[oEmbedSigsCte]]: per-band bucket
+    * signatures `bsigs(vec_id, band, bucket)` over `embedBands` ×
+    * derived-planes plane families — band t of plane family p reads
+    * global plane index t·np + p, exactly [[embedBandBuckets]]'s layout.
+    * Shared by q_dedup_embed and q_knn_label_acc so the two gates can
+    * never desynchronize their candidate generation.
+    */
+  val oEmbedBandSigsCte: String =
+    s"""np AS (
+       |  SELECT greatest(8, cast(length(bin(
+       |    greatest(2, (count(*) + $embedDocsPerBucket - 1) // $embedDocsPerBucket) - 1)) as int)) AS n
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT g.p, gd.d,
+       |    ((instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 1, 1)) - 1) * 4096
+       |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 2, 1)) - 1) * 256
+       |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 3, 1)) - 1) * 16
+       |   + (instr('0123456789abcdef', substr(md5(g.p || ':' || gd.d), 4, 1)) - 1)) / 32768.0 - 1.0 AS w
+       |  FROM (SELECT cast(unnest(range(0, $embedBands * (SELECT n FROM np))) as varchar) AS p) g
+       |  CROSS JOIN (SELECT cast(unnest(range(0, 64)) as varchar) AS d) gd),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |    sum(cast(floor(pl.w * e.embedding[cast(pl.d as int) + 1]::DOUBLE * 1073741824.0) as bigint)) AS dp
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.p),
+       |bsigs AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    cast(cast(p as int) // (SELECT n FROM np) as int) AS band,
+       |    cast(sum(CASE WHEN dp >= 0
+       |      THEN (1::BIGINT << (cast(p as int) % (SELECT n FROM np)))
+       |      ELSE 0 END) as bigint) AS bucket
+       |  FROM dots
+       |  GROUP BY vec_id, cast(cast(p as int) // (SELECT n FROM np) as int))""".stripMargin
 
   /** q_dedup_sem's within-cluster cosine threshold (6dp-rounded compare,
     * interpolated into the oracle SQL).
@@ -854,26 +941,28 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     },
 
-    // Embedding-cosine near-dup, ANN-shaped: candidates are pairs whose
-    // random-hyperplane LSH buckets differ by <= 3 sign bits (an
-    // equi-join after multi-probe mask expansion — never all-pairs), then
-    // exact cosine >= 0.45 reranks candidates only. The hyperplanes are
+    // Embedding-cosine near-dup, ANN-shaped (round 8: LSH
+    // OR-construction): candidates are pairs that match EXACTLY in at
+    // least one of embedBands independent hash tables (an equi-join on
+    // (band, bucket) — never all-pairs, candidate volume bands ×
+    // occupancy × n, LINEAR at every corpus size; see [[embedBands]]
+    // for the measured multi-probe blowup this replaced), then exact
+    // cosine >= 0.45 reranks candidates only. The hyperplanes are
     // md5-derived (Similarity.planeComponent), so the oracle recomputes
-    // the SAME buckets in SQL and both engines see the identical pair set
-    // — the approximation is part of the operator's definition, as in any
-    // production LSH dedup. The plane count DERIVES from the corpus size
-    // on both sides (embedPlanesFor ≙ the oracle's integer-exact
-    // greatest/bin-length expression — 8 at the driver SFs, 12 at the
-    // synthetic sf1.0), so
-    // bucket occupancy and within-bucket pair work stay bounded as the
-    // corpus grows; bucketed storage via Similarity.writeLshIndex.
+    // the SAME per-band buckets in SQL and both engines see the
+    // identical pair set — the approximation is part of the operator's
+    // definition, as in any production LSH dedup. The per-band plane
+    // count DERIVES from the corpus size on both sides (embedPlanesFor
+    // ≙ the oracle's integer-exact greatest/bin-length expression), so
+    // band-bucket occupancy stays bounded as the corpus grows; bucketed
+    // storage via Similarity.writeLshIndex.
     "q_dedup_embed" -> Q(
-      s"""WITH $oEmbedSigsCte,
+      s"""WITH $oEmbedBandSigsCte,
         |cands AS MATERIALIZED (
-        |  SELECT a.vec_id AS d1, b.vec_id AS d2
-        |  FROM sigs a JOIN sigs b
-        |    ON a.vec_id < b.vec_id
-        |   AND bit_count(xor(a.bucket, b.bucket)) <= $oEmbedProbeHamming)
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM bsigs a JOIN bsigs b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.vec_id < b.vec_id)
         |SELECT c.d1, c.d2,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
         |FROM cands c JOIN embeddings a ON a.vec_id = c.d1
@@ -881,17 +970,10 @@ object Dedup {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
-      // corpus-derived plane count (one cheap metadata count — parquet
-      // footers only); MUST equal the oracle's np expression
+      // corpus-derived per-band plane count (one cheap metadata count —
+      // parquet footers only); MUST equal the oracle's np expression
       val nPlanes = embedPlanesFor(emb.count())
-      // bucketed feeds probe expansion AND the equi-join build side;
-      // bucket bits are quantized-integer dots — bit-deterministic on
-      // recompute — so no materialization is needed for agreement, and
-      // the join's own exchanges are what get reused
-      val bucketed = Similarity.lshBuckets(emb, nPlanes)
-        .select(col("vec_id"), col("bucket"))
-      val cands = embedCandidates(bucketed, nPlanes,
-        probeHamming = embedProbeHammingFor(nPlanes))
+      val cands = embedBandCandidates(emb, nPlanes)
       val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
       cands

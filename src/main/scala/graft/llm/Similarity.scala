@@ -126,11 +126,6 @@ object Similarity {
   val annPlanes: Int = 4
   val annProbeHamming: Int = 2
 
-  /** q_knn_label_acc's probe radius over the q_dedup_embed bucket space —
-    * single source for the plan AND the oracle's interpolated constant.
-    */
-  val knnProbeHamming: Int = 2
-
   /** The mirrored k-means E-step shared by q_cluster_assign /
     * q_cluster_purity / q_embed_outliers: deterministic lowest-id seeds,
     * broadcast against the corpus, 6dp-rounded cosine argmax with
@@ -603,30 +598,29 @@ object Similarity {
         .orderBy(col("cent_id"))
     },
 
-    // 1-NN label consistency (round 7 continuation): for each vector, its
-    // nearest LSH-candidate neighbor (rounded cosine, id tiebreak) — does
-    // the neighbor carry the same ground-truth label? The standard
+    // 1-NN label consistency (round 7; round 8 moves candidates to the
+    // banded OR-construction): for each vector, its nearest
+    // LSH-candidate neighbor (rounded cosine, id tiebreak) — does the
+    // neighbor carry the same ground-truth label? The standard
     // embedding-quality eval (a space where 1-NN accuracy is high
     // supports label propagation / retrieval), run over the mirrored
-    // md5-hyperplane buckets (q_dedup_embed's shared sigs CTE) so both
-    // engines rank the identical neighbor lists. Probe radius is
-    // hamming ≤ [[knnProbeHamming]] — TIGHTER than the dedup query's 3:
-    // a 1-NN eval needs one near neighbor per vector, not the dedup
-    // query's recall over all near pairs, and the candidate pair count
-    // grows ~4× per extra hamming step (measured 32 s → 8 s at the
-    // synthetic sf1.0). Vectors with no candidate in the radius are
+    // md5-hyperplane band buckets (q_dedup_embed's shared bsigs CTE) so
+    // both engines rank the identical neighbor lists — candidate volume
+    // is bands × occupancy × n, linear at every corpus size (the round-7
+    // hamming ≤ 2 multi-probe measured 48-77 s at the 30× corpus from
+    // its C(planes, ≤2) mask growth). Vectors with no band-mate are
     // consistently absent on both sides. Scale shape: candidates come
-    // from the bucket equi-join (never all-pairs), the per-vector argmax
-    // is a map-side-combinable max_by (no window over the candidate
-    // table), and the accuracy agg runs on labels-sized groups. Counts
-    // integer-exact; accuracy in floor ppm.
+    // from the (band, bucket) equi-join (never all-pairs), the
+    // per-vector argmax is a map-side-combinable max_by (no window over
+    // the candidate table), and the accuracy agg runs on labels-sized
+    // groups. Counts integer-exact; accuracy in floor ppm.
     "q_knn_label_acc" -> Q(
-      s"""WITH ${graft.llm.Dedup.oEmbedSigsCte},
+      s"""WITH ${graft.llm.Dedup.oEmbedBandSigsCte},
         |cands AS MATERIALIZED (
-        |  SELECT a.vec_id AS d1, b.vec_id AS d2
-        |  FROM sigs a JOIN sigs b
-        |    ON a.vec_id < b.vec_id
-        |   AND bit_count(xor(a.bucket, b.bucket)) <= $knnProbeHamming),
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM bsigs a JOIN bsigs b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.vec_id < b.vec_id),
         |sym AS (SELECT d1 AS v, d2 AS nb FROM cands
         |        UNION ALL SELECT d2, d1 FROM cands),
         |sc AS (
@@ -647,9 +641,7 @@ object Similarity {
         |GROUP BY la.label ORDER BY la.label""".stripMargin) { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
       val nPlanes = graft.llm.Dedup.embedPlanesFor(emb.count())
-      val bucketed = lshBuckets(emb, nPlanes).select(col("vec_id"), col("bucket"))
-      val cands = graft.llm.Dedup.embedCandidates(bucketed, nPlanes,
-        probeHamming = knnProbeHamming)
+      val cands = graft.llm.Dedup.embedBandCandidates(emb, nPlanes)
       val sym = cands.select(col("d1").as("v"), col("d2").as("nb"))
         .union(cands.select(col("d2"), col("d1")))
       val vec = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))

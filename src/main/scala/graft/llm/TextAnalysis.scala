@@ -745,6 +745,148 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // Domain-shift audit (round 8): per-source χ²-style divergence of
+    // the unigram distribution against the whole corpus, over the
+    // deterministic top-50 vocabulary — the drift score a curation
+    // pipeline watches to catch a source whose content distribution
+    // slid (scraper broke, template flood, language flip). Fully
+    // integer: per-term observed/expected FREQUENCIES in floor-ppm
+    // (decimal(38)/HUGEINT-lifted — counts × 1e6 pass 2^63 at ~9e12
+    // tokens), then Σ (a−b)²·1000 div b in parts-per-billion — the ppm
+    // normalization keeps every intermediate ≤ 1e15 at ANY corpus size
+    // (a raw (obs·N − ns·cw)² form overflows decimal(38) past ~1e12
+    // tokens). Scale shape: one token shuffle for the three aggs; the
+    // sources × 50 grid is tiny and broadcast-built; missing (source,
+    // token) cells COUNT (a=0 contributes b·1000) via the left join.
+    "q_source_divergence" -> Q(
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tot AS (SELECT cast(count(*) as bigint) AS n FROM tok),
+        |vocab AS MATERIALIZED (
+        |  SELECT token, cast(count(*) as bigint) AS cw FROM tok
+        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 50),
+        |srcs AS (SELECT source, cast(count(*) as bigint) AS ns FROM tok
+        |         GROUP BY source),
+        |obs AS MATERIALIZED (
+        |  SELECT source, token, cast(count(*) as bigint) AS c
+        |  FROM tok JOIN vocab USING (token) GROUP BY source, token),
+        |grid AS (
+        |  SELECT s.source, s.ns, v.cw, coalesce(o.c, 0) AS c, nn.n
+        |  FROM srcs s CROSS JOIN vocab v
+        |  LEFT JOIN obs o ON o.source = s.source AND o.token = v.token,
+        |  tot nn),
+        |terms AS (
+        |  SELECT source, ns,
+        |    cast((cast(c as hugeint) * 1000000) // ns as bigint) AS a,
+        |    cast((cast(cw as hugeint) * 1000000) // n as bigint) AS b
+        |  FROM grid)
+        |SELECT source, cast(max(ns) as bigint) AS n_tok,
+        |  cast(sum(CASE WHEN b = 0 THEN 0
+        |           ELSE ((a - b) * (a - b) * 1000) // b END) as bigint)
+        |    AS chi2_ppb
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("token")).limit(50)
+      val srcs = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val obs = tok.join(broadcast(vocab.select(col("token"))), "token")
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      srcs.crossJoin(broadcast(vocab))
+        .join(obs, Seq("source", "token"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("a", expr("cast((cast(c as decimal(38,0)) * 1000000) div ns as bigint)"))
+        .withColumn("b", expr("cast((cast(cw as decimal(38,0)) * 1000000) div n as bigint)"))
+        .withColumn("term", expr(
+          "CASE WHEN b = 0 THEN 0L ELSE ((a - b) * (a - b) * 1000L) div b END"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tok"), sum(col("term")).as("chi2_ppb"))
+        .orderBy(col("source"))
+    },
+
+    // BPE merge training (round 8): the first three merge rounds of a
+    // byte-pair-encoding tokenizer over the corpus — per round, count
+    // adjacent symbol pairs corpus-wide, adopt the most frequent pair
+    // (count DESC, pair ASC tiebreak) as a merge, and rewrite every
+    // word's symbol sequence. THE data-pipeline step that trains a
+    // tokenizer; each round is exactly one corpus pass (explode adjacent
+    // pairs → map-side-combinable count) plus a 1-row broadcast of the
+    // adopted merge — the shape a real distributed BPE trainer iterates
+    // to 50k merges. Merge application is leftmost NON-OVERLAPPING
+    // (both engines' literal replace() scans identically and never
+    // rescans its own output, so 'a a a' merges once, not twice —
+    // documented, deterministic, and mirrored). Sequences are
+    // space-delimited symbols with sentinel spaces at the edges, so a
+    // pair pattern can never match inside a longer symbol.
+    "q_bpe_merges" -> Q(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |s0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+        |  FROM w WHERE word <> ''),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i + 1])) AS pair
+        |       FROM (SELECT string_split(seq, ' ') AS l FROM s0)),
+        |b1 AS MATERIALIZED (
+        |  SELECT pair, cast(count(*) as bigint) AS n FROM p1
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+        |s1 AS MATERIALIZED (
+        |  SELECT trim(replace(' ' || seq || ' ',
+        |           ' ' || (SELECT pair FROM b1) || ' ',
+        |           ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ')) AS seq
+        |  FROM s0),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i + 1])) AS pair
+        |       FROM (SELECT string_split(seq, ' ') AS l FROM s1)),
+        |b2 AS MATERIALIZED (
+        |  SELECT pair, cast(count(*) as bigint) AS n FROM p2
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT trim(replace(' ' || seq || ' ',
+        |           ' ' || (SELECT pair FROM b2) || ' ',
+        |           ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ')) AS seq
+        |  FROM s1),
+        |p3 AS (SELECT unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i + 1])) AS pair
+        |       FROM (SELECT string_split(seq, ' ') AS l FROM s2)),
+        |b3 AS MATERIALIZED (
+        |  SELECT pair, cast(count(*) as bigint) AS n FROM p3
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT cast(1 as int) AS round, pair, n FROM b1
+        |  UNION ALL SELECT cast(2 as int), pair, n FROM b2
+        |  UNION ALL SELECT cast(3 as int), pair, n FROM b3)
+        |ORDER BY round""".stripMargin) { (s, dir) =>
+      val pairsExpr = "transform(sequence(0, size(split(seq, ' ')) - 2), " +
+        "i -> concat(element_at(split(seq, ' '), i + 1), ' ', " +
+        "element_at(split(seq, ' '), i + 2)))"
+      def pairsOf(seqs: DataFrame): DataFrame = seqs
+        .filter(size(split(col("seq"), " ")) >= 2)
+        .select(explode(expr(pairsExpr)).as("pair"))
+      def bestOf(pairs: DataFrame): DataFrame = pairs
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+      def applyMerge(seqs: DataFrame, best: DataFrame): DataFrame = seqs
+        .crossJoin(broadcast(best.select(col("pair"))))
+        .select(expr("trim(replace(concat(' ', seq, ' '), " +
+          "concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' ')))").as("seq"))
+      val s0 = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("seq"))
+      val b1 = bestOf(pairsOf(s0))
+      val s1 = applyMerge(s0, b1)
+      val b2 = bestOf(pairsOf(s1))
+      val s2 = applyMerge(s1, b2)
+      val b3 = bestOf(pairsOf(s2))
+      b1.select(lit(1).as("round"), col("pair"), col("n"))
+        .unionAll(b2.select(lit(2).as("round"), col("pair"), col("n")))
+        .unionAll(b3.select(lit(3).as("round"), col("pair"), col("n")))
+        .orderBy(col("round"))
+    },
+
     // Count-min-sketch heavy hitters (round 7) — completes the sketch
     // family (HLL cardinality, quantile sketch, bloom join, minhash/
     // simhash signatures) with the frequency sketch a streaming/

@@ -777,6 +777,34 @@ object Aggregates {
         .orderBy(col("o_orderstatus"), col("rn"))
     },
 
+    // Time-interval RANGE window frames (round 8): per-user rolling
+    // 1-hour event count + exact-decimal value sum — the time-based
+    // sliding aggregate an activity/rate-limit monitor computes, and a
+    // window dialect q_win_frame's integer RANGE does not cover. RANGE
+    // frames are peer-inclusive, so rows sharing (user_id, ts) get the
+    // identical value in both engines regardless of tie order; the
+    // output ORDER BY adds event_id for the total order the gate needs.
+    // Scale shape: one hash partition on user_id + one per-user time
+    // sort; the frame bound evicts incrementally (no per-row rescan).
+    "q_win_range_interval" -> Q(
+      """SELECT user_id, ts, event_id,
+        |  cast(count(*) OVER w as bigint) AS n_last_hour,
+        |  cast(cast(sum(cast(value as decimal(18,4))) OVER w
+        |       as decimal(30,4)) as double) AS val_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+      val w = "(PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr(s"cast(count(*) OVER $w as bigint)").as("n_last_hour"),
+          expr(s"cast(cast(sum(cast(value as decimal(18,4))) OVER $w " +
+            "as decimal(30,4)) as double)").as("val_last_hour"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
     // ---- set operations ---------------------------------------------
 
     "q_union" -> Q(

@@ -213,6 +213,44 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Schema evolution scan (round 8): two producer generations land
+    // parquet in ONE dataset directory — the old writer lacks the
+    // o_orderpriority column — and `mergeSchema` reads the union schema
+    // with the missing column null-backfilled for old files. The lake
+    // ingestion reality every long-lived 100 TB dataset hits (columns
+    // get added; history is not rewritten). The oracle recomputes the
+    // expected view from the source of truth: odd orderkeys (old
+    // producer) must surface NULL priority, even ones keep theirs —
+    // count(col) vs count(*) exposes the backfill exactly.
+    "q_scan_evolve" -> Q(
+      s"""SELECT o_orderstatus, cast(count(*) as bigint) AS n,
+         |  cast(count(o_orderpriority) as bigint) AS n_with_priority,
+         |  ${oSumMoney("o_totalprice")} AS total
+         |FROM (SELECT o_orderstatus, o_totalprice,
+         |        CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END
+         |          AS o_orderpriority
+         |      FROM orders)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/scan_evolve"
+      cleanDir(path)
+      val orders = t(s, dir, "orders")
+      // generation 1: before the priority column existed
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("append").parquet(path)
+      // generation 2: the widened schema, appended to the same dataset
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // CREATE TABLE AS SELECT (README.md:102-109) against the session
     // catalog; result is the read-back of the created table.
     "q_ctas" -> Q(

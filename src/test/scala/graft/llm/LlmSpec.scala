@@ -694,6 +694,30 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.embedProbeHammingFor(25) == 1)
   }
 
+  test("embedBandCandidates equals pairs sharing >= 1 band bucket (OR-construction, round 8)") {
+    val bb = Dedup.embedBandBuckets(emb, bandPlanes = 8).cache()
+    val a = bb.select(col("vec_id").as("d1"), col("band"), col("bkey").as("b1"))
+    val b = bb.select(col("vec_id").as("d2"), col("band"), col("bkey").as("b2"))
+    val truth = a.join(b, "band")
+      .filter(col("d1") < col("d2") && col("b1") === col("b2"))
+      .select("d1", "d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embedBandCandidates(emb, bandPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"diff: ${got.diff(truth).take(3)} / ${truth.diff(got).take(3)}")
+    // bands read DISJOINT plane families — band 0's bucket must differ
+    // from band 1's for essentially every vector (identical buckets
+    // across bands would mean the offset is ignored)
+    val same = bb.filter(col("band") === 0)
+      .select(col("vec_id"), col("bkey").as("k0"))
+      .join(bb.filter(col("band") === 1)
+        .select(col("vec_id"), col("bkey").as("k1")), "vec_id")
+      .filter(col("k0") === col("k1")).count()
+    assert(same < bb.select("vec_id").distinct().count() / 4,
+      "band plane families look identical — planeOffset not applied?")
+    bb.unpersist()
+  }
+
   test("embedCandidates equals pairs with bucket hamming <= probeHamming") {
     val bucketed = Similarity.lshBuckets(emb, nPlanes = 8)
       .select(col("vec_id"), col("bucket")).cache()
