@@ -858,32 +858,49 @@ object TextAnalysis {
         |  UNION ALL SELECT cast(2 as int), pair, n FROM b2
         |  UNION ALL SELECT cast(3 as int), pair, n FROM b3)
         |ORDER BY round""".stripMargin) { (s, dir) =>
-      val pairsExpr = "transform(sequence(0, size(split(seq, ' ')) - 2), " +
-        "i -> concat(element_at(split(seq, ' '), i + 1), ' ', " +
-        "element_at(split(seq, ' '), i + 2)))"
-      def pairsOf(seqs: DataFrame): DataFrame = seqs
-        .filter(size(split(col("seq"), " ")) >= 2)
-        .select(explode(expr(pairsExpr)).as("pair"))
-      def bestOf(pairs: DataFrame): DataFrame = pairs
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(1)
-      def applyMerge(seqs: DataFrame, best: DataFrame): DataFrame = seqs
-        .crossJoin(broadcast(best.select(col("pair"))))
-        .select(expr("trim(replace(concat(' ', seq, ' '), " +
-          "concat(' ', pair, ' '), " +
-          "concat(' ', replace(pair, ' ', ''), ' ')))").as("seq"))
-      val s0 = docs(s, dir)
+      // split once into an array column; the transform lambda reads the
+      // materialized array (re-splitting inside the lambda evaluates
+      // split() per PAIR, not per sequence)
+      val pairsExpr = "transform(sequence(0, size(l) - 2), " +
+        "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"
+      def bestOf(seqs: DataFrame): (String, Long) = {
+        // the adopted merge is ONE row — collecting it is the bounded
+        // driver cost a real BPE trainer pays per round, and it keeps
+        // each round's plan to a single corpus pass instead of nesting
+        // every earlier round's argmax subplan inside later consumers
+        val r = seqs.select(split(col("seq"), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(explode(expr(pairsExpr)).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1).head()
+        (r.getString(0), r.getLong(1))
+      }
+      def applyMerge(seqs: DataFrame, pair: String): DataFrame = seqs
+        .select(trim(org.apache.spark.sql.functions.replace(
+          concat(lit(" "), col("seq"), lit(" ")),
+          lit(" " + pair + " "),
+          lit(" " + pair.replace(" ", "") + " "))).as("seq"))
+      var seqs = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("seq"))
-      val b1 = bestOf(pairsOf(s0))
-      val s1 = applyMerge(s0, b1)
-      val b2 = bestOf(pairsOf(s1))
-      val s2 = applyMerge(s1, b2)
-      val b3 = bestOf(pairsOf(s2))
-      b1.select(lit(1).as("round"), col("pair"), col("n"))
-        .unionAll(b2.select(lit(2).as("round"), col("pair"), col("n")))
-        .unionAll(b3.select(lit(3).as("round"), col("pair"), col("n")))
+      // per-round persist (measured 3.6 → 2.9 s at sf0.1): round k+1's
+      // pair count reads round k's cached sequences instead of replaying
+      // the whole regexp+replace chain; each round's blocks release as
+      // soon as the NEXT round's cache is materialized (the pageRank
+      // round discipline), and the result is a LocalRelation, so nothing
+      // is left pinned
+      var prev: Option[DataFrame] = None
+      val merges = (1 to 3).map { k =>
+        val cached = seqs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (pair, n) = bestOf(cached) // action — materializes `cached`
+        prev.foreach(_.unpersist())
+        prev = Some(cached)
+        seqs = applyMerge(cached, pair)
+        (k, pair, n)
+      }
+      prev.foreach(_.unpersist())
+      s.createDataFrame(merges).toDF("round", "pair", "n")
         .orderBy(col("round"))
     },
 

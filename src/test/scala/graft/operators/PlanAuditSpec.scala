@@ -64,8 +64,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dau_window",      // crossJoin(broadcast(1-row max-date aggregate))
     "q_zorder",          // crossJoin(broadcast(1-row min/max stats))
     "q_join_size_est",   // crossJoin(broadcast(1-row sketch/count aggregates))
-    "q_source_divergence", // crossJoin(broadcast(50-row vocab + 1-row total))
-    "q_bpe_merges")      // crossJoin(broadcast(1-row adopted merge)) per round
+    "q_source_divergence") // crossJoin(broadcast(50-row vocab + 1-row total))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
