@@ -875,6 +875,60 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Sketch-quality audit (round 8): for every LSH candidate pair, the
+    // 6-seed MinHash AGREEMENT COUNT (the sketch's Jaccard estimate is
+    // agree/6) next to the EXACT Jaccard in floor-ppm — the calibration
+    // table that tells you whether the signature width is adequate for
+    // the corpus before trusting banded dedup at scale (E[agree/6] =
+    // true Jaccard; a systematic gap means the shingle distribution is
+    // degenerate). Both columns are integer-exact and the md5 minima are
+    // engine-identical, so the WHOLE audit hash-gates — no bound
+    // boolean needed. Scale shape: candidates from the banded equi-join
+    // (never all-pairs); agreement via two signature-table joins
+    // (doc-sized); exact Jaccard only over candidates
+    // (jaccardForCandidates).
+    "q_minhash_est" -> Q(
+      s"""WITH $oShingleCte,
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    $oSigExprs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |cands AS MATERIALIZED (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id),
+         |ag AS (
+         |  SELECT c.d1, c.d2,
+         |    cast(${(0 until 6).map(i =>
+            s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")}
+         |      as bigint) AS agree
+         |  FROM cands c JOIN sigs a ON a.doc_id = c.d1
+         |               JOIN sigs b ON b.doc_id = c.d2)
+         |SELECT g.d1, g.d2, g.agree,
+         |  cast((j.inter * 1000000) // (j.n1 + j.n2 - j.inter) as bigint) AS jac_ppm
+         |FROM ag g JOIN jac j ON j.d1 = g.d1 AND j.d2 = g.d2
+         |ORDER BY g.d1, g.d2""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val sigs = minhashSignaturesStateless(d)
+      val cands = lshCandidates(sigs)
+      val l = sigs.toDF("d1" +: minhashSeeds.indices.map(i => s"l$i"): _*)
+      val r = sigs.toDF("d2" +: minhashSeeds.indices.map(i => s"r$i"): _*)
+      val agree = minhashSeeds.indices
+        .map(i => when(col(s"l$i") === col(s"r$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val ag = cands.join(l, "d1").join(r, "d2")
+        .select(col("d1"), col("d2"), agree.as("agree"))
+      val jac = jaccardForCandidates(shingles(d), cands)
+        .select(col("d1"), col("d2"),
+          expr("(inter * 1000000L) div (n1 + n2 - inter)").as("jac_ppm"))
+      ag.join(jac, Seq("d1", "d2"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Edit-distance verification tier: exact Levenshtein over the SAME
     // banded MinHash candidates q_dedup_minhash proposes, keeping pairs
     // within 20% relative edit distance (lev*5 <= max_len, exact integer

@@ -213,6 +213,34 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Hive-partitioned layout scan (round 8): write events partitioned
+    // by event_type, read back with a partition predicate — the
+    // dominant 100 TB scan optimization (a pruned read touches ONLY the
+    // matching partition directories; PushdownSpec pins the
+    // PartitionFilters entry in the physical plan). The oracle
+    // recomputes from the unpartitioned source of truth, so layout
+    // round-trip losses (partition-column typing, value encoding) break
+    // the hash. Value sums ride the exact-decimal chain.
+    "q_scan_partitioned" -> Q(
+      """SELECT event_type, cast(count(*) as bigint) AS n,
+        |  cast(count(DISTINCT user_id) as bigint) AS n_users,
+        |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double) AS total
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val path = s"$stageRoot/scan_partitioned"
+      cleanDir(path)
+      Engine.table(s, dir, "events")
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec(col("value"), 18, 6)).cast(DecimalType(30, 6))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("event_type"))
+    },
+
     // Schema evolution scan (round 8): two producer generations land
     // parquet in ONE dataset directory — the old writer lacks the
     // o_orderpriority column — and `mergeSchema` reads the union schema

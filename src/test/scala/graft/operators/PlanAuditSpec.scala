@@ -21,6 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sideEffecting = Set(
     "q_csv_sink", "q_df_write", "q_exec_ddl", "q_ctas", "q_insert_append",
     "q_overwrite", "q_scan_csv", "q_scan_json", "q_scan_orc", "q_compact",
+    // building these writes their staged dataset first; PushdownSpec
+    // pins q_scan_partitioned's PartitionFilters plan shape
+    "q_scan_partitioned", "q_scan_evolve",
     // building q_join_bucketed's DataFrame writes both bucketed tables;
     // ScaleSpec pins its Exchange-free physical shape
     "q_join_bucketed",

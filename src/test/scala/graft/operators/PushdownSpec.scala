@@ -56,6 +56,16 @@ class PushdownSpec extends AnyFunSuite {
       s"no derived brand filter reached the part scan:\n$plan")
   }
 
+  test("q_scan_partitioned prunes partitions at planning (PartitionFilters)") {
+    // the read over the hive-partitioned layout must carry the
+    // event_type predicate as a PARTITION filter (directory pruning) —
+    // not a post-scan row filter; losing this reads every partition of
+    // a 100 TB dataset for a two-partition query
+    val plan = planOf("q_scan_partitioned")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]\\n]*event_type.*"),
+      s"event_type predicate did not become a partition filter:\n$plan")
+  }
+
   test("flagship aggregation runs inside whole-stage codegen") {
     // the codegen star markers (*(n)) only exist in the FINAL adaptive
     // plan, so execute THIS dataset's plan (count() would execute a
