@@ -190,18 +190,28 @@ object Dedup {
     // pair generation via prefix posting lists (one groupBy + the native
     // SuffixPairs C(d,2) expansion) instead of a prefix self-join — the
     // self-join form recomputes the whole rank pipeline (two shuffles +
-    // window) once per side (measured 6.3 s vs 4.0 s at sf0.1). The
-    // length filter (den·n_small ≥ num·n_large) is NOT applied here: it
-    // is implied by the verification threshold (inter ≤ n_small, so a
-    // pair violating it can never reach den·(n1+n2-inter) ≤ ... ), and
-    // dropping it keeps candidate generation a single posting-list pass.
-    pref.groupBy(col("shingle"))
+    // window) once per side (measured 6.3 s vs 4.0 s at sf0.1).
+    val cand0 = pref.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(
         graft.functions.TextExpressions.suffixPairs(col("ds"))).as("p"))
       .select(col("p.d1"), col("p.d2"))
       .distinct()
+    // PPJoin length filter, applied at GENERATION (round 8): a pair can
+    // only reach jac >= num/den if den·n_min >= num·n_max (inter ≤
+    // n_min, union ≥ n_max), so this is output-neutral — but it prunes
+    // candidates BEFORE the expensive intersection expansion, which is
+    // where the join's time goes (PrefixDiag at the 100× corpus: 63% of
+    // 11.9M candidates are length-incompatible; verify 128.6 s → ~46 s).
+    // The sizes join keys on doc ids — two hash joins against a
+    // doc-count-sized table, never broadcast-dependent.
+    cand0
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(lit(thresholdDen) * least(col("n1"), col("n2"))
+        >= lit(thresholdNum) * greatest(col("n1"), col("n2")))
+      .select(col("d1"), col("d2"))
   }
 
   /** MinHash seeds: k portable "permutations" via seeded md5 (shared with
