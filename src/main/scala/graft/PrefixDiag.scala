@@ -46,7 +46,22 @@ object PrefixDiag {
         < lit(4) * greatest(col("n1"), col("n2"))).count())
     println(s"[prefixdiag] shingles=$nSh cands=$nCands out=$nOut " +
       s"lenPrunable=$nLenPruned (${100.0 * nLenPruned / math.max(1, nCands)}%)")
-    sh.unpersist(); cands.unpersist()
+    // variant: per-doc sorted shingle arrays + builtin array_intersect —
+    // two doc-keyed joins moving arrays instead of the exploded
+    // (cand × shingle) equi-join's row blowup
+    val arrays = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("a"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    arrays.count()
+    val viaArrays = cands
+      .join(arrays.select(col("doc_id").as("d1"), col("a").as("a1"), col("n").as("n1")), "d1")
+      .join(arrays.select(col("doc_id").as("d2"), col("a").as("a2"), col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+      .filter(col("inter") * 9 >= (col("n1") + col("n2")) * 4)
+    val nOut2 = time("verify-via-arrays")(viaArrays.count())
+    println(s"[prefixdiag] out-via-arrays=$nOut2 (must equal out=$nOut)")
+    arrays.unpersist(); sh.unpersist(); cands.unpersist()
     spark.stop()
   }
 }
