@@ -196,31 +196,56 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .filter(col("pos") <= col("n") - expr(need) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("pos"))
     // pair generation via prefix posting lists (one groupBy + the native
     // SuffixPairs C(d,2) expansion) instead of a prefix self-join — the
     // self-join form recomputes the whole rank pipeline (two shuffles +
-    // window) once per side (measured 6.3 s vs 4.0 s at sf0.1).
+    // window) once per side (measured 6.3 s vs 4.0 s at sf0.1). The
+    // posting entry packs (doc_id, prefix position) into one long
+    // (doc_id·2^20 + pos) so the native pair expansion can carry the
+    // position through: pos < 2^20 (clamped — clamping only LOOSENS the
+    // positional bound below, so it stays lossless) and doc_id < 2^43
+    // (ScaleUp's stride·reps tops out at 10^10), and within one posting
+    // list doc ids are distinct, so encoded order == doc order.
+    val enc = (c: Column, p: Column) =>
+      c * lit(1048576L) + least(p.cast(LongType), lit(1048575L))
     val cand0 = pref.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(enc(col("doc_id"), col("pos")))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(
         graft.functions.TextExpressions.suffixPairs(col("ds"))).as("p"))
-      .select(col("p.d1"), col("p.d2"))
-      .distinct()
-    // PPJoin length filter, applied at GENERATION (round 8): a pair can
-    // only reach jac >= num/den if den·n_min >= num·n_max (inter ≤
-    // n_min, union ≥ n_max), so this is output-neutral — but it prunes
-    // candidates BEFORE the expensive intersection expansion, which is
-    // where the join's time goes (PrefixDiag at the 100× corpus: 63% of
-    // 11.9M candidates are length-incompatible; verify 128.6 s → ~46 s).
-    // The sizes join keys on doc ids — two hash joins against a
-    // doc-count-sized table, never broadcast-dependent.
+      .select(shiftright(col("p.d1"), 20).as("d1"), (col("p.d1") % 1048576L).as("p1"),
+        shiftright(col("p.d2"), 20).as("d2"), (col("p.d2") % 1048576L).as("p2"))
+      // per pair, the minimal SHARED prefix shingle in the global (df,
+      // shingle) order attains BOTH minima (positions grow monotonically
+      // with the shared shingle's global rank inside each doc's sorted
+      // prefix), so one agg replaces the old distinct() at the same cost
+      // and recovers the PPJoin positional anchor.
+      .groupBy(col("d1"), col("d2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
+    // PPJoin length + positional filters, applied at GENERATION (round
+    // 8): a pair can only reach jac >= num/den if den·n_min >= num·n_max
+    // (inter ≤ n_min, union ≥ n_max), and — the positional filter — if
+    // 1 + min(n1−p1, n2−p2) ≥ ceil(num·(n1+n2)/(num+den)): every shared
+    // shingle sits at global rank ≥ the first shared PREFIX shingle
+    // (anything globally smaller and shared would itself be in both
+    // prefixes — positions < p1, p2 ≤ prefix lengths — contradicting
+    // minimality), so at most min(n1−p1, n2−p2)+1 shingles can match,
+    // while jac ≥ num/den needs inter·(num+den) ≥ num·(n1+n2). Both are
+    // output-neutral, but they prune candidates BEFORE the expensive
+    // intersection expansion, which is where the join's time goes
+    // (PrefixDiag at the 100× corpus: 63% of 11.9M candidates are
+    // length-incompatible; verify 128.6 s → ~46 s). The sizes join keys
+    // on doc ids — two hash joins against a doc-count-sized table,
+    // never broadcast-dependent.
     cand0
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .filter(lit(thresholdDen) * least(col("n1"), col("n2"))
         >= lit(thresholdNum) * greatest(col("n1"), col("n2")))
+      .filter((lit(1L) + least(col("n1") - col("p1"), col("n2") - col("p2")))
+        * lit(thresholdNum + thresholdDen)
+        >= lit(thresholdNum) * (col("n1") + col("n2")))
       .select(col("d1"), col("d2"))
   }
 
