@@ -312,17 +312,23 @@ object Dedup {
     * full band — the equi-join that replaces all-pairs comparison.
     */
   def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until 3).map(b =>
-        struct(lit(b).as("band_id"),
-          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+    val bands = lshBands(sigs)
     val l = bands.select(col("doc_id").as("d1"), col("band_id"), col("key"))
     val r = bands.select(col("doc_id").as("d2"), col("band_id"), col("key"))
     l.join(r, Seq("band_id", "key")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
   }
+
+  /** The (doc_id, band_id, key) banding relation behind [[lshCandidates]]
+    * — shared with the occupancy audit so the two cannot drift.
+    */
+  private[llm] def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array((0 until 3).map(b =>
+        struct(lit(b).as("band_id"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
 
   /** 32-bit SimHash per doc over its distinct 3-gram shingles (sum of ±1
     * per bit, sign → bit). Shingle features, not tokens: this corpus
@@ -972,6 +978,46 @@ object Dedup {
           expr("(inter * 1000000L) div (n1 + n2 - inter)").as("jac_ppm"))
       ag.join(jac, Seq("d1", "d2"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // LSH bucket-health audit (round 8): per band, the occupancy profile
+    // of the banding relation behind q_dedup_minhash — bucket count,
+    // singleton count, the hottest bucket, and Σ C(occ,2), which IS the
+    // band's candidate-join output size. This is the number you check
+    // BEFORE running banded dedup on a new 100 TB corpus: a degenerate
+    // band (one giant bucket) turns the candidate equi-join quadratic,
+    // and this audit prices it in one corpus-linear aggregate instead of
+    // discovering it as a hung join. All-integer, so the whole audit
+    // hash-gates. Scale shape: one (band, key) groupBy (map-side
+    // combinable) + a 3-group rollup; no joins at all.
+    "q_lsh_occupancy" -> Q(
+      s"""WITH $oShingleCte,
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    $oSigExprs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |occ AS (SELECT band_id, key, count(*) AS occ FROM bands
+         |        GROUP BY band_id, key)
+         |SELECT cast(band_id as bigint) AS band_id,
+         |  cast(count(*) as bigint) AS n_buckets,
+         |  cast(count(*) FILTER (occ = 1) as bigint) AS n_singletons,
+         |  cast(max(occ) as bigint) AS max_occ,
+         |  cast(sum((cast(occ as hugeint) * (occ - 1)) // 2) as bigint)
+         |    AS cand_pairs
+         |FROM occ GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, dir) =>
+      val occ = lshBands(minhashSignaturesStateless(docs(s, dir)))
+        .groupBy(col("band_id"), col("key"))
+        .agg(count(lit(1)).as("occ"))
+      occ.groupBy(col("band_id").cast(LongType).as("band_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+          count(when(col("occ") === 1, 1)).as("n_singletons"),
+          max(col("occ")).as("max_occ"),
+          sum(expr("(occ * (occ - 1)) div 2")).as("cand_pairs"))
+        .orderBy(col("band_id"))
     },
 
     // Edit-distance verification tier: exact Levenshtein over the SAME

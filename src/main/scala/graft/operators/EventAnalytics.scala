@@ -436,6 +436,45 @@ object EventAnalytics {
     // day-spine clamp (windows ending after the last observed day are
     // dropped) rides the one legal BNLJ shape: crossJoin(broadcast(
     // 1-row max-date aggregate)).
+    // Group-aware train/val/test split (the leakage-free split a training
+    // pipeline needs): the split is a deterministic function of the GROUP
+    // key (user_id — first md5 byte, 80/10/10 by bucket mod 10), so every
+    // event of a user lands in exactly one split by construction — unlike
+    // row-level sampling (q_sample_hash), no user's history can straddle
+    // train and eval. The gated output is the per-split audit (user /
+    // event / purchase counts + exact-decimal value mass) a pipeline
+    // records before training. Scale shape: the split column is a narrow
+    // per-row projection (no shuffle), the audit one map-side-combined
+    // 3-group aggregate; distinct-user counts shuffle on (split, user)
+    // pairs, bounded by the user dimension.
+    "q_split_group" -> Q(
+      """WITH b AS (SELECT user_id, event_type, value,
+        |    (instr('0123456789abcdef', substr(md5(cast(user_id as varchar)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(cast(user_id as varchar)), 2, 1)) - 1) AS bucket
+        |  FROM events)
+        |SELECT CASE WHEN bucket % 10 < 8 THEN 'train'
+        |            WHEN bucket % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  cast(count(DISTINCT user_id) as bigint) AS n_users,
+        |  cast(count(*) as bigint) AS n_events,
+        |  cast(count(*) FILTER (event_type = 'purchase') as bigint) AS n_purchases,
+        |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double) AS total_value
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)), 1, 2),
+            16, 10).cast(LongType))
+        .withColumn("split",
+          when(col("bucket") % 10 < 8, "train")
+            .when(col("bucket") % 10 === 8, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(30, 6))
+            .cast(DoubleType).as("total_value"))
+        .orderBy(col("split"))
+    },
+
     "q_dau_window" -> Q(
       """WITH du AS (SELECT DISTINCT cast(ts as date) AS d, user_id
         |            FROM events),

@@ -279,6 +279,56 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Order-independent table checksum (round 8): the load-validation
+    // fingerprint a connector user runs after a round-trip (the
+    // reference's pandas_to_redshift → redshift_to_pandas cycle,
+    // core.py:308/84 — "did every row arrive intact?"). Per row: md5
+    // over a canonical '|'-joined rendering of the columns (doubles
+    // rendered through a bounded decimal — raw double→string formatting
+    // diverges between engines); per status group: row count + the SUM
+    // of each digest's leading 32 bits folded mod 2^61−1. Sum-of-hashes
+    // is commutative, so the checksum is independent of row order AND
+    // partitioning — two clusters can validate the same 100 TB table
+    // without a global sort — and the decimal(38) accumulator with a
+    // final modulus never overflows at any row count. One scan, one
+    // map-side-combinable aggregate, zero joins.
+    "q_table_checksum" -> Q(
+      s"""WITH d AS (
+         |  SELECT o_orderstatus,
+         |    md5(cast(o_orderkey as varchar) || '|' || cast(o_custkey as varchar)
+         |      || '|' || o_orderstatus || '|'
+         |      || cast(cast(o_totalprice as decimal(18,2)) as varchar)
+         |      || '|' || cast(o_orderdate as varchar) || '|' || o_orderpriority)
+         |      AS h
+         |  FROM orders),
+         |v AS (
+         |  SELECT o_orderstatus,
+         |    ${(1 to 8).map(i =>
+             s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+           ).mkString("\n         |    + ")} AS hv
+         |  FROM d)
+         |SELECT o_orderstatus, cast(count(*) as bigint) AS n,
+         |  cast(sum(cast(hv as hugeint)) % 2305843009213693951 as bigint)
+         |    AS checksum
+         |FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          md5(concat_ws("|",
+            col("o_orderkey").cast(StringType),
+            col("o_custkey").cast(StringType),
+            col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType),
+            col("o_orderdate").cast(StringType),
+            col("o_orderpriority")).cast(BinaryType)).as("h"))
+        .select(col("o_orderstatus"),
+          conv(substring(col("h"), 1, 8), 16, 10).cast(LongType).as("hv"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("hv").cast(DecimalType(38, 0))) % lit(2305843009213693951L))
+            .cast(LongType).as("checksum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // CREATE TABLE AS SELECT (README.md:102-109) against the session
     // catalog; result is the read-back of the created table.
     "q_ctas" -> Q(

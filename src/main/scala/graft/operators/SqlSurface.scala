@@ -967,6 +967,24 @@ object SqlSurface {
       s.sql(SqlSurfaceTexts.cteSql)
     },
 
+    // Recursive CTE (Spark 4's UnionLoop): a month spine generated by
+    // recursion from the data's own [min, max] month range, left-joined
+    // to per-month revenue so empty months surface as zero rows — the
+    // classic time-spine densification, written as ONE standard SQL text
+    // that runs verbatim on both engines. Scale shape: recursion depth
+    // is the TIMELINE length in months (decades « the 100-level
+    // default), never the data size; each iteration is a 1-row step
+    // joined against a 1-row bounds relation, and the monthly aggregate
+    // is map-side-combined to ~#months groups before the join. Division
+    // portability: (m - m % 12) / 12 is float division on BOTH engines
+    // (DuckDB casts int / to double too) on an exactly-representable
+    // integer-valued double, and DuckDB's round-on-cast == Spark's
+    // truncate-on-cast on exact integers.
+    "q_recursive_cte" -> Q(SqlSurfaceTexts.recursiveCteSql) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(SqlSurfaceTexts.recursiveCteSql)
+    },
+
     // Scalar subquery in a predicate; the subquery's average uses the
     // exact-decimal form so the comparison threshold is deterministic.
     "q_scalar_subquery" -> Q(SqlSurfaceTexts.scalarSubSql) { (s, dir) =>
@@ -1206,6 +1224,32 @@ object SqlSurfaceTexts {
       |  cast(cast(sum(cast(total_big as decimal(18,4))) as decimal(30,2)) as double) AS segment_total
       |FROM per_cust JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT min(cast(extract(year from o_orderdate) as bigint) * 12
+      |           + cast(extract(month from o_orderdate) as bigint) - 1) AS lo,
+      |         max(cast(extract(year from o_orderdate) as bigint) * 12
+      |           + cast(extract(month from o_orderdate) as bigint) - 1) AS hi
+      |  FROM orders
+      |), spine(m) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT m + 1 FROM spine, bounds WHERE m < hi
+      |), monthly AS (
+      |  SELECT cast(extract(year from o_orderdate) as bigint) * 12
+      |       + cast(extract(month from o_orderdate) as bigint) - 1 AS m,
+      |    cast(count(*) as bigint) AS n,
+      |    cast(cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(30,2))
+      |      as double) AS total
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT cast((m - m % 12) / 12 as bigint) AS yr,
+      |  cast(m % 12 + 1 as bigint) AS mon,
+      |  coalesce(n, cast(0 as bigint)) AS n,
+      |  coalesce(total, cast(0.0 as double)) AS total
+      |FROM spine LEFT JOIN monthly USING (m)
+      |ORDER BY yr, mon""".stripMargin
 
   val scalarSubSql: String =
     """SELECT c_custkey, c_acctbal FROM customer
