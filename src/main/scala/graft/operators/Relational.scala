@@ -579,6 +579,21 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    // NULL-aware anti join (round 8): ANSI `NOT IN (subquery)` with a
+    // NULLABLE left key — three-valued logic drops NULL-key rows
+    // (UNKNOWN), which a naive left_anti rewrite gets WRONG (it would
+    // keep them). Spark plans this as the dedicated null-aware
+    // BroadcastHashJoin(LeftAnti) path (NAAJ), DuckDB as its own
+    // mark-join — the ONE join form where the planner, not the query
+    // author, must carry the ANSI null semantics, so the engine runs the
+    // shared SQL text verbatim rather than hand-rewriting. Scale shape:
+    // the NOT-IN list is the high-value-customer set (aggregate-pruned,
+    // broadcastable); the probe side streams.
+    "q_join_anti_null" -> Q(SqlSurfaceTexts.antiNullSql) { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(SqlSurfaceTexts.antiNullSql)
+    },
+
     // Non-equi (theta) join — planned as a broadcast nested-loop join with
     // the small side broadcast; count per nation keeps output bounded.
     "q_join_theta" -> Q(

@@ -911,6 +911,34 @@ object SqlSurface {
     // Pivot / crosstab: status columns per priority. Spark's pivot yields
     // null for empty cells where conditional counts yield 0 — coalesced
     // for parity with the FILTER form.
+    // Market-basket pair mining (round 8): top co-purchased part pairs.
+    // Pairs are generated WITHIN each order — the self-join fans out
+    // C(order size, 2) rows per order (TPC-H orders hold ≤ 7 lines), so
+    // the expansion is corpus-LINEAR, never the all-pairs product the
+    // naive part×part formulation would plan; the (p1, p2) count is
+    // map-side combinable and the top-25 is a TakeOrdered (count desc
+    // with a (p1, p2) tiebreak — deterministic across engines), no
+    // global sort. The same shape mines token/document co-occurrence in
+    // an LLM-data pipeline (q_cooccur_window is the windowed variant).
+    "q_basket_pairs" -> Q(
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT p1, p2, cast(count(*) as bigint) AS n
+        |FROM pairs GROUP BY p1, p2
+        |ORDER BY n DESC, p1, p2 LIMIT 25""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.toDF("l_orderkey", "p1")
+      val b = items.toDF("l_orderkey", "p2")
+      a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(25)
+    },
+
     "q_pivot" -> Q(
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
@@ -1250,6 +1278,16 @@ object SqlSurfaceTexts {
       |  coalesce(total, cast(0.0 as double)) AS total
       |FROM spine LEFT JOIN monthly USING (m)
       |ORDER BY yr, mon""".stripMargin
+
+  val antiNullSql: String =
+    """WITH hi AS (SELECT DISTINCT o_custkey FROM orders
+      |            WHERE o_totalprice > 400000.0),
+      |c AS (SELECT c_mktsegment,
+      |        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+      |      FROM customer)
+      |SELECT c_mktsegment, cast(count(*) as bigint) AS n
+      |FROM c WHERE k NOT IN (SELECT o_custkey FROM hi)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   val scalarSubSql: String =
     """SELECT c_custkey, c_acctbal FROM customer

@@ -275,6 +275,26 @@ object Streams {
     }
   }
 
+  /** Decontamination at INGEST (s_stream_decontam): drop any streaming
+    * doc that shares a [[graft.llm.Search.decontamK]]-token gram with the
+    * (small, fixed) eval set — the batch q_decontam semantics applied in
+    * front of the firehose, so contaminated documents never reach the
+    * lake at all. The eval grams are materialized once at pipeline BUILD
+    * time and shipped as a plan literal, making the streaming plan a
+    * single STATELESS narrow filter: zero state stores, no join, no
+    * watermark, unbounded-safe at any ingest rate. (An eval set too big
+    * to broadcast would instead use the exploded stream-static left-semi
+    * flag + stateful distinct — strictly more machinery; eval sets are
+    * benchmark-sized by construction, so the literal form is the right
+    * default.) Short docs have an EMPTY gram array (never null), so they
+    * pass the overlap test and are kept — a doc with no grams cannot be
+    * contaminated.
+    */
+  def streamingDecontam(docsStream: DataFrame, evalGrams: Array[String]): DataFrame =
+    docsStream.filter(!arrays_overlap(
+      graft.functions.TextExpressions.shingles(col("text"), graft.llm.Search.decontamK),
+      typedLit(evalGrams)))
+
   /** Stream-stream inner join with an event-time bound (s_join_stream):
     * correlate two live streams per key where the right event lands
     * within `window` after the left one (click→conversion attribution).

@@ -56,6 +56,23 @@ class PushdownSpec extends AnyFunSuite {
       s"no derived brand filter reached the part scan:\n$plan")
   }
 
+  test("q_join_anti_null plans the NULL-AWARE anti join, not a plain left_anti") {
+    // ANSI NOT IN with a nullable key: a plain LeftAnti hash join would
+    // KEEP null-key probe rows (null matches nothing), silently breaking
+    // three-valued logic. Spark's planner must mark the join null-aware;
+    // if a future version stops (e.g. the single-column rewrite rule
+    // changes), correctness would drift from the DuckDB oracle only on
+    // corpora with null keys — pin the plan property itself.
+    // (string check: the AQE wrapper hides the join from plan.collect;
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    // trailing argument — "LeftAnti, BuildRight, true")
+    val plan = graft.Registry.all("q_join_anti_null").fn(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no LeftAnti join in plan:\n$plan")
+    assert(plan.matches("(?s).*LeftAnti, Build(Right|Left), true.*"),
+      s"LeftAnti join lost its null-aware marking:\n$plan")
+  }
+
   test("q_scan_partitioned prunes partitions at planning (PartitionFilters)") {
     // the read over the hive-partitioned layout must carry the
     // event_type predicate as a PARTITION filter (directory pruning) —

@@ -100,6 +100,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDecontam drops eval-overlapping docs and equals the batch q_decontam flag set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // unit semantics: contaminated dropped, clean kept, short docs kept
+    val evalGrams = Array("alpha beta gamma delta")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingDecontam(
+        mem.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_decontam").start()
+    try {
+      mem.addData(
+        (1L, "prefix alpha beta gamma delta suffix"), // contaminated
+        (2L, "a perfectly clean document body here"), // clean
+        (3L, "alpha beta gamma"))                     // too short for a 4-gram
+      q.processAllAvailable()
+      val ids = spark.table("t_decontam").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+
+    // batch-twin equality on the real corpus: survivors of the stream
+    // filter == non-eval docs minus q_decontam's flagged set
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.shingles(
+        col("text"), graft.llm.Search.decontamK)).as("gram"))
+    val evalSet = grams.filter(col("doc_id") % graft.llm.Search.benchMod === 0)
+      .select("gram").distinct().as[String].collect()
+    val train = docs.filter(col("doc_id") % graft.llm.Search.benchMod =!= 0)
+    val flagged = graft.Registry.all("q_decontam").fn(spark, TestSpark.sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.streamingDecontam(
+        mem2.toDF().toDF("doc_id", "text"), evalSet)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_decontam2").start()
+    try {
+      mem2.addData(train.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq: _*)
+      q2.processAllAvailable()
+      val survived = spark.table("t_decontam2").select("doc_id")
+        .as[Long].collect().toSet
+      val expected = train.select("doc_id").as[Long].collect().toSet -- flagged
+      assert(survived == expected,
+        s"extra: ${(survived -- expected).take(3)}; missing: ${(expected -- survived).take(3)}")
+    } finally q2.stop()
+  }
+
   test("streamingSigDedup with watermark dedups within the horizon AND evicts after it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
