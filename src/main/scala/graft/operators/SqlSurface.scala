@@ -912,14 +912,18 @@ object SqlSurface {
     // null for empty cells where conditional counts yield 0 — coalesced
     // for parity with the FILTER form.
     // Market-basket pair mining (round 8): top co-purchased part pairs.
-    // Pairs are generated WITHIN each order — the self-join fans out
-    // C(order size, 2) rows per order (TPC-H orders hold ≤ 7 lines), so
-    // the expansion is corpus-LINEAR, never the all-pairs product the
-    // naive part×part formulation would plan; the (p1, p2) count is
-    // map-side combinable and the top-25 is a TakeOrdered (count desc
-    // with a (p1, p2) tiebreak — deterministic across engines), no
-    // global sort. The same shape mines token/document co-occurrence in
-    // an LLM-data pipeline (q_cooccur_window is the windowed variant).
+    // Pairs are generated WITHIN each order via the native SuffixPairs
+    // C(d,2) expansion over each order's sorted distinct part set —
+    // ONE orderkey shuffle and an in-row explode, no self-join at all
+    // (the join form costs a second exchange and measured 2.1 s vs
+    // 1.1 s at sf0.1); TPC-H orders hold ≤ 7 lines, so the fan-out is
+    // corpus-LINEAR, never the all-pairs part×part product. The
+    // (p1, p2) count is map-side combinable and the top-25 is a
+    // TakeOrdered (count desc with a (p1, p2) tiebreak — deterministic
+    // across engines), no global sort. The same shape mines token /
+    // document co-occurrence in an LLM-data pipeline (q_cooccur_window
+    // is the windowed variant). The oracle states the classic self-join
+    // formulation — same relation, independent derivation.
     "q_basket_pairs" -> Q(
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -929,12 +933,14 @@ object SqlSurface {
         |SELECT p1, p2, cast(count(*) as bigint) AS n
         |FROM pairs GROUP BY p1, p2
         |ORDER BY n DESC, p1, p2 LIMIT 25""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.toDF("l_orderkey", "p1")
-      val b = items.toDF("l_orderkey", "p2")
-      a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(
+          graft.functions.TextExpressions.suffixPairs(col("ps"))).as("p"))
+        .groupBy(col("p.d1").as("p1"), col("p.d2").as("p2"))
+        .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("p1"), col("p2"))
         .limit(25)
     },
