@@ -1242,6 +1242,98 @@ object Dedup {
         .filter(col("inter") * 9 >= (col("n1") + col("n2")) * 4)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // Incremental corpus dedup (round 8 continuation): dedup the NEW
+    // batch against the EXISTING corpus without re-clustering anything —
+    // the shape an ingest pipeline actually runs daily (the batch twin
+    // of streaming decontam-at-ingest). The "new batch" is the
+    // deterministic md5 doc_id bucket 9 (~10% of docs — the
+    // q_sample_hash split, no rng); a new doc is a duplicate when ANY of
+    // its 3 MinHash LSH bands matches a band key present in the corpus.
+    // Emits per new doc the matched-band count and the dup flag — all
+    // from engine-identical md5 minima, so the whole readout hash-gates.
+    // Scale shape: the corpus side collapses to its DISTINCT (band, key)
+    // index in one map-side-combinable agg (this index is exactly what a
+    // production ingest would persist and reuse across days — the
+    // writePairGraph/writeIvfIndex pattern); the probe is a
+    // new-batch-sized left equi-join on that index. Nothing is ever
+    // pairwise in the corpus.
+    "q_dedup_incremental" -> Q(
+      s"""WITH $oShingleCte,
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    $oSigExprs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key,
+         |    ((instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+         |     + (instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1))
+         |      % 10 = 9 AS is_new
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |corpk AS MATERIALIZED (
+         |  SELECT DISTINCT band_id, key FROM bands WHERE NOT is_new)
+         |SELECT nb.doc_id,
+         |  cast(count(CASE WHEN ck.key IS NOT NULL THEN 1 END) as bigint)
+         |    AS n_bands_hit,
+         |  count(CASE WHEN ck.key IS NOT NULL THEN 1 END) > 0 AS is_dup
+         |FROM bands nb LEFT JOIN corpk ck
+         |  ON nb.band_id = ck.band_id AND nb.key = ck.key
+         |WHERE nb.is_new
+         |GROUP BY nb.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bands = lshBands(minhashSignaturesStateless(docs(s, dir)))
+        .withColumn("is_new",
+          conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)),
+            1, 2), 16, 10).cast(LongType) % 10 === 9)
+      val corpk = bands.filter(!col("is_new"))
+        .select(col("band_id"), col("key")).distinct()
+        .withColumn("hit", lit(1))
+      bands.filter(col("is_new"))
+        .join(corpk, Seq("band_id", "key"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("hit")).as("n_bands_hit"))
+        .select(col("doc_id"), col("n_bands_hit"),
+          (col("n_bands_hit") > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source duplication-rate audit (round 8 continuation): which
+    // source is flooding the corpus with copies — the readout that
+    // decides WHERE to point the dedup pipeline (and whether to demote a
+    // scraper) before any pairwise work runs. A doc counts as duplicated
+    // when its whitespace-normalized md5 fingerprint (the q_fingerprint
+    // canonical form, core.py has no analog — EXT) occurs more than once
+    // CORPUS-WIDE; rates are floor-ppm of exact counts
+    // (decimal(38,0)/HUGEINT-lifted). Scale shape: one fingerprint
+    // groupBy (map-side combinable) + one fingerprint-keyed equi-join
+    // back to the doc table + one source rollup — three linear shuffles,
+    // no pairs.
+    "q_dup_rate_by_source" -> Q(
+      """WITH f AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT fp, cast(count(*) as bigint) AS gs FROM f GROUP BY fp)
+        |SELECT source, cast(count(*) as bigint) AS n_docs,
+        |  cast(count(CASE WHEN gs > 1 THEN 1 END) as bigint) AS n_dup_docs,
+        |  cast((cast(1000000 as hugeint) * count(CASE WHEN gs > 1 THEN 1 END))
+        |       // count(*) as bigint) AS dup_ppm
+        |FROM f JOIN g USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val f = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
+          .as("fp"))
+      val g = f.groupBy(col("fp")).agg(count(lit(1)).as("gs"))
+      f.join(g, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("gs") > 1, 1)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          expr("cast((cast(1000000 as decimal(38,0)) * n_dup_docs)" +
+            " div n_docs as bigint)").as("dup_ppm"))
+        .orderBy(col("source"))
     }
   )
 }

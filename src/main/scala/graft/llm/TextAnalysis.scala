@@ -1269,6 +1269,179 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
           sum(col("n_tok").cast(LongType)).as("sum_tok"))
         .orderBy(col("lang"), col("split"))
+    },
+
+    // Vocabulary-concentration audit (round 8 continuation): per
+    // language, the Gini coefficient of the token-frequency distribution
+    // — the one-number summary of how head-heavy a corpus's vocabulary
+    // is (a template-flooded source spikes it; tokenizer-training
+    // pipelines watch it next to q_oov_rate). Fully integer: with
+    // frequencies ranked ascending (row_number, ties broken by token —
+    // any total order among equal frequencies leaves Σi·f unchanged),
+    // Gini = (2·Σi·f − (n+1)·Σf) / (n·Σf), emitted as a floor-ppm of
+    // exact integers lifted to decimal(38,0)/HUGEINT before every
+    // multiply (i·f passes 2^63 near 1e8-token vocabularies; the ×1e6
+    // numerator stays < 1e27 ≪ 10^38 at any real corpus). Scale shape:
+    // one token shuffle into the (lang, token) hash agg; the ranking
+    // window runs on the AGGREGATED vocab table (the q_vocab_topk
+    // precedent), never the corpus.
+    "q_gini_vocab" -> Q(
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |f AS MATERIALIZED (
+        |  SELECT lang, token, cast(count(*) as bigint) AS c
+        |  FROM tok GROUP BY lang, token),
+        |r AS (SELECT lang, c,
+        |        cast(row_number() OVER (PARTITION BY lang
+        |               ORDER BY c, token) as hugeint) AS i
+        |      FROM f)
+        |SELECT lang, cast(count(*) as bigint) AS n_vocab,
+        |  cast(sum(c) as bigint) AS n_tokens,
+        |  cast((1000000 * (2*sum(i*c) - (count(*)+1)*sum(c)))
+        |       // (count(*) * sum(c)) as bigint) AS gini_ppm
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("lang"), explode(toks).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("c"), col("token")))
+          .cast(LongType))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),
+          sum(col("i").cast(DecimalType(38, 0)) * col("c")).as("sic"))
+        .select(col("lang"), col("n_vocab"), col("n_tokens"),
+          expr("cast((cast(1000000 as decimal(38,0))" +
+            " * (2*sic - cast(n_vocab+1 as decimal(38,0))*n_tokens))" +
+            " div (cast(n_vocab as decimal(38,0)) * n_tokens) as bigint)")
+            .as("gini_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    // Distribution-drift audit (round 8 continuation): the two-sample
+    // Kolmogorov–Smirnov statistic between every PAIR of sources on the
+    // document-length distribution — q_source_divergence watches WHAT a
+    // source says (unigram χ²); this watches its SHAPE (a scraper that
+    // starts truncating pages moves the length ECDF long before the
+    // vocabulary shifts). Fully integer: D = max |ECDF_a − ECDF_b| is
+    // cross-multiplied to max |n_b·cum_a − n_a·cum_b| over the shared
+    // value spine (HUGEINT/decimal(38,0)-lifted — n·cum passes 2^63 near
+    // 3e9 docs/source), then floored to ppm of n_a·n_b. Scale shape: the
+    // corpus collapses to per-(source, value) counts in one map-side-
+    // combinable agg; the zero-filled grid, cumulative windows, and the
+    // C(sources,2)-wide pair join all run on the sources × distinct-
+    // values table — value-cell sized (doc lengths are bounded), never
+    // corpus-sized. The sources table rides crossJoin(broadcast(tiny)).
+    "q_ks_drift" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT source, cast(n_chars as bigint) AS v FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT source, v, cast(count(*) as bigint) AS c
+        |  FROM d GROUP BY source, v),
+        |srcs AS (SELECT source, cast(count(*) as bigint) AS n
+        |         FROM d GROUP BY source),
+        |spine AS (SELECT DISTINCT v FROM d),
+        |grid AS (SELECT s.source, s.n, sp.v, coalesce(c.c, 0) AS c
+        |         FROM srcs s CROSS JOIN spine sp
+        |         LEFT JOIN cnt c ON c.source = s.source AND c.v = sp.v),
+        |cum AS MATERIALIZED (
+        |  SELECT source, n, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM grid)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  max(a.n) AS n_a, max(b.n) AS n_b,
+        |  cast((1000000 * max(abs(cast(b.n as hugeint)*a.cum
+        |                          - cast(a.n as hugeint)*b.cum)))
+        |       // (cast(max(a.n) as hugeint) * max(b.n)) as bigint) AS ks_ppm
+        |FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .select(col("source"), col("n_chars").cast(LongType).as("v"))
+      val cnt = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val spine = d.select(col("v")).distinct()
+      val cum = spine.crossJoin(broadcast(srcs))
+        .join(cnt, Seq("source", "v"), "left")
+        .select(col("source"), col("n"), col("v"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val a = cum.select(col("source").as("source_a"), col("n").as("na"),
+        col("v"), col("cum").as("cum_a"))
+      val b = cum.select(col("source").as("source_b"), col("n").as("nb"),
+        col("v"), col("cum").as("cum_b"))
+      a.join(b, "v").filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(abs(col("nb").cast(DecimalType(38, 0)) * col("cum_a")
+            - col("na").cast(DecimalType(38, 0)) * col("cum_b"))).as("d_num"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          expr("cast((cast(1000000 as decimal(38,0)) * d_num)" +
+            " div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+            .as("ks_ppm"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Categorical-independence audit (round 8 continuation): χ² of the
+    // lang × source contingency table — "is the language mix uniform
+    // across sources, or does some source skew?" — the companion to
+    // q_source_divergence (content drift) and q_ks_drift (shape drift)
+    // on the label axis a mixture-balancing pipeline actually curates
+    // on. Same integer discipline: observed and expected CELL
+    // frequencies in floor-ppm of the corpus (expected = row·col/N²,
+    // HUGEINT/decimal(38,0)-lifted — row·col·1e6 passes 2^63 near 3e9
+    // docs), χ² contribution per lang in parts-per-billion. Scale
+    // shape: ONE doc-count agg to the langs × sources cell table; every
+    // join after runs on that tiny grid (row/col totals broadcast).
+    "q_chi2_indep" -> Q(
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, cast(count(*) as bigint) AS c
+        |  FROM documents GROUP BY lang, source),
+        |rl AS (SELECT lang, cast(sum(c) as bigint) AS r FROM cells
+        |       GROUP BY lang),
+        |cl AS (SELECT source, cast(sum(c) as bigint) AS k FROM cells
+        |       GROUP BY source),
+        |tot AS (SELECT cast(sum(c) as bigint) AS n FROM cells),
+        |grid AS (
+        |  SELECT rl.lang, cl.source, rl.r, cl.k, coalesce(ce.c, 0) AS c, t.n
+        |  FROM rl CROSS JOIN cl
+        |  LEFT JOIN cells ce ON ce.lang = rl.lang AND ce.source = cl.source,
+        |  tot t),
+        |terms AS (
+        |  SELECT lang, r,
+        |    cast((cast(c as hugeint) * 1000000) // n as bigint) AS a,
+        |    cast((cast(r as hugeint) * k * 1000000)
+        |         // (cast(n as hugeint) * n) as bigint) AS b
+        |  FROM grid)
+        |SELECT lang, cast(max(r) as bigint) AS n_docs,
+        |  cast(sum(CASE WHEN b = 0 THEN 0
+        |           ELSE ((a - b) * (a - b) * 1000) // b END) as bigint)
+        |    AS chi2_ppb
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val cells = docs(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      val rl = cells.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+      val cl = cells.groupBy(col("source")).agg(sum(col("c")).as("k"))
+      val tot = cells.agg(sum(col("c")).as("n"))
+      rl.crossJoin(broadcast(cl))
+        .join(cells, Seq("lang", "source"), "left")
+        .select(col("lang"), col("r"), col("k"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("r"),
+          expr("cast((cast(c as decimal(38,0)) * 1000000) div n as bigint)")
+            .as("a"),
+          expr("cast((cast(r as decimal(38,0)) * k * 1000000)" +
+            " div (cast(n as decimal(38,0)) * n) as bigint)").as("b"))
+        .groupBy(col("lang"))
+        .agg(max(col("r")).as("n_docs"),
+          sum(expr("CASE WHEN b = 0 THEN 0" +
+            " ELSE ((a - b) * (a - b) * 1000) div b END")).as("chi2_ppb"))
+        .orderBy(col("lang"))
     }
   )
 }

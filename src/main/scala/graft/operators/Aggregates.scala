@@ -896,6 +896,232 @@ object Aggregates {
         .agg(min(col("qty")).as("w_median_qty"),
           min(col("tw")).as("total_cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // RFM customer segmentation (round 8 continuation): the classic
+    // marketing-warehouse rollup — per customer recency (days since last
+    // order, vs the corpus max date), frequency (order count), monetary
+    // (exact-decimal lifetime spend) — each scored 1-4 by quartile, then
+    // segment-level counts + spend. Quartile boundaries are ANSI discrete
+    // percentiles (elements of the input — exact bigints / 2dp doubles,
+    // the q_pctl_disc precedent; the oracle states the cume_dist
+    // definition, the graded plan uses the percentile_disc AGGREGATE so
+    // no global window ever runs). Scale shape: one customer-keyed agg,
+    // a 1-row broadcast of the max date and of the 9 boundary values
+    // (crossJoin(broadcast(tiny)) — the legal BNLJ), one segment agg.
+    // Monetary re-aggregates through bounded decimals (Exact policy).
+    "q_rfm" -> Q(
+      """WITH cust AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    cast(datediff('day', max(cast(o_orderdate as date)),
+        |      (SELECT max(cast(o_orderdate as date)) FROM orders)) as bigint)
+        |      AS recency_d,
+        |    cast(count(*) as bigint) AS frequency,
+        |    cast(cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(30,2))
+        |      as double) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (SELECT
+        |    min(CASE WHEN cdr >= 0.25 THEN recency_d END) AS r1,
+        |    min(CASE WHEN cdr >= 0.50 THEN recency_d END) AS r2,
+        |    min(CASE WHEN cdr >= 0.75 THEN recency_d END) AS r3,
+        |    min(CASE WHEN cdf >= 0.25 THEN frequency END) AS f1,
+        |    min(CASE WHEN cdf >= 0.50 THEN frequency END) AS f2,
+        |    min(CASE WHEN cdf >= 0.75 THEN frequency END) AS f3,
+        |    min(CASE WHEN cdm >= 0.25 THEN monetary END) AS m1,
+        |    min(CASE WHEN cdm >= 0.50 THEN monetary END) AS m2,
+        |    min(CASE WHEN cdm >= 0.75 THEN monetary END) AS m3
+        |  FROM (SELECT recency_d, frequency, monetary,
+        |          cume_dist() OVER (ORDER BY recency_d) AS cdr,
+        |          cume_dist() OVER (ORDER BY frequency) AS cdf,
+        |          cume_dist() OVER (ORDER BY monetary) AS cdm
+        |        FROM cust)),
+        |s AS (SELECT
+        |    CASE WHEN recency_d <= b.r1 THEN 4 WHEN recency_d <= b.r2 THEN 3
+        |         WHEN recency_d <= b.r3 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN frequency <= b.f1 THEN 1 WHEN frequency <= b.f2 THEN 2
+        |         WHEN frequency <= b.f3 THEN 3 ELSE 4 END AS f_score,
+        |    CASE WHEN monetary <= b.m1 THEN 1 WHEN monetary <= b.m2 THEN 2
+        |         WHEN monetary <= b.m3 THEN 3 ELSE 4 END AS m_score,
+        |    monetary
+        |  FROM cust, b)
+        |SELECT cast(r_score as int) AS r_score, cast(f_score as int) AS f_score,
+        |  cast(m_score as int) AS m_score,
+        |  cast(count(*) as bigint) AS n_customers,
+        |  cast(cast(sum(cast(monetary as decimal(18,2))) as decimal(30,2))
+        |    as double) AS monetary_sum
+        |FROM s GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val dmax = orders.agg(max(to_date(col("o_orderdate"))).as("dmax"))
+      orders
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("frequency"),
+          sumMoney(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(dmax))
+        .select(datediff(col("dmax"), col("last_d")).cast(LongType)
+          .as("recency_d"), col("frequency"), col("monetary"))
+        .createOrReplaceTempView("graft_rfm_cust")
+      s.sql(
+        """WITH b AS (SELECT
+          |    cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_d)
+          |      as bigint) AS r1,
+          |    cast(percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_d)
+          |      as bigint) AS r2,
+          |    cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_d)
+          |      as bigint) AS r3,
+          |    cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency)
+          |      as bigint) AS f1,
+          |    cast(percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency)
+          |      as bigint) AS f2,
+          |    cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)
+          |      as bigint) AS f3,
+          |    percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m1,
+          |    percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS m2,
+          |    percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m3
+          |  FROM graft_rfm_cust)
+          |SELECT cast(CASE WHEN recency_d <= b.r1 THEN 4
+          |                 WHEN recency_d <= b.r2 THEN 3
+          |                 WHEN recency_d <= b.r3 THEN 2 ELSE 1 END as int)
+          |    AS r_score,
+          |  cast(CASE WHEN frequency <= b.f1 THEN 1 WHEN frequency <= b.f2 THEN 2
+          |            WHEN frequency <= b.f3 THEN 3 ELSE 4 END as int) AS f_score,
+          |  cast(CASE WHEN monetary <= b.m1 THEN 1 WHEN monetary <= b.m2 THEN 2
+          |            WHEN monetary <= b.m3 THEN 3 ELSE 4 END as int) AS m_score,
+          |  count(*) AS n_customers,
+          |  cast(cast(sum(cast(monetary as decimal(18,2))) as decimal(30,2))
+          |    as double) AS monetary_sum
+          |FROM graft_rfm_cust, b GROUP BY 1, 2, 3
+          |ORDER BY r_score, f_score, m_score""".stripMargin)
+    },
+
+    // Equi-depth decile binning (round 8 continuation): the
+    // feature-discretization primitive — 9 ANSI discrete decile
+    // boundaries over exact integer cents, bin = 1 + number of
+    // boundaries strictly below the value (ties share a bin by
+    // construction, so the assignment is deterministic), per-bin count /
+    // range / mass. q_histogram's equi-WIDTH sibling. Both engines build
+    // the bin rule from the SAME generated boundary expressions (one
+    // Scala generator, no drift). Scale shape: boundaries are one
+    // ordered-set aggregate row broadcast back over the scan
+    // (crossJoin(broadcast(1-row)) — the legal BNLJ); the per-bin rollup
+    // map-side-combines. cents sums stay < 2^63 at graded SFs; a 100 TB
+    // deployment lifts sum_cents to decimal(38,0) (q_rarity_score
+    // discipline).
+    "q_bin_equidepth" -> Q(
+      s"""WITH v AS (SELECT cast(cast(o_totalprice as decimal(12,2)) * 100
+         |             as bigint) AS cents FROM orders),
+         |b AS (SELECT
+         |    ${(1 to 9).map(i =>
+               s"min(CASE WHEN cd >= 0.$i THEN cents END) AS b$i")
+               .mkString(",\n         |    ")}
+         |  FROM (SELECT cents, cume_dist() OVER (ORDER BY cents) AS cd
+         |        FROM v)),
+         |s AS (SELECT cents, 1 + ${(1 to 9).map(i =>
+               s"(CASE WHEN cents > b.b$i THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS bin
+         |      FROM v, b)
+         |SELECT cast(bin as int) AS bin, cast(count(*) as bigint) AS n,
+         |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+         |  cast(sum(cents) as bigint) AS sum_cents
+         |FROM s GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+        .createOrReplaceTempView("graft_bin_cents")
+      s.sql(
+        s"""WITH b AS (SELECT
+           |    ${(1 to 9).map(i =>
+                 s"cast(percentile_disc(0.$i) WITHIN GROUP (ORDER BY cents) " +
+                   s"as bigint) AS b$i").mkString(",\n           |    ")}
+           |  FROM graft_bin_cents)
+           |SELECT cast(1 + ${(1 to 9).map(i =>
+                 s"(CASE WHEN cents > b.b$i THEN 1 ELSE 0 END)")
+                 .mkString(" + ")} as int) AS bin,
+           |  count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents,
+           |  sum(cents) AS sum_cents
+           |FROM graft_bin_cents, b GROUP BY 1 ORDER BY bin""".stripMargin)
+    },
+
+    // Revenue-concentration audit (round 8 continuation): the 80/20
+    // (Lorenz) readout — what share of total revenue the top-decile
+    // customers carry. "Top decile" is every customer at or above the
+    // ANSI discrete 90th-percentile spend boundary (an element of the
+    // input; ties INCLUDE, so the set is deterministic without any
+    // per-customer ranking). All exact integer cents; the share ratio is
+    // decimal(38,0)/HUGEINT-lifted before the ×1e6 (sum·1e6 passes 2^63
+    // near 1e12 order cents). Scale shape: one customer-keyed agg, a
+    // 1-row ordered-set boundary broadcast (the legal BNLJ), one
+    // conditional global agg — no window ever touches the customer set.
+    "q_pareto_share" -> Q(
+      """WITH cust AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100
+        |      as decimal(20,0))) as bigint) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (SELECT min(CASE WHEN cd >= 0.9 THEN cents END) AS b90
+        |      FROM (SELECT cents, cume_dist() OVER (ORDER BY cents) AS cd
+        |            FROM cust))
+        |SELECT cast(count(*) as bigint) AS n_customers,
+        |  cast(count(CASE WHEN cents >= b.b90 THEN 1 END) as bigint) AS n_top,
+        |  max(b.b90) AS boundary_cents,
+        |  cast((cast(1000000 as hugeint)
+        |        * sum(CASE WHEN cents >= b.b90 THEN cents ELSE 0 END))
+        |       // sum(cents) as bigint) AS top_share_ppm
+        |FROM cust, b ORDER BY n_customers""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(20, 0))).cast(LongType).as("cents"))
+        .createOrReplaceTempView("graft_pareto_cust")
+      s.sql(
+        """WITH b AS (SELECT cast(percentile_disc(0.9)
+          |    WITHIN GROUP (ORDER BY cents) as bigint) AS b90
+          |  FROM graft_pareto_cust)
+          |SELECT count(*) AS n_customers,
+          |  count(CASE WHEN cents >= b.b90 THEN 1 END) AS n_top,
+          |  max(b.b90) AS boundary_cents,
+          |  cast((cast(1000000 as decimal(38,0))
+          |        * sum(CASE WHEN cents >= b.b90 THEN cents ELSE 0 END))
+          |       div sum(cents) as bigint) AS top_share_ppm
+          |FROM graft_pareto_cust, b ORDER BY n_customers""".stripMargin)
+    },
+
+    // Month-over-month growth curve (round 8 continuation): monthly
+    // exact-cents revenue plus the MoM ratio in ppm — the trend readout
+    // every revenue dashboard opens with. The ratio is cur·1e6 div prev
+    // over POSITIVE integers only (a signed growth delta would hit the
+    // div-vs-// rounding divergence on negatives: Spark `div` truncates
+    // toward zero, DuckDB `//` floors), decimal(38,0)/HUGEINT-lifted.
+    // Scale shape: one map-side-combined month agg; the lag window runs
+    // on the CALENDAR-sized month table, never order rows.
+    "q_growth_rate" -> Q(
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100
+        |      as decimal(20,0))) as bigint) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, rev_cents,
+        |  lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+        |  CASE WHEN lag(rev_cents) OVER (ORDER BY month) IS NULL
+        |         OR lag(rev_cents) OVER (ORDER BY month) = 0 THEN NULL
+        |       ELSE cast((cast(1000000 as hugeint) * rev_cents)
+        |            // lag(rev_cents) OVER (ORDER BY month) as bigint)
+        |       END AS ratio_ppm
+        |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(20, 0))).cast(LongType).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("ratio_ppm",
+          when(col("prev_cents").isNull || col("prev_cents") === 0, lit(null))
+            .otherwise(expr("cast((cast(1000000 as decimal(38,0)) * rev_cents)" +
+              " div prev_cents as bigint)")))
+        .select(col("month"), col("rev_cents"), col("prev_cents"),
+          col("ratio_ppm"))
+        .orderBy(col("month"))
     }
   )
 

@@ -656,6 +656,160 @@ object EventAnalytics {
             / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))) * 1000000)
             .cast(LongType).as("autocorr_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // IQR-fence outlier audit (round 8 continuation): per event type,
+    // the Tukey boxplot rule — count values beyond
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] — the robust numeric-anomaly screen a
+    // feature pipeline runs on heavy-tailed columns (q_mad_outliers'
+    // quartile sibling; q_winsorize CLAMPS where this one COUNTS).
+    // Values reach integers through ONE deterministic IEEE step
+    // (floor(value·100): a single multiply + floor is bit-identical in
+    // both engines); the 1.5 factor stays integral by doubling both
+    // fence sides (2v < 2·q1 − 3·IQR), so every compared number is an
+    // exact bigint. Scale shape: quartiles are one per-type ordered-set
+    // AGGREGATE (hash agg — the oracle's cume_dist window only states
+    // the ANSI definition); the count pass re-scans with the types-sized
+    // bounds table broadcast into an equi-join and map-side-combines.
+    "q_outlier_iqr" -> Q(
+      """WITH v AS (SELECT event_type,
+        |             cast(floor(value * 100) as bigint) AS cents
+        |           FROM events),
+        |b AS MATERIALIZED (
+        |  SELECT event_type,
+        |    min(CASE WHEN cd >= 0.25 THEN cents END) AS q1,
+        |    min(CASE WHEN cd >= 0.75 THEN cents END) AS q3
+        |  FROM (SELECT event_type, cents,
+        |          cume_dist() OVER (PARTITION BY event_type
+        |                            ORDER BY cents) AS cd
+        |        FROM v)
+        |  GROUP BY event_type)
+        |SELECT v.event_type, cast(count(*) as bigint) AS n,
+        |  max(b.q1) AS q1_cents, max(b.q3) AS q3_cents,
+        |  cast(count(CASE WHEN 2*v.cents < 2*b.q1 - 3*(b.q3 - b.q1)
+        |             THEN 1 END) as bigint) AS n_low,
+        |  cast(count(CASE WHEN 2*v.cents > 2*b.q3 + 3*(b.q3 - b.q1)
+        |             THEN 1 END) as bigint) AS n_high
+        |FROM v JOIN b ON v.event_type = b.event_type
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .createOrReplaceTempView("graft_iqr_cents")
+      s.sql(
+        """WITH b AS (
+          |  SELECT event_type,
+          |    cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+          |         as bigint) AS q1,
+          |    cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+          |         as bigint) AS q3
+          |  FROM graft_iqr_cents GROUP BY event_type)
+          |SELECT v.event_type, count(*) AS n,
+          |  max(b.q1) AS q1_cents, max(b.q3) AS q3_cents,
+          |  count(CASE WHEN 2*v.cents < 2*b.q1 - 3*(b.q3 - b.q1)
+          |        THEN 1 END) AS n_low,
+          |  count(CASE WHEN 2*v.cents > 2*b.q3 + 3*(b.q3 - b.q1)
+          |        THEN 1 END) AS n_high
+          |FROM graft_iqr_cents v JOIN b ON v.event_type = b.event_type
+          |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)
+    },
+
+    // Rolling 7-day MEDIAN of daily volume (round 8 continuation): the
+    // robust trend line an ops dashboard lays over a spiky daily count —
+    // the median, unlike the rolling mean, shrugs off one anomalous day.
+    // An exact rolling median is not window-expressible cross-engine, so
+    // both engines build the dense zero-filled per-type day grid (the
+    // spine is generate_series over [min_day, max_day] — every full
+    // window holds exactly 7 integer cells) and expand each cell to the
+    // ≤7 window-ends it supports (the q_dau_window day-expansion
+    // discipline); the median of 7 bigints is the ANSI discrete
+    // 0.5-percentile — always an element of the input. Scale shape: the
+    // only corpus-scale work is the daily-count agg (map-side
+    // combinable); everything after runs on types × days × 7 rows,
+    // bounded by the CALENDAR, never the event volume. The day-bounds
+    // and types tables ride the legal crossJoin(broadcast(tiny)) shape.
+    "q_rolling_median" -> Q(
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', cast(ts as date)) AS day,
+        |    cast(count(*) as bigint) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (SELECT t.event_type, s.day, coalesce(d.c, 0) AS c
+        |         FROM types t CROSS JOIN spine s
+        |         LEFT JOIN daily d ON d.event_type = t.event_type
+        |                          AND d.day = s.day),
+        |contrib AS (SELECT g.event_type, g.day + o.off AS wend, g.c
+        |            FROM grid g CROSS JOIN
+        |              (SELECT unnest(generate_series(0, 6)) AS off) o),
+        |win AS (SELECT c.event_type, c.wend, c.c
+        |        FROM contrib c, bounds b
+        |        WHERE c.wend BETWEEN b.lo + 6 AND b.hi),
+        |cd AS (SELECT event_type, wend, c,
+        |         cume_dist() OVER (PARTITION BY event_type, wend
+        |                           ORDER BY c) AS cd
+        |       FROM win)
+        |SELECT event_type,
+        |  DATE '1970-01-01' + cast(wend as int) AS day,
+        |  cast(sum(c) as bigint) AS n_7d,
+        |  cast(min(CASE WHEN cd >= 0.5 THEN c END) as bigint) AS med_7d
+        |FROM cd GROUP BY event_type, wend
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = daily.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("wend", explode(sequence(col("day"), col("day") + 6)))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wend").between(col("lo") + 6, col("hi")))
+        .createOrReplaceTempView("graft_roll7")
+      s.sql(
+        """SELECT event_type,
+          |  date_add(DATE '1970-01-01', cast(wend as int)) AS day,
+          |  sum(c) AS n_7d,
+          |  cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+          |       as bigint) AS med_7d
+          |FROM graft_roll7 GROUP BY event_type, wend
+          |ORDER BY event_type, day""".stripMargin)
+    },
+
+    // Weekly-seasonality profile (round 8 continuation): per event type,
+    // the ISO-day-of-week volume distribution with an integer-ppm share
+    // — the periodicity fingerprint an anomaly detector baselines
+    // against (q_rolling_median smooths the trend; this isolates the
+    // cycle). Spark's weekday() (0 = Monday) + 1 aligns exactly with
+    // DuckDB's isodow (1 = Monday). Scale shape: one map-side-combined
+    // agg to ≤ types × 7 rows; the normalizing window runs on that tiny
+    // table (the q_event_transitions discipline).
+    "q_seasonality" -> Q(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    cast(date_part('isodow', cast(ts as date)) as bigint) AS isodow,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, isodow, n,
+        |  cast((n * 1000000) // sum(n) OVER (PARTITION BY event_type)
+        |       as bigint) AS share_ppm
+        |FROM d ORDER BY event_type, isodow""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(col("ts")) + 1).cast(LongType).as("isodow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", expr(
+          "cast((n * cast(1000000 as bigint))" +
+            " div sum(n) OVER (PARTITION BY event_type) as bigint)"))
+        .orderBy(col("event_type"), col("isodow"))
     }
   )
 

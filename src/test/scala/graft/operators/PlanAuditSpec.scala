@@ -67,7 +67,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dau_window",      // crossJoin(broadcast(1-row max-date aggregate))
     "q_zorder",          // crossJoin(broadcast(1-row min/max stats))
     "q_join_size_est",   // crossJoin(broadcast(1-row sketch/count aggregates))
-    "q_source_divergence") // crossJoin(broadcast(50-row vocab + 1-row total))
+    "q_source_divergence", // crossJoin(broadcast(50-row vocab + 1-row total))
+    "q_rfm",             // crossJoin(broadcast(1-row max-date + 1-row quartile bounds))
+    "q_bin_equidepth",   // crossJoin(broadcast(1-row decile-boundary aggregate))
+    "q_rolling_median",  // crossJoin(broadcast(types + 1-row day bounds)) × day spine
+    "q_ks_drift",        // crossJoin(broadcast(sources)) × value spine
+    "q_chi2_indep",      // crossJoin(broadcast(sources col-totals + 1-row N))
+    "q_pareto_share")    // crossJoin(broadcast(1-row p90 boundary))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
