@@ -168,4 +168,41 @@ object ExactnessProps extends Properties("Exactness") {
       // every true match survives the prefilter (false positives are fine)
       trueMatches.subsetOf(pre)
     }
+
+  // The percentiles every quartile/decile operator leans on
+  // (q_outlier_iqr 0.25/0.75, q_rfm, q_bin_equidepth 0.1..0.9,
+  // q_pareto_share 0.9, q_winsorize 0.05/0.95, q_rolling_median 0.5):
+  // (SQL literal, exact rational num/den).
+  private val genPct: Gen[(String, Int, Int)] = Gen.oneOf(
+    ("0.05", 1, 20), ("0.1", 1, 10), ("0.25", 1, 4), ("0.5", 1, 2),
+    ("0.75", 3, 4), ("0.9", 9, 10), ("0.95", 19, 20))
+
+  property("percentile_disc matches the ANSI cume_dist definition, any input") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+      genPct, Gen.chooseNum(1, 8)) { case (vals, (pLit, num, den), parts) =>
+      // Every graded plan computes quantile boundaries with Spark's
+      // percentile_disc AGGREGATE while the oracle states the ANSI
+      // definition — the smallest v whose cume_dist reaches p — with an
+      // explicit cume_dist window. This property pins the two
+      // definitions equal on arbitrary integer inputs, with the
+      // reference comparison done in EXACT rational arithmetic
+      // (den·|{x ≤ v}| ≥ num·n), so a Spark upgrade that drifts the
+      // boundary policy at a rank tie fails here, not at the gate.
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vals.map(Row(_)), parts),
+        StructType(Seq(StructField("v", LongType, nullable = false))))
+      val got = df
+        .agg(expr(s"percentile_disc($pLit) WITHIN GROUP (ORDER BY v)"))
+        .head().get(0) match {
+          case d: java.lang.Double => d.toDouble
+          case l: java.lang.Long => l.toDouble
+          case o => sys.error(s"unexpected percentile_disc type: $o")
+        }
+      val sorted = vals.sorted
+      val n = sorted.size.toLong
+      val want = sorted.find { v =>
+        sorted.count(_ <= v).toLong * den >= num.toLong * n
+      }.get
+      got == want.toDouble
+    }
 }
