@@ -1442,6 +1442,100 @@ object TextAnalysis {
           sum(expr("CASE WHEN b = 0 THEN 0" +
             " ELSE ((a - b) * (a - b) * 1000) div b END")).as("chi2_ppb"))
         .orderBy(col("lang"))
+    },
+
+    // Cross-source quantile normalization (round 8 continuation): map
+    // every source's doc-length distribution onto the POOLED
+    // distribution — each (source, value) cell is replaced by the pooled
+    // value at the same quantile (the batch-effect correction that makes
+    // per-source features comparable before mixing; the fix for what
+    // q_ks_drift detects). Quantiles are exact integer ppb (floor(1e9·
+    // cum/n) — deterministic cross-engine; the nearest distinct rational
+    // is ≥ 1/n away for n < 1e9, and the >= lookup semantics make ppb
+    // collisions harmless), and the lookup "smallest pooled value whose
+    // quantile ≥ mine" is NOT a quadratic cells × pooled grid: both cell
+    // sets merge into ONE tagged stream per source, sorted ppb DESC with
+    // pooled-before-source at ties (kind DESC) and smallest-value-last
+    // among equal pooled ppbs, so a single last_value(... IGNORE NULLS)
+    // running window resolves every lookup in a linear pass — sources ×
+    // domain rows total. Scale shape: the corpus collapses to value
+    // cells in one map-side-combinable agg; every window runs on
+    // DOMAIN-bounded cell tables (doc lengths, not docs); the pooled
+    // cell table and source list ride crossJoin(broadcast(tiny)).
+    "q_quantile_norm" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT source, cast(n_chars as bigint) AS v FROM documents),
+        |sc AS (SELECT source, v, cast(count(*) as bigint) AS cnt
+        |       FROM d GROUP BY source, v),
+        |st AS MATERIALIZED (
+        |  SELECT source, cast(sum(cnt) as bigint) AS n_src
+        |  FROM sc GROUP BY source),
+        |s AS (SELECT sc.source, 0 AS kind,
+        |        cast((cast(1000000000 as hugeint) *
+        |          sum(cnt) OVER (PARTITION BY sc.source ORDER BY v
+        |                         ROWS UNBOUNDED PRECEDING))
+        |          // st.n_src as bigint) AS ppb,
+        |        v, cnt, cast(NULL as bigint) AS v_pool
+        |      FROM sc JOIN st ON sc.source = st.source),
+        |pc AS (SELECT v, cast(count(*) as bigint) AS pcnt FROM d GROUP BY v),
+        |pt AS (SELECT cast(sum(pcnt) as bigint) AS n FROM pc),
+        |p AS MATERIALIZED (
+        |  SELECT cast((cast(1000000000 as hugeint) *
+        |           sum(pcnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))
+        |           // pt.n as bigint) AS ppb,
+        |         v AS v_pool
+        |  FROM pc, pt),
+        |m AS (SELECT * FROM s
+        |      UNION ALL
+        |      SELECT st.source, 1 AS kind, p.ppb, cast(NULL as bigint) AS v,
+        |             cast(NULL as bigint) AS cnt, p.v_pool
+        |      FROM st CROSS JOIN p),
+        |f AS (SELECT source, kind, v, cnt,
+        |        last_value(v_pool IGNORE NULLS) OVER (
+        |          PARTITION BY source
+        |          ORDER BY ppb DESC, kind DESC, coalesce(v_pool, v) DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_norm
+        |      FROM m)
+        |SELECT source, v, cnt AS n_docs, v_norm FROM f WHERE kind = 0
+        |ORDER BY source, v""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ppbOf = (cum: String, n: String) =>
+        expr(s"cast((cast(1000000000 as decimal(38,0)) * $cum) div $n as bigint)")
+      val d = docs(s, dir)
+        .select(col("source"), col("n_chars").cast(LongType).as("v"))
+      val srcCells = d.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val srcTot = srcCells.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_src"))
+      val srcRows = srcCells
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(srcTot, "source")
+        .select(col("source"), lit(0).as("kind"),
+          ppbOf("cum", "n_src").as("ppb"), col("v"), col("cnt"),
+          lit(null).cast(LongType).as("v_pool"))
+      val poolCells = d.groupBy(col("v")).agg(count(lit(1)).as("pcnt"))
+      val poolTot = poolCells.agg(sum(col("pcnt")).as("n"))
+      val poolRows = poolCells
+        .withColumn("pcum", sum(col("pcnt")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(poolTot))
+        .select(ppbOf("pcum", "n").as("ppb"), col("v").as("v_pool"))
+        .crossJoin(broadcast(srcTot.select(col("source"))))
+        .select(col("source"), lit(1).as("kind"), col("ppb"),
+          lit(null).cast(LongType).as("v"), lit(null).cast(LongType).as("cnt"),
+          col("v_pool"))
+      srcRows.unionByName(poolRows)
+        .withColumn("v_norm", last(col("v_pool"), ignoreNulls = true).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("ppb").desc, col("kind").desc,
+              coalesce(col("v_pool"), col("v")).desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("kind") === 0)
+        .select(col("source"), col("v"), col("cnt").as("n_docs"), col("v_norm"))
+        .orderBy(col("source"), col("v"))
     }
   )
 }

@@ -73,7 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rolling_median",  // crossJoin(broadcast(types + 1-row day bounds)) × day spine
     "q_ks_drift",        // crossJoin(broadcast(sources)) × value spine
     "q_chi2_indep",      // crossJoin(broadcast(sources col-totals + 1-row N))
-    "q_pareto_share")    // crossJoin(broadcast(1-row p90 boundary))
+    "q_pareto_share",    // crossJoin(broadcast(1-row p90 boundary))
+    "q_quantile_norm")   // crossJoin(broadcast(pooled cells + source list))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
