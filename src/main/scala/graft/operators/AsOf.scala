@@ -136,6 +136,76 @@ object AsOf {
         .select(col("event_id"), col("user_id"),
           col("asof_click_id").as("asof_click_id"))
         .orderBy(col("event_id"))
+    },
+
+    // Nearest-direction as-of (round 8 continuation): for every error,
+    // the click with the SMALLEST |Δt| either side — completing the
+    // pandas merge_asof direction surface (backward = q_asof_join,
+    // forward = q_asof_fwd, nearest = this) that a pandas_redshift user
+    // would reach for. Composed from the two existing one-shuffle
+    // primitives with struct payloads carrying (ts, id), then a
+    // row-local CASE picks the nearer side; ties prefer the PRECEDING
+    // click (a stated contract, since pandas leaves it unspecified).
+    // Equal-timestamp determinism inherits each primitive's reduction
+    // (backward max-id, forward min-id — mirrored in the oracle's
+    // cmax/cmin CTEs). Scale shape: two union-tag window passes on the
+    // user_id shuffle key, zero joins beyond them; Δt arithmetic is
+    // integer µs.
+    "q_asof_nearest" -> Q(
+      """WITH cmax AS (SELECT user_id, ts, max(event_id) AS event_id
+        |             FROM events WHERE event_type = 'click'
+        |             GROUP BY user_id, ts),
+        |cmin AS (SELECT user_id, ts, min(event_id) AS event_id
+        |         FROM events WHERE event_type = 'click'
+        |         GROUP BY user_id, ts),
+        |errors AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'error'),
+        |b AS (SELECT e.event_id, e.user_id, e.ts, c.ts AS bts,
+        |             c.event_id AS bid
+        |      FROM errors e ASOF LEFT JOIN cmax c
+        |        ON e.user_id = c.user_id AND e.ts >= c.ts),
+        |f AS (SELECT e.event_id, c.ts AS fts, c.event_id AS fid
+        |      FROM errors e ASOF LEFT JOIN cmin c
+        |        ON e.user_id = c.user_id AND e.ts <= c.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+        |       WHEN fts IS NULL THEN bid
+        |       WHEN bts IS NULL THEN fid
+        |       WHEN epoch_us(b.ts) - epoch_us(bts)
+        |            <= epoch_us(fts) - epoch_us(b.ts) THEN bid
+        |       ELSE fid END AS nearest_click_id,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+        |       WHEN fts IS NULL THEN epoch_us(b.ts) - epoch_us(bts)
+        |       WHEN bts IS NULL THEN epoch_us(fts) - epoch_us(b.ts)
+        |       WHEN epoch_us(b.ts) - epoch_us(bts)
+        |            <= epoch_us(fts) - epoch_us(b.ts)
+        |         THEN epoch_us(b.ts) - epoch_us(bts)
+        |       ELSE epoch_us(fts) - epoch_us(b.ts) END AS delta_us
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val events = Engine.table(s, dir, "events")
+      val back = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          struct(col("ts").as("cts"), col("event_id").as("cid")).as("cp"))
+      val fwd = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          struct(col("ts").as("cts"), col("event_id").as("cid")).as("cq"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val b = asOfJoin(errors, back, "user_id", "ts", "ts", "cp")
+      val both = asOfJoinForward(b, fwd, "user_id", "ts", "ts", "cq")
+      val (bts, bid) = (col("asof_cp.cts"), col("asof_cp.cid"))
+      val (fts, fid) = (col("asof_cq.cts"), col("asof_cq.cid"))
+      val bd = unix_micros(col("ts")) - unix_micros(bts)
+      val fd = unix_micros(fts) - unix_micros(col("ts"))
+      both.select(col("event_id"), col("user_id"),
+        when(bts.isNull && fts.isNull, lit(null))
+          .when(fts.isNull, bid).when(bts.isNull, fid)
+          .when(bd <= fd, bid).otherwise(fid).as("nearest_click_id"),
+        when(bts.isNull && fts.isNull, lit(null))
+          .when(fts.isNull, bd).when(bts.isNull, fd)
+          .when(bd <= fd, bd).otherwise(fd).as("delta_us"))
+        .orderBy(col("event_id"))
     }
   )
 }
