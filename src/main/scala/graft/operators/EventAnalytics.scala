@@ -810,6 +810,51 @@ object EventAnalytics {
           "cast((n * cast(1000000 as bigint))" +
             " div sum(n) OVER (PARTITION BY event_type) as bigint)"))
         .orderBy(col("event_type"), col("isodow"))
+    },
+
+    // Top entry paths (round 8 continuation): the first-3-events journey
+    // per user, counted and ranked — the "how do users actually start"
+    // path-analysis readout next to q_funnel's fixed three-step
+    // hypothesis. The path string is assembled from per-rank conditional
+    // mins (order-insensitive aggregation — no collect_list ordering
+    // hazard); concat_ws skips NULLs identically in both engines, so
+    // 1- and 2-event users keep their short paths. Scale shape: one
+    // user_id-partitioned rank window (rk ≤ 3 triggers the
+    // WindowGroupLimit partial top-k), one user agg, one path agg; the
+    // ranking window runs on the path-vocabulary table (≤ |types|³
+    // rows at any corpus size).
+    "q_funnel_paths" -> Q(
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |        concat_ws('>',
+        |          min(CASE WHEN rk = 1 THEN event_type END),
+        |          min(CASE WHEN rk = 2 THEN event_type END),
+        |          min(CASE WHEN rk = 3 THEN event_type END)) AS path
+        |      FROM r WHERE rk <= 3 GROUP BY user_id),
+        |c AS (SELECT path, cast(count(*) as bigint) AS n_users
+        |      FROM p GROUP BY path)
+        |SELECT path, n_users, rk FROM (
+        |  SELECT path, n_users,
+        |    cast(row_number() OVER (ORDER BY n_users DESC, path) as int) AS rk
+        |  FROM c)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val r = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .filter(col("rk") <= 3)
+      val p = r.groupBy(col("user_id")).agg(concat_ws(">",
+        min(when(col("rk") === 1, col("event_type"))),
+        min(when(col("rk") === 2, col("event_type"))),
+        min(when(col("rk") === 3, col("event_type")))).as("path"))
+      p.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_users").desc, col("path"))).cast(IntegerType))
+        .filter(col("rk") <= 10)
+        .orderBy(col("rk"))
     }
   )
 

@@ -708,6 +708,49 @@ object Scale {
         .filter(col("min_above").isNull || col("day") <= col("min_above"))
         .select(col("o_orderkey"), col("price_cents"), col("day"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Join-key skew audit (round 8 continuation): the one-pass profile
+    // you price a join with BEFORE running it at 100 TB — key count,
+    // multiplicity percentiles (ANSI disc), the hottest key's share in
+    // ppm, and Σc² (the EXACT self-join/equi-join fan-out on this key) —
+    // the decision input for q_join_skew's salting and AQE skew
+    // thresholds, next to q_join_size_est's sketch ESTIMATE of the same
+    // number. All exact integers; Σc² and the share are
+    // decimal(38,0)/HUGEINT-lifted (c² sums pass 2^63 near 3e9-row hot
+    // keys). Scale shape: one map-side-combinable key agg, then a
+    // single-row rollup whose percentile buffers hold distinct
+    // MULTIPLICITIES (domain-bounded), never keys or rows.
+    "q_skew_audit" -> Q(
+      """WITH kc AS MATERIALIZED (
+        |  SELECT l_orderkey AS k, cast(count(*) as bigint) AS c
+        |  FROM lineitem GROUP BY l_orderkey),
+        |p AS (SELECT c, cume_dist() OVER (ORDER BY c) AS cd FROM kc)
+        |SELECT cast((SELECT count(*) FROM kc) as bigint) AS n_keys,
+        |  cast((SELECT sum(c) FROM kc) as bigint) AS n_rows,
+        |  (SELECT min(CASE WHEN cd >= 0.5 THEN c END) FROM p) AS p50_mult,
+        |  (SELECT min(CASE WHEN cd >= 0.99 THEN c END) FROM p) AS p99_mult,
+        |  cast((SELECT max(c) FROM kc) as bigint) AS max_mult,
+        |  cast((SELECT sum(cast(c as hugeint) * c) FROM kc) as bigint)
+        |    AS self_join_rows,
+        |  cast((SELECT (cast(1000000 as hugeint) * max(c)) // sum(c) FROM kc)
+        |    as bigint) AS max_share_ppm
+        |ORDER BY n_keys""".stripMargin) { (s, dir) =>
+      Engine.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .createOrReplaceTempView("graft_skew_kc")
+      s.sql(
+        """SELECT count(*) AS n_keys, sum(c) AS n_rows,
+          |  cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+          |       as bigint) AS p50_mult,
+          |  cast(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+          |       as bigint) AS p99_mult,
+          |  max(c) AS max_mult,
+          |  cast(sum(cast(c as decimal(38,0)) * c) as bigint)
+          |    AS self_join_rows,
+          |  cast((cast(1000000 as decimal(38,0)) * max(c)) div sum(c)
+          |    as bigint) AS max_share_ppm
+          |FROM graft_skew_kc ORDER BY n_keys""".stripMargin)
     }
   )
 }
