@@ -855,8 +855,70 @@ object EventAnalytics {
           Window.orderBy(col("n_users").desc, col("path"))).cast(IntegerType))
         .filter(col("rk") <= 10)
         .orderBy(col("rk"))
+    },
+
+    // Wilson confidence interval for conversion rates (round 8
+    // continuation): the experiment readout q_abtest_lift's point
+    // estimates were missing — per md5 arm, the 95% Wilson score bounds,
+    // the interval that stays sane at small n and extreme rates where
+    // the normal approximation lies. The bounds are doubles, and they
+    // hash-gate because BOTH engines evaluate the ONE shared expression
+    // string (interpolated verbatim into the plan and the oracle —
+    // q_linreg's fixed-IEEE-tree discipline) on integer-exact (k, n):
+    // +,*,/ and sqrt are correctly-rounded IEEE ops, every literal is
+    // cast(... as double) so DuckDB cannot lift 1.96 into decimal
+    // arithmetic, and neither optimizer reassociates floats. Scale
+    // shape: one user-keyed agg + a 2-row rollup.
+    "q_rate_ci" -> Q(
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    (instr('0123456789abcdef',
+         |           substr(md5(cast(user_id as varchar)), 1, 1)) - 1) % 2 AS arm,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT arm, cast(count(*) as bigint) AS n,
+         |        cast(sum(conv) as bigint) AS k
+         |      FROM u GROUP BY arm)
+         |SELECT cast(arm as int) AS arm, n AS n_users, k AS n_conv,
+         |  CASE WHEN n = 0 THEN NULL
+         |       ELSE cast((cast(1000000 as hugeint) * k) // n as bigint)
+         |       END AS cvr_ppm,
+         |  ${wilsonExpr("k", "n", "-")} AS wilson_lo,
+         |  ${wilsonExpr("k", "n", "+")} AS wilson_hi
+         |FROM a ORDER BY arm""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)),
+            1, 1), 16, 10).cast(LongType) % 2)
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        .select(col("arm").cast(IntegerType).as("arm"),
+          col("n").as("n_users"), col("k").as("n_conv"),
+          expr("CASE WHEN n = 0 THEN NULL ELSE cast(" +
+            "(cast(1000000 as decimal(38,0)) * k) div n as bigint) END")
+            .as("cvr_ppm"),
+          expr(wilsonExpr("k", "n", "-")).as("wilson_lo"),
+          expr(wilsonExpr("k", "n", "+")).as("wilson_hi"))
+        .orderBy(col("arm"))
     }
   )
+
+  /** The 95% Wilson score bound as ONE SQL expression string shared
+    * verbatim by the Spark plan and the DuckDB oracle (sign "-" = lower,
+    * "+" = upper). Everything is double from the first cast — identical
+    * IEEE trees on integer-exact (k, n) make the bounds bit-equal
+    * cross-engine (the q_linreg discipline).
+    */
+  private def wilsonExpr(k: String, n: String, sign: String): String = {
+    val z = "cast(1.96 as double)"
+    val p = s"(cast($k as double) / cast($n as double))"
+    val nd = s"cast($n as double)"
+    s"(($p + $z*$z/(2*$nd) $sign " +
+      s"$z*sqrt(($p*(1 - $p) + $z*$z/(4*$nd))/$nd)) / (1 + $z*$z/$nd))"
+  }
 
   /** q_interval_merge core over any (key, start, end) frame: running max
     * of interval ends (excluding the current row) vs the current start —
