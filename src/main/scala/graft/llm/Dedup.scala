@@ -1311,7 +1311,7 @@ object Dedup {
     // no pairs.
     "q_dup_rate_by_source" -> Q(
       """WITH f AS MATERIALIZED (
-        |  SELECT doc_id, source,
+        |  SELECT source,
         |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |  FROM documents),
         |g AS MATERIALIZED (
@@ -1322,7 +1322,7 @@ object Dedup {
         |       // count(*) as bigint) AS dup_ppm
         |FROM f JOIN g USING (fp)
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      val f = docs(s, dir).select(col("doc_id"), col("source"),
+      val f = docs(s, dir).select(col("source"),
         md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
           .as("fp"))
       val g = f.groupBy(col("fp")).agg(count(lit(1)).as("gs"))

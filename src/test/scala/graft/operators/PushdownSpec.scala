@@ -158,7 +158,14 @@ class PushdownSpec extends AnyFunSuite {
       // must prune to (l_returnflag, l_extendedprice)
       ("q_winsorize", Seq("l_quantity", "l_orderkey", "l_shipdate")),
       ("q_mad_outliers", Seq("l_quantity", "l_orderkey", "l_shipdate")),
-      ("q_cooccur_window", Seq("lang", "source", "n_chars")))
+      ("q_cooccur_window", Seq("lang", "source", "n_chars")),
+      // round-8 continuation audits: the drift family reads (source,
+      // n_chars) only — the wide text column must never reach its scans —
+      // while the vocabulary/duplication audits read (lang|source, text)
+      ("q_ks_drift", Seq("text", "lang", "doc_id")),
+      ("q_quantile_norm", Seq("text", "lang", "doc_id")),
+      ("q_gini_vocab", Seq("source", "n_chars", "doc_id")),
+      ("q_dup_rate_by_source", Seq("lang", "n_chars", "doc_id")))
     cases.foreach { case (n, forbidden) =>
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(planOf(n)).map(_.group(1)).toSeq
