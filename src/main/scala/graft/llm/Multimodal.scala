@@ -222,6 +222,40 @@ object Multimodal {
           (abs(col("feat_total") * lit(255.0) - col("byte_sum")) <=
             col("byte_sum") * lit(0.001) + lit(1.0)).as("feat_ok"))
         .orderBy(col("doc_id"))
+    },
+
+    // Media-blob exact dedup audit (round 8 continuation): per media
+    // kind, how many payloads are byte-identical copies — the digest
+    // groupBy a multimodal ingest runs BEFORE any decode work (dedup on
+    // the md5 of the raw BLOB skips the expensive codec path for every
+    // copy; q_dup_rate_by_source is the text analog with normalization,
+    // this is the binary-column form with none). One map-side-combinable
+    // digest agg + a kind rollup; the ratio is HUGEINT/decimal(38,0)-
+    // lifted floor-ppm. Works on any opaque binary column at any scale —
+    // digests shuffle, payloads never do. The Spark side hashes the
+    // BINARY payload; DuckDB's md5 is varchar-only, and since the stub
+    // payload IS the utf8 text bytes, md5(text) is byte-identical (the
+    // q_fingerprint precedent).
+    "q_mm_dedup" -> Q(
+      """WITH d AS (SELECT lang AS media_kind, md5(text) AS dig
+        |           FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT media_kind, dig, cast(count(*) as bigint) AS c
+        |  FROM d GROUP BY media_kind, dig)
+        |SELECT media_kind, cast(sum(c) as bigint) AS n_blobs,
+        |  cast(count(*) as bigint) AS n_distinct,
+        |  cast((cast(1000000 as hugeint) * (sum(c) - count(*))) // sum(c)
+        |       as bigint) AS dup_ppm
+        |FROM g GROUP BY media_kind ORDER BY media_kind""".stripMargin) { (s, dir) =>
+      mediaTable(s, dir)
+        .select(col("media_kind"), md5(col("payload")).as("dig"))
+        .groupBy(col("media_kind"), col("dig")).agg(count(lit(1)).as("c"))
+        .groupBy(col("media_kind"))
+        .agg(sum(col("c")).as("n_blobs"), count(lit(1)).as("n_distinct"))
+        .select(col("media_kind"), col("n_blobs"), col("n_distinct"),
+          expr("cast((cast(1000000 as decimal(38,0)) * (n_blobs - n_distinct))" +
+            " div n_blobs as bigint)").as("dup_ppm"))
+        .orderBy(col("media_kind"))
     }
   )
 }
