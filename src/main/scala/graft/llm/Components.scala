@@ -789,6 +789,42 @@ object Components {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
       ccFromPairs(simhashPairs(s, dir))
+    },
+
+    // Cluster-size histogram (round 8 continuation): the shape of the
+    // near-dup graph's components — how many pair-clusters, triangles,
+    // giant blobs — the audit you read BEFORE transitive-closure dedup
+    // deletes cluster_size − 1 docs per cluster (a giant component is
+    // usually boilerplate or a broken shingle config, not true
+    // duplication; q_graph_degree_hist profiles vertices, this profiles
+    // components). Same cc labeling as q_dedup_cc (shared
+    // simhashPairs index + star-contraction loop; singleton docs with
+    // no near-dup edge are by contract not in the graph); two
+    // label-sized aggs on top. All integers.
+    "q_dedup_cluster_sizes" -> Q(
+      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY id),
+         |cs AS (SELECT cluster_id, cast(count(*) as bigint) AS size
+         |       FROM comp GROUP BY cluster_id)
+         |SELECT size, cast(count(*) as bigint) AS n_clusters,
+         |  cast(size * count(*) as bigint) AS n_docs
+         |FROM cs GROUP BY size ORDER BY size""".stripMargin) { (s, dir) =>
+      ccFromPairs(simhashPairs(s, dir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("size"), col("n_clusters"),
+          (col("size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("size"))
     }
   )
 }

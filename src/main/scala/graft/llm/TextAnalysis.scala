@@ -45,6 +45,12 @@ object TextAnalysis {
   /** q_mix_tokens per-language token budget; shared with its oracle SQL. */
   val mixTokenBudget: Long = 5000L
 
+  /** q_mix_epochs repeat cap (4 epochs, in ppm) — past this, repeating a
+    * scarce source degrades more than it balances (Muennighoff 2023's
+    * ~4-epoch rule); shared with the oracle SQL.
+    */
+  val mixEpochsCapPpm: Long = 4000000L
+
   /** q_pipeline_curate's quality cut (ppm; ~p60 of the corpus) — shared
     * with the oracle SQL.
     */
@@ -1441,6 +1447,66 @@ object TextAnalysis {
         .agg(max(col("r")).as("n_docs"),
           sum(expr("CASE WHEN b = 0 THEN 0" +
             " ELSE ((a - b) * (a - b) * 1000) div b END")).as("chi2_ppb"))
+        .orderBy(col("lang"))
+    },
+
+    // Epoch-repeat mixing (round 8 continuation): q_mix_weighted draws
+    // docs and q_mix_tokens fills token budgets; this computes the
+    // REPEAT factor per language — how many epochs of each source to
+    // run so the effective mixture approaches the target shares when a
+    // source is scarce, capped at 4 epochs (interpolated constant; the
+    // point past which repetition hurts more than imbalance). Fully
+    // integer: actual/target shares in floor-ppm, epochs_ppm =
+    // min(cap, target·1e6 div actual) computed FROM the floored ppm
+    // columns in both engines (no division-of-divisions ambiguity),
+    // effective tokens decimal(38,0)/HUGEINT-lifted (n_tok · 4e6 passes
+    // 2^63 near 2e12 tokens). Scale shape: one token agg; everything
+    // after runs on the langs-sized table with the weight list inlined
+    // as a VALUES literal on both sides.
+    "q_mix_epochs" -> Q {
+      val wVals = mixWeights.toSeq.sorted
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      val wsum = mixWeights.values.sum
+      s"""WITH tok AS (SELECT lang,
+         |    cast(len(string_split(text, ' ')) as bigint) AS n
+         |  FROM documents),
+         |a AS (SELECT lang, cast(sum(n) as bigint) AS n_tok FROM tok
+         |      GROUP BY lang),
+         |t AS (SELECT cast(sum(n_tok) as bigint) AS total FROM a),
+         |w(lang, wt) AS (VALUES $wVals),
+         |p AS (SELECT a.lang, a.n_tok,
+         |        cast((cast(1000000 as hugeint) * a.n_tok) // t.total
+         |             as bigint) AS actual_ppm,
+         |        cast((1000000 * wt) // $wsum as bigint) AS target_ppm
+         |      FROM a JOIN w ON a.lang = w.lang, t)
+         |SELECT lang, n_tok, actual_ppm, target_ppm,
+         |  least($mixEpochsCapPpm,
+         |    cast((cast(1000000 as hugeint) * target_ppm) // actual_ppm
+         |         as bigint)) AS epochs_ppm,
+         |  cast((cast(n_tok as hugeint) *
+         |    least($mixEpochsCapPpm,
+         |      cast((cast(1000000 as hugeint) * target_ppm) // actual_ppm
+         |           as bigint))) // 1000000 as bigint) AS eff_tok
+         |FROM p ORDER BY lang""".stripMargin
+    } { (s, dir) =>
+      val wsum = mixWeights.values.sum
+      val a = docs(s, dir)
+        .select(col("lang"), size(toks).cast(LongType).as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("n_tok"))
+      val tot = a.agg(sum(col("n_tok")).as("total"))
+      val w = s.createDataFrame(mixWeights.toSeq.sorted).toDF("lang", "wt")
+      val p = a.join(broadcast(w), "lang").crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tok"),
+          expr("cast((cast(1000000 as decimal(38,0)) * n_tok) div total" +
+            " as bigint)").as("actual_ppm"),
+          expr(s"cast((1000000 * wt) div $wsum as bigint)").as("target_ppm"))
+      p.select(col("lang"), col("n_tok"), col("actual_ppm"), col("target_ppm"),
+        expr(s"least($mixEpochsCapPpm," +
+          " cast((cast(1000000 as decimal(38,0)) * target_ppm) div actual_ppm" +
+          " as bigint))").as("epochs_ppm"),
+        expr(s"cast((cast(n_tok as decimal(38,0)) * least($mixEpochsCapPpm," +
+          " cast((cast(1000000 as decimal(38,0)) * target_ppm) div actual_ppm" +
+          " as bigint))) div 1000000 as bigint)").as("eff_tok"))
         .orderBy(col("lang"))
     },
 

@@ -33,7 +33,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // covered directly since round 8: ComponentsSpec's ccRoundObserver
     // audit asserts every round plans graph-sized hash joins with no
     // cartesian/nested-loop (LlmSpec pins the pair-generation plan)
-    "q_dedup_cc")
+    "q_dedup_cc",
+    // same eager cc loop (shares q_dedup_cc's labeling + audits)
+    "q_dedup_cluster_sizes")
 
   /** Queries whose plans legitimately contain a cross/nested-loop join:
     * a deliberate cartesian, a genuine non-equi predicate, or a
@@ -74,7 +76,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ks_drift",        // crossJoin(broadcast(sources)) × value spine
     "q_chi2_indep",      // crossJoin(broadcast(sources col-totals + 1-row N))
     "q_pareto_share",    // crossJoin(broadcast(1-row p90 boundary))
-    "q_quantile_norm")   // crossJoin(broadcast(pooled cells + source list))
+    "q_quantile_norm",   // crossJoin(broadcast(pooled cells + source list))
+    "q_mix_epochs")      // crossJoin(broadcast(1-row corpus-total aggregate))
 
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
