@@ -338,6 +338,20 @@ object Connector {
       params: Map[String, Any] = Map.empty): DataFrame =
     if (params.isEmpty) spark.sql(sqlQuery) else spark.sql(sqlQuery, params)
 
+  /** Positional-parameter overload of [[sqlRead]] ≙ the psycopg2 tuple
+    * form of `redshift_to_pandas(sql, query_params)` (`core.py:84` binds
+    * `%s` placeholders positionally). Spark 4's positional binding uses
+    * `?` markers bound left-to-right by `spark.sql(q, Array)`; values
+    * bind as literals (never spliced as SQL text), the same
+    * injection-safety the reference gets from psycopg2's binding.
+    */
+  def sqlRead(
+      spark: SparkSession,
+      sqlQuery: String,
+      params: Seq[Any]): DataFrame =
+    if (params.isEmpty) spark.sql(sqlQuery)
+    else spark.sql(sqlQuery, params.toArray)
+
   /** ≙ `exec_commit` (`core.py:307-309`); Spark has no commit concept —
     * file-sink writes are staged-then-renamed by the commit protocol
     * (SURVEY §7 transactionality note). DDL/DML commands execute eagerly

@@ -1305,14 +1305,19 @@ object Dedup {
     // when its whitespace-normalized md5 fingerprint (the q_fingerprint
     // canonical form, core.py has no analog — EXT) occurs more than once
     // CORPUS-WIDE; rates are floor-ppm of exact counts
-    // (decimal(38,0)/HUGEINT-lifted). Scale shape: one fingerprint
+    // (decimal(38,0)/HUGEINT-lifted). The whitespace class is the
+    // EXPLICIT [ \t\n\r\f] (not \s): Java regex \s includes vertical tab
+    // \x0B while RE2/DuckDB \s excludes it, so \s diverges on text
+    // containing \x0B; lower() is assumed ASCII-folding (both engines
+    // agree on ASCII; locale-sensitive case pairs like İ would differ).
+    // Scale shape: one fingerprint
     // groupBy (map-side combinable) + one fingerprint-keyed equi-join
     // back to the doc table + one source rollup — three linear shuffles,
     // no pairs.
     "q_dup_rate_by_source" -> Q(
       """WITH f AS MATERIALIZED (
         |  SELECT source,
-        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |    md5(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS fp
         |  FROM documents),
         |g AS MATERIALIZED (
         |  SELECT fp, cast(count(*) as bigint) AS gs FROM f GROUP BY fp)
@@ -1323,7 +1328,7 @@ object Dedup {
         |FROM f JOIN g USING (fp)
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val f = docs(s, dir).select(col("source"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
+        md5(lower(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")).cast(BinaryType))
           .as("fp"))
       val g = f.groupBy(col("fp")).agg(count(lit(1)).as("gs"))
       f.join(g, "fp")

@@ -76,12 +76,16 @@ object TextAnalysis {
       |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)""".stripMargin
 
   /** Whitespace-normalized lowercase md5 fingerprint
-    * (q_fingerprint + q_pipeline_curate).
+    * (q_fingerprint + q_pipeline_curate). The whitespace class is the
+    * EXPLICIT [ \t\n\r\f], not \s: Java regex \s includes vertical tab
+    * \x0B while RE2/DuckDB \s excludes it, so \s would diverge on text
+    * containing \x0B. lower() is assumed ASCII-folding (both engines
+    * agree on ASCII; locale-sensitive pairs like dotted İ would differ).
     */
   private val fingerprintCol: Column =
-    md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast(BinaryType))
+    md5(lower(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")).cast(BinaryType))
   private val oFingerprint: String =
-    "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+    "md5(lower(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')))"
 
   /** First-md5-byte bucket of an id (q_sample_hash + q_pipeline_curate);
     * bucket % 10 < 8 is the train split.
@@ -1290,7 +1294,13 @@ object TextAnalysis {
     // numerator stays < 1e27 ≪ 10^38 at any real corpus). Scale shape:
     // one token shuffle into the (lang, token) hash agg; the ranking
     // window runs on the AGGREGATED vocab table (the q_vocab_topk
-    // precedent), never the corpus.
+    // precedent), never the corpus. The per-lang row_number still sorts
+    // one language's whole vocabulary in a single reducer — fine to the
+    // ~1e7-entry vocabularies real tokenizers see, but a 1e8-entry
+    // vocabulary should swap the window for Scale.rankGlobal's
+    // range-partitioned two-pass rank (the q_rfm buffer caveat style);
+    // Σi·f is order-insensitive among equal frequencies, so the swap
+    // changes no output bit.
     "q_gini_vocab" -> Q(
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

@@ -1120,7 +1120,7 @@ object Aggregates {
     // on the CALENDAR-sized month table, never order rows.
     "q_growth_rate" -> Q(
       """WITH m AS (
-        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |  SELECT cast(date_trunc('month', o_orderdate) as date) AS month,
         |    cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100
         |      as decimal(20,0))) as bigint) AS rev_cents
         |  FROM orders GROUP BY 1)
@@ -1132,8 +1132,12 @@ object Aggregates {
         |            // lag(rev_cents) OVER (ORDER BY month) as bigint)
         |       END AS ratio_ppm
         |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      // to_date on the Spark side / cast(... as date) in the oracle:
+      // Spark's date_trunc returns TIMESTAMP while DuckDB's returns
+      // DATE — cast BOTH so the gate's TYPE invariant holds without
+      // relying on driver dtype coercion (q_cohort precedent).
       val m = t(s, dir, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
         .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
           .cast(DecimalType(20, 0))).cast(LongType).as("rev_cents"))
       val w = Window.orderBy(col("month"))

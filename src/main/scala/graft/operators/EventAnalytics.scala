@@ -674,7 +674,7 @@ object EventAnalytics {
     "q_outlier_iqr" -> Q(
       """WITH v AS (SELECT event_type,
         |             cast(floor(value * 100) as bigint) AS cents
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |b AS MATERIALIZED (
         |  SELECT event_type,
         |    min(CASE WHEN cd >= 0.25 THEN cents END) AS q1,
@@ -692,7 +692,12 @@ object EventAnalytics {
         |             THEN 1 END) as bigint) AS n_high
         |FROM v JOIN b ON v.event_type = b.event_type
         |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin) { (s, dir) =>
+      // value IS NOT NULL on BOTH sides: Spark's percentile_disc
+      // aggregate ignores NULLs while the oracle's cume_dist window
+      // would count NULL rows in the partition denominator (NULLS
+      // LAST), shifting q1/q3 — filter before either engine sees them.
       events(s, dir)
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           floor(col("value") * 100).cast(LongType).as("cents"))
         .createOrReplaceTempView("graft_iqr_cents")

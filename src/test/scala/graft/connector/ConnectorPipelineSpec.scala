@@ -168,4 +168,24 @@ class ConnectorPipelineSpec extends AnyFunSuite {
     val direct = spark.table("orders").filter(col("o_totalprice") > 100000.0).count()
     assert(n == direct)
   }
+
+  test("sqlRead with positional parameters (core.py:84 psycopg2 tuple form)") {
+    graft.Engine.registerAll(spark, TestSpark.sfDir)
+    // Two ? markers bound left-to-right, like psycopg2 binds %s.
+    val n = Connector.sqlRead(spark,
+      "SELECT count(*) AS n FROM orders" +
+        " WHERE o_totalprice > ? AND o_orderpriority = ?",
+      Seq(100000.0, "1-URGENT")).head().getLong(0)
+    val direct = spark.table("orders")
+      .filter(col("o_totalprice") > 100000.0 &&
+        col("o_orderpriority") === "1-URGENT").count()
+    assert(n == direct)
+  }
+
+  test("sqlRead with empty positional parameters runs unparameterized") {
+    graft.Engine.registerAll(spark, TestSpark.sfDir)
+    val n = Connector.sqlRead(spark,
+      "SELECT count(*) AS n FROM region", Seq.empty).head().getLong(0)
+    assert(n == 5)
+  }
 }
