@@ -244,4 +244,39 @@ class ComponentsSpec extends AnyFunSuite {
       .agg(sum(col("tri"))).head()
     assert(rc.getLong(0) == 0L)
   }
+
+  test("pair/label index: content-derived path, two sessions share ONE dir (round 9)") {
+    // round-8 hygiene finding: UUID paths orphaned one index dir per JVM.
+    // The path is now a digest of the documents.parquet file metadata, so
+    // any session (or JVM) over the same dataset resolves the same dir.
+    val dir = TestSpark.sfDir
+    val path = Components.pairGraphPath(dir)
+    assert(path == Components.pairGraphPath(dir), "path not deterministic")
+    Components.dropPairGraphCache(dir)
+    assert(!new java.io.File(path).exists())
+    val n1 = Components.simhashPairs(spark, dir).count()
+    assert(new java.io.File(path, "_SUCCESS").exists(), "index not published")
+    // a SECOND independent session resolves and reuses the same dir:
+    // no new graft_pair_index_* dir may appear
+    val before = new java.io.File("/tmp").listFiles()
+      .count(_.getName.startsWith("graft_pair_index_"))
+    val other = spark.newSession()
+    val n2 = Components.simhashPairs(other, dir).count()
+    val after = new java.io.File("/tmp").listFiles()
+      .count(_.getName.startsWith("graft_pair_index_"))
+    assert(n1 == n2 && after == before,
+      s"second session built a new index dir ($before -> $after)")
+    // no half-built .tmp-* orphans either (atomic rename-aside publish)
+    assert(!new java.io.File("/tmp").listFiles()
+      .exists(_.getName.startsWith(new java.io.File(path).getName + ".tmp-")))
+  }
+
+  test("materialized cc labeling is row-identical to the loop recompute (round 9)") {
+    val dir = TestSpark.sfDir
+    val mat = Components.simhashLabels(spark, dir)
+    val rec = Components.connectedComponents(Components.simhashPairs(spark, dir))
+    assert(mat.count() == rec.count())
+    assert(mat.except(rec).isEmpty && rec.except(mat).isEmpty,
+      "labels index diverged from the loop recompute")
+  }
 }
