@@ -180,6 +180,9 @@ object Search {
         .agg(sum(col("s")).as("score_e6"))
         .orderBy(col("score_e6").desc, col("doc_id"))
         .limit(10)
+      // single-partition rank window is BENIGN (WindowExec warns): input
+      // is the already-limited top-10 — ≤ k rows by construction
+      // (PlanAuditSpec bounded-window list)
       top.withColumn("rk", row_number()
           .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
           .cast(IntegerType))

@@ -1594,6 +1594,10 @@ object TextAnalysis {
       val poolCells = d.groupBy(col("v")).agg(count(lit(1)).as("pcnt"))
       val poolTot = poolCells.agg(sum(col("pcnt")).as("n"))
       val poolRows = poolCells
+        // single-partition cumsum window is BENIGN (WindowExec warns):
+        // input is the per-value CELL table (length domain, measured
+        // flat at 100×), never doc rows (PlanAuditSpec bounded-window
+        // list)
         .withColumn("pcum", sum(col("pcnt")).over(
           Window.orderBy(col("v"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

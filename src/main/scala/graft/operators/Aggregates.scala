@@ -1046,6 +1046,10 @@ object Aggregates {
         .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
       val n1 = vc.agg(sum(col("cnt")).as("n"))
       val b = vc
+        // single-partition window is BENIGN here (WindowExec warns): its
+        // input is the per-cents VALUE-CELL table after a map-side-
+        // combined agg — bounded by the distinct price domain (~1e6
+        // cells), never order rows (PlanAuditSpec bounded-window list)
         .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(broadcast(n1))
@@ -1140,6 +1144,9 @@ object Aggregates {
         .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
         .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
           .cast(DecimalType(20, 0))).cast(LongType).as("rev_cents"))
+      // single-partition lag window is BENIGN (WindowExec warns): input
+      // is the monthly agg — CALENDAR-sized (≤ a few thousand rows for
+      // any horizon), never order rows (PlanAuditSpec bounded-window list)
       val w = Window.orderBy(col("month"))
       m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
         .withColumn("ratio_ppm",

@@ -557,6 +557,9 @@ object EventAnalytics {
         .agg(min(to_date(col("ts"))).as("first_day"))
         .groupBy(col("first_day"))
         .agg(count(lit(1)).as("n_new"))
+      // single-partition cumsum window is BENIGN (WindowExec warns):
+      // input is the per-first_day agg — CALENDAR-sized, never event
+      // rows (PlanAuditSpec bounded-window list)
       d.withColumn("cum_users",
         sum(col("n_new")).over(Window.orderBy(col("first_day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -856,6 +859,9 @@ object EventAnalytics {
         min(when(col("rk") === 2, col("event_type"))),
         min(when(col("rk") === 3, col("event_type")))).as("path"))
       p.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        // single-partition rank window is BENIGN (WindowExec warns):
+        // input is the path-vocabulary agg — ≤ |event_type|³ rows, never
+        // user/event rows (PlanAuditSpec bounded-window list)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("n_users").desc, col("path"))).cast(IntegerType))
         .filter(col("rk") <= 10)

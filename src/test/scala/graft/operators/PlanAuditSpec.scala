@@ -79,6 +79,43 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_quantile_norm",   // crossJoin(broadcast(pooled cells + source list))
     "q_mix_epochs")      // crossJoin(broadcast(1-row corpus-total aggregate))
 
+  /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
+    * Partition Defined" warning): each one's window INPUT is provably
+    * bounded — an aggregated cell/calendar/vocabulary table or an
+    * already-limited top-k — never corpus rows, so the single reducer
+    * holds a domain-sized partition at any SF (round-8 verdict
+    * adjudication, now pinned: a NEW global window over unbounded rows
+    * must either go through Scale.rankGlobal/minAboveStrict or justify
+    * itself onto this list).
+    */
+  private val boundedGlobalWindow = Set(
+    "q_bin_equidepth",  // input: distinct price cents cells (post-agg)
+    "q_growth_rate",    // input: calendar months
+    "q_user_growth",    // input: calendar days
+    "q_funnel_paths",   // input: path vocabulary (≤ |event_type|³)
+    "q_quantile_norm",  // input: value-domain cells (length domain)
+    "q_bm25")           // input: the already-limited top-10
+
+  test("no query outside the allowed set plans a partition-less window") {
+    // logical-plan audit (the physical tree hides behind
+    // AdaptiveSparkPlanExec, whose collect() doesn't descend): a Window
+    // node with an empty partitionSpec IS the "No Partition Defined"
+    // single-reducer shape
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val names = graft.Registry.all.keySet -- sideEffecting
+    val offenders = names.filter { n =>
+      graft.Registry.all(n).fn(spark, TestSpark.sfDir)
+        .queryExecution.optimizedPlan.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+    }
+    assert(offenders.subsetOf(boundedGlobalWindow),
+      s"unexpected GLOBAL (single-partition) windows in: " +
+        s"${offenders.diff(boundedGlobalWindow).toSeq.sorted} — bound the " +
+        "input and add to boundedGlobalWindow with a reason, or use " +
+        "Scale.rankGlobal")
+  }
+
   test("no query outside the allowed set plans a cartesian/nested-loop join") {
     val names = graft.Registry.all.keySet -- sideEffecting
     val offenders = names.filter { n =>
