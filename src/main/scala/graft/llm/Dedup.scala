@@ -322,7 +322,19 @@ object Dedup {
   /** The (doc_id, band_id, key) banding relation behind [[lshCandidates]]
     * — shared with the occupancy audit so the two cannot drift.
     */
-  private[llm] def lshBands(sigs: DataFrame): DataFrame =
+  /** The corpus's DISTINCT (band_id, key) MinHash-LSH band index — the
+    * structure q_dedup_incremental collapses the corpus to, and exactly
+    * what a production ingest persists daily and probes per new batch
+    * (batch probe: q_dedup_incremental; streaming probe:
+    * [[graft.streaming.Streams.streamingBandDedup]]). One
+    * map-side-combinable distinct; size is bounded by bands × distinct
+    * signatures, never document text.
+    */
+  def bandIndex(corpus: DataFrame): DataFrame =
+    lshBands(minhashSignaturesStateless(corpus))
+      .select(col("band_id"), col("key")).distinct()
+
+  private[graft] def lshBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(array((0 until 3).map(b =>
         struct(lit(b).as("band_id"),

@@ -275,6 +275,57 @@ object Streams {
     }
   }
 
+  /** Incremental near-dup probe at INGEST (s_dedup_incremental): annotate
+    * each streaming doc with how many of its MinHash LSH bands hit the
+    * EXISTING corpus's band index — the streaming twin of
+    * q_dedup_incremental, and the last tier of the ingest dedup story
+    * (`filter(!is_dup)` drops; compose [[streamingSigDedup]] in front
+    * for the new-vs-new exact tier). The corpus side is
+    * [[graft.llm.Dedup.bandIndex]] — the DISTINCT (band, key) structure
+    * a production ingest persists daily; here it joins as a STATIC
+    * DataFrame, so the whole streaming plan is three stateless
+    * stream-static equi left-joins over the per-row signature
+    * projection: zero state stores, no watermark required,
+    * unbounded-safe at any ingest rate (the s_stream_decontam
+    * discipline, with a corpus-sized index riding the join instead of a
+    * broadcast-literal gram set — Spark picks broadcast vs shuffle by
+    * index size). Docs with fewer than 3 tokens carry no signature and
+    * are dropped from the annotated stream ([[streamingSigDedup]]'s
+    * contract): a doc with no shingles cannot be a near-dup.
+    *
+    * Output: every input column plus `n_bands_hit` / `is_dup`, matching
+    * the batch twin's readout bit-for-bit (StreamingSpec pins parity on
+    * the real corpus split).
+    */
+  def streamingBandDedup(docsStream: DataFrame,
+      corpusBandIndex: DataFrame): DataFrame = {
+    val nBands = 3
+    // an upstream tier (streamingSigDedup) may already carry h0..h5 —
+    // reuse them rather than re-deriving (and colliding with) the
+    // signature projection
+    val sigCols = graft.llm.Dedup.minhashSeeds.indices.map(i => s"h$i")
+    val sig =
+      if (sigCols.forall(docsStream.columns.contains)) docsStream
+      else graft.llm.Dedup.withMinhashSignature(docsStream)
+    val withKeys = (0 until nBands).foldLeft(sig) { (df, b) =>
+      df.withColumn(s"__k$b", concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    }
+    val probed = (0 until nBands).foldLeft(withKeys) { (df, b) =>
+      df.join(
+        corpusBandIndex.filter(col("band_id") === b)
+          .select(col("key").as(s"__k$b"), lit(1).as(s"__hit$b")),
+        Seq(s"__k$b"), "left")
+    }
+    val hits = (0 until nBands)
+      .map(b => coalesce(col(s"__hit$b"), lit(0)))
+      .reduce(_ + _).cast(org.apache.spark.sql.types.LongType)
+    probed
+      .withColumn("n_bands_hit", hits)
+      .withColumn("is_dup", col("n_bands_hit") > 0)
+      .select(docsStream.columns.map(col).toSeq
+        :+ col("n_bands_hit") :+ col("is_dup"): _*)
+  }
+
   /** Decontamination at INGEST (s_stream_decontam): drop any streaming
     * doc that shares a [[graft.llm.Search.decontamK]]-token gram with the
     * (small, fixed) eval set — the batch q_decontam semantics applied in

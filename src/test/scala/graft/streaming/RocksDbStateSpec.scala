@@ -206,6 +206,47 @@ class RocksDbStateSpec extends AnyFunSuite {
       "restarted query must still suppress the pre-restart signature")
   }
 
+  test("s_dedup_incremental: sig-dedup -> band-probe ingest pipeline under RocksDB (round 9)") {
+    // the full ingest-time dedup story in one pipeline: exact new-vs-new
+    // tier (streamingSigDedup — THE stateful operator, its signature
+    // state in RocksDB) feeding the stateless new-vs-corpus band probe.
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val docs = graft.Engine.table(rocks, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val idx = graft.llm.Dedup.bandIndex(corpus)
+    val probe = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 400)
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingBandDedup(
+        Streams.streamingSigDedup(mem.toDF().toDF("doc_id", "text")), idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("r_banddedup").start()
+    try {
+      val (b1, b2) = probe.splitAt(probe.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      // re-send batch 1's texts under shifted ids from a LATER batch:
+      // the sig-dedup tier must suppress them via RocksDB-resident state
+      mem.addData(b2.toSeq ++ b1.map { case (id, t) => (id + 1000000L, t) }: _*)
+      q.processAllAvailable()
+      assertRocksDbActive(q)
+      val out = rocks.table("r_banddedup")
+      assert(out.filter(col("doc_id") >= 1000000L).count() == 0,
+        "re-sent signatures leaked past the RocksDB sig-dedup tier")
+      // the band annotation matches the batch probe for the emitted docs
+      val gotDup = out.filter(col("is_dup"))
+        .select("doc_id").as[Long].collect().toSet
+      val emitted = out.select("doc_id").as[Long].collect().toSet
+      val wantDup = idx
+        .join(graft.llm.Dedup.lshBands(graft.llm.Dedup
+            .minhashSignaturesStateless(docs.filter(col("doc_id").isin(emitted.toSeq: _*)))),
+          Seq("band_id", "key"))
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(gotDup == wantDup)
+    } finally q.stop()
+  }
+
   test("injected mid-batch failure + restart under RocksDB: session state rolls back and replays (round 8)") {
     // the stateful failure path: a task dies INSIDE a batch that has
     // already started mutating flatMapGroupsWithState state. The RocksDB

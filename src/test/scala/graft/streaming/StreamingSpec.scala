@@ -261,6 +261,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted == expect, s"expected $expect distinct signatures, got $emitted")
   }
 
+  test("streamingBandDedup equals batch q_dedup_incremental on the real corpus split") {
+    import spark.implicits._
+    // the batch twin's exact split: md5 doc_id bucket 9 is the "new
+    // batch", everything else is the corpus whose band index we probe
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val isNew = conv(substring(
+        md5(col("doc_id").cast(org.apache.spark.sql.types.StringType)
+          .cast(org.apache.spark.sql.types.BinaryType)), 1, 2), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType) % 10 === 9
+    val corpus = docs.filter(!isNew)
+    val probe = docs.filter(isNew)
+    val idx = graft.llm.Dedup.bandIndex(corpus)
+    // feed the probe docs across TWO micro-batches (cross-batch parity,
+    // not one lucky batch)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingBandDedup(
+        mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_banddedup").start()
+    try {
+      val rows = probe.as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_banddedup")
+        .select(col("doc_id"), col("n_bands_hit"), col("is_dup"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      val want = graft.Registry.all("q_dedup_incremental")
+        .fn(spark, TestSpark.sfDir)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == want,
+        s"extra: ${(got -- want).take(3)}; missing: ${(want -- got).take(3)}")
+      assert(want.exists(_._3) && want.exists(!_._3),
+        "corpus split produced a degenerate all-dup/no-dup probe set")
+    } finally q.stop()
+  }
+
+  test("streamingBandDedup with checkpoint: restart re-emits nothing, misses nothing") {
+    // deployment shape: parquet file source, checkpointed parquet sink;
+    // the op is STATELESS (three stream-static joins), so correctness
+    // across restart rides on source offsets + the file sink's
+    // transactional commit — exactly what this pins
+    val base = "/tmp/graft_test_stage/banddedup_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val idx = graft.llm.Dedup.bandIndex(corpus)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    val b1 = probe.filter(col("doc_id") < 101)
+    val b2 = probe.filter(col("doc_id") >= 101 && col("doc_id") < 301)
+    b1.write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingBandDedup(
+        spark.readStream.schema(b1.schema).parquet(srcDir), idx)
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.write.mode("append").parquet(srcDir) // arrives while the query is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    // exactly one annotated row per signature-bearing probe doc — no
+    // re-emits from the restart, no gaps from the downtime
+    import spark.implicits._
+    val gotIds = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val wantIds = graft.llm.Dedup
+      .minhashSignaturesStateless(b1.unionByName(b2))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gotIds == wantIds,
+      s"restart changed the emitted set (got ${gotIds.size}, want ${wantIds.size})")
+    // spot-check the annotation against the batch probe on the same split
+    val wantDup = graft.llm.Dedup.bandIndex(corpus)
+      .join(graft.llm.Dedup.lshBands(
+        graft.llm.Dedup.minhashSignaturesStateless(b1.unionByName(b2))),
+        Seq("band_id", "key"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val gotDup = out.filter(col("is_dup")).select("doc_id").as[Long].collect().toSet
+    assert(gotDup == wantDup)
+  }
+
   test("stream-static enrich join matches the batch twin and drops unmatched keys") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
