@@ -191,6 +191,32 @@ object TextOps {
   /** 32-bit form kept as the codegen entry point's default. */
   def simhash(input: UTF8String, k: Int): Long = simhash(input, k, 32)
 
+  /** Fused count-min-sketch hash row: for depth rows r = 0..depth-1, the
+    * value of the first 8 hex chars of md5("r:key") — bit-identical to
+    * the exploded `conv(substring(md5(concat(cast(r as string), ':',
+    * cast(k as string)).cast(binary)), 1, 8), 16, 10)` chain (8 hex
+    * chars = the digest's first 4 bytes big-endian), but ONE pass per
+    * input row with a thread-local digest and no string/hex
+    * intermediates. The caller takes `% w` against the data-derived
+    * width and posexplodes to (r, bucket).
+    */
+  def cmsHashes(key: Long, depth: Int): ArrayData = {
+    val md = mdPool.get()
+    val keyBytes = java.lang.Long.toString(key).getBytes
+    val out = new Array[Any](depth)
+    var r = 0
+    while (r < depth) {
+      md.update(java.lang.Integer.toString(r).getBytes)
+      md.update(':'.toByte)
+      md.update(keyBytes)
+      val dig = md.digest()
+      out(r) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused MinHash signature: for each seed s, min over k-token shingles
     * of md5(seed_s || shingle), as lowercase hex — bit-identical to the
     * `array_min(transform(shingles, sh -> md5(seed || sh)))` HOF chain
@@ -362,6 +388,40 @@ case class SimhashSignature(child: Expression, k: Int, bits: Int = 32)
     copy(child = newChild)
 }
 
+/** Fused CMS hash row over a bigint key (see [[TextOps.cmsHashes]]):
+  * `array<bigint>` of `depth` md5-derived hash values, one codegen-
+  * resident pass replacing the exploded per-(row, key) string-concat +
+  * md5 + hex-substring + conv chain that dominated the sketch builds
+  * (q_join_size_est) — the MinhashSignature/LshBucket fusion playbook
+  * applied to the sketch family.
+  */
+case class CmsHashes(child: Expression, depth: Int) extends UnaryExpression {
+
+  require(depth >= 1 && depth <= 16, s"cms depth must be in [1, 16], got $depth")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_hashes requires bigint, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.cmsHashes(input.asInstanceOf[Long], depth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.cmsHashes($c, $depth);")
+
+  override protected def withNewChildInternal(newChild: Expression): CmsHashes =
+    copy(child = newChild)
+}
+
 object MinhashSignature {
   /** Default portable seed prefixes (the engine's 6 md5 "permutations");
     * [[graft.llm.Dedup.minhashSeeds]] aliases this so the expression, the
@@ -383,4 +443,7 @@ object TextExpressions {
 
   def suffixPairs(ds: Column): Column =
     ColumnBridge.column(SuffixPairs(ColumnBridge.expression(ds)))
+
+  def cmsHashes(key: Column, depth: Int): Column =
+    ColumnBridge.column(CmsHashes(ColumnBridge.expression(key), depth))
 }

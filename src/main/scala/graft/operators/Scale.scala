@@ -405,11 +405,16 @@ object Scale {
       val wDf = lc.agg(count(lit(1)).as("nk1"))
         .crossJoin(broadcast(rc.agg(count(lit(1)).as("nk2"))))
         .select(greatest(lit(256L), col("nk1"), col("nk2")).as("w"))
+      // fused CmsHashes codegen expression: one pass emits all depth
+      // hash values per key (bit-identical to the hash8 chain — the
+      // exploded concat+md5+hex+conv form is retained above as the
+      // oracle-mirror documentation and pinned equal in FunctionsSpec)
       def sketch(kc: DataFrame): DataFrame =
-        kc.select(col("k"), col("c"),
-          explode(sequence(lit(0L), lit(2L))).as("r"))
+        kc.select(posexplode(graft.functions.TextExpressions
+            .cmsHashes(col("k"), 3)).as(Seq("r", "h")), col("c"))
           .crossJoin(broadcast(wDf))
-          .select(col("r"), hash8(col("r"), col("k")) % col("w") as "b", col("c"))
+          .select(col("r").cast(LongType).as("r"),
+            col("h") % col("w") as "b", col("c"))
           .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
       // decimal(38) lift before the sums (≙ the oracle's HUGEINT): at
       // 100 TB per-key/bucket count products overflow bigint

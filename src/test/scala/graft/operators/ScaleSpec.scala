@@ -354,4 +354,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(inside === 0L, "a reported gap contains a present id")
     assert(gaps.count() > 0, "test data is known to contain gaps")
   }
+
+  test("fused CmsHashes equals the concat+md5+hex+conv chain (round 9)") {
+    import spark.implicits._
+    // the exploded chain is the semantic spec (and exactly what the
+    // q_join_size_est ORACLE still computes in SQL) — the fused
+    // expression must be bit-identical on negatives, zero, boundaries
+    val keys = (Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L)
+      ++ (1 to 200).map(i => i * 2654435761L % 1000003L - 500000L)).toDF("k")
+    def hash8(seed: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(seed.cast("string"), lit(":"),
+        k.cast("string")).cast("binary")), 1, 8), 16, 10).cast(
+        org.apache.spark.sql.types.LongType)
+    val chain = keys.select(col("k"),
+      explode(sequence(lit(0L), lit(2L))).as("r"))
+      .select(col("k"), col("r"), hash8(col("r"), col("k")).as("h"))
+    val fused = keys.select(col("k"),
+      posexplode(graft.functions.TextExpressions.cmsHashes(col("k"), 3))
+        .as(Seq("r", "h")))
+      .select(col("k"), col("r").cast(org.apache.spark.sql.types.LongType)
+        .as("r"), col("h"))
+    assert(chain.except(fused).isEmpty && fused.except(chain).isEmpty)
+  }
 }
