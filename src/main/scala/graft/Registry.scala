@@ -12,6 +12,8 @@ object Registry {
       operators.AsOf.queries ++
       operators.EventAnalytics.queries ++
       operators.Scale.queries ++
+      operators.Stats.queries ++
+      llm.CorpusStats.queries ++
       functions.Scalars.queries ++
       connector.Connector.queries ++
       streaming.Streams.queries ++

@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, Q}
+
+/** Distribution / hypothesis-test statistics over the event log — the
+  * "is this metric shift real?" family a warehouse analyst runs through
+  * the reference's SQL passthrough (`/root/reference/pandas_redshift/
+  * core.py:84`; `EXT` in SURVEY §2). Every statistic here is emitted in
+  * integer-exact form (counts, floor-ppm, ×2-scaled ranks) so the DuckDB
+  * oracle gate is hash-hard — no engine ever rounds a float.
+  *
+  * Scale shapes: every operator aggregates the corpus down to a BOUNDED
+  * intermediate first — value-domain cells (Mann-Whitney ranks), first
+  * digits (Benford), calendar days (CUSUM), per-user chains (burstiness,
+  * attribution) — and runs its windows over that bounded table, never
+  * over raw corpus rows (CLAUDE.md global-order rule).
+  */
+object Stats {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "events")
+
+  /** Benford expected first-digit shares, floor-ppm. Computed once in
+    * Scala and interpolated into BOTH the graded plan and the oracle SQL
+    * as the same CASE literal, so neither engine evaluates log10.
+    */
+  private val benfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
+  private val benfordCase: String =
+    "CASE digit " +
+      (1 to 9).map(d => s"WHEN $d THEN ${benfordPpm(d)}L").mkString(" ") + " END"
+  private val benfordCaseSql: String =
+    "CASE digit " +
+      (1 to 9).map(d => s"WHEN $d THEN ${benfordPpm(d)}").mkString(" ") + " END"
+
+  val queries: Map[String, Q] = Map(
+
+    // Mann-Whitney U (Wilcoxon rank-sum) of each event type's value
+    // distribution against the 'view' baseline — the standard
+    // nonparametric "did this type's values shift?" test. Emitted as
+    // U×2 so tie groups (average rank = integer + 1/2) stay integer: the
+    // 2×-average-rank of a tie group spanning positions (c, c+g] is
+    // 2c + g + 1. Scale shape: values collapse to cents cells FIRST
+    // (one map-side-combinable agg after a ×|types| broadcast fan-out),
+    // so the rank window runs per comparison over the value domain
+    // (≤ 49k cells here), never corpus rows; the legal
+    // crossJoin(broadcast(tiny type list)) is the only non-equi shape.
+    // All sums bounded: R2 ≤ n_a · 2(n_a+n_b) < 2^63 far past 10^8 rows.
+    "q_mann_whitney" -> Q(
+      """WITH v AS (SELECT event_type, cast(floor(value * 100) as bigint) AS cents
+        |           FROM events WHERE value IS NOT NULL),
+        |ty AS (SELECT DISTINCT event_type AS grp FROM v
+        |       WHERE event_type <> 'view'),
+        |cells AS (
+        |  SELECT ty.grp, v.cents,
+        |    sum(CASE WHEN v.event_type = ty.grp THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN v.event_type = 'view' THEN 1 ELSE 0 END) AS nb
+        |  FROM v CROSS JOIN ty
+        |  WHERE v.event_type = ty.grp OR v.event_type = 'view'
+        |  GROUP BY ty.grp, v.cents),
+        |r AS (
+        |  SELECT grp, na, nb,
+        |    2 * sum(na + nb) OVER (PARTITION BY grp ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (na + nb) + 1 AS rank2
+        |  FROM cells)
+        |SELECT grp AS event_type,
+        |  cast(sum(na) as bigint) AS n_a, cast(sum(nb) as bigint) AS n_b,
+        |  cast(sum(na * rank2) - sum(na) * (sum(na) + 1) as bigint) AS u2_a,
+        |  cast(2 * sum(na) * sum(nb)
+        |       - (sum(na * rank2) - sum(na) * (sum(na) + 1)) as bigint) AS u2_b
+        |FROM r GROUP BY grp ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 100).cast(LongType).as("cents"))
+      val types = v.filter(col("event_type") =!= "view")
+        .select(col("event_type").as("grp")).distinct()
+      val cells = v.crossJoin(broadcast(types))
+        .filter(col("event_type") === col("grp") || col("event_type") === lit("view"))
+        .groupBy(col("grp"), col("cents"))
+        .agg(sum(when(col("event_type") === col("grp"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("event_type") === lit("view"), 1L).otherwise(0L)).as("nb"))
+      // window over value-domain cells per comparison — bounded input
+      val w = Window.partitionBy(col("grp")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("rank2",
+          lit(2L) * sum(col("na") + col("nb")).over(w) - (col("na") + col("nb")) + 1L)
+        .groupBy(col("grp"))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          sum(col("na") * col("rank2")).as("r2a"))
+        .select(col("grp").as("event_type"), col("n_a"), col("n_b"),
+          (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+          (lit(2L) * col("n_a") * col("n_b")
+            - (col("r2a") - col("n_a") * (col("n_a") + 1L))).as("u2_b"))
+        .orderBy(col("event_type"))
+    },
+
+    // Benford first-digit audit of the value column — the classic
+    // fabricated-data / instrumentation-bug screen. First digit is taken
+    // ARITHMETICALLY from the cents integer (first char of its decimal
+    // string — identical in both engines; never from a double's string
+    // form, which engines format differently). Expected shares are a
+    // Scala-side floor-ppm CASE literal shared by both engines (no
+    // runtime log10). Scale shape: one 9-group agg + a 1-row total
+    // broadcast — the legal crossJoin(broadcast(tiny)).
+    "q_benford" -> Q(
+      s"""WITH c AS (SELECT cast(floor(value * 100) as bigint) AS cents
+         |           FROM events WHERE value IS NOT NULL AND value > 0),
+         |d AS (SELECT cast(substring(cast(cents as varchar), 1, 1) as int)
+         |        AS digit
+         |      FROM c WHERE cents > 0),
+         |n AS (SELECT digit, cast(count(*) as bigint) AS n FROM d
+         |      GROUP BY digit),
+         |t AS (SELECT cast(sum(n) as bigint) AS total FROM n)
+         |SELECT digit, n,
+         |  cast((n * 1000000) // total as bigint) AS share_ppm,
+         |  cast($benfordCaseSql as bigint) AS benford_ppm,
+         |  cast(abs((n * 1000000) // total - ($benfordCaseSql)) as bigint)
+         |    AS dev_ppm
+         |FROM n, t ORDER BY digit""".stripMargin) { (s, dir) =>
+      val counts = events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(floor(col("value") * 100).cast(LongType).as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast(StringType), 1, 1)
+          .cast(IntegerType).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share_ppm", expr("(n * 1000000L) div total"))
+        .withColumn("benford_ppm", expr(benfordCase))
+        .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
+          abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+        .orderBy(col("digit"))
+    },
+
+    // CUSUM mean-shift detector on daily event counts, per type: the
+    // change-point day t maximizing |S_t| where S_t = Σ_{i≤t}(D·n_i − T)
+    // — the textbook CUSUM drift statistic scaled by D (observed-day
+    // count) so it stays integer (D·cum_t − t·T form; no mean division
+    // ever happens). Ties break to the earliest day on both engines.
+    // Scale shape: the corpus collapses to (type, day) counts in one
+    // map-side-combinable agg; every window after runs over that
+    // calendar-bounded table.
+    "q_cusum_shift" -> Q(
+      """WITH daily AS (
+        |  SELECT event_type, cast(ts as date) AS d,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY event_type, cast(ts as date)),
+        |s AS (
+        |  SELECT event_type, d,
+        |    count(*) OVER (PARTITION BY event_type) AS nd,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |  FROM daily),
+        |x AS (
+        |  SELECT event_type, d, abs(nd * cum - rn * tot) AS s_abs, nd, tot,
+        |    row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(nd * cum - rn * tot) DESC, d) AS rk
+        |  FROM s)
+        |SELECT event_type, d AS shift_day, cast(s_abs as bigint) AS s_abs_max,
+        |  cast(nd as bigint) AS n_days, cast(tot as bigint) AS total_events
+        |FROM x WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wc = wt.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = daily
+        .withColumn("nd", count(lit(1)).over(wt))
+        .withColumn("tot", sum(col("n")).over(wt))
+        .withColumn("cum", sum(col("n")).over(wc))
+        .withColumn("rn", row_number().over(wt.orderBy(col("d"))).cast(LongType))
+        .withColumn("s_abs", abs(col("nd") * col("cum") - col("rn") * col("tot")))
+      st.withColumn("rk",
+          row_number().over(wt.orderBy(col("s_abs").desc, col("d"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("d").as("shift_day"),
+          col("s_abs").as("s_abs_max"), col("nd").as("n_days"),
+          col("tot").as("total_events"))
+        .orderBy(col("event_type"))
+    },
+
+    // Burstiness of each event type's per-user inter-arrival process:
+    // CV² = Var(gap)/E[gap]² in floor-ppm (CV² = 1 ⇒ Poisson, > 1 ⇒
+    // bursty). Gaps are whole SECONDS (µs diff floor-divided by 1e6 —
+    // positive operands, so Spark `div` ≡ DuckDB `//`), which bounds the
+    // moment sums: Σg² ≤ Σg·span_s and n·Σg² stays far inside
+    // decimal(38,0)/HUGEINT at any corpus the span can hold. One
+    // user-partitioned lag (per-user chains, never global), one
+    // map-side-combinable moment agg; the n·Σg² − (Σg)² closing form is
+    // computed in the SAME lifted-integer expression tree on both
+    // engines.
+    "q_burstiness" -> Q(
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |       PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      // 1000000 AS gap_s
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, cast(count(gap_s) as bigint) AS n_gaps,
+        |    cast(sum(gap_s) as hugeint) AS sg,
+        |    cast(sum(gap_s * gap_s) as hugeint) AS sg2
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_gaps,
+        |  cast(CASE WHEN n_gaps = 0 THEN 0 ELSE sg // n_gaps END as bigint)
+        |    AS mean_gap_s,
+        |  cast(CASE WHEN sg = 0 THEN 0
+        |       ELSE ((n_gaps * sg2 - sg * sg) * 1000000) // (sg * sg) END
+        |    as bigint) AS cv2_ppm
+        |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val wu = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(unix_micros(ts) - lag(unix_micros(ts)) OVER (" +
+            "PARTITION BY user_id, event_type ORDER BY ts, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(col("gap_s")).as("n_gaps"),
+          sum(col("gap_s").cast(DecimalType(38, 0))).as("sg"),
+          sum((col("gap_s") * col("gap_s")).cast(DecimalType(38, 0))).as("sg2"))
+        .select(col("event_type"), col("n_gaps"),
+          expr("cast(CASE WHEN n_gaps = 0 THEN 0 ELSE sg div n_gaps END as bigint)")
+            .as("mean_gap_s"),
+          expr("cast(CASE WHEN sg = 0 THEN 0 " +
+            "ELSE ((n_gaps * sg2 - sg * sg) * 1000000) div (sg * sg) END as bigint)")
+            .as("cv2_ppm"))
+        .orderBy(col("event_type"))
+    },
+
+    // Multi-touch marketing attribution: for each converting user (first
+    // 'purchase'), credit the click/view touches that PRECEDE the
+    // conversion — first-touch and last-touch counts plus linear credit
+    // (1e6 // n_touches floor-ppm per touch, summed per channel; credit
+    // is conserved up to the documented floor). Users whose purchase has
+    // no preceding touch contribute nothing on either engine. Scale
+    // shape: conversions are one user-keyed agg; the touch join and all
+    // three windows shuffle on user_id only with per-user bounded state.
+    "q_attribution" -> Q(
+      """WITH conv AS (
+        |  SELECT user_id, min(ts) AS conv_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |touch AS (
+        |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+        |  FROM events e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE e.event_type IN ('click', 'view') AND e.ts < c.conv_ts),
+        |m AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn_last,
+        |    count(*) OVER (PARTITION BY user_id) AS n_touch
+        |  FROM touch)
+        |SELECT event_type,
+        |  cast(count(*) as bigint) AS n_touches,
+        |  cast(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) as bigint)
+        |    AS first_touch,
+        |  cast(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) as bigint)
+        |    AS last_touch,
+        |  cast(sum(1000000 // n_touch) as bigint) AS linear_ppm
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .join(conv, "user_id").filter(col("ts") < col("conv_ts"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+      val asc = byUser.orderBy(col("ts"), col("event_id"))
+      val desc = byUser.orderBy(col("ts").desc, col("event_id").desc)
+      touch
+        .withColumn("rn_first", row_number().over(asc))
+        .withColumn("rn_last", row_number().over(desc))
+        .withColumn("n_touch", count(lit(1)).over(byUser))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+          sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"),
+          sum(expr("1000000L div n_touch")).as("linear_ppm"))
+        .orderBy(col("event_type"))
+    })
+}

@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
       operators.Relational.queries, operators.Aggregates.queries,
       operators.SqlSurface.queries, operators.AsOf.queries,
       operators.EventAnalytics.queries,
-      operators.Scale.queries, functions.Scalars.queries,
+      operators.Scale.queries, operators.Stats.queries,
+      llm.CorpusStats.queries, functions.Scalars.queries,
       connector.Connector.queries, streaming.Streams.queries,
       functions.UserFunctions.queries, llm.TextAnalysis.queries,
       llm.Dedup.queries, llm.Components.queries, llm.Search.queries,

@@ -77,7 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_chi2_indep",      // crossJoin(broadcast(sources col-totals + 1-row N))
     "q_pareto_share",    // crossJoin(broadcast(1-row p90 boundary))
     "q_quantile_norm",   // crossJoin(broadcast(pooled cells + source list))
-    "q_mix_epochs")      // crossJoin(broadcast(1-row corpus-total aggregate))
+    "q_mix_epochs",      // crossJoin(broadcast(1-row corpus-total aggregate))
+    "q_mann_whitney",    // crossJoin(broadcast(distinct type list)) fan-out
+    "q_benford",         // crossJoin(broadcast(1-row digit-total aggregate))
+    "q_cramers_v")       // crossJoin(broadcast(dim totals + 1-row N)) grid
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably

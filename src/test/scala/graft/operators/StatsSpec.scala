@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Engine, Registry, TestSpark}
+
+/** Brute-force recomputation of the event-statistics operators on
+  * sf0.001: each test collects the tiny table and re-derives the
+  * statistic with naive Scala (BigInt where the engine lifts to
+  * decimal), so the cell/window algebra in the graded plans is checked
+  * against the textbook definition — independently of the DuckDB oracle,
+  * which runs the SAME closed form and so can't catch an algebra error
+  * made identically on both sides.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def run(name: String) = Registry.all(name).fn(spark, dir)
+
+  private lazy val evRows: Seq[(String, Long, Long, Long)] =
+    Engine.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  private lazy val evCents: Seq[(String, Long)] =
+    Engine.table(spark, dir, "events")
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+
+  /** 2×average-rank of each value in the combined multiset: for the tie
+    * group of v occupying 1-based positions [lo, hi], 2×avg = lo + hi.
+    */
+  private def rank2(all: Seq[Long]): Map[Long, Long] = {
+    val sorted = all.sorted
+    sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1L).min + xs.map(_._2 + 1L).max)
+    }
+  }
+
+  test("q_mann_whitney equals the brute-force rank-sum U×2 per type") {
+    val got = run("q_mann_whitney").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val base = evCents.filter(_._1 == "view").map(_._2)
+    val types = evCents.map(_._1).distinct.filter(_ != "view")
+    assert(got.keySet === types.toSet)
+    types.foreach { t =>
+      val a = evCents.filter(_._1 == t).map(_._2)
+      val r2 = rank2(a ++ base)
+      val r2a = a.map(r2).sum
+      val u2a = r2a - a.size.toLong * (a.size + 1)
+      val u2b = 2L * a.size * base.size - u2a
+      assert(got(t) === ((a.size.toLong, base.size.toLong, u2a, u2b)), s"type $t")
+      // U_a + U_b = n_a·n_b (doubled): the rank-sum identity
+      assert(u2a + u2b === 2L * a.size * base.size)
+    }
+  }
+
+  test("q_benford: digits from cents strings, shares conserved, CASE matches log10") {
+    val rows = run("q_benford").collect()
+    val exp = evCents.filter(_._2 > 0)
+      .groupBy(_._2.toString.head.asDigit).view.mapValues(_.size.toLong).toMap
+    val total = exp.values.sum
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap === exp)
+    rows.foreach { r =>
+      val (d, n, share, bppm, dev) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(share === n * 1000000L / total)
+      assert(bppm === math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+      assert(dev === math.abs(share - bppm))
+    }
+  }
+
+  test("q_cusum_shift equals the brute-force max-|CUSUM| day per type") {
+    val daily = evRows.groupBy(r => (r._1, r._4 / 86400000000L))
+      .view.mapValues(_.size.toLong).toMap
+    val got = run("q_cusum_shift").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    daily.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val days = daily.collect { case ((`t`, d), n) => (d, n) }.toSeq.sortBy(_._1)
+      val nd = days.size.toLong
+      val tot = days.map(_._2).sum
+      var cum = 0L
+      val s = days.zipWithIndex.map { case ((_, n), i) =>
+        cum += n; math.abs(nd * cum - (i + 1) * tot)
+      }
+      assert(got(t) === ((s.max, nd, tot)), s"type $t")
+    }
+  }
+
+  test("q_burstiness equals brute-force BigInt moments of per-user second gaps") {
+    val gaps = evRows.groupBy(r => (r._2, r._1)).toSeq.flatMap { case ((_, t), rs) =>
+      val o = rs.sortBy(r => (r._4, r._3)).map(_._4)
+      o.zip(o.tail).map { case (a, b) => t -> (b - a) / 1000000L }
+    }
+    val got = run("q_burstiness").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    gaps.map(_._1).distinct.foreach { t =>
+      val g = gaps.filter(_._1 == t).map(_._2).map(BigInt(_))
+      val (n, sg, sg2) = (BigInt(g.size), g.sum, g.map(x => x * x).sum)
+      val mean = if (n == 0) BigInt(0) else sg / n
+      val cv2 = if (sg == 0) BigInt(0) else (n * sg2 - sg * sg) * 1000000 / (sg * sg)
+      assert(got(t) === ((n.toLong, mean.toLong, cv2.toLong)), s"type $t")
+    }
+  }
+
+  test("q_attribution: first/last are one per converting-touched user; credit conserved") {
+    val purch = evRows.filter(_._1 == "purchase").groupBy(_._2)
+      .view.mapValues(_.map(_._4).min).toMap
+    val touches = evRows.filter(r => (r._1 == "click" || r._1 == "view")
+      && purch.get(r._2).exists(r._4 < _))
+    val byUser = touches.groupBy(_._2)
+    val got = run("q_attribution").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val nUsers = byUser.size.toLong
+    assert(got.values.map(_._2).sum === nUsers, "one first-touch per user")
+    assert(got.values.map(_._3).sum === nUsers, "one last-touch per user")
+    // linear credit conserved per user up to the documented floor: each
+    // user contributes n·⌊1e6/n⌋ ∈ (1e6 − n, 1e6]
+    val credit = got.values.map(_._4).sum
+    val lost = byUser.values.map(rs => 1000000L - rs.size * (1000000L / rs.size)).sum
+    assert(credit === 1000000L * nUsers - lost)
+    // brute-force first/last channel counts
+    val first = byUser.values.toSeq
+      .map(rs => rs.minBy(r => (r._4, r._3))._1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val last = byUser.values.toSeq
+      .map(rs => rs.maxBy(r => (r._4, r._3))._1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (t, (_, f, l, _)) =>
+      assert(f === first.getOrElse(t, 0L) && l === last.getOrElse(t, 0L), s"type $t")
+    }
+  }
+}
