@@ -25,6 +25,17 @@ object Stats {
   private def events(s: SparkSession, dir: String): DataFrame =
     Engine.table(s, dir, "events")
 
+  /** q_anomaly_alerts / s_anomaly thresholds, shared with the streaming
+    * twin (streaming/Streams.scala streamingAnomaly) and both oracles:
+    * alert when a value exceeds `anomalyMult`× the user's running mean
+    * over at least `anomalyMinN` prior events of the same type. The test
+    * is the integer cross-multiplication cents·n > mult·Σprior — no mean
+    * is ever divided out, so both engines (and the streaming state
+    * machine) share one exact arithmetic.
+    */
+  val anomalyMinN: Long = 5L
+  val anomalyMult: Long = 3L
+
   /** Benford expected first-digit shares, floor-ppm. Computed once in
     * Scala and interpolated into BOTH the graded plan and the oracle SQL
     * as the same CASE literal, so neither engine evaluates log10.
@@ -237,6 +248,52 @@ object Stats {
             "ELSE ((n_gaps * sg2 - sg * sg) * 1000000) div (sg * sg) END as bigint)")
             .as("cv2_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // Value-spike anomaly alerts: an event whose value exceeds
+    // anomalyMult× the same user's running mean of PRIOR same-type
+    // values (after anomalyMinN priors) — the batch twin of the
+    // streaming monitor (s_anomaly, streaming/Streams.scala
+    // streamingAnomaly; its per-key (n, Σcents) state is exactly this
+    // window's prefix). Integer cross-multiplied (cents·n > mult·Σ), so
+    // no mean division and the gate hashes. Scale shape: one
+    // user-partitioned window; per-user state bounded by that user's
+    // history on every engine.
+    "q_anomaly_alerts" -> Q(
+      s"""WITH v AS (SELECT user_id, event_type, event_id, ts,
+         |    cast(floor(value * 100) as bigint) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |w AS (
+         |  SELECT user_id, event_type, event_id, cents,
+         |    row_number() OVER win - 1 AS n_prior,
+         |    coalesce(sum(cents) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS sum_prior_cents
+         |  FROM v
+         |  WINDOW win AS (PARTITION BY user_id, event_type
+         |                 ORDER BY ts, event_id))
+         |SELECT user_id, event_type, event_id, cents,
+         |  cast(n_prior as bigint) AS n_prior,
+         |  cast(sum_prior_cents as bigint) AS sum_prior_cents
+         |FROM w
+         |WHERE n_prior >= $anomalyMinN
+         |  AND cents * n_prior > $anomalyMult * sum_prior_cents
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("n_prior", (row_number().over(w) - 1).cast(LongType))
+        .withColumn("sum_prior_cents",
+          coalesce(sum(col("cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("n_prior") >= anomalyMinN &&
+          col("cents") * col("n_prior") > lit(anomalyMult) * col("sum_prior_cents"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("cents"),
+          col("n_prior"), col("sum_prior_cents"))
+        .orderBy(col("user_id"), col("event_id"))
     },
 
     // Multi-touch marketing attribution: for each converting user (first

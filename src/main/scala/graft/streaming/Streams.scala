@@ -51,6 +51,21 @@ case class LastEvent(event_type: String, lastUs: Long, event_id: Long)
   */
 case class TransPair(user_id: Long, from_type: String, to_type: String)
 
+/** Input row for [[Streams.streamingAnomaly]] (value pre-floored to
+  * cents so the state machine runs the same integers as the batch twin).
+  */
+case class ValueEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, event_id: Long, cents: Long)
+
+/** Running (count, Σcents) per (user, type) — the anomaly monitor's
+  * whole state: one fixed-size struct per ever-seen key.
+  */
+case class RunningMoment(n: Long, sumCents: Long)
+
+/** One emitted anomaly alert — matches a q_anomaly_alerts output row. */
+case class AnomalyAlert(user_id: Long, event_type: String, event_id: Long,
+    cents: Long, n_prior: Long, sum_prior_cents: Long)
+
 /** Timestamp ↔ epoch-µs, exact for the µs-aligned timestamps both engines
   * use (Engine.scala nanos note). A SEPARATE object on purpose: calls
   * from the custom-state closures compile to a static MODULE$ reference
@@ -709,6 +724,45 @@ object Streams {
             last = LastEvent(e.event_type, MicroTs.toUs(e.ts), e.event_id)
           }
           if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming value-spike monitor (s_anomaly): the `flatMapGroupsWithState`
+    * twin of the batch q_anomaly_alerts (operators/Stats.scala). Per
+    * (user, type) the state is the running (n, Σcents) of everything seen
+    * so far; an arriving event alerts iff n ≥ minN and
+    * cents·n > mult·Σcents — the SAME integer cross-multiplication the
+    * batch window runs, so on chronological per-key arrival the emitted
+    * alert set is bit-identical to the batch query (spec-pinned).
+    *
+    * Lateness contract (same as streamingTransitions/Funnel): this is the
+    * OBSERVED monitor — a cross-batch out-of-order event is judged
+    * against the state at its ARRIVAL, not its timestamp (re-judging
+    * would need the full per-key history, not O(1) state); batch
+    * q_anomaly_alerts on the settled log is the reconciliation path.
+    * State: one fixed-size struct per (user, type) ever seen.
+    */
+  def streamingAnomaly(events: Dataset[ValueEvent],
+      minN: Long = graft.operators.Stats.anomalyMinN,
+      mult: Long = graft.operators.Stats.anomalyMult): Dataset[AnomalyAlert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[RunningMoment, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[ValueEvent],
+            state: GroupState[RunningMoment]) =>
+          var st = state.getOption.getOrElse(RunningMoment(0L, 0L))
+          val out = Seq.newBuilder[AnomalyAlert]
+          batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id)).foreach { e =>
+            if (st.n >= minN && e.cents * st.n > mult * st.sumCents)
+              out += AnomalyAlert(key._1, key._2, e.event_id, e.cents,
+                st.n, st.sumCents)
+            st = RunningMoment(st.n + 1, st.sumCents + e.cents)
+          }
+          state.update(st)
           out.result().iterator
       }
   }

@@ -296,4 +296,30 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(got == want,
       s"mid-batch failure broke session state: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
+
+  test("s_anomaly: running-moment state round-trips through RocksDB (round 9)") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val ev = graft.Engine.table(rocks, TestSpark.sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[ValueEvent].collect()
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingAnomaly(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("r_anomaly").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      assertRocksDbActive(q)
+      val got = rocks.table("r_anomaly").as[AnomalyAlert].collect().toSet
+      val want = graft.Registry.all("q_anomaly_alerts")
+        .fn(rocks, TestSpark.sfDir).as[AnomalyAlert].collect().toSet
+      assert(got == want,
+        s"extra: ${(got -- want).take(3)}; missing: ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
 }

@@ -780,4 +780,72 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming streaks diverge: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
     } finally q.stop()
   }
+
+  private def valueEvents(s: org.apache.spark.sql.SparkSession): Array[ValueEvent] = {
+    import s.implicits._
+    graft.Engine.table(s, TestSpark.sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[ValueEvent].collect()
+  }
+
+  test("streamingAnomaly equals batch q_anomaly_alerts on a chronological split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    // split at the median µs — strictly-earlier rows in batch 1, so
+    // every key sees chronological cross-batch arrival (the stated
+    // parity contract); equal-ts rows never straddle the cut
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingAnomaly(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_anomaly").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_anomaly").as[AnomalyAlert].collect().toSet
+      val want = graft.Registry.all("q_anomaly_alerts")
+        .fn(spark, TestSpark.sfDir).as[AnomalyAlert].collect().toSet
+      assert(got == want,
+        s"extra: ${(got -- want).take(3)}; missing: ${(want -- got).take(3)}")
+      // non-degenerate: alerts fire in BOTH batches (state crossed the
+      // micro-batch boundary, not one lucky batch)
+      val b2Ids = b2.map(_.event_id).toSet
+      assert(want.exists(a => b2Ids(a.event_id)) &&
+        want.exists(a => !b2Ids(a.event_id)),
+        "split produced a degenerate single-batch alert set")
+    } finally q.stop()
+  }
+
+  test("streamingAnomaly with checkpoint: restart resumes the (n, sum) state exactly") {
+    // deployment shape: parquet file source, checkpointed parquet sink;
+    // the op is STATEFUL, so the restart exercises state-store recovery,
+    // not just source offsets
+    val base = "/tmp/graft_test_stage/anomaly_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingAnomaly(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .as[ValueEvent])
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toSeq.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).as[AnomalyAlert].collect().toSet
+    val want = graft.Registry.all("q_anomaly_alerts")
+      .fn(spark, TestSpark.sfDir).as[AnomalyAlert].collect().toSet
+    assert(got == want,
+      s"restart diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
 }

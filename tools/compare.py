@@ -41,6 +41,20 @@ def main():
         if os.path.isdir(src):
             src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # events.ts arrives as TIMESTAMP in the driver testdata but as raw
+    # nanos BIGINT in graft.ScaleUp replicas (mirroring the nanos
+    # generation); mirror Engine.readEvents' schema-adaptive truncation
+    # so the oracles always see a µs TIMESTAMP.
+    ts_type = con.execute(
+        "SELECT data_type FROM information_schema.columns "
+        "WHERE table_name='events' AND column_name='ts'").fetchone()[0]
+    if ts_type == "BIGINT":
+        ev = f"{sf_dir}/events.parquet"
+        if os.path.isdir(ev):
+            ev = f"{ev}/*.parquet"
+        con.execute("CREATE OR REPLACE VIEW events AS SELECT event_id, "
+                    "make_timestamp(ts // 1000) AS ts, user_id, event_type, "
+                    f"value, props FROM '{ev}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
