@@ -13,40 +13,73 @@ import graft.{Engine, Q}
   * and Spark (partial/final hash agg over 32 partitions) will not add
   * doubles in DuckDB's order. So every money-ish aggregate goes through
   * bounded DECIMAL arithmetic — exact, order-independent, identical in both
-  * engines — and only the final value is cast to double (exact while the
-  * scaled magnitude stays < 2^53, which holds at sf0.01). The same cast
-  * chain is written into the oracle SQL.
+  * engines — and only the final value is cast to double. The same chain is
+  * written into the oracle SQL.
+  *
+  * The decimal→double step is the ENGINE-PORTABLE two-step: scale the
+  * exact decimal to an INTEGER, convert int→double (round-to-nearest in
+  * both engines), divide by the scale constant (one more shared IEEE
+  * rounding). A direct decimal→double cast is NOT portable past ~16
+  * significant digits: Spark rounds once (BigDecimal.doubleValue,
+  * correctly rounded) while DuckDB scales through two roundings — the 30×
+  * scale gate caught them 1 ulp apart on q_agg_group's sum_charge
+  * (130910294821.785000 → …c8f6 vs …c8f5). Parity bound: the scaled sum
+  * must stay < 2^63 (DuckDB's hugeint→double is single-rounding below
+  * that), i.e. ~10^13 money units at scale 6 — two orders past the 100×
+  * replica; beyond it, emit the decimal itself instead of a double.
   */
 object Exact {
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** Scaled-integer → double emission of an exact decimal aggregate: the
+    * decimal (already rounded to `scale` dp) times 10^scale is an exact
+    * integer; both engines convert THAT to double and divide. `p` bounds
+    * the pre-scale cast so the multiply stays inside width-38 rules on
+    * both engines (p + digits(10^scale) + 1 ≤ 38).
+    */
+  private def intScaled(d: Column, p: Int, scale: Int): Column = {
+    val m = math.pow(10, scale).toLong
+    (d.cast(DecimalType(p, scale)) * lit(m)).cast(DecimalType(38, 0))
+      .cast(DoubleType) / lit(m.toDouble)
+  }
+  // decimal(38,0), not hugeint: some queries (q_ctas) run the SAME string
+  // through spark.sql, and DuckDB's scale-0 decimal IS an int128 with the
+  // identical single-rounding int→double conversion below 2^63
+  private def oIntScaled(d: String, p: Int, scale: Int): String = {
+    val m = math.pow(10, scale).toLong
+    s"cast(cast(cast($d as decimal($p,$scale)) * $m as decimal(38,0)) as double) / $m.0"
+  }
+
   /** sum(cast(x as decimal(18,4))) rounded to 2dp, as double. */
   def sumMoney(c: Column): Column =
-    sum(dec(c, 18, 4)).cast(DecimalType(30, 2)).cast(DoubleType)
+    intScaled(sum(dec(c, 18, 4)).cast(DecimalType(30, 2)), 30, 2)
   def oSumMoney(x: String): String =
-    s"cast(cast(sum(cast($x as decimal(18,4))) as decimal(30,2)) as double)"
+    oIntScaled(s"cast(sum(cast($x as decimal(18,4))) as decimal(30,2))", 30, 2)
 
   /** Exact revenue term sum(price * (1 - discount)) at scale 4. */
   def sumRevenue(price: Column, discount: Column): Column =
-    sum(dec(price, 12, 2) * dec(lit(1.0) - discount, 4, 2))
-      .cast(DecimalType(30, 4)).cast(DoubleType)
+    intScaled(sum(dec(price, 12, 2) * dec(lit(1.0) - discount, 4, 2))
+      .cast(DecimalType(30, 4)), 30, 4)
   def oSumRevenue(price: String, discount: String): String =
-    s"cast(cast(sum(cast($price as decimal(12,2)) * cast(1 - $discount as decimal(4,2))) as decimal(30,4)) as double)"
+    oIntScaled(s"cast(sum(cast($price as decimal(12,2)) * cast(1 - $discount as decimal(4,2))) as decimal(30,4))", 30, 4)
 
-  /** Exact charge term sum(price * (1-disc) * (1+tax)) at scale 6. */
+  /** Exact charge term sum(price * (1-disc) * (1+tax)) at scale 6.
+    * Pre-scale width 31 (not 32): 31 + 7 + 1 ≤ 38 keeps the ×10⁶ inside
+    * both engines' multiply rules; 10^25 charge units is unreachable.
+    */
   def sumCharge(price: Column, discount: Column, tax: Column): Column =
-    sum(dec(price, 12, 2) * dec(lit(1.0) - discount, 4, 2) * dec(lit(1.0) + tax, 4, 2))
-      .cast(DecimalType(32, 6)).cast(DoubleType)
+    intScaled(sum(dec(price, 12, 2) * dec(lit(1.0) - discount, 4, 2) * dec(lit(1.0) + tax, 4, 2))
+      .cast(DecimalType(32, 6)), 31, 6)
   def oSumCharge(price: String, discount: String, tax: String): String =
-    s"cast(cast(sum(cast($price as decimal(12,2)) * cast(1 - $discount as decimal(4,2)) * cast(1 + $tax as decimal(4,2))) as decimal(32,6)) as double)"
+    oIntScaled(s"cast(sum(cast($price as decimal(12,2)) * cast(1 - $discount as decimal(4,2)) * cast(1 + $tax as decimal(4,2))) as decimal(32,6))", 31, 6)
 
-  /** Exact average: exact decimal sum (as double) / count — a single IEEE
-    * division, deterministic and identical in both engines.
+  /** Exact average: exact decimal sum (via the portable two-step, scale
+    * 4) / count — shared IEEE divisions, identical in both engines.
     */
   def avgExact(c: Column): Column =
-    sum(dec(c, 18, 4)).cast(DoubleType) / count(lit(1))
+    intScaled(sum(dec(c, 18, 4)), 33, 4) / count(lit(1))
   def oAvgExact(x: String): String =
-    s"cast(sum(cast($x as decimal(18,4))) as double) / count(*)"
+    s"${oIntScaled(s"sum(cast($x as decimal(18,4)))", 33, 4)} / count(*)"
 }
 
 /** SURVEY.md §2 Part B — scans, filters, predicates, joins.
