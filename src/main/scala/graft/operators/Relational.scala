@@ -37,7 +37,7 @@ object Exact {
     * the pre-scale cast so the multiply stays inside width-38 rules on
     * both engines (p + digits(10^scale) + 1 ≤ 38).
     */
-  private def intScaled(d: Column, p: Int, scale: Int): Column = {
+  def intScaled(d: Column, p: Int, scale: Int): Column = {
     val m = math.pow(10, scale).toLong
     (d.cast(DecimalType(p, scale)) * lit(m)).cast(DecimalType(38, 0))
       .cast(DoubleType) / lit(m.toDouble)
@@ -45,7 +45,7 @@ object Exact {
   // decimal(38,0), not hugeint: some queries (q_ctas) run the SAME string
   // through spark.sql, and DuckDB's scale-0 decimal IS an int128 with the
   // identical single-rounding int→double conversion below 2^63
-  private def oIntScaled(d: String, p: Int, scale: Int): String = {
+  def oIntScaled(d: String, p: Int, scale: Int): String = {
     val m = math.pow(10, scale).toLong
     s"cast(cast(cast($d as decimal($p,$scale)) * $m as decimal(38,0)) as double) / $m.0"
   }

@@ -593,23 +593,23 @@ object SqlSurface {
     // Double comparisons against literals are bit-identical in both
     // engines (same parquet doubles, same literals, no arithmetic).
     "q_tpch_q6" -> Q(
-      """SELECT cast(count(*) as bigint) AS n,
-        |  cast(cast(sum(cast(l_extendedprice as decimal(12,2))
-        |       * cast(l_discount as decimal(4,2))) as decimal(30,4)) as double)
-        |    AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
-        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
-        |ORDER BY n""".stripMargin) { (s, dir) =>
+      s"""SELECT cast(count(*) as bigint) AS n,
+         |  ${Exact.oIntScaled(
+              "sum(cast(l_extendedprice as decimal(12,2)) " +
+              "* cast(l_discount as decimal(4,2)))", 30, 4)}
+         |    AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+         |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+         |ORDER BY n""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(expr("l_shipdate >= timestamp '1997-01-01 00:00:00'")
           && expr("l_shipdate < timestamp '1998-01-01 00:00:00'")
           && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
         .agg(count(lit(1)).as("n"),
-          sum(Exact.dec(col("l_extendedprice"), 12, 2)
-            * Exact.dec(col("l_discount"), 4, 2))
-            .cast(DecimalType(30, 4)).cast(DoubleType).as("revenue"))
+          Exact.intScaled(sum(Exact.dec(col("l_extendedprice"), 12, 2)
+            * Exact.dec(col("l_discount"), 4, 2)), 30, 4).as("revenue"))
     },
 
     // TPC-H Q9 shape (product-type profit by nation and year): profit =
@@ -672,7 +672,8 @@ object SqlSurface {
         |  GROUP BY l_partkey),
         |tot AS (SELECT sum(v) AS tv FROM pv)
         |SELECT l_partkey AS p_partkey,
-        |  cast(cast(v as decimal(30,4)) as double) AS part_value
+        |  cast(cast(cast(v as decimal(30,4)) * 10000 as decimal(38,0))
+        |       as double) / 10000.0 AS part_value
         |FROM pv, tot WHERE v * 5000 > tv
         |ORDER BY part_value DESC, p_partkey""".stripMargin) { (s, dir) =>
       val supp = broadcast(t(s, dir, "supplier")
@@ -688,7 +689,7 @@ object SqlSurface {
       pv.crossJoin(broadcast(tot))
         .filter(col("v") * 5000 > col("tv"))
         .select(col("l_partkey").as("p_partkey"),
-          col("v").cast(DecimalType(30, 4)).cast(DoubleType).as("part_value"))
+          Exact.intScaled(col("v"), 30, 4).as("part_value"))
         .orderBy(col("part_value").desc, col("p_partkey"))
     },
 
@@ -777,7 +778,8 @@ object SqlSurface {
         |  GROUP BY l_suppkey),
         |mx AS (SELECT max(r) AS m FROM rev)
         |SELECT s_suppkey, s_name,
-        |  cast(cast(r as decimal(30,4)) as double) AS total_revenue
+        |  cast(cast(cast(r as decimal(30,4)) * 10000 as decimal(38,0))
+        |       as double) / 10000.0 AS total_revenue
         |FROM rev JOIN supplier ON s_suppkey = l_suppkey, mx
         |WHERE r = m ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
       val rev = t(s, dir, "lineitem")
@@ -793,7 +795,7 @@ object SqlSurface {
           .select(col("s_suppkey"), col("s_name"))),
           col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
-          col("r").cast(DecimalType(30, 4)).cast(DoubleType).as("total_revenue"))
+          Exact.intScaled(col("r"), 30, 4).as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
 
@@ -1256,11 +1258,11 @@ object SqlSurfaceTexts {
       |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0
       |), per_cust AS (
       |  SELECT o_custkey, count(*) AS n_big,
-      |    cast(cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(30,2)) as double) AS total_big
+      |    cast(cast(cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(30,2)) * 100 as decimal(38,0)) as double) / 100.0 AS total_big
       |  FROM big_orders GROUP BY o_custkey
       |)
       |SELECT c_mktsegment, count(*) AS n_customers,
-      |  cast(cast(sum(cast(total_big as decimal(18,4))) as decimal(30,2)) as double) AS segment_total
+      |  cast(cast(cast(sum(cast(total_big as decimal(18,4))) as decimal(30,2)) * 100 as decimal(38,0)) as double) / 100.0 AS segment_total
       |FROM per_cust JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
