@@ -417,9 +417,9 @@ object Aggregates {
     // Same partial-agg shape as q_agg_rollup; the calendar derivation is
     // a narrow projection the scan pruning sees through.
     "q_agg_time_rollup" -> Q(
-      """SELECT cast(day_of_ts as date) AS day_of_ts, hr,
+      s"""SELECT cast(day_of_ts as date) AS day_of_ts, hr,
          |  grouping(day_of_ts, hr) AS gid, count(*) AS n,
-         |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double)
+         |  ${Exact.oIntScaled("sum(cast(value as decimal(18,6)))", 30, 6)}
          |    AS sum_value
          |FROM (SELECT date_trunc('day', ts) AS day_of_ts,
          |        cast(hour(ts) as int) AS hr, value FROM events)
@@ -430,8 +430,7 @@ object Aggregates {
           hour(col("ts")).as("hr"), col("value"))
         .rollup(col("day_of_ts"), col("hr"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          sum(dec(col("value"), 18, 6)).cast(DecimalType(30, 6))
-            .cast(DoubleType).as("sum_value"))
+          Exact.intScaled(sum(dec(col("value"), 18, 6)), 30, 6).as("sum_value"))
         .select(col("day_of_ts"), col("hr"), col("gid"), col("n"), col("sum_value"))
         .orderBy(col("gid"), col("day_of_ts").asc_nulls_first,
           col("hr").asc_nulls_first)

@@ -448,7 +448,7 @@ object EventAnalytics {
     // 3-group aggregate; distinct-user counts shuffle on (split, user)
     // pairs, bounded by the user dimension.
     "q_split_group" -> Q(
-      """WITH b AS (SELECT user_id, event_type, value,
+      s"""WITH b AS (SELECT user_id, event_type, value,
         |    (instr('0123456789abcdef', substr(md5(cast(user_id as varchar)), 1, 1)) - 1) * 16
         |  + (instr('0123456789abcdef', substr(md5(cast(user_id as varchar)), 2, 1)) - 1) AS bucket
         |  FROM events)
@@ -456,9 +456,9 @@ object EventAnalytics {
         |            WHEN bucket % 10 = 8 THEN 'val' ELSE 'test' END AS split,
         |  cast(count(DISTINCT user_id) as bigint) AS n_users,
         |  cast(count(*) as bigint) AS n_events,
-        |  cast(count(*) FILTER (event_type = 'purchase') as bigint) AS n_purchases,
-        |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double) AS total_value
-        |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+         |  cast(count(*) FILTER (event_type = 'purchase') as bigint) AS n_purchases,
+         |  ${Exact.oIntScaled("sum(cast(value as decimal(18,6)))", 30, 6)} AS total_value
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
       events(s, dir)
         .withColumn("bucket",
           conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)), 1, 2),
@@ -470,8 +470,8 @@ object EventAnalytics {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"),
           count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
-          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(30, 6))
-            .cast(DoubleType).as("total_value"))
+          Exact.intScaled(sum(col("value").cast(DecimalType(18, 6))), 30, 6)
+            .as("total_value"))
         .orderBy(col("split"))
     },
 

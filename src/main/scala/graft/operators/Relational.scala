@@ -255,11 +255,11 @@ object Relational {
     // round-trip losses (partition-column typing, value encoding) break
     // the hash. Value sums ride the exact-decimal chain.
     "q_scan_partitioned" -> Q(
-      """SELECT event_type, cast(count(*) as bigint) AS n,
-        |  cast(count(DISTINCT user_id) as bigint) AS n_users,
-        |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(30,6)) as double) AS total
-        |FROM events WHERE event_type IN ('view', 'purchase')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      s"""SELECT event_type, cast(count(*) as bigint) AS n,
+         |  cast(count(DISTINCT user_id) as bigint) AS n_users,
+         |  ${Exact.oIntScaled("sum(cast(value as decimal(18,6)))", 30, 6)} AS total
+         |FROM events WHERE event_type IN ('view', 'purchase')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val path = s"$stageRoot/scan_partitioned"
       cleanDir(path)
       Engine.table(s, dir, "events")
@@ -269,8 +269,7 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(dec(col("value"), 18, 6)).cast(DecimalType(30, 6))
-            .cast(DoubleType).as("total"))
+          Exact.intScaled(sum(dec(col("value"), 18, 6)), 30, 6).as("total"))
         .orderBy(col("event_type"))
     },
 

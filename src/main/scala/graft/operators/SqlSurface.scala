@@ -620,12 +620,13 @@ object SqlSurface {
     // lineitem, supplier⋈nation broadcasts, orders joins on the fact
     // key, and the agg output is nations × years.
     "q_tpch_q9" -> Q(
-      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  cast(cast(sum(cast(l_extendedprice as decimal(12,2))
-        |         * cast(1 - l_discount as decimal(4,2))
-        |       - cast(p_retailprice as decimal(12,2))
-        |         * cast(round(l_quantity, 0) as decimal(8,0)))
-        |       as decimal(32,4)) as double) AS sum_profit
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  ${Exact.oIntScaled(
+              "sum(cast(l_extendedprice as decimal(12,2)) " +
+              "* cast(1 - l_discount as decimal(4,2)) " +
+              "- cast(p_retailprice as decimal(12,2)) " +
+              "* cast(round(l_quantity, 0) as decimal(8,0)))", 32, 4)}
+         |    AS sum_profit
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |              JOIN supplier ON s_suppkey = l_suppkey
         |              JOIN nation ON n_nationkey = s_nationkey
@@ -649,8 +650,7 @@ object SqlSurface {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(sum(profit).cast(DecimalType(32, 4)).cast(DoubleType)
-          .as("sum_profit"))
+        .agg(Exact.intScaled(sum(profit), 32, 4).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
 
