@@ -41,6 +41,9 @@ object EventAnalytics {
   /** q_dedup_window's cooldown (1 h in µs); shared with its oracle SQL. */
   val debounceUs: Long = 3600L * 1000000L
 
+  /** q_funnel_window's conversion box (1 h in µs); shared with its oracle. */
+  val convertWindowUs: Long = 3600L * 1000000L
+
   def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,
       gapUs: Long = sessionGapUs): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
@@ -251,6 +254,92 @@ object EventAnalytics {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       funnel(events(s, dir)).orderBy(col("user_id"))
+    },
+
+    // Time-boxed conversion funnel: of the users whose FIRST view fell
+    // on day d, how many purchased within ONE HOUR of that view — the
+    // bounded-window companion to q_funnel's unbounded ordered funnel
+    // (a marketing CVR wants "converted promptly", not "converted
+    // eventually"). The box is integer µs arithmetic
+    // (0 ≤ epoch_us(purchase) − epoch_us(first view) ≤ 3.6e9 — the
+    // at-or-after convention q_funnel uses), never engine interval
+    // types. Scale shape: one user-keyed min agg, one user-keyed
+    // semi-join-shaped EXISTS aggregate, one calendar-sized day rollup —
+    // all map-side combinable, no windows at all.
+    "q_funnel_window" -> Q(
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT v.user_id,
+         |        max(CASE WHEN e.event_type = 'purchase'
+         |                  AND epoch_us(e.ts) - epoch_us(v.t_view)
+         |                      BETWEEN 0 AND $convertWindowUs
+         |                 THEN 1 ELSE 0 END) AS conv
+         |      FROM v JOIN events e USING (user_id)
+         |      GROUP BY v.user_id)
+         |SELECT cast(v.t_view as date) AS view_day,
+         |  cast(count(*) as bigint) AS n_viewers,
+         |  cast(sum(c.conv) as bigint) AS n_converted_1h,
+         |  cast((sum(c.conv) * 1000000) // count(*) as bigint) AS cvr_ppm
+         |FROM v JOIN c USING (user_id)
+         |GROUP BY 1 ORDER BY view_day""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val conv = ev.join(v, "user_id")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          (unix_micros(col("ts")) - unix_micros(col("t_view")))
+            .between(0L, convertWindowUs), 1L).otherwise(0L)).as("conv"))
+      v.join(conv, "user_id")
+        .groupBy(to_date(col("t_view")).as("view_day"))
+        .agg(count(lit(1)).as("n_viewers"), sum(col("conv")).as("n_converted_1h"))
+        .select(col("view_day"), col("n_viewers"), col("n_converted_1h"),
+          expr("(n_converted_1h * 1000000L) div n_viewers").as("cvr_ppm"))
+        .orderBy(col("view_day"))
+    },
+
+    // DAU/WAU stickiness per ISO week — the product-health ratio next
+    // to q_dau_window's rolling actives: mean daily actives over weekly
+    // actives, in floor-ppm (Σ daily_dau · 1e6 // (days · wau), one
+    // floor division so the gate hashes; weekly rather than monthly
+    // because the synthetic timeline spans one month — same algebra at
+    // any granularity). Both engines truncate weeks to Monday (q_cohort
+    // precedent). Scale shape: the corpus collapses to distinct
+    // (day, user) in one shuffle; dau is a calendar-sized agg; wau
+    // shuffles (week, user) pairs bounded by users × weeks. Nothing
+    // bigger than distinct-user-day survives the first exchange.
+    "q_stickiness" -> Q(
+      """WITH du AS (SELECT DISTINCT cast(ts as date) AS d, user_id
+        |            FROM events),
+        |daily AS (SELECT d, cast(count(*) as bigint) AS dau FROM du
+        |          GROUP BY d),
+        |weekly AS (
+        |  SELECT cast(date_trunc('week', d) as date) AS week,
+        |    cast(count(DISTINCT user_id) as bigint) AS wau
+        |  FROM du GROUP BY 1),
+        |dm AS (
+        |  SELECT cast(date_trunc('week', d) as date) AS week,
+        |    cast(count(*) as bigint) AS n_days,
+        |    cast(sum(dau) as bigint) AS sum_dau
+        |  FROM daily GROUP BY 1)
+        |SELECT w.week, dm.n_days, dm.sum_dau, w.wau,
+        |  cast((dm.sum_dau * 1000000) // (dm.n_days * w.wau) as bigint)
+        |    AS stickiness_ppm
+        |FROM weekly w JOIN dm USING (week)
+        |ORDER BY week""".stripMargin) { (s, dir) =>
+      val du = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val daily = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val weekly = du
+        .groupBy(to_date(date_trunc("week", col("d"))).as("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val dm = daily
+        .groupBy(to_date(date_trunc("week", col("d"))).as("week"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      weekly.join(dm, "week")
+        .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+          expr("(sum_dau * 1000000L) div (n_days * wau)").as("stickiness_ppm"))
+        .orderBy(col("week"))
     },
 
     // Weekly retention cohorts: cohort = ISO week of the user's first
