@@ -665,6 +665,96 @@ object Components {
     s.read.parquet(path).select(col("id"), col("label"))
   }
 
+  /** 2-core of an undirected edge list: iteratively peel every vertex of
+    * degree < 2 (with its edges) until none remains — the unique maximal
+    * subgraph of minimum degree ≥ 2. On the near-dup graph this separates
+    * CYCLE-BEARING duplication structure (template spam cliques, mutual
+    * near-copies) from incidental tree-shaped pairings that transitive
+    * closure alone cannot distinguish; it is also the k=2 step of the
+    * standard k-core decomposition schedule. Returns `(doc_id, core_deg)`
+    * for every surviving vertex, where `core_deg` = its degree INSIDE the
+    * 2-core.
+    *
+    * The peel order never changes the result (fixpoint uniqueness), so
+    * oracle parity needs no round mirroring — only enough unrolled oracle
+    * rounds to reach the fixpoint. Scale shape: every round is one
+    * edge-sized degree agg + two semi-joins, and the edge set only
+    * shrinks; same loop disciplines as the CC variants (per-round RDD
+    * re-rooting, graph-sized shuffle partitions on a child session, AQE
+    * off, loud non-convergence). Convergence test is just an edge-count
+    * compare — the peel is monotone (next ⊆ cur), so equal count ⇔ equal
+    * set, no anti-join needed. Worst case is a path (peels from the ends,
+    * ~diameter/2 rounds); near-dup graphs converge in a handful.
+    */
+  def twoCore(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val canon = edges
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val schema = canon.schema
+    val allRdd = canon.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val nAll = spark.createDataFrame(allRdd, schema).count()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", schema("a").dataType),
+      StructField("core_deg", LongType, nullable = false)))
+    def emptyOut: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (nAll == 0L) { allRdd.unpersist(); return emptyOut }
+    val finalRdd = withGraphLoopConf(spark, nAll) { (loop, _) =>
+      var curRdd = allRdd
+      var cur = loop.createDataFrame(curRdd, schema)
+      var curCount = nAll
+      var it = 0
+      var done = false
+      while (!done && it < maxIters) {
+        val deg = cur.select(col("a").as("id"))
+          .union(cur.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") >= 2L).select(col("id"))
+        val next = cur
+          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+        val nextRdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        val nextDf = loop.createDataFrame(nextRdd, schema)
+        val nextCount = nextDf.count()
+        done = nextCount == curCount
+        curRdd.unpersist()
+        curRdd = nextRdd
+        cur = nextDf
+        curCount = nextCount
+        it += 1
+      }
+      if (!done) {
+        curRdd.unpersist()
+        throw new IllegalArgumentException(
+          s"2-core peel did not converge in $maxIters rounds")
+      }
+      curRdd
+    }
+    val fin = spark.createDataFrame(finalRdd, schema)
+    fin.select(col("a").as("doc_id")).union(fin.select(col("b")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Oracle twin of one [[twoCore]] peel round over `e${k-1}`. */
+  private def oPeelRound(k: Int): String =
+    s"""g$k AS (SELECT id, count(*) AS deg FROM (
+       |          SELECT d1 AS id FROM e${k - 1}
+       |          UNION ALL SELECT d2 FROM e${k - 1}) GROUP BY id),
+       |e$k AS MATERIALIZED (
+       |  SELECT e.d1, e.d2 FROM e${k - 1} e
+       |  JOIN g$k x ON e.d1 = x.id JOIN g$k y ON e.d2 = y.id
+       |  WHERE x.deg >= 2 AND y.deg >= 2)""".stripMargin
+
+  /** Unrolled oracle peel depth — the plan iterates to the true fixpoint,
+    * so this only needs to be ≥ the rounds the data actually takes (the
+    * gate fails LOUDLY, never silently, if it is not: extra rounds past
+    * the fixpoint are no-ops, too few leave the oracle above it).
+    */
+  private val oPeelRounds = 24
+
   /** q_graph_degree_hist's downstream: log2-bucketed degree histogram of
     * the pair graph over the vertex frame.
     */
@@ -839,6 +929,31 @@ object Components {
          |  cast(max(deg) as bigint) AS max_deg
          |FROM vd GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       degreeHistFromPairs(simhashPairs(s, dir), Engine.table(s, dir, "documents"))
+    },
+
+    // Cycle-core extraction (round 9): the 2-core of the near-dup graph
+    // — every vertex/edge on or between cycles, i.e. the mutually-
+    // reinforcing duplication structure (template-spam cliques) as
+    // opposed to tree-shaped incidental chains, which a transitive
+    // closure cannot tell apart. The k=2 step of the standard k-core
+    // peel; the oracle unrolls the identical peel as chained
+    // MATERIALIZED CTEs (fixpoint is schedule-independent, so only the
+    // DEPTH needs to be generous, never the order — too-shallow fails
+    // the hash loudly). Scale shape: per round one edge-sized degree agg
+    // + two semi-joins on a monotonically shrinking edge set; same loop
+    // disciplines as connectedComponents.
+    "q_graph_kcore" -> Q(
+      s"""WITH ${Dedup.oSimhashSigsCte},
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |e0 AS MATERIALIZED (SELECT d1, d2 FROM prs),
+         |${(1 to oPeelRounds).map(oPeelRound).mkString(",\n")}
+         |SELECT id AS doc_id, cast(count(*) as bigint) AS core_deg
+         |FROM (SELECT d1 AS id FROM e$oPeelRounds
+         |      UNION ALL SELECT d2 FROM e$oPeelRounds)
+         |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      twoCore(simhashPairs(s, dir)).orderBy(col("doc_id"))
     },
 
     // Representative selection (round 7 continuation) — the step AFTER

@@ -342,6 +342,108 @@ object EventAnalytics {
         .orderBy(col("week"))
     },
 
+    // Time-weighted average value per user — the metering/billing
+    // aggregate (a step function holds each reading until the next
+    // one; TWA = ∫value dt / ∫dt): plain avg() over-weights bursty
+    // readings. All integer µs × cents arithmetic: weighted terms are
+    // cents·Δt ≤ 5e4·2.6e12 ≈ 1.3e17 per step and user-lifetime sums
+    // stay under 2^63, but the ·1e6 ppm lift does NOT — lifted to
+    // decimal(38,0)/HUGEINT before the floor division (q_rarity_score
+    // discipline). Same-timestamp users (dur_us = 0) are filtered on
+    // both engines — DuckDB `//` raises on zero where Spark yields
+    // NULL. Scale shape: one user-partitioned lead window (per-user
+    // bounded state), one map-side-combinable per-user agg.
+    "q_twa" -> Q(
+      """WITH x AS (
+        |  SELECT user_id, cast(floor(value * 100) as bigint) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id)
+        |      - epoch_us(ts) AS dt
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |        cast(count(dt) as bigint) AS n_steps,
+        |        cast(sum(dt) as bigint) AS dur_us,
+        |        cast(sum(cents * dt) as bigint) AS wsum
+        |      FROM x GROUP BY user_id)
+        |SELECT user_id, n_steps, dur_us, wsum,
+        |  cast((cast(wsum as hugeint) * 1000000) // dur_us as bigint)
+        |    AS twa_cents_ppm
+        |FROM u WHERE dur_us > 0 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast(LongType).as("cents"),
+          (lead(unix_micros(col("ts")), 1).over(w)
+            - unix_micros(col("ts"))).as("dt"))
+        .groupBy(col("user_id"))
+        .agg(count(col("dt")).as("n_steps"),
+          sum(col("dt")).as("dur_us"),
+          sum(col("cents") * col("dt")).as("wsum"))
+        .filter(col("dur_us") > 0L)
+        .select(col("user_id"), col("n_steps"), col("dur_us"), col("wsum"),
+          expr("cast((cast(wsum as decimal(38,0)) * 1000000) div dur_us as bigint)")
+            .as("twa_cents_ppm"))
+        .orderBy(col("user_id"))
+    },
+
+    // Per-user EWMA smoothing with dyadic weights — the trend readout
+    // over a noisy value stream. A true EWMA is a linear recurrence
+    // (not window-expressible portably); the 8-lag geometric window
+    // with integer weights 128,64,…,1 (denominator 255) is its
+    // truncated form and is FULLY integer: wsum ≤ 5e4·255, ppm lift
+    // fits bigint with room. Only positions with complete 8-lag
+    // history smooth (identical filter both engines); users with <8
+    // events drop out. The per-user "latest smoothed value" argmax
+    // crosses engines on a composite integer key (µs·1e6 + event_id,
+    // lifted decimal(38,0)/HUGEINT — epoch_us·1e6 passes 2^63) —
+    // struct-keyed arg_max is not portable to the oracle. Scale shape:
+    // one user-partitioned 8-lag window, one map-side max_by/arg_max.
+    "q_ewma_smooth" -> Q(
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    cast(floor(value * 100) as bigint) AS cents,
+        |    row_number() OVER w AS rn,
+        |    128 * cast(floor(value * 100) as bigint)
+        |      + 64 * lag(cast(floor(value * 100) as bigint), 1) OVER w
+        |      + 32 * lag(cast(floor(value * 100) as bigint), 2) OVER w
+        |      + 16 * lag(cast(floor(value * 100) as bigint), 3) OVER w
+        |      +  8 * lag(cast(floor(value * 100) as bigint), 4) OVER w
+        |      +  4 * lag(cast(floor(value * 100) as bigint), 5) OVER w
+        |      +  2 * lag(cast(floor(value * 100) as bigint), 6) OVER w
+        |      +  1 * lag(cast(floor(value * 100) as bigint), 7) OVER w
+        |      AS wsum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sm AS (SELECT user_id,
+        |         (wsum * 1000000) // 255 AS ewma_ppm,
+        |         cast(us as hugeint) * 1000000 + event_id AS ord
+        |       FROM x WHERE rn >= 8)
+        |SELECT user_id, cast(count(*) as bigint) AS n_smoothed,
+        |  cast(max(ewma_ppm) as bigint) AS peak_ewma_ppm,
+        |  cast(min(ewma_ppm) as bigint) AS min_ewma_ppm,
+        |  cast(arg_max(ewma_ppm, ord) as bigint) AS last_ewma_ppm
+        |FROM sm GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cents = floor(col("value") * 100).cast(LongType)
+      val wsum = (2 to 8).foldLeft(lit(128L) * cents) { (acc, k) =>
+        acc + lit(256L >> k) * lag(cents, k - 1).over(w)
+      }
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          row_number().over(w).as("rn"), wsum.as("wsum"))
+        .filter(col("rn") >= 8)
+        .select(col("user_id"),
+          expr("(wsum * 1000000L) div 255L").as("ewma_ppm"),
+          (col("us").cast(DecimalType(38, 0)) * 1000000 + col("event_id"))
+            .as("ord"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_smoothed"),
+          max(col("ewma_ppm")).as("peak_ewma_ppm"),
+          min(col("ewma_ppm")).as("min_ewma_ppm"),
+          max_by(col("ewma_ppm"), col("ord")).as("last_ewma_ppm"))
+        .orderBy(col("user_id"))
+    },
+
     // Weekly retention cohorts: cohort = ISO week of the user's first
     // signup; a user is active in week-offset k if they have ANY event in
     // cohort_week + k weeks. Both engines truncate weeks to Monday.

@@ -688,6 +688,62 @@ object Relational {
     "q_join_lateral" -> Q(lateralSql) { (s, dir) =>
       Engine.registerAll(s, dir)
       s.sql(lateralSql)
+    },
+
+    // Snapshot reconciliation (round 9): diff two versions of a derived
+    // table — the data-quality check run after every incremental load
+    // (the reference's users re-upload whole frames via pandas_to_redshift,
+    // `core.py:205`; diffing snapshots is how they'd audit what changed).
+    // Snapshots = per-customer order rollups at two date cuts; a full
+    // outer join on the key classifies every customer as added / removed
+    // / changed / unchanged, and the summary carries both row counts and
+    // the total absolute cents drift per class. Scale shape: two pruned
+    // scans (o_orderdate pushed to parquet), two map-side-combinable
+    // aggs keyed on o_custkey, one equi-join on the same key — AQE
+    // picks broadcast when one snapshot is small. Cents sums: ≤ 6e5
+    // orders × 5e7 cents ≈ 3e13 per customer — bigint-safe, and the
+    // class-level |Δ| sum stays integer-exact.
+    "q_snapshot_diff" -> Q(
+      """WITH a AS (SELECT o_custkey AS k, cast(count(*) as bigint) AS n,
+        |             cast(sum(cast(floor(o_totalprice * 100) as bigint))
+        |               as bigint) AS cents
+        |           FROM orders WHERE o_orderdate < DATE '1998-01-01'
+        |           GROUP BY 1),
+        |b AS (SELECT o_custkey AS k, cast(count(*) as bigint) AS n,
+        |        cast(sum(cast(floor(o_totalprice * 100) as bigint))
+        |          as bigint) AS cents
+        |      FROM orders WHERE o_orderdate < DATE '2000-01-01'
+        |      GROUP BY 1),
+        |d AS (SELECT coalesce(a.k, b.k) AS k,
+        |        CASE WHEN a.k IS NULL THEN 'added'
+        |             WHEN b.k IS NULL THEN 'removed'
+        |             WHEN a.n <> b.n OR a.cents <> b.cents THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        abs(coalesce(b.cents, 0) - coalesce(a.cents, 0)) AS drift
+        |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT status, cast(count(*) as bigint) AS n_keys,
+        |  cast(sum(drift) as bigint) AS abs_drift_cents
+        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      def snap(cut: String): DataFrame = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(cut).cast("date"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+      val a = snap("1998-01-01")
+      val b = snap("2000-01-01")
+      val aa = a.select(col("k").as("ak"), col("n").as("an"), col("cents").as("ac"))
+      val bb = b.select(col("k").as("bk"), col("n").as("bn"), col("cents").as("bc"))
+      aa.join(bb, col("ak") === col("bk"), "full_outer")
+        .select(
+          when(col("ak").isNull, "added")
+            .when(col("bk").isNull, "removed")
+            .when(col("an") =!= col("bn") || col("ac") =!= col("bc"), "changed")
+            .otherwise("unchanged").as("status"),
+          abs(coalesce(col("bc"), lit(0L)) - coalesce(col("ac"), lit(0L)))
+            .as("drift"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("drift")).as("abs_drift_cents"))
+        .orderBy(col("status"))
     }
   )
 }

@@ -756,6 +756,50 @@ object Scale {
           |  cast((cast(1000000 as decimal(38,0)) * max(c)) div sum(c)
           |    as bigint) AS max_share_ppm
           |FROM graft_skew_kc ORDER BY n_keys""".stripMargin)
+    },
+
+    // Bitmap-index COUNT DISTINCT (round 9): the classic OLAP exact
+    // distinct for dense integer keys — pack each 32-key block of the
+    // user-id domain into one bigint word (bit = membership), bit_or
+    // the words per (group, word), popcount-sum the result. Both the
+    // bitmap path and the naive count(distinct) are emitted so the
+    // result is self-documenting; the gate hashes their (always-equal)
+    // values. Why it matters at 100 TB: bit_or is map-side combinable
+    // and the shuffled state is (groups × domain/32) WORDS — for a
+    // 1e9-user domain that is ~31M longs per group versus shuffling
+    // every distinct (group, user) pair for count(distinct); the same
+    // packing underlies roaring-bitmap engines. 32-bit blocks (not 64)
+    // keep `1 << bit` clear of the sign bit on both engines.
+    "q_bitmap_distinct" -> Q(
+      """WITH b AS (
+        |  SELECT event_type, user_id // 32 AS word,
+        |    bit_or(cast(1 as bigint) << (user_id % 32)) AS bm
+        |  FROM events GROUP BY 1, 2),
+        |bc AS (SELECT event_type,
+        |         cast(count(*) as bigint) AS n_words,
+        |         cast(sum(bit_count(bm)) as bigint) AS n_users_bitmap
+        |       FROM b GROUP BY event_type),
+        |ex AS (SELECT event_type,
+        |         cast(count(DISTINCT user_id) as bigint) AS n_users_exact
+        |       FROM events GROUP BY event_type)
+        |SELECT event_type, n_words, n_users_bitmap, n_users_exact
+        |FROM bc JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Engine.table(s, dir, "events")
+      val bm = ev
+        .select(col("event_type"), expr("user_id div 32").as("word"),
+          expr("shiftleft(1L, int(user_id % 32))").as("m"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(bit_or(col("m")).as("bm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(bit_count(col("bm")).cast(LongType)).as("n_users_bitmap"))
+      val ex = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      bm.join(ex, "event_type")
+        .select(col("event_type"), col("n_words"), col("n_users_bitmap"),
+          col("n_users_exact"))
+        .orderBy(col("event_type"))
     }
   )
 }
