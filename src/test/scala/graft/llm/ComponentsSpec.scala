@@ -279,4 +279,33 @@ class ComponentsSpec extends AnyFunSuite {
     assert(mat.except(rec).isEmpty && rec.except(mat).isEmpty,
       "labels index diverged from the loop recompute")
   }
+
+  test("twoCore: trees/chains vanish, cycles and their bridges survive with " +
+      "exact core degrees") {
+    import spark.implicits._
+    def core(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Components.twoCore(edges.toDF("d1", "d2")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a pure path peels to nothing (from both ends inward — also the
+    // multi-round worst case for the loop)
+    assert(core((0L until 30L).map(i => (i, i + 1))) === Map.empty)
+    // a 4-cycle with a pendant chain: the cycle survives at degree 2,
+    // the chain peels entirely
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val pendant = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    assert(core(cyc ++ pendant) ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // two cycles joined by a bridge: NOTHING peels (every vertex has
+    // degree >= 2 including the bridge endpoints), so the bridge edge is
+    // part of the 2-core — the property that distinguishes 2-core from
+    // biconnected components
+    val tri = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val bridge = Seq((0L, 20L))
+    val got = core(cyc ++ tri ++ bridge)
+    assert(got === Map(0L -> 3L, 1L -> 2L, 2L -> 2L, 3L -> 2L,
+      20L -> 3L, 21L -> 2L, 22L -> 2L))
+    // self-loops and duplicate/reversed listings canonicalize away
+    assert(core(Seq((5L, 5L), (0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L))) ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
 }

@@ -377,4 +377,51 @@ class ScaleSpec extends AnyFunSuite {
         .as("r"), col("h"))
     assert(chain.except(fused).isEmpty && fused.except(chain).isEmpty)
   }
+
+  test("q_bitmap_distinct: bitmap popcount equals both its own exact column " +
+      "and a brute-force distinct per type") {
+    import graft.{Engine, Registry, TestSpark}
+    val dir = TestSpark.sfDir
+    val rows = Registry.all("q_bitmap_distinct").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp = ev.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(rows.keySet === exp.keySet)
+    exp.foreach { case (t, users) =>
+      val (nWords, nBitmap, nExact) = rows(t)
+      assert(nBitmap === users.size.toLong, s"type $t bitmap count")
+      assert(nExact === users.size.toLong, s"type $t exact count")
+      assert(nWords === users.map(_ / 32).distinct.size.toLong, s"type $t words")
+    }
+  }
+
+  test("q_snapshot_diff: classes partition the key space and drift is the " +
+      "brute-force cents delta (relational family; no RelationalSpec file)") {
+    import graft.{Engine, Registry, TestSpark}
+    val dir = TestSpark.sfDir
+    val got = Registry.all("q_snapshot_diff").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = Engine.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").cast("string"),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def snap(cut: String) = orders.filter(_._2 < cut).groupBy(_._1)
+      .view.mapValues(os => (os.size.toLong, os.map(_._3).sum)).toMap
+    val (a, b) = (snap("1998-01-01"), snap("2000-01-01"))
+    val classes = (a.keySet ++ b.keySet).toSeq.map { k =>
+      val status =
+        if (!a.contains(k)) "added"
+        else if (!b.contains(k)) "removed"
+        else if (a(k) != b(k)) "changed" else "unchanged"
+      (status, math.abs(b.getOrElse(k, (0L, 0L))._2 - a.getOrElse(k, (0L, 0L))._2))
+    }
+    val exp = classes.groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    assert(got === exp)
+    // snapshots are monotone cuts of one table: nothing can be removed
+    assert(!got.contains("removed"))
+  }
 }

@@ -136,4 +136,47 @@ class StatsSpec extends AnyFunSuite {
       assert(f === first.getOrElse(t, 0L) && l === last.getOrElse(t, 0L), s"type $t")
     }
   }
+
+  /** (user_id, event_id, us, cents) ordered per user by (ts, event_id) —
+    * the per-user series the TWA/EWMA brute forces replay.
+    */
+  private lazy val seriesByUser: Map[Long, Seq[(Long, Long, Long)]] =
+    Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(t => (t._2, t._1)))
+      .toMap
+
+  test("q_twa equals the brute-force BigInt step-function integral per user") {
+    val got = run("q_twa").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val exp = seriesByUser.collect { case (u, s) if s.size >= 2 =>
+      val steps = s.sliding(2).toSeq.map { case Seq(a, b) => (a._3, b._2 - a._2) }
+      val dur = steps.map(_._2).sum
+      val wsum = steps.map { case (c, dt) => c * dt }.sum
+      u -> (steps.size.toLong, dur, wsum,
+        (BigInt(wsum) * 1000000 / dur).toLong)
+    }.filter(_._2._2 > 0)
+    assert(got === exp)
+  }
+
+  test("q_ewma_smooth equals the brute-force 8-lag dyadic window per user") {
+    val got = run("q_ewma_smooth").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val weights = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+    val exp = seriesByUser.collect { case (u, s) if s.size >= 8 =>
+      // position i (0-based, i >= 7): weights over cents(i), ..., cents(i-7)
+      val ewmas = (7 until s.size).map { i =>
+        val wsum = weights.zipWithIndex.map { case (w, k) => w * s(i - k)._3 }.sum
+        wsum * 1000000L / 255L
+      }
+      u -> (ewmas.size.toLong, ewmas.max, ewmas.min, ewmas.last)
+    }
+    assert(got === exp)
+  }
 }
