@@ -347,5 +347,76 @@ object Stats {
           sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"),
           sum(expr("1000000L div n_touch")).as("linear_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // Rolling correlation (round 9): 7-day trailing Pearson r² (ppm, with
+    // the covariance's SIGN as its own integer column) between the daily
+    // view and purchase counts — "do these two metrics move together this
+    // week?". All integer moment algebra over the day grid: cov and the
+    // two variances are n·Σxy − Σx·Σy forms on decimal(38,0)-lifted
+    // window sums, and r² closes through the STAGED non-negative floor
+    // division ((cov² // vx) · 1e6) // vy — the q_spearman_ttr
+    // discipline, identical on both engines, which keeps every
+    // intermediate inside decimal(38,0) for daily counts up to ~1e8
+    // (cov² ≤ 49²·C⁴ ≈ 2.4e35; a single-shot cov²·1e6 would overflow at
+    // 1e8 already). Zero variance in the window → NULL r² on both
+    // engines. Scale shape: the corpus collapses to the calendar day
+    // grid in one map-side agg; the rolling window runs over DAYS
+    // (bounded input — the documented bounded-window site pattern).
+    "q_rolling_corr" -> Q(
+      """WITH d AS (
+        |  SELECT cast(ts as date) AS day,
+        |    cast(count(CASE WHEN event_type = 'view' THEN 1 END) as bigint) AS x,
+        |    cast(count(CASE WHEN event_type = 'purchase' THEN 1 END) as bigint) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, x, y,
+        |    cast(count(*) OVER r as bigint) AS k,
+        |    cast(sum(x) OVER r as hugeint) AS sx,
+        |    cast(sum(y) OVER r as hugeint) AS sy,
+        |    cast(sum(x * y) OVER r as hugeint) AS sxy,
+        |    cast(sum(x * x) OVER r as hugeint) AS sxx,
+        |    cast(sum(y * y) OVER r as hugeint) AS syy
+        |  FROM d
+        |  WINDOW r AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT day, x, y, k,
+        |    k * sxy - sx * sy AS cov,
+        |    k * sxx - sx * sx AS vx,
+        |    k * syy - sy * sy AS vy
+        |  FROM w)
+        |SELECT day, x, y, k,
+        |  cast(cov as bigint) AS cov,
+        |  cast(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+        |    as bigint) AS corr_sign,
+        |  cast(CASE WHEN vx > 0 AND vy > 0
+        |       THEN (((cov * cov) // vx) * 1000000) // vy END as bigint)
+        |    AS r2_ppm
+        |FROM m ORDER BY day""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("x"),
+          count(when(col("event_type") === "purchase", 1)).as("y"))
+      val r = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val dec = DecimalType(38, 0)
+      d.select(col("day"), col("x"), col("y"),
+          count(lit(1)).over(r).as("k"),
+          sum(col("x")).over(r).cast(dec).as("sx"),
+          sum(col("y")).over(r).cast(dec).as("sy"),
+          sum(col("x") * col("y")).over(r).cast(dec).as("sxy"),
+          sum(col("x") * col("x")).over(r).cast(dec).as("sxx"),
+          sum(col("y") * col("y")).over(r).cast(dec).as("syy"))
+        .select(col("day"), col("x"), col("y"), col("k"),
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("cov"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("vx"),
+          (col("k") * col("syy") - col("sy") * col("sy")).as("vy"))
+        .select(col("day"), col("x"), col("y"), col("k"),
+          col("cov").cast(LongType).as("cov"),
+          when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+            .as("corr_sign"),
+          when(col("vx") > 0 && col("vy") > 0,
+            expr("cast((((cov * cov) div vx) * 1000000) div vy as bigint)"))
+            .as("r2_ppm"))
+        .orderBy(col("day"))
     })
 }

@@ -84,6 +84,16 @@ private[streaming] object MicroTs {
   }
 }
 
+/** Per-user state for [[Streams.streamingTwa]]: the last observed reading
+  * plus the running integral moments — one fixed-size struct per user.
+  */
+case class TwaState(lastUs: Long, lastCents: Long, nSteps: Long,
+    durUs: Long, wsum: Long)
+
+/** Emitted snapshot — the streaming twin of one q_twa row. */
+case class TwaRow(user_id: Long, n_steps: Long, dur_us: Long, wsum: Long,
+    twa_cents_ppm: Long)
+
 /** One observed active day — input to [[Streams.streamingStreaks]]. */
 case class DayActive(user_id: Long, day: Long)
 
@@ -764,6 +774,54 @@ object Streams {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** Streaming time-weighted average (s_twa): the `flatMapGroupsWithState`
+    * twin of the batch q_twa (operators/EventAnalytics.scala). Per user
+    * the state is the LAST observed reading plus the running integral
+    * moments (n_steps, Σdt, Σcents·dt) — O(1) per user regardless of
+    * event volume; each micro-batch folds its rows in (ts, event_id)
+    * order and emits one updated snapshot per touched user (appended as
+    * an immutable snapshot record, the s_anomaly discipline — so any
+    * sink works, incl. parquet), with the same decimal-lifted floor-ppm close as the batch
+    * twin (BigInt here — same integer result, wsum·1e6 exceeds 2^63).
+    *
+    * Lateness contract: this is the OBSERVED integral — a cross-batch
+    * out-of-order reading cannot retroactively split the step it falls
+    * inside (that needs the full per-user history, not O(1) state), so
+    * readings older than the last observed one are SKIPPED, never folded
+    * as a negative step; equal-timestamp readings fold as zero-width
+    * steps exactly like the batch window's (ts, event_id) order. On
+    * chronological per-key arrival the final snapshot per user is
+    * bit-identical to q_twa (spec-pinned incl. checkpoint restart);
+    * batch q_twa over the settled log is the reconciliation path.
+    */
+  def streamingTwa(events: Dataset[ValueEvent]): Dataset[TwaRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwaState, TwaRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ValueEvent], state: GroupState[TwaState]) =>
+          var st = state.getOption.orNull
+          batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id)).foreach { e =>
+            val us = MicroTs.toUs(e.ts)
+            if (st == null)
+              st = TwaState(us, e.cents, 0L, 0L, 0L)
+            else if (us >= st.lastUs)
+              st = TwaState(us, e.cents, st.nSteps + 1,
+                st.durUs + (us - st.lastUs),
+                st.wsum + st.lastCents * (us - st.lastUs))
+            // else: older than the last observed reading — skipped (see
+            // the lateness contract above)
+          }
+          state.update(st)
+          if (st.durUs > 0)
+            Iterator.single(TwaRow(uid, st.nSteps, st.durUs, st.wsum,
+              (BigInt(st.wsum) * 1000000 / st.durUs).toLong))
+          else Iterator.empty
       }
   }
 

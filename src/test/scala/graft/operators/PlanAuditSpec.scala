@@ -97,7 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_user_growth",    // input: calendar days
     "q_funnel_paths",   // input: path vocabulary (≤ |event_type|³)
     "q_quantile_norm",  // input: value-domain cells (length domain)
-    "q_bm25")           // input: the already-limited top-10
+    "q_bm25",           // input: the already-limited top-10
+    "q_rolling_corr")   // input: calendar days (daily metric grid)
 
   test("no query outside the allowed set plans a partition-less window") {
     // logical-plan audit (the physical tree hides behind

@@ -150,6 +150,35 @@ class StatsSpec extends AnyFunSuite {
       .view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(t => (t._2, t._1)))
       .toMap
 
+  test("q_rolling_corr equals the brute-force staged BigInt Pearson over the day grid") {
+    val got = run("q_rolling_corr").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      .toMap
+    val byDay = evRows.groupBy(_._4 / 86400000000L)
+    val days = byDay.keys.toSeq.sorted
+    val grid = days.map { d =>
+      val rs = byDay(d)
+      (d, rs.count(_._1 == "view").toLong, rs.count(_._1 == "purchase").toLong)
+    }
+    assert(got.size === grid.size)
+    grid.zipWithIndex.foreach { case ((d, _, _), i) =>
+      val win = grid.slice(math.max(0, i - 6), i + 1)
+      val k = BigInt(win.size)
+      val (sx, sy) = (BigInt(win.map(_._2).sum), BigInt(win.map(_._3).sum))
+      val sxy = win.map(w => BigInt(w._2) * w._3).sum
+      val sxx = win.map(w => BigInt(w._2) * w._2).sum
+      val syy = win.map(w => BigInt(w._3) * w._3).sum
+      val (cov, vx, vy) = (k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy)
+      val r2 = if (vx > 0 && vy > 0)
+        Some((((cov * cov) / vx * 1000000) / vy).toLong) else None
+      val dayStr = java.time.LocalDate.ofEpochDay(d).toString
+      assert(got(dayStr) === ((grid(i)._2, grid(i)._3, k.toLong, cov.toLong,
+        cov.signum.toLong, r2)), s"day $dayStr")
+    }
+  }
+
   test("q_twa equals the brute-force BigInt step-function integral per user") {
     val got = run("q_twa").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -848,4 +848,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"restart diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
+
+  private def twaBatchWant(): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    graft.Registry.all("q_twa").fn(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("streamingTwa's final snapshot per user equals batch q_twa on a chronological split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingTwa(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_twa").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // dur_us grows monotonically per user: latest snapshot = max dur_us
+      val got = spark.table("t_twa").as[TwaRow].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) => rows.maxBy(_.dur_us) }
+        .map(r => (r.user_id, r.n_steps, r.dur_us, r.wsum, r.twa_cents_ppm))
+        .toSet
+      assert(got == twaBatchWant(),
+        s"extra=${(got -- twaBatchWant()).take(3)} missing=${(twaBatchWant() -- got).take(3)}")
+      // non-degenerate: the state crossed the batch boundary — some user's
+      // snapshot appears in both batches with growing integrals
+      val perUser = spark.table("t_twa").as[TwaRow].collect().groupBy(_.user_id)
+      assert(perUser.exists(_._2.map(_.dur_us).distinct.length >= 2),
+        "no user's integral actually grew across micro-batches")
+    } finally q.stop()
+  }
+
+  test("streamingTwa skips out-of-order readings instead of folding negative steps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ve(id: Long, us: Long, cents: Long) =
+      ValueEvent(1L, "view", MicroTs.toTs(us), id, cents)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingTwa(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_twa_late").start()
+    try {
+      mem.addData(ve(1, 1000000L, 100), ve(2, 3000000L, 200))
+      q.processAllAvailable()
+      // a reading OLDER than the last observed one arrives late: skipped
+      mem.addData(ve(3, 2000000L, 999))
+      q.processAllAvailable()
+      mem.addData(ve(4, 4000000L, 300))
+      q.processAllAvailable()
+      val last = spark.table("t_twa_late").as[TwaRow].collect().maxBy(_.dur_us)
+      // steps: 100 for 2s, then 200 for 1s — the late 999 never entered
+      assert(last == TwaRow(1L, 2L, 3000000L, 100L * 2000000L + 200L * 1000000L,
+        (BigInt(100L * 2000000L + 200L * 1000000L) * 1000000 / 3000000L).toLong))
+    } finally q.stop()
+  }
+
+  test("streamingTwa with checkpoint: restart resumes the integral state exactly") {
+    val base = "/tmp/graft_test_stage/twa_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingTwa(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .as[ValueEvent])
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toSeq.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the append sink keeps every per-batch snapshot; the final one per
+    // user (max dur_us) must equal the batch answer
+    val got = spark.read.parquet(outDir).as[TwaRow].collect()
+      .groupBy(_.user_id)
+      .map { case (_, rows) => rows.maxBy(_.dur_us) }
+      .map(r => (r.user_id, r.n_steps, r.dur_us, r.wsum, r.twa_cents_ppm))
+      .toSet
+    assert(got == twaBatchWant(),
+      s"restart diverged: extra=${(got -- twaBatchWant()).take(3)}")
+  }
 }
