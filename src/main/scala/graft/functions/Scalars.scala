@@ -197,6 +197,41 @@ object Scalars {
         .orderBy(col("k_bucket"))
     },
 
+    // Semi-structured VARIANT path (round 9; Spark 4's SUPER/VARIANT
+    // analogue of Redshift's json_extract_path_text surface): parse the
+    // props JSON ONCE into the binary VARIANT encoding, then run typed
+    // extractions off it — at scale this is the parse-once/extract-many
+    // (and, with shredded parquet variant columns, scan-pruned) path
+    // that q_fn_json's per-call string reparse is not. try_variant_get
+    // returns NULL on missing/mistyped paths on the engine side exactly
+    // where DuckDB's json_extract_string returns NULL, so the aggregate
+    // parity is total. All-integer outputs; one map-side-combinable agg.
+    "q_variant_agg" -> Q(
+      """SELECT event_type,
+        |  cast(count(*) as bigint) AS n_events,
+        |  cast(count(k) as bigint) AS n_with_k,
+        |  cast(sum(k) as bigint) AS sum_k,
+        |  cast(count(DISTINCT k) as bigint) AS n_distinct_k,
+        |  cast(min(k) as bigint) AS min_k,
+        |  cast(max(k) as bigint) AS max_k
+        |FROM (SELECT event_type,
+        |        cast(json_extract_string(props, '$.k') as bigint) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("try_variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
     // Array family via higher-order functions over embeddings (Redshift
     // has no true arrays — ARRAY is reserved, redshift_reserve_words.txt:9
     // — so this is engine surface beyond the reference).

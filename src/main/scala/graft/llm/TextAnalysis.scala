@@ -1616,6 +1616,62 @@ object TextAnalysis {
         .filter(col("kind") === 0)
         .select(col("source"), col("v"), col("cnt").as("n_docs"), col("v_norm"))
         .orderBy(col("source"), col("v"))
+    },
+
+    // RAKE keyword extraction (round 9; Rose et al. 2010): candidate
+    // phrases are maximal stopword-free token runs; each word scores
+    // deg/freq where freq = its occurrence count and deg = Σ|phrase| over
+    // its occurrences (the self-inclusive degree convention — deg ≥ freq,
+    // so score_ppm ≥ 1e6, co-occurrence-rich words score higher). The
+    // stopword delimiter set is the shared 'en' lexicon, interpolated
+    // into both engines. Integer throughout: phrase segmentation is a
+    // per-doc running stopword count (doc-sized window partitions), the
+    // word stats are one vocab-sized agg, score is one floor-ppm
+    // division, and the top-25 is a TakeOrdered with a word tiebreak.
+    // Nothing wider than (token, phrase-id) rows ever shuffles, and the
+    // phrase-length join keys on (doc, phrase) — corpus-linear.
+    "q_keyword_rake" -> Q(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(t) AS w,
+         |    unnest(range(1, len(t) + 1)) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |f AS (SELECT doc_id, w, pos,
+         |        CASE WHEN w IN (${lexicons("en").map(w => s"'$w'").mkString(", ")})
+         |             THEN 1 ELSE 0 END AS is_stop
+         |      FROM toks WHERE w <> ''),
+         |p AS (SELECT doc_id, w, is_stop,
+         |        sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+         |                           ROWS UNBOUNDED PRECEDING) AS pid
+         |      FROM f),
+         |ns AS (SELECT doc_id, w, pid FROM p WHERE is_stop = 0),
+         |pl AS (SELECT doc_id, pid, cast(count(*) as bigint) AS plen
+         |       FROM ns GROUP BY doc_id, pid),
+         |st AS (SELECT ns.w AS word, cast(count(*) as bigint) AS freq,
+         |         cast(sum(pl.plen) as bigint) AS deg
+         |       FROM ns JOIN pl USING (doc_id, pid) GROUP BY ns.w)
+         |SELECT word, freq, deg,
+         |  cast((deg * 1000000) // freq as bigint) AS score_ppm
+         |FROM st ORDER BY score_ppm DESC, word LIMIT 25""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stop = lexicons("en")
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("is_stop", when(col("w").isInCollection(stop), 1L).otherwise(0L))
+      val withPid = toks.withColumn("pid",
+        sum(col("is_stop")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ns = withPid.filter(col("is_stop") === 0L)
+        .select(col("doc_id"), col("w"), col("pid"))
+      val pl = ns.groupBy(col("doc_id"), col("pid"))
+        .agg(count(lit(1)).as("plen"))
+      ns.join(pl, Seq("doc_id", "pid"))
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("word"), col("freq"), col("deg"),
+          expr("(deg * 1000000L) div freq").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("word")).limit(25)
     }
   )
 }

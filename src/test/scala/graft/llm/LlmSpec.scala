@@ -970,4 +970,42 @@ class LlmSpec extends AnyFunSuite {
     val bad = graded.filter("NOT cms_ge_exact OR NOT cms_within_eps").count()
     assert(bad === 0L && graded.count() === 25L)
   }
+
+  test("q_keyword_rake equals the brute-force phrase-run deg/freq top-25") {
+    val stop = TextAnalysis.lexicons("en").toSet
+    val texts = docs.select(col("text")).collect().map(_.getString(0))
+    val freq = collection.mutable.Map.empty[String, Long]
+    val deg = collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      // phrases = maximal stopword-free runs; empty tokens dropped like
+      // the graded plan's w <> '' filter
+      val runs = t.split(" ", -1).filter(_.nonEmpty).foldLeft(List(List.empty[String])) {
+        (acc, w) => if (stop(w)) Nil :: acc else (w :: acc.head) :: acc.tail
+      }.filter(_.nonEmpty)
+      runs.foreach { p =>
+        p.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1
+          deg(w) = deg.getOrElse(w, 0L) + p.size
+        }
+      }
+    }
+    val want = freq.keys.toSeq
+      .map(w => (w, freq(w), deg(w), deg(w) * 1000000L / freq(w)))
+      .sortBy { case (w, _, _, s) => (-s, w) }.take(25)
+    val got = graft.Registry.all("q_keyword_rake").fn(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+    // every RAKE score is >= 1e6 by the self-inclusive degree convention
+    assert(got.forall(_._4 >= 1000000L))
+  }
+
+  test("q_variant_agg: try_variant_get returns NULL on missing/mistyped paths") {
+    import spark.implicits._
+    val df = Seq("""{"k": 7}""", """{"j": 1}""", """{"k": "x"}""", """{"k": null}""")
+      .toDF("props")
+      .select(expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSeq === Seq(Some(7L), None, None, None))
+  }
 }
