@@ -444,6 +444,162 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Interval-overlap join (round 9): which user sessions overlap each
+    // event type's BUSY periods (active hours with count > 2× that
+    // type's mean hourly rate, merged into maximal runs — SF-adaptive by
+    // construction, no absolute threshold constant). The ORACLE states
+    // the semantic spec — a theta overlap join between merged intervals
+    // and session spans — while the graded plan runs the scale shape: a
+    // GRID-BUCKETED equi-join (sessions exploded to their covered hours
+    // ⋈ busy hours on the hour key, then distinct), which is
+    // result-identical because the intervals are by construction unions
+    // of whole busy hours. That replacement (theta/BNLJ interval join →
+    // grid equi-join + dedup) is THE standard 100 TB interval-join move;
+    // the q_join_range band join is its point-to-interval sibling.
+    // Explode factor = hours actually spanned by a session (bounded by
+    // the 30-min gap rule's activity span). All remaining shapes are
+    // hour-grid- or session-bounded.
+    "q_join_interval" -> Q(
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $sessionGapUs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS MATERIALIZED (
+         |  SELECT user_id, sid, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+         |  FROM (SELECT user_id, ts,
+         |          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                         ROWS UNBOUNDED PRECEDING) AS sid
+         |        FROM x)
+         |  GROUP BY user_id, sid),
+         |hr AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         |    cast(count(*) as bigint) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tt AS (SELECT event_type, cast(sum(c) as bigint) AS total,
+         |         cast(count(*) as bigint) AS n_hours
+         |       FROM hr GROUP BY event_type),
+         |busy AS MATERIALIZED (
+         |  SELECT hr.event_type, hr.h
+         |  FROM hr JOIN tt USING (event_type)
+         |  WHERE hr.c * tt.n_hours > 2 * tt.total),
+         |iv AS MATERIALIZED (
+         |  SELECT event_type, min(h) AS hs, max(h) AS he
+         |  FROM (SELECT event_type, h,
+         |          h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+         |        FROM busy)
+         |  GROUP BY event_type, grp),
+         |ic AS (SELECT event_type, cast(count(*) as bigint) AS n_intervals
+         |       FROM iv GROUP BY event_type),
+         |ovd AS (SELECT DISTINCT iv.event_type, s.user_id, s.sid
+         |        FROM sess s JOIN iv
+         |          ON s.s_us < (iv.he + 1) * 3600000000
+         |         AND iv.hs * 3600000000 <= s.e_us),
+         |agg AS (SELECT event_type, cast(count(*) as bigint) AS n_sessions,
+         |          cast(count(DISTINCT user_id) as bigint) AS n_users
+         |        FROM ovd GROUP BY event_type)
+         |SELECT ic.event_type, ic.n_intervals,
+         |  coalesce(agg.n_sessions, 0) AS n_sessions,
+         |  coalesce(agg.n_users, 0) AS n_users
+         |FROM ic LEFT JOIN agg USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val sess = sessionize(ev, "user_id", "ts", "event_id")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val hr = ev
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val tt = hr.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_hours"))
+      val busy = hr.join(tt, "event_type")
+        .filter(col("c") * col("n_hours") > lit(2L) * col("total"))
+        .select(col("event_type"), col("h"))
+      val ic = busy
+        .withColumn("grp", col("h") - row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))))
+        .groupBy(col("event_type"), col("grp")).agg(count(lit(1)).as("len"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_intervals"))
+      val sh = sess.select(col("user_id"), col("session_id"),
+        explode(sequence(expr("s_us div 3600000000L"),
+          expr("e_us div 3600000000L"))).as("h"))
+      val agg = sh.join(busy, "h")
+        .select(col("event_type"), col("user_id"), col("session_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+      ic.join(agg, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_intervals"),
+          coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // Out-of-orderness audit (round 9): how late do events arrive
+    // relative to event time, per type — the measurement that SIZES a
+    // watermark delay for the s_* streaming twins (a watermark is a bet
+    // about this distribution; this audit prices the bet from the
+    // settled log). The testdata's ingest sequence is already perfectly
+    // time-ordered (event_id monotone in ts — a real audit would read
+    // an ingest/commit timestamp column), so arrival is REPLAYED with a
+    // deterministic md5-derived network delay of 0..30 min per event
+    // (the q_sample_hash hash discipline, mirrored in the oracle —
+    // stated openly; the OPERATOR, not the jitter, is the deliverable).
+    // An event is late if a same-user event with a strictly later
+    // event-time already arrived; its lag is the distance to that
+    // running frontier. The running max is a per-USER window (bounded
+    // partitions), never a global order; the per-type rollup is
+    // map-side combinable. Integer µs arithmetic throughout.
+    "q_lateness_audit" -> Q(
+      """WITH a AS (
+        |  SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) + (
+        |      ((instr('0123456789abcdef', substr(md5(cast(event_id as varchar)), 1, 1)) - 1) * 4096
+        |       + (instr('0123456789abcdef', substr(md5(cast(event_id as varchar)), 2, 1)) - 1) * 256
+        |       + (instr('0123456789abcdef', substr(md5(cast(event_id as varchar)), 3, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substr(md5(cast(event_id as varchar)), 4, 1)) - 1))
+        |      % 1800) * 1000000 AS arrival_us
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, us,
+        |    max(us) OVER (PARTITION BY user_id ORDER BY arrival_us, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING) AS frontier
+        |  FROM a)
+        |SELECT event_type,
+        |  cast(count(*) as bigint) AS n_events,
+        |  cast(count(CASE WHEN frontier > us THEN 1 END) as bigint) AS n_late,
+        |  cast((count(CASE WHEN frontier > us THEN 1 END) * 1000000)
+        |       // count(*) as bigint) AS late_ppm,
+        |  cast(coalesce(max(CASE WHEN frontier > us
+        |                         THEN frontier - us END), 0) as bigint)
+        |    AS max_lag_us
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val delayUs = (conv(substring(
+          md5(col("event_id").cast(StringType).cast(BinaryType)), 1, 4), 16, 10)
+        .cast(LongType) % 1800L) * 1000000L
+      val a = events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          (unix_micros(col("ts")) + delayUs).as("arrival_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("arrival_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      a.select(col("event_type"), col("us"), max(col("us")).over(w).as("frontier"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("frontier") > col("us"), 1)).as("n_late"),
+          expr("(count(CASE WHEN frontier > us THEN 1 END) * 1000000L)" +
+            " div count(*)").as("late_ppm"),
+          coalesce(max(when(col("frontier") > col("us"),
+            col("frontier") - col("us"))), lit(0L)).as("max_lag_us"))
+        .orderBy(col("event_type"))
+    },
+
     // Weekly retention cohorts: cohort = ISO week of the user's first
     // signup; a user is active in week-offset k if they have ANY event in
     // cohort_week + k weeks. Both engines truncate weeks to Monday.

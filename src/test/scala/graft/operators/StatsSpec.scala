@@ -150,6 +150,89 @@ class StatsSpec extends AnyFunSuite {
       .view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(t => (t._2, t._1)))
       .toMap
 
+  test("q_join_interval's grid equi-join equals the brute-force THETA overlap join") {
+    // the substitution claim itself: exploding sessions to covered hours
+    // and equi-joining busy hours is result-identical to the interval
+    // overlap theta join the oracle states
+    val got = run("q_join_interval").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force entirely from raw rows
+    val gap = EventAnalytics.sessionGapUs
+    val rows = Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sessions = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._4, e._3)).map(_._4)
+      val spans = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { us =>
+        if (spans.nonEmpty && us - spans.last._2 <= gap)
+          spans(spans.size - 1) = (spans.last._1, us)
+        else spans += ((us, us))
+      }
+      spans.map { case (s0, e0) => (u, s0, e0) }
+    }
+    val hourCounts = rows.groupBy(r => (r._2, r._4 / 3600000000L))
+      .view.mapValues(_.size.toLong).toMap
+    val byType = hourCounts.keys.map(_._1).toSeq.distinct.sorted
+    byType.foreach { t =>
+      val hs = hourCounts.collect { case ((`t`, h), c) => (h, c) }.toSeq
+      val (total, nHours) = (hs.map(_._2).sum, hs.size.toLong)
+      val busy = hs.collect { case (h, c) if c * nHours > 2 * total => h }.sorted
+      // merge contiguous busy hours into intervals
+      val ivs = busy.foldLeft(List.empty[(Long, Long)]) { (acc, h) =>
+        acc match {
+          case (a, b) :: rest if h == b + 1 => (a, h) :: rest
+          case _ => (h, h) :: acc
+        }
+      }.reverse
+      if (ivs.isEmpty) assert(!got.contains(t))
+      else {
+        val over = sessions.filter { case (_, s0, e0) =>
+          ivs.exists { case (a, b) =>
+            s0 < (b + 1) * 3600000000L && a * 3600000000L <= e0 }
+        }
+        assert(got(t) === ((ivs.size.toLong, over.size.toLong,
+          over.map(_._1).distinct.size.toLong)), s"type $t")
+      }
+    }
+  }
+
+  test("q_lateness_audit equals the brute-force jittered-arrival frontier scan") {
+    val got = run("q_lateness_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def delayUs(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      (java.lang.Long.parseLong(hex, 16) % 1800L) * 1000000L
+    }
+    val rows = Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // per user: scan in (arrival, event_id) order against the event-time
+    // frontier
+    val perEvent = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._4 + delayUs(e._3), e._3))
+      var frontier = Long.MinValue
+      ordered.map { e =>
+        val late = frontier > e._4
+        val lag = if (late) frontier - e._4 else 0L
+        frontier = math.max(frontier, e._4)
+        (e._2, late, lag)
+      }
+    }
+    perEvent.groupBy(_._1).foreach { case (t, xs) =>
+      val n = xs.size.toLong
+      val nLate = xs.count(_._2).toLong
+      val maxLag = if (nLate > 0) xs.map(_._3).max else 0L
+      assert(got(t) === ((n, nLate, nLate * 1000000L / n, maxLag)), s"type $t")
+    }
+  }
+
   test("q_rolling_corr equals the brute-force staged BigInt Pearson over the day grid") {
     val got = run("q_rolling_corr").collect()
       .map(r => r.getDate(0).toString ->
