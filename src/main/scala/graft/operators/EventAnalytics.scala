@@ -775,6 +775,118 @@ object EventAnalytics {
         .orderBy(col("from_type"), col("to_type"))
     },
 
+    // Stationary distribution of the first-order event-type Markov chain
+    // (round 9) — where does a user's behavior settle long-run: 3 rounds
+    // of integer power iteration on q_event_transitions' matrix, ranks
+    // in parts-per-billion (the q_pagerank discipline applied to a
+    // ROW-STOCHASTIC chain: per-term floor (r·n) // rowsum, no damping —
+    // the observed chain is irreducible; an absorbing type would simply
+    // leave the from-type frame, identically on both engines). The
+    // oracle unrolls the same three rounds as chained CTEs. Scale shape:
+    // the corpus collapses to the |types|² matrix in one user-windowed
+    // pass (shared with q_event_transitions); every round is a
+    // grid-sized join.
+    "q_markov_stationary" -> Q(
+      s"""WITH x AS (SELECT event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |p AS MATERIALIZED (
+         |  SELECT from_type, to_type, n,
+         |    sum(n) OVER (PARTITION BY from_type) AS rowsum
+         |  FROM (SELECT event_type AS from_type, next_type AS to_type,
+         |          cast(count(*) as bigint) AS n
+         |        FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2)),
+         |ty AS (SELECT DISTINCT from_type AS t FROM p),
+         |nt AS (SELECT cast(count(*) as bigint) AS n FROM ty),
+         |m0 AS (SELECT t, 1000000000 // nt.n AS r FROM ty, nt),
+         |${(1 to 3).map(k =>
+            s"""m$k AS (SELECT p.to_type AS t,
+               |  cast(sum((cast(pr.r as hugeint) * p.n) // p.rowsum)
+               |    as bigint) AS r
+               |FROM p JOIN m${k - 1} pr ON pr.t = p.from_type
+               |GROUP BY p.to_type)""".stripMargin).mkString(",\n")}
+         |SELECT ty.t AS event_type,
+         |  cast(max(p.rowsum) as bigint) AS n_out,
+         |  cast(max(m3.r) as bigint) AS stationary_ppb
+         |FROM ty JOIN p ON p.from_type = ty.t JOIN m3 ON m3.t = ty.t
+         |GROUP BY ty.t ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val p = events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rowsum",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      val ty = p.select(col("from_type").as("t")).distinct()
+      val nT = ty.count()
+      var m = ty.select(col("t"), lit(1000000000L / nT).as("r"))
+      for (_ <- 1 to 3)
+        m = p.join(m.withColumnRenamed("t", "from_type"), "from_type")
+          .groupBy(col("to_type").as("t"))
+          .agg(sum(expr("(cast(r as decimal(38,0)) * n) div rowsum"))
+            .cast("long").as("r"))
+      ty.join(p.groupBy(col("from_type").as("t"))
+            .agg(max(col("rowsum")).as("n_out")), "t")
+        .join(m, "t")
+        .select(col("t").as("event_type"), col("n_out"),
+          col("r").as("stationary_ppb"))
+        .orderBy(col("event_type"))
+    },
+
+    // Weekly feature churn (round 9): of the users who did event type T
+    // in week w, how many did NOT do T in week w+1 — the retention
+    // complement next to q_stickiness's intensity ratio and q_cohort's
+    // long-horizon grid, at the (type, week) grain where the numbers
+    // are non-degenerate (all-activity churn on a dense product rounds
+    // to zero; feature-level churn is the metric teams actually watch).
+    // The last observed week's successor may be PARTIAL — its churn row
+    // reads high, which is the honest truncation semantics (only weeks
+    // with no successor at all are excluded). The corpus collapses to
+    // distinct (type, user, week) first; churn is one self left-join on
+    // the shifted week key (never a window over users); the final-week
+    // exclusion rides the one legal BNLJ shape, crossJoin(broadcast(
+    // 1-row max-week)). One floor-ppm division.
+    "q_churn" -> Q(
+      """WITH du AS (SELECT DISTINCT event_type,
+        |    cast(date_trunc('week', cast(ts as date)) as date) AS wk, user_id
+        |  FROM events),
+        |mx AS (SELECT max(wk) AS mw FROM du),
+        |nw AS (SELECT event_type, user_id, wk - 7 AS pw FROM du),
+        |j AS (SELECT d.event_type, d.wk, d.user_id,
+        |        CASE WHEN n.pw IS NULL THEN 1 ELSE 0 END AS churned
+        |      FROM du d LEFT JOIN nw n
+        |        ON n.user_id = d.user_id AND n.event_type = d.event_type
+        |       AND n.pw = d.wk)
+        |SELECT j.event_type, j.wk AS week,
+        |  cast(count(*) as bigint) AS n_active,
+        |  cast(sum(churned) as bigint) AS n_churned,
+        |  cast((sum(churned) * 1000000) // count(*) as bigint) AS churn_ppm
+        |FROM j, mx WHERE j.wk < mx.mw
+        |GROUP BY j.event_type, j.wk ORDER BY event_type, week""".stripMargin) { (s, dir) =>
+      val du = events(s, dir)
+        .select(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("wk"), col("user_id"))
+        .distinct()
+      val mx = du.agg(max(col("wk")).as("mw"))
+      val nw = du.select(col("event_type").as("nt"), col("user_id").as("nu"),
+        date_sub(col("wk"), 7).as("pw"))
+      du.join(nw, col("nu") === col("user_id") && col("nt") === col("event_type")
+          && col("pw") === col("wk"), "left")
+        .select(col("event_type"), col("wk"), col("user_id"),
+          when(col("pw").isNull, 1L).otherwise(0L).as("churned"))
+        .crossJoin(broadcast(mx))
+        .filter(col("wk") < col("mw"))
+        .groupBy(col("event_type"), col("wk").as("week"))
+        .agg(count(lit(1)).as("n_active"), sum(col("churned")).as("n_churned"),
+          expr("(sum(churned) * 1000000L) div count(*)").as("churn_ppm"))
+        .orderBy(col("event_type"), col("week"))
+    },
+
     // Rolling 7-day distinct actives (the DAU/WAU reporting primitive):
     // exact rolling COUNT(DISTINCT) is not window-expressible, so both
     // engines expand each (user, day) to the 7 window-ends it supports

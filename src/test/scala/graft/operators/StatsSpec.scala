@@ -150,6 +150,53 @@ class StatsSpec extends AnyFunSuite {
       .view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(t => (t._2, t._1)))
       .toMap
 
+  test("q_markov_stationary equals the brute-force integer power iteration " +
+      "and conserves ppb mass up to per-term floors") {
+    val got = run("q_markov_stationary").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force transition counts from per-user (ts, event_id) chains
+    val trans = evRows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._3)).map(_._1).sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = trans.keys.map(_._1).toSeq.distinct.sorted
+    val rowsum = types.map(t => t ->
+      trans.collect { case ((`t`, _), n) => n }.sum).toMap
+    var p = types.map(t => t -> 1000000000L / types.size).toMap
+    (1 to 3).foreach { _ =>
+      p = types.map(to => to -> types.map(from =>
+        trans.get((from, to)).fold(0L)(n => p(from) * n / rowsum(from))).sum).toMap
+    }
+    types.foreach { t =>
+      assert(got(t) === ((rowsum(t), p(t))), s"type $t")
+    }
+    // mass conservation: each round loses < |types|² ppb to floors
+    assert(math.abs(p.values.sum - 1000000000L) < 3L * types.size * types.size)
+  }
+
+  test("q_churn: per-(type,week) churned users equal the brute-force set difference") {
+    val got = run("q_churn").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // week = Monday truncation of the event day
+    def week(us: Long): java.time.LocalDate = {
+      val d = java.time.LocalDate.ofEpochDay(us / 86400000000L)
+      d.minusDays(d.getDayOfWeek.getValue - 1L)
+    }
+    val present = evRows.map(r => (r._1, r._2, week(r._4))).toSet
+    val weeks = present.map(_._3)
+    val maxWk = weeks.max
+    val exp = present.groupBy(p => (p._1, p._3)).collect {
+      case ((t, wk), xs) if wk.isBefore(maxWk) =>
+        val users = xs.map(_._2)
+        val churned = users.count(u => !present((t, u, wk.plusDays(7))))
+        (t, wk.toString) -> (users.size.toLong, churned.toLong,
+          churned * 1000000L / users.size)
+    }.toMap
+    assert(got === exp)
+  }
+
   test("q_join_interval's grid equi-join equals the brute-force THETA overlap join") {
     // the substitution claim itself: exploding sessions to covered hours
     // and equi-joining busy hours is result-identical to the interval
