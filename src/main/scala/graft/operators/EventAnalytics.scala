@@ -887,6 +887,43 @@ object EventAnalytics {
         .orderBy(col("event_type"), col("week"))
     },
 
+    // Row-pattern detection (round 9): the MATCH_RECOGNIZE shape —
+    // find V patterns (a strict drop then a strict rebound across three
+    // consecutive readings) in each user's value series, reduced to lag
+    // algebra (neither engine ships MATCH_RECOGNIZE; a consecutive-row
+    // pattern over a keyed order IS two lags and a conjunction, which
+    // is also how a 100 TB plan wants it: one user-partitioned window,
+    // no NFA state). Emits per user the pattern count and the deepest
+    // drop/strongest rebound in cents. Bounded per-user windows; the
+    // rollup is map-side combinable.
+    "q_match_pattern" -> Q(
+      """WITH x AS (
+        |  SELECT user_id,
+        |    lag(cast(floor(value * 100) as bigint), 2) OVER w AS a,
+        |    lag(cast(floor(value * 100) as bigint), 1) OVER w AS b,
+        |    cast(floor(value * 100) as bigint) AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, a - b AS drop_c, c - b AS rebound_c
+        |      FROM x WHERE a IS NOT NULL AND b < a AND c > b)
+        |SELECT user_id,
+        |  cast(count(*) as bigint) AS n_v,
+        |  cast(max(drop_c) as bigint) AS max_drop_cents,
+        |  cast(max(rebound_c) as bigint) AS max_rebound_cents
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cents = floor(col("value") * 100).cast(LongType)
+      events(s, dir)
+        .select(col("user_id"), lag(cents, 2).over(w).as("a"),
+          lag(cents, 1).over(w).as("b"), cents.as("c"))
+        .filter(col("a").isNotNull && col("b") < col("a") && col("c") > col("b"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_v"),
+          max(col("a") - col("b")).as("max_drop_cents"),
+          max(col("c") - col("b")).as("max_rebound_cents"))
+        .orderBy(col("user_id"))
+    },
+
     // Rolling 7-day distinct actives (the DAU/WAU reporting primitive):
     // exact rolling COUNT(DISTINCT) is not window-expressible, so both
     // engines expand each (user, day) to the 7 window-ends it supports

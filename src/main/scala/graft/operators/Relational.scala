@@ -744,6 +744,87 @@ object Relational {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_keys"), sum(col("drift")).as("abs_drift_cents"))
         .orderBy(col("status"))
+    },
+
+    // Declarative data-quality audit (round 9): the constraint checks a
+    // warehouse runs after every load — primary-key uniqueness,
+    // referential integrity, NOT NULL, value ranges — as ONE report
+    // (check_name, n_checked, n_violations, passed). On this clean
+    // synthetic data every check passes with zero violations, which is
+    // the desired steady state of a DQ report (n_checked carries the
+    // non-trivial hash weight). Scale shape: each check is one pruned
+    // scan + count or one anti-join on the key it validates; the checks
+    // union as independent branches (a scheduler can run them in
+    // parallel or incrementally per partition).
+    "q_dq_checks" -> Q(
+      """SELECT check_name, n_checked, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM (
+        |  SELECT 'customer_name_notnull' AS check_name,
+        |    cast(count(*) as bigint) AS n_checked,
+        |    cast(count(*) FILTER (c_name IS NULL) as bigint) AS n_violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', cast(count(*) as bigint),
+        |    cast(count(*) FILTER (o.o_orderkey IS NULL) as bigint)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', cast(count(*) as bigint),
+        |    cast(count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+        |      as bigint)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', cast(count(*) as bigint),
+        |    cast(count(*) FILTER (c.c_custkey IS NULL) as bigint)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'orders_pk_unique',
+        |    cast(count(*) as bigint),
+        |    cast(count(*) - count(DISTINCT o_orderkey) as bigint)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_pos', cast(count(*) as bigint),
+        |    cast(count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0)
+        |      as bigint)
+        |  FROM orders) x
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      dqReport(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
     }
   )
+
+  /** The q_dq_checks report over arbitrary customer/orders/lineitem
+    * frames — factored out so DqSpec can drive it with DIRTY data and
+    * prove each check detects (on the clean testdata every check passes,
+    * which exercises nothing).
+    */
+  private[operators] def dqReport(cust: DataFrame, ord: DataFrame,
+      li: DataFrame): DataFrame = {
+    def one(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          count(when(bad, 1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    val fkLine = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    val fkOrd = ord.select(col("o_custkey"))
+      .join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+    val pkOrd = ord.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"))
+      .select(lit("orders_pk_unique").as("check_name"), col("n_checked"),
+        col("n_violations"))
+    one("customer_name_notnull", cust, col("c_name").isNull)
+      .unionAll(one("lineitem_orderkey_fk", fkLine, col("o_orderkey").isNull))
+      .unionAll(one("lineitem_qty_range", li,
+        col("l_quantity") < 1 || col("l_quantity") > 50))
+      .unionAll(one("orders_custkey_fk", fkOrd, col("c_custkey").isNull))
+      .unionAll(pkOrd)
+      .unionAll(one("orders_totalprice_pos", ord,
+        col("o_totalprice").isNull || col("o_totalprice") <= 0))
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy(col("check_name"))
+  }
 }

@@ -150,6 +150,47 @@ class StatsSpec extends AnyFunSuite {
       .view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(t => (t._2, t._1)))
       .toMap
 
+  test("q_dq_checks detects injected violations of every check (dirty-frame drive)") {
+    import spark.implicits._
+    // dirty fixtures: one violation of each class, plus clean rows
+    val cust = Seq((1L, "alice"), (2L, null.asInstanceOf[String]))
+      .toDF("c_custkey", "c_name")
+    val ord = Seq(
+      (10L, 1L, 100.0), (10L, 1L, 50.0),   // duplicate pk
+      (11L, 99L, 20.0),                     // fk orphan (custkey 99)
+      (12L, 2L, -5.0))                      // non-positive price
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Seq((10L, 10.0), (10L, 75.0), (77L, 5.0)) // qty range + fk orphan
+      .toDF("l_orderkey", "l_quantity")
+    val got = Relational.dqReport(cust, ord, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got("customer_name_notnull") === ((2L, 1L, false)))
+    assert(got("orders_pk_unique") === ((4L, 1L, false)))
+    assert(got("orders_custkey_fk") === ((4L, 1L, false)))
+    assert(got("orders_totalprice_pos") === ((4L, 1L, false)))
+    // lineitem fk check: rows joined against orders — dup orderkey 10
+    // fans each of its two lineitem rows out to 2, so n_checked = 5
+    assert(got("lineitem_orderkey_fk") === ((5L, 1L, false)))
+    assert(got("lineitem_qty_range") === ((3L, 1L, false)))
+    // and the graded clean-data report passes everything
+    assert(run("q_dq_checks").collect().forall(_.getBoolean(3)))
+  }
+
+  test("q_match_pattern equals the brute-force consecutive-triple V scan") {
+    val got = run("q_match_pattern").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val exp = seriesByUser.flatMap { case (u, s) =>
+      val vs = s.map(_._3).sliding(3).collect {
+        case Seq(a, b, c) if b < a && c > b => (a - b, c - b)
+      }.toSeq
+      if (vs.isEmpty) None
+      else Some(u -> (vs.size.toLong, vs.map(_._1).max, vs.map(_._2).max))
+    }
+    assert(got === exp)
+  }
+
   test("q_markov_stationary equals the brute-force integer power iteration " +
       "and conserves ppb mass up to per-term floors") {
     val got = run("q_markov_stationary").collect()
