@@ -1012,6 +1012,42 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // Maximum drawdown per user (round 9): the classic risk scan — the
+    // deepest drop from a running peak across the user's value series,
+    // plus where the peak stood. One user-partitioned running-max window
+    // then a map-side max agg; all integer cents. The financial shape
+    // (peak-to-trough on an equity curve) applied to per-user metric
+    // streams: a large drawdown flags a user whose engagement/value
+    // collapsed mid-stream — q_cusum_shift's per-entity complement.
+    "q_drawdown" -> Q(
+      """WITH x AS (
+        |  SELECT user_id,
+        |    max(cast(floor(value * 100) as bigint))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS peak,
+        |    cast(floor(value * 100) as bigint) AS c
+        |  FROM events)
+        |SELECT user_id,
+        |  cast(max(peak) as bigint) AS max_peak_cents,
+        |  cast(max(peak - c) as bigint) AS max_drawdown_cents,
+        |  cast(max(((peak - c) * 1000000) // peak) as bigint)
+        |    AS drawdown_ppm_of_peak
+        |FROM x WHERE peak > 0 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cents = floor(col("value") * 100).cast(LongType)
+      events(s, dir)
+        .select(col("user_id"), max(cents).over(w).as("peak"), cents.as("c"))
+        .filter(col("peak") > 0L)
+        .groupBy(col("user_id"))
+        .agg(max(col("peak")).as("max_peak_cents"),
+          max(col("peak") - col("c")).as("max_drawdown_cents"),
+          max(expr("((peak - c) * 1000000L) div peak"))
+            .as("drawdown_ppm_of_peak"))
+        .orderBy(col("user_id"))
+    },
+
     // Rolling 7-day distinct actives (the DAU/WAU reporting primitive):
     // exact rolling COUNT(DISTINCT) is not window-expressible, so both
     // engines expand each (user, day) to the 7 window-ends it supports

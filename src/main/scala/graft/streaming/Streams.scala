@@ -94,6 +94,18 @@ case class TwaState(lastUs: Long, lastCents: Long, nSteps: Long,
 case class TwaRow(user_id: Long, n_steps: Long, dur_us: Long, wsum: Long,
     twa_cents_ppm: Long)
 
+/** Per-user state for [[Streams.streamingMatchPattern]]: the last two
+  * readings plus the running pattern stats — O(1) per user (a
+  * consecutive-row pattern needs exactly pattern_length−1 trailing rows
+  * of state, never the series).
+  */
+case class PatternState(a: Long, b: Long, nSeen: Int, nV: Long,
+    maxDrop: Long, maxRebound: Long)
+
+/** Emitted snapshot — the streaming twin of one q_match_pattern row. */
+case class MatchRow(user_id: Long, n_v: Long, max_drop_cents: Long,
+    max_rebound_cents: Long)
+
 /** One observed active day — input to [[Streams.streamingStreaks]]. */
 case class DayActive(user_id: Long, day: Long)
 
@@ -821,6 +833,45 @@ object Streams {
           if (st.durUs > 0)
             Iterator.single(TwaRow(uid, st.nSteps, st.durUs, st.wsum,
               (BigInt(st.wsum) * 1000000 / st.durUs).toLong))
+          else Iterator.empty
+      }
+  }
+
+  /** Streaming row-pattern detection (s_match_pattern): the
+    * `flatMapGroupsWithState` twin of the batch q_match_pattern
+    * (operators/EventAnalytics.scala). A consecutive-row pattern of
+    * length k needs exactly k−1 trailing readings of state — here the
+    * last two cents values — so the streaming NFA the MATCH_RECOGNIZE
+    * literature builds collapses to an O(1) struct per user. Each
+    * micro-batch folds its rows in (ts, event_id) order; a V (b < a and
+    * c > b across three consecutive readings) updates the running count
+    * and extrema, and one snapshot per touched user is appended (the
+    * s_anomaly record discipline — any sink works). Chronological
+    * per-key arrival reproduces batch q_match_pattern exactly
+    * (spec-pinned); an out-of-order reading is folded at ARRIVAL
+    * position (the observed-monitor contract — re-judging needs the
+    * full series, not O(1) state); batch on the settled log reconciles.
+    */
+  def streamingMatchPattern(events: Dataset[ValueEvent]): Dataset[MatchRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, MatchRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ValueEvent], state: GroupState[PatternState]) =>
+          var st = state.getOption.getOrElse(PatternState(0L, 0L, 0, 0L, 0L, 0L))
+          batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id)).foreach { e =>
+            val c = e.cents
+            if (st.nSeen >= 2 && st.b < st.a && c > st.b)
+              st = st.copy(nV = st.nV + 1,
+                maxDrop = math.max(st.maxDrop, st.a - st.b),
+                maxRebound = math.max(st.maxRebound, c - st.b))
+            st = st.copy(a = st.b, b = c, nSeen = math.min(st.nSeen + 1, 2))
+          }
+          state.update(st)
+          if (st.nV > 0)
+            Iterator.single(MatchRow(uid, st.nV, st.maxDrop, st.maxRebound))
           else Iterator.empty
       }
   }

@@ -907,6 +907,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingMatchPattern's final snapshot equals batch q_match_pattern " +
+      "on a chronological split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingMatchPattern(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_match").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // every snapshot field is monotone, so latest = max tuple per user
+      val got = spark.table("t_match").as[MatchRow].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) =>
+          rows.maxBy(r => (r.n_v, r.max_drop_cents, r.max_rebound_cents)) }
+        .map(r => (r.user_id, r.n_v, r.max_drop_cents, r.max_rebound_cents))
+        .toSet
+      val want = graft.Registry.all("q_match_pattern").fn(spark, TestSpark.sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      // the V detector crossed the micro-batch boundary: some user's
+      // count grew between batches
+      val perUser = spark.table("t_match").as[MatchRow].collect().groupBy(_.user_id)
+      assert(perUser.exists(_._2.map(_.n_v).distinct.length >= 2),
+        "no user's pattern count grew across micro-batches")
+    } finally q.stop()
+  }
+
+  test("streamingMatchPattern with checkpoint: last-2 state survives restart") {
+    val base = "/tmp/graft_test_stage/match_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingMatchPattern(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .as[ValueEvent])
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toSeq.toDS().write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).as[MatchRow].collect()
+      .groupBy(_.user_id)
+      .map { case (_, rows) =>
+        rows.maxBy(r => (r.n_v, r.max_drop_cents, r.max_rebound_cents)) }
+      .map(r => (r.user_id, r.n_v, r.max_drop_cents, r.max_rebound_cents))
+      .toSet
+    val want = graft.Registry.all("q_match_pattern").fn(spark, TestSpark.sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"restart diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("streamingTwa with checkpoint: restart resumes the integral state exactly") {
     val base = "/tmp/graft_test_stage/twa_e2e"
     graft.util.Fs.deleteRecursively(base)
