@@ -80,7 +80,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_epochs",      // crossJoin(broadcast(1-row corpus-total aggregate))
     "q_mann_whitney",    // crossJoin(broadcast(distinct type list)) fan-out
     "q_benford",         // crossJoin(broadcast(1-row digit-total aggregate))
-    "q_cramers_v")       // crossJoin(broadcast(dim totals + 1-row N)) grid
+    "q_cramers_v",       // crossJoin(broadcast(dim totals + 1-row N)) grid
+    "q_abtest_cuped",    // crossJoin(broadcast(1-row midpoint + 1-row theta))
+    "q_churn",           // crossJoin(broadcast(1-row max-week aggregate))
+    "q_sample_balanced") // crossJoin(broadcast(|lang|-row cutoffs + 1-row target))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
