@@ -663,6 +663,62 @@ object Similarity {
           count(when(col("label") === col("nb_label"), 1)).as("n_correct"))
         .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n"))
         .orderBy(col("label"))
+    },
+
+    // Embedding-centroid drift (round 9): how far each label's centroid
+    // sits from the corpus centroid — the per-slice embedding-drift
+    // monitor a training pipeline runs when a new ingest batch lands
+    // (label stands in for the batch/source slice). Centroids are
+    // computed in exact integer micro-units (floor(x·1e6) per element,
+    // per-dim integer sums, then the PORTABLE signed floor division —
+    // Spark `div` truncates where DuckDB `//` floors, so the positive
+    // mod is subtracted first; see q_theil_sen) and the drift is the
+    // exact squared L2 between integer centroids, ≤ dims·(2e6)² ≈ 2.6e14
+    // at ANY corpus size — bigint-safe forever because the per-dim sums
+    // are divided down BEFORE squaring (a cross-multiplied exact form
+    // would pass 2^63 at ~3M vectors). Scale shape: one posexplode +
+    // one map-side-combinable (label, dim) agg is the only corpus pass;
+    // everything downstream is |labels|·dims rows, and the global
+    // centroid joins back via broadcast.
+    "q_embed_drift" -> Q(
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest(list_transform(embedding,
+        |      x -> cast(floor(cast(x as double) * 1000000) as bigint))) AS e6,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |ld AS MATERIALIZED (
+        |  SELECT label, dim, cast(sum(e6) as bigint) AS sv,
+        |    cast(count(*) as bigint) AS n
+        |  FROM ex GROUP BY label, dim),
+        |lc AS (SELECT label, dim, n,
+        |         (sv - (((sv % n) + n) % n)) // n AS c FROM ld),
+        |g AS (SELECT dim, cast(sum(sv) as bigint) AS t,
+        |        cast(sum(n) as bigint) AS nn
+        |      FROM ld GROUP BY dim),
+        |gc AS (SELECT dim, (t - (((t % nn) + nn) % nn)) // nn AS gcen FROM g)
+        |SELECT lc.label, cast(max(lc.n) as bigint) AS n_vecs,
+        |  cast(sum((lc.c - gc.gcen) * (lc.c - gc.gcen)) as bigint) AS drift_sq
+        |FROM lc JOIN gc USING (dim)
+        |GROUP BY lc.label ORDER BY label""".stripMargin) { (s, dir) =>
+      val ex = Engine.table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          floor(col("col").cast(DoubleType) * 1000000).cast(LongType).as("e6"))
+      val ld = ex.groupBy(col("label"), col("dim"))
+        .agg(sum(col("e6")).as("sv"), count(lit(1)).as("n"))
+      val lc = ld.select(col("label"), col("dim"), col("n"),
+        expr("cast((sv - (((sv % n) + n) % n)) div n as bigint)").as("c"))
+      val gc = ld.groupBy(col("dim"))
+        .agg(sum(col("sv")).as("t"), sum(col("n")).as("nn"))
+        .select(col("dim"),
+          expr("cast((t - (((t % nn) + nn) % nn)) div nn as bigint)").as("gcen"))
+      lc.join(broadcast(gc), Seq("dim"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum((col("c") - col("gcen")) * (col("c") - col("gcen")))
+            .as("drift_sq"))
+        .orderBy(col("label"))
     }
   )
 }

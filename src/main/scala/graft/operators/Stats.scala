@@ -418,5 +418,131 @@ object Stats {
             expr("cast((((cov * cov) div vx) * 1000000) div vy as bigint)"))
             .as("r2_ppm"))
         .orderBy(col("day"))
+    },
+
+    // Mann-Kendall trend test (round 9): per event type, is the daily
+    // revenue series monotonically trending? S = Σ_{i<j} sign(c_j − c_i)
+    // over day pairs, plus the tie-corrected variance numerator
+    // var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) — all
+    // integers, so the whole test statistic is hash-gated (the z-score
+    // is S/sqrt(var18/18), a driver-side epilogue). Scale shape: the
+    // corpus collapses to the (type, day) calendar grid in ONE
+    // map-side-combinable agg; the pair join is equi on type with a
+    // day-range residual over that bounded grid (≤ days²/2 pairs per
+    // type at ANY corpus size — a year is ~66k pairs), never corpus
+    // rows. Types with a single day keep a row via the left join
+    // (S=0, 0 pairs). Sums bounded: n³ at calendar scale ≈ 1e8.
+    "q_mann_kendall" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type, cast(ts as date) AS day,
+        |    cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, cast(ts as date)),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+        |  FROM d a JOIN d b
+        |    ON b.event_type = a.event_type AND b.day > a.day),
+        |sp AS (SELECT event_type, cast(sum(sg) as bigint) AS s_stat,
+        |         cast(count(*) as bigint) AS n_pairs
+        |       FROM p GROUP BY event_type),
+        |t AS (SELECT event_type, c, cast(count(*) as bigint) AS tie
+        |      FROM d GROUP BY event_type, c),
+        |v AS (SELECT event_type, cast(sum(tie) as bigint) AS n_days,
+        |        cast(sum(tie * (tie - 1) * (2 * tie + 5)) as bigint) AS tie_term
+        |      FROM t GROUP BY event_type)
+        |SELECT v.event_type, v.n_days,
+        |  cast(coalesce(sp.n_pairs, 0) as bigint) AS n_pairs,
+        |  cast(coalesce(sp.s_stat, 0) as bigint) AS s_stat,
+        |  cast(v.n_days * (v.n_days - 1) * (2 * v.n_days + 5) - v.tie_term
+        |    as bigint) AS var18
+        |FROM v LEFT JOIN sp USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("c"))
+      val a = d.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+      val b = d.select(col("event_type").as("et2"), col("day").as("d2"),
+        col("c").as("c2"))
+      val sp = a.join(b, col("et2") === col("event_type") && col("d2") > col("d1"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("c2") > col("c1"), 1L)
+            .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+      val v = d.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("tie"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("tie")).as("n_days"),
+          sum(col("tie") * (col("tie") - 1) * (lit(2L) * col("tie") + 5L))
+            .as("tie_term"))
+      v.join(sp, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+          (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5L)
+            - col("tie_term")).as("var18"))
+        .orderBy(col("event_type"))
+    },
+
+    // Theil-Sen robust slope (round 9): per event type, the median of
+    // all pairwise daily-revenue slopes — the robust trend estimator
+    // paired with q_mann_kendall's significance test. slope_ppm uses the
+    // PORTABLE signed floor division (num − pmod(num, den)) div den:
+    // Spark `div` truncates toward zero while DuckDB `//` floors, so a
+    // raw negative-numerator division diverges by 1 — subtracting the
+    // positive mod first makes the numerator exactly divisible, where
+    // truncation ≡ floor on both engines (% follows the dividend's sign
+    // identically in both). The median is the lower order statistic at
+    // rank (m+1) div 2 — deterministic regardless of tie permutation.
+    // Scale shape: same calendar-grid pair join as q_mann_kendall; the
+    // rank window partitions BY TYPE over ≤ days²/2 pairs (calendar-
+    // bounded, never corpus-sized).
+    "q_theil_sen" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type, cast(ts as date) AS day,
+        |    cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, cast(ts as date)),
+        |p AS (
+        |  SELECT a.event_type,
+        |    (b.c - a.c) * 1000000 AS num,
+        |    cast(b.day - a.day as bigint) AS den
+        |  FROM d a JOIN d b
+        |    ON b.event_type = a.event_type AND b.day > a.day),
+        |sl AS (
+        |  SELECT event_type,
+        |    cast((num - (((num % den) + den) % den)) // den as bigint)
+        |      AS slope_ppm
+        |  FROM p),
+        |r AS (
+        |  SELECT event_type, slope_ppm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM sl)
+        |SELECT event_type, cast(m as bigint) AS n_pairs,
+        |  cast(slope_ppm as bigint) AS slope_ppm
+        |FROM r WHERE rn = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("c"))
+      val a = d.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+      val b = d.select(col("event_type").as("et2"), col("day").as("d2"),
+        col("c").as("c2"))
+      val sl = a.join(b, col("et2") === col("event_type") && col("d2") > col("d1"))
+        .select(col("event_type"),
+          ((col("c2") - col("c1")) * 1000000L).as("num"),
+          datediff(col("d2"), col("d1")).cast(LongType).as("den"))
+        .select(col("event_type"),
+          expr("cast((num - (((num % den) + den) % den)) div den as bigint)")
+            .as("slope_ppm"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope_ppm"))
+      sl.select(col("event_type"), col("slope_ppm"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("event_type"))).as("m"))
+        .filter(col("rn") === expr("cast((m + 1) div 2 as int)"))
+        .select(col("event_type"), col("m").as("n_pairs"), col("slope_ppm"))
+        .orderBy(col("event_type"))
     })
 }

@@ -1035,4 +1035,27 @@ class LlmSpec extends AnyFunSuite {
     assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
       .toSeq === Seq(Some(7L), None, None, None))
   }
+
+  test("q_embed_drift equals the brute-force integer-centroid squared L2") {
+    val got = graft.Registry.all("q_embed_drift").fn(spark, TestSpark.sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = emb.select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1e6).toLong)))
+    val dims = rows.head._2.size
+    val byLabel = rows.groupBy(_._1)
+    // per-label and global centroids via floorDiv (the portable form the
+    // graded plan and oracle both use), then exact squared L2
+    val gcen = (0 until dims).map { d =>
+      Math.floorDiv(rows.map(_._2(d)).sum, rows.length.toLong)
+    }
+    val exp = byLabel.map { case (l, vs) =>
+      val c = (0 until dims).map { d =>
+        Math.floorDiv(vs.map(_._2(d)).sum, vs.length.toLong)
+      }
+      l -> (vs.length.toLong,
+        (0 until dims).map(d => (c(d) - gcen(d)) * (c(d) - gcen(d))).sum)
+    }
+    assert(got === exp)
+  }
 }

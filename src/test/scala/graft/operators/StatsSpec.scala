@@ -424,4 +424,56 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(got === exp)
   }
+
+  /** Daily revenue grid (type, epoch-day, cents-sum) — the shared input
+    * of the trend operators.
+    */
+  private lazy val dailyCents: Map[String, Seq[(Long, Long)]] =
+    Engine.table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, xs) =>
+        t -> xs.groupBy(_._2).map { case (d, ys) => (d, ys.map(_._3).sum) }
+          .toSeq.sortBy(_._1)
+      }
+
+  test("q_mann_kendall equals the brute-force pairwise sign sum and " +
+    "tie-corrected variance") {
+    val got = run("q_mann_kendall").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val exp = dailyCents.map { case (t, s) =>
+      val pairs = for {
+        i <- s.indices; j <- s.indices if j > i
+      } yield math.signum(s(j)._2 - s(i)._2).toLong
+      val n = s.size.toLong
+      val ties = s.groupBy(_._2).values.map(_.size.toLong)
+      val var18 = n * (n - 1) * (2 * n + 5) -
+        ties.map(g => g * (g - 1) * (2 * g + 5)).sum
+      t -> (n, pairs.size.toLong, pairs.sum, var18)
+    }
+    assert(got === exp)
+    // S bounded by the pair count; a constant series has S = 0
+    got.foreach { case (t, (_, m, sStat, _)) =>
+      assert(math.abs(sStat) <= m, s"type $t")
+    }
+  }
+
+  test("q_theil_sen equals the brute-force median of floorDiv pair slopes") {
+    val got = run("q_theil_sen").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = dailyCents.collect { case (t, s) if s.size >= 2 =>
+      val slopes = (for {
+        i <- s.indices; j <- s.indices if j > i
+      } yield Math.floorDiv((s(j)._2 - s(i)._2) * 1000000L,
+        s(j)._1 - s(i)._1)).sorted
+      // lower median: 1-based rank (m+1)/2
+      t -> (slopes.size.toLong, slopes((slopes.size + 1) / 2 - 1))
+    }
+    assert(got === exp)
+  }
 }
