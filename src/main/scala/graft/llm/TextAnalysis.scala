@@ -224,6 +224,44 @@ object TextAnalysis {
     s"cast(len(list_filter(string_split(text, ' '), x -> x IN ($in))) as double)"
   }
 
+  /** Shared by q_lang_id / q_langid_confusion: the per-doc density
+    * projection (s_de..s_zh) and the stopword-density argmax with a
+    * stable alphabetical tie-break; all-zero densities → 'und'.
+    */
+  private def densityBase(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(toks).cast(DoubleType).as("n_tok"),
+      lexCount("de").as("s_de"), lexCount("en").as("s_en"),
+      lexCount("es").as("s_es"), lexCount("fr").as("s_fr"),
+      lexCount("zh").as("s_zh"))
+  private val oDensitySub: String =
+    s"""SELECT doc_id, lang,
+       |    cast(len(string_split(text, ' ')) as double) AS n_tok,
+       |    ${oLexCount("de")} AS s_de, ${oLexCount("en")} AS s_en,
+       |    ${oLexCount("es")} AS s_es, ${oLexCount("fr")} AS s_fr,
+       |    ${oLexCount("zh")} AS s_zh
+       |  FROM documents""".stripMargin
+  private val predLangCol: Column = {
+    val allZero = col("s_de") === 0 && col("s_en") === 0 && col("s_es") === 0 &&
+      col("s_fr") === 0 && col("s_zh") === 0
+    when(allZero, "und")
+      .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+        col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_zh"), "en")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+  }
+  private val oPredLangCase: String =
+    """CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+      |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Deterministic hash-based train/test split — the reproducible
@@ -1152,46 +1190,54 @@ object TextAnalysis {
     },
 
     // Language ID: stopword-density argmax with a stable alphabetical
-    // tie-break; all-zero densities → 'und'.
+    // tie-break; all-zero densities → 'und' (shared predLangCol /
+    // oPredLangCase helpers, also driving q_langid_confusion).
     "q_lang_id" -> Q(
       s"""SELECT doc_id, lang,
-         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
-         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |       WHEN s_fr >= s_zh THEN 'fr'
-         |       ELSE 'zh' END AS pred_lang,
+         |  $oPredLangCase AS pred_lang,
          |  cast(floor((s_en / n_tok) * 1000000) as bigint) AS en_density_ppm
          |FROM (
-         |  SELECT doc_id, lang,
-         |    cast(len(string_split(text, ' ')) as double) AS n_tok,
-         |    ${oLexCount("de")} AS s_de, ${oLexCount("en")} AS s_en,
-         |    ${oLexCount("es")} AS s_es, ${oLexCount("fr")} AS s_fr,
-         |    ${oLexCount("zh")} AS s_zh
-         |  FROM documents)
+         |  $oDensitySub)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = docs(s, dir).select(
+      densityBase(s, dir).select(
         col("doc_id"), col("lang"),
-        size(toks).cast(DoubleType).as("n_tok"),
-        lexCount("de").as("s_de"), lexCount("en").as("s_en"),
-        lexCount("es").as("s_es"), lexCount("fr").as("s_fr"),
-        lexCount("zh").as("s_zh"))
-      val allZero = col("s_de") === 0 && col("s_en") === 0 && col("s_es") === 0 &&
-        col("s_fr") === 0 && col("s_zh") === 0
-      base.select(
-        col("doc_id"), col("lang"),
-        when(allZero, "und")
-          .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
-            col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-            col("s_en") >= col("s_zh"), "en")
-          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-          .when(col("s_fr") >= col("s_zh"), "fr")
-          .otherwise("zh").as("pred_lang"),
+        predLangCol.as("pred_lang"),
         // floor-ppm, not round: see q_quality_score note
         floor((col("s_en") / col("n_tok")) * 1000000).cast(LongType)
           .as("en_density_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // Language-ID confusion matrix (round 9): ground-truth lang ×
+    // predicted lang counts plus the per-truth-row share in floor ppm —
+    // the precision/recall grid that turns q_lang_id from a per-doc
+    // label into a classifier EVAL (the diagonal share is per-class
+    // recall; columns close to precision driver-side). Scale shape: the
+    // per-doc prediction is embarrassingly parallel; the matrix is one
+    // map-side-combinable (lang, pred) agg bounded by |langs|²; row
+    // totals join back broadcast. Division is nonneg (counts) so plain
+    // floor div is portable.
+    "q_langid_confusion" -> Q(
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT lang, $oPredLangCase AS pred_lang
+         |  FROM ($oDensitySub)),
+         |c AS (SELECT lang, pred_lang, cast(count(*) as bigint) AS n
+         |      FROM p GROUP BY lang, pred_lang),
+         |t AS (SELECT lang, cast(sum(n) as bigint) AS n_lang
+         |      FROM c GROUP BY lang)
+         |SELECT c.lang, c.pred_lang, c.n, t.n_lang,
+         |  cast((c.n * 1000000) // t.n_lang as bigint) AS share_ppm
+         |FROM c JOIN t USING (lang)
+         |ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+      val c = densityBase(s, dir)
+        .select(col("lang"), predLangCol.as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      c.join(broadcast(t), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+          expr("(n * 1000000L) div n_lang").as("share_ppm"))
+        .orderBy(col("lang"), col("pred_lang"))
     },
 
     // Document fingerprint: md5 over whitespace-normalized lowercase text

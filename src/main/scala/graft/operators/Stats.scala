@@ -544,5 +544,89 @@ object Stats {
         .filter(col("rn") === expr("cast((m + 1) div 2 as int)"))
         .select(col("event_type"), col("m").as("n_pairs"), col("slope_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // Kendall tau-b concordance (round 9): are daily view counts and
+    // daily purchase counts moving together? Over all day pairs i<j the
+    // concordant / discordant / tie-x / tie-y / tie-both counts — the
+    // five exact integers the tau-b closure needs (tau_b = (nc−nd)/
+    // sqrt((P−tx)(P−ty)), a driver-side epilogue like q_mann_whitney's
+    // p-value). Scale shape: the corpus collapses to the calendar-day
+    // grid in one map-side agg; the pair enumeration is the legal
+    // crossJoin(broadcast(day grid)) — the grid is calendar-bounded
+    // (≤ days²/2 pairs at ANY corpus size), never corpus rows.
+    "q_kendall_tau" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT cast(ts as date) AS day,
+        |    cast(count(CASE WHEN event_type = 'view' THEN 1 END) as bigint) AS x,
+        |    cast(count(CASE WHEN event_type = 'purchase' THEN 1 END) as bigint) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT (b.x - a.x) AS dx, (b.y - a.y) AS dy
+        |      FROM d a JOIN d b ON b.day > a.day)
+        |SELECT
+        |  cast(count(*) as bigint) AS n_pairs,
+        |  cast(count(CASE WHEN dx * dy > 0 THEN 1 END) as bigint) AS n_conc,
+        |  cast(count(CASE WHEN dx * dy < 0 THEN 1 END) as bigint) AS n_disc,
+        |  cast(count(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END) as bigint) AS n_tie_x,
+        |  cast(count(CASE WHEN dx <> 0 AND dy = 0 THEN 1 END) as bigint) AS n_tie_y,
+        |  cast(count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END) as bigint) AS n_tie_xy
+        |FROM p ORDER BY n_pairs""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("x"),
+          count(when(col("event_type") === "purchase", 1)).as("y"))
+      val b = d.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2"))
+      d.crossJoin(broadcast(b)).filter(col("d2") > col("day"))
+        .select((col("x2") - col("x")).as("dx"), (col("y2") - col("y")).as("dy"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("dx") * col("dy") > 0, 1)).as("n_conc"),
+          count(when(col("dx") * col("dy") < 0, 1)).as("n_disc"),
+          count(when(col("dx") === 0 && col("dy") =!= 0, 1)).as("n_tie_x"),
+          count(when(col("dx") =!= 0 && col("dy") === 0, 1)).as("n_tie_y"),
+          count(when(col("dx") === 0 && col("dy") === 0, 1)).as("n_tie_xy"))
+        .orderBy(col("n_pairs"))
+    },
+
+    // Wald-Wolfowitz runs test (round 9): is the daily-revenue series
+    // random around its median, or does it trend/oscillate? Days equal
+    // to the (lower) median are dropped — the standard convention; the
+    // emitted (n_above, n_below, n_runs) triple closes to the z-score
+    // driver-side. Scale shape: one map-side corpus collapse to the
+    // calendar-day grid; BOTH windows (the median rank select and the
+    // run-boundary lag) and the 1-row median broadcast run over that
+    // bounded grid — documented bounded-global-window site.
+    "q_runs_test" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT cast(ts as date) AS day,
+        |    cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS c
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT c AS med FROM (
+        |        SELECT c, row_number() OVER (ORDER BY c, day) AS rn,
+        |               count(*) OVER () AS m
+        |        FROM d) WHERE rn = (m + 1) // 2),
+        |sg AS (SELECT day, CASE WHEN c > med THEN 1 ELSE 0 END AS sgn
+        |       FROM d, m WHERE c <> med),
+        |r AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS p FROM sg)
+        |SELECT cast(count(*) as bigint) AS n_days,
+        |  cast(sum(sgn) as bigint) AS n_above,
+        |  cast(count(*) - sum(sgn) as bigint) AS n_below,
+        |  cast(count(CASE WHEN p IS NULL OR p <> sgn THEN 1 END) as bigint)
+        |    AS n_runs
+        |FROM r ORDER BY n_days""".stripMargin) { (s, dir) =>
+      val d = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("c"))
+      val med = d.select(col("c"),
+          row_number().over(Window.orderBy(col("c"), col("day"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("m"))
+        .filter(col("rn") === expr("cast((m + 1) div 2 as int)"))
+        .select(col("c").as("med"))
+      val sg = d.crossJoin(broadcast(med)).filter(col("c") =!= col("med"))
+        .select(col("day"), when(col("c") > col("med"), 1L).otherwise(0L).as("sgn"))
+      sg.select(col("sgn"), lag(col("sgn"), 1).over(Window.orderBy(col("day"))).as("p"))
+        .agg(count(lit(1)).as("n_days"), sum(col("sgn")).as("n_above"),
+          (count(lit(1)) - sum(col("sgn"))).as("n_below"),
+          count(when(col("p").isNull || col("p") =!= col("sgn"), 1)).as("n_runs"))
+        .orderBy(col("n_days"))
     })
 }

@@ -1058,4 +1058,28 @@ class LlmSpec extends AnyFunSuite {
     }
     assert(got === exp)
   }
+
+  test("q_langid_confusion is exactly the grouped q_lang_id prediction " +
+    "with floor-ppm row shares") {
+    val preds = graft.Registry.all("q_lang_id").fn(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val byCell = preds.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byLang = preds.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.Registry.all("q_langid_confusion").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === byCell.keySet)
+    got.foreach { case (cell @ (lang, _), (n, nLang, ppm)) =>
+      assert(n === byCell(cell))
+      assert(nLang === byLang(lang))
+      assert(ppm === n * 1000000L / nLang)
+    }
+    // row shares sum to ~1e6 per truth lang (floor slack < cells-per-row)
+    byLang.keys.foreach { lang =>
+      val rowPpm = got.collect { case ((l, _), (_, _, p)) if l == lang => p }.sum
+      assert(rowPpm <= 1000000L &&
+        rowPpm > 1000000L - got.count(_._1._1 == lang), s"lang $lang")
+    }
+  }
 }

@@ -83,7 +83,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cramers_v",       // crossJoin(broadcast(dim totals + 1-row N)) grid
     "q_abtest_cuped",    // crossJoin(broadcast(1-row midpoint + 1-row theta))
     "q_churn",           // crossJoin(broadcast(1-row max-week aggregate))
-    "q_sample_balanced") // crossJoin(broadcast(|lang|-row cutoffs + 1-row target))
+    "q_sample_balanced", // crossJoin(broadcast(|lang|-row cutoffs + 1-row target))
+    "q_kendall_tau",     // crossJoin(broadcast(calendar-day grid)) pair enumeration
+    "q_runs_test")       // crossJoin(broadcast(1-row median))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
@@ -101,7 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_funnel_paths",   // input: path vocabulary (≤ |event_type|³)
     "q_quantile_norm",  // input: value-domain cells (length domain)
     "q_bm25",           // input: the already-limited top-10
-    "q_rolling_corr")   // input: calendar days (daily metric grid)
+    "q_rolling_corr",   // input: calendar days (daily metric grid)
+    "q_runs_test")      // input: calendar days (median rank + run lag)
 
   test("no query outside the allowed set plans a partition-less window") {
     // logical-plan audit (the physical tree hides behind

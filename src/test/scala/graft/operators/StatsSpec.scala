@@ -476,4 +476,49 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(got === exp)
   }
+
+  test("q_kendall_tau equals the brute-force concordance partition and " +
+    "the counts tile the pair set") {
+    val r = run("q_kendall_tau").collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    val byDay = Engine.table(spark, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        col("event_type"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (d, xs) =>
+        (d, xs.count(_._2 == "view").toLong, xs.count(_._2 == "purchase").toLong)
+      }.toSeq.sortBy(_._1)
+    val pairs = for {
+      i <- byDay.indices; j <- byDay.indices if j > i
+    } yield (byDay(j)._2 - byDay(i)._2, byDay(j)._3 - byDay(i)._3)
+    val exp = (pairs.size.toLong,
+      pairs.count(p => p._1 * p._2 > 0).toLong,
+      pairs.count(p => p._1 * p._2 < 0).toLong,
+      pairs.count(p => p._1 == 0 && p._2 != 0).toLong,
+      pairs.count(p => p._1 != 0 && p._2 == 0).toLong,
+      pairs.count(p => p._1 == 0 && p._2 == 0).toLong)
+    assert(got === exp)
+    // the five disjoint classes tile the pair set
+    assert(got._2 + got._3 + got._4 + got._5 + got._6 === got._1)
+  }
+
+  test("q_runs_test equals the brute-force median-sign run count") {
+    val r = run("q_runs_test").collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val daily = Engine.table(spark, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val m = daily.size
+    val med = daily.map(_._2).sorted.apply((m + 1) / 2 - 1)
+    val signs = daily.filter(_._2 != med).map(x => if (x._2 > med) 1L else 0L)
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+    assert(got === ((signs.size.toLong, signs.count(_ == 1L).toLong,
+      signs.count(_ == 0L).toLong, runs)))
+  }
 }
