@@ -519,6 +519,56 @@ object Components {
     */
   val pageRankIters: Int = 3
 
+  /** Link-prediction center-degree cap, shared with the oracle SQL.
+    * Resource-allocation weights a common neighbor v by 1/deg(v), so a
+    * hub center contributes ≤ 1e6/cap ppm per pair while generating
+    * O(deg²) wedges — excluding centers above the cap is the standard
+    * RA practice (Zhou, Lü & Zhang 2009 define the 1/deg weighting
+    * precisely to damp hubs) and bounds wedge fan-out to n·cap²/2,
+    * linear in vertex count at any corpus size. The cap is part of the
+    * operator's stated semantics and mirrored in the oracle, so the
+    * gate stays hash-exact.
+    */
+  val linkPredCenterCap: Int = 64
+
+  /** Resource-allocation link prediction over an undirected pair list
+    * `(d1, d2)` (d1 < d2, distinct): for every NON-adjacent pair (u, w)
+    * sharing at least one common neighbor v with 2 ≤ deg(v) ≤
+    * [[linkPredCenterCap]], score RA(u,w) = Σ_v floor(1e6 / deg(v)) —
+    * the "which docs will near-dup NEXT" ranking a curation pipeline
+    * uses to prioritize manual review of template families that LSH
+    * has not yet paired. Per-term floor keeps both engines in integer
+    * arithmetic (sum of floors is the stated definition, not an
+    * approximation of the real-valued sum). Returns the top 25 by
+    * (ra_ppm DESC, d1, d2) — a total order, so the LIMIT crosses
+    * engines.
+    *
+    * Scale shape: one edge-sized degree agg; the wedge join fans out
+    * only from capped centers (≤ cap(cap−1)/2 wedges per center); the
+    * adjacency-removal is one left-anti equi-join on the canonical
+    * (d1 < d2) pair key; TakeOrdered closes the top-k without a global
+    * sort.
+    */
+  def linkPredictFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val adj = edges
+      .join(deg.select(col("id").as("src"), col("deg")), "src")
+      .filter(col("deg").between(2L, linkPredCenterCap.toLong))
+      .select(col("src").as("v"), col("dst").as("n"), col("deg"))
+    val e1 = adj.select(col("v"), col("n").as("d1"), col("deg"))
+    val e2 = adj.select(col("v"), col("n").as("d2"))
+    val scored = e1.join(e2, "v").filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000L div deg")).as("ra_ppm"))
+    scored.join(pairs, Seq("d1", "d2"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("d1"), col("d2"))
+      .limit(25)
+  }
+
   /** The shared simhash near-dup pair pipeline (d1 < d2) — the graph
     * family's common upstream, derivable per query. Kept as the
     * recompute baseline for [[graft.PairGraphBench]].
@@ -1059,6 +1109,38 @@ object Components {
         .select(col("size"), col("n_clusters"),
           (col("size") * col("n_clusters")).as("n_docs"))
         .orderBy(col("size"))
+    },
+
+    // Link prediction (round 9): resource-allocation scores over the
+    // near-dup graph — for non-adjacent pairs sharing common neighbors,
+    // RA(u,w) = Σ_v floor(1e6/deg(v)) over common neighbors with
+    // 2 ≤ deg(v) ≤ cap. The "which docs will near-dup NEXT" review
+    // queue a curation pipeline runs against a half-built dedup index.
+    // Center cap mirrored in the oracle (see linkPredCenterCap); per-
+    // term floor keeps both engines integer; top-25 under a total
+    // (ra_ppm DESC, d1, d2) order crosses engines.
+    "q_link_predict" -> Q(
+      s"""WITH ${Dedup.oSimhashSigsCte},
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |        FROM edges GROUP BY src),
+         |adj AS MATERIALIZED (SELECT e.src AS v, e.dst AS n, d.deg
+         |       FROM edges e JOIN deg d ON d.id = e.src
+         |       WHERE d.deg BETWEEN 2 AND $linkPredCenterCap),
+         |sc AS (SELECT a.n AS d1, b.n AS d2,
+         |         cast(count(*) as bigint) AS n_common,
+         |         cast(sum(1000000 // a.deg) as bigint) AS ra_ppm
+         |       FROM adj a JOIN adj b ON a.v = b.v AND a.n < b.n
+         |       GROUP BY 1, 2)
+         |SELECT sc.d1, sc.d2, sc.n_common, sc.ra_ppm
+         |FROM sc LEFT JOIN prs p ON sc.d1 = p.d1 AND sc.d2 = p.d2
+         |WHERE p.d1 IS NULL
+         |ORDER BY sc.ra_ppm DESC, sc.d1, sc.d2 LIMIT 25""".stripMargin) { (s, dir) =>
+      linkPredictFromPairs(simhashPairs(s, dir))
     }
   )
 }

@@ -308,4 +308,52 @@ class ComponentsSpec extends AnyFunSuite {
     assert(core(Seq((5L, 5L), (0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L))) ===
       Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
+
+  test("q_link_predict equals the brute-force resource-allocation ranking " +
+      "on the real pair graph, and on a synthetic graph with hub centers") {
+    // brute-force RA over an explicit edge list, identical definition:
+    // non-adjacent u<w, score = sum over common neighbors v with
+    // 2 <= deg(v) <= cap of floor(1e6/deg(v)); top-25 by (-ra, d1, d2)
+    def bruteRa(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(p => p._1 != p._2).distinct
+      val nbrs = (canon ++ canon.map(_.swap)).groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2).distinct.sorted }
+      val scores = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      nbrs.foreach { case (v, ns) =>
+        val d = ns.length.toLong
+        if (d >= 2L && d <= Components.linkPredCenterCap.toLong) {
+          for (i <- ns.indices; j <- (i + 1) until ns.length) {
+            val k = (ns(i), ns(j))
+            val (c, r) = scores.getOrElse(k, (0L, 0L))
+            scores(k) = (c + 1L, r + 1000000L / d)
+          }
+        }
+      }
+      val adjacent = canon.toSet
+      scores.toSeq.collect {
+        case ((u, w), (c, r)) if !adjacent((u, w)) => (u, w, c, r)
+      }.sortBy { case (u, w, _, r) => (-r, u, w) }.take(25)
+    }
+    // the real graded plan vs brute force over the same pair graph
+    val pairs = Components.simhashPairs(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.Registry.all("q_link_predict").fn(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === bruteRa(pairs))
+    assert(got.nonEmpty, "sf0.001 pair graph produced no RA candidates")
+    // synthetic: a hub above the cap contributes nothing; a path's
+    // interior vertices (deg 2) score their flanks at 500000 ppm
+    import spark.implicits._
+    val hub = (1L to (Components.linkPredCenterCap + 1L)).map(i => (0L, i))
+    val path = Seq((100L, 101L), (101L, 102L), (102L, 103L))
+    val syn = Components.linkPredictFromPairs(
+        (hub ++ path).toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(syn === bruteRa(hub ++ path))
+    assert(syn === Seq((100L, 102L, 1L, 500000L), (101L, 103L, 1L, 500000L)),
+      "hub wedges must be excluded by the center cap")
+  }
 }
