@@ -628,5 +628,67 @@ object Stats {
           (count(lit(1)) - sum(col("sgn"))).as("n_below"),
           count(when(col("p").isNull || col("p") =!= col("sgn"), 1)).as("n_runs"))
         .orderBy(col("n_days"))
+    },
+
+    // Kruskal-Wallis (round 9): the k-sample generalization of
+    // q_mann_whitney — do the k event types draw values from one
+    // distribution? Emits per type (n, 2×rank-sum over the POOLED
+    // ranking) plus the pooled N and the tie-correction ratio
+    // Σ(t³−t)/(N³−N) in floor ppm; H = (12/(N(N+1)))·Σ(R̄ᵢ−(N+1)/2)²·nᵢ
+    // then /(1−tie) closes driver-side from these integers, like
+    // q_mann_whitney's p-value. Scale shape: values collapse to cents
+    // cells FIRST; the pooled rank window runs over the value domain
+    // (bounded, allowed partition-less site); tie cubes lift to
+    // decimal(38,0)/HUGEINT (Σt³ ≤ N³ overflows bigint past ~2M rows,
+    // ×1e6 ≤ 1e33 at 1e9 rows — inside both wide types); the 1-row
+    // (N, tie) epilogue is the legal crossJoin(broadcast(tiny)).
+    "q_kruskal_wallis" -> Q(
+      """WITH v AS (SELECT event_type, cast(floor(value * 100) as bigint) AS cents
+        |           FROM events WHERE value IS NOT NULL),
+        |cells AS MATERIALIZED (
+        |  SELECT cents, cast(count(*) as bigint) AS cnt FROM v GROUP BY cents),
+        |r AS (SELECT cents,
+        |        2 * sum(cnt) OVER (ORDER BY cents
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - cnt + 1 AS rank2
+        |      FROM cells),
+        |tc AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+        |         sum(cast(cnt as hugeint) * cnt * cnt) AS c3
+        |       FROM cells),
+        |g AS (SELECT event_type, cents, cast(count(*) as bigint) AS nt
+        |      FROM v GROUP BY 1, 2),
+        |pt AS (SELECT event_type, cast(sum(nt) as bigint) AS n,
+        |         cast(sum(nt * rank2) as bigint) AS r2_sum
+        |       FROM g JOIN r USING (cents) GROUP BY 1)
+        |SELECT pt.event_type, pt.n, pt.r2_sum, tc.n_total,
+        |  cast(CASE WHEN tc.n_total <= 1 THEN 0
+        |       ELSE ((tc.c3 - tc.n_total) * 1000000)
+        |            // (cast(tc.n_total as hugeint) * tc.n_total * tc.n_total
+        |               - tc.n_total) END as bigint) AS tie_ppm
+        |FROM pt, tc ORDER BY pt.event_type""".stripMargin) { (s, dir) =>
+      val v = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+      val cells = v.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cells.select(col("cents"),
+        (lit(2L) * sum(col("cnt")).over(w) - col("cnt") + 1L).as("rank2"))
+      val perType = v.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("nt"))
+        .join(ranked, "cents")
+        .groupBy(col("event_type"))
+        .agg(sum(col("nt")).as("n"), sum(col("nt") * col("rank2")).as("r2_sum"))
+      val tot = cells.agg(sum(col("cnt")).as("n_total"),
+          sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt")).as("c3"))
+        .select(col("n_total"),
+          expr("""cast(CASE WHEN n_total <= 1 THEN 0
+                 | ELSE ((c3 - n_total) * 1000000)
+                 |      div (cast(n_total as decimal(38,0)) * n_total * n_total
+                 |           - n_total) END as bigint)""".stripMargin).as("tie_ppm"))
+      perType.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"), col("r2_sum"),
+          col("n_total"), col("tie_ppm"))
+        .orderBy(col("event_type"))
     })
 }

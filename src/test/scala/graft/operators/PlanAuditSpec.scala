@@ -85,7 +85,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_churn",           // crossJoin(broadcast(1-row max-week aggregate))
     "q_sample_balanced", // crossJoin(broadcast(|lang|-row cutoffs + 1-row target))
     "q_kendall_tau",     // crossJoin(broadcast(calendar-day grid)) pair enumeration
-    "q_runs_test")       // crossJoin(broadcast(1-row median))
+    "q_runs_test",       // crossJoin(broadcast(1-row median))
+    "q_kruskal_wallis")  // crossJoin(broadcast(1-row N + tie term))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
@@ -104,7 +105,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_quantile_norm",  // input: value-domain cells (length domain)
     "q_bm25",           // input: the already-limited top-10
     "q_rolling_corr",   // input: calendar days (daily metric grid)
-    "q_runs_test")      // input: calendar days (median rank + run lag)
+    "q_runs_test",      // input: calendar days (median rank + run lag)
+    "q_kruskal_wallis") // input: value-domain cents cells (pooled rank)
 
   test("no query outside the allowed set plans a partition-less window") {
     // logical-plan audit (the physical tree hides behind

@@ -521,4 +521,29 @@ class StatsSpec extends AnyFunSuite {
     assert(got === ((signs.size.toLong, signs.count(_ == 1L).toLong,
       signs.count(_ == 0L).toLong, runs)))
   }
+
+  test("q_kruskal_wallis equals the brute-force pooled ranking and the " +
+    "BigInt tie correction; rank sums tile N(N+1)") {
+    val got = run("q_kruskal_wallis").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val r2 = rank2(evCents.map(_._2))
+    val exp = evCents.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.size.toLong, xs.map(x => r2(x._2)).sum)
+    }
+    val n = evCents.size.toLong
+    val tiePpm = {
+      val c3 = evCents.groupBy(_._2).values
+        .map(g => { val t = BigInt(g.size); t * t * t - t }).sum
+      (c3 * 1000000 / (BigInt(n) * n * n - n)).toLong
+    }
+    assert(got.keySet === exp.keySet)
+    got.foreach { case (t, (gn, gr2, gnt, gtie)) =>
+      assert((gn, gr2) === exp(t), s"type $t")
+      assert(gnt === n)
+      assert(gtie === tiePpm)
+    }
+    // pooled 2×rank-sums over all groups tile 2·(1+...+N) = N(N+1)
+    assert(got.values.map(_._2).sum === n * (n + 1L))
+  }
 }
