@@ -106,6 +106,44 @@ object TextAnalysis {
   def normalizeCol(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** q_charset_audit core over any (source, text) frame: per-source
+    * encoding-health counters — the mojibake/corruption screen a
+    * curation pipeline runs per ingest source before any text op trusts
+    * the bytes. Three explicit codepoint classes, each written so Java
+    * regex and RE2 parse them identically (the ADVICE-r8 lesson: never
+    * `\s` — Java includes \x0B, RE2 doesn't; explicit ranges only):
+    * non-ASCII `[^\x00-\x7F]`, bare control chars
+    * `[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]` (tab/LF/CR excluded — those are
+    * legitimate text), and the U+FFFD replacement char `\x{FFFD}` (the
+    * smoking gun of a bad transcode). Counting is subtraction of
+    * codepoint lengths after class removal — both engines count
+    * codepoints, so multi-byte chars count once. Scale shape: per-doc
+    * counters are one codegen'd map pass; everything after is a
+    * source-sized agg; ppm is nonneg scale-0 floor division.
+    */
+  def charsetAudit(d: DataFrame): DataFrame = {
+    def nClass(pat: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+    val per = d.select(col("source"),
+      length(col("text")).cast(LongType).as("nc"),
+      nClass("[^\\x00-\\x7F]").cast(LongType).as("na"),
+      nClass("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").cast(LongType).as("nk"),
+      nClass("\\x{FFFD}").cast(LongType).as("nr"))
+    per.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("na")).as("n_non_ascii"),
+        sum(col("nk")).as("n_ctrl"),
+        sum(col("nr")).as("n_repl"),
+        sum(when(col("nk") > 0L || col("nr") > 0L, 1L).otherwise(0L))
+          .as("n_docs_flagged"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_non_ascii"),
+        expr("CASE WHEN n_chars = 0 THEN 0 ELSE (n_non_ascii * 1000000) div n_chars END")
+          .cast(LongType).as("non_ascii_ppm"),
+        col("n_ctrl"), col("n_repl"), col("n_docs_flagged"))
+      .orderBy(col("source"))
+  }
+
   /** q_normalize core over any (doc_id, text, n_chars) frame: normalized
     * length + digest, and the size of each post-normalization duplicate
     * group (count over a hash-partitioned window on the digest — one
@@ -1238,6 +1276,32 @@ object TextAnalysis {
         .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
           expr("(n * 1000000L) div n_lang").as("share_ppm"))
         .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // Charset / encoding-health audit (round 9): per-source counts of
+    // non-ASCII codepoints, bare control chars, and U+FFFD replacement
+    // chars — the mojibake screen run per ingest source BEFORE any text
+    // op trusts the bytes (see charsetAudit; detection of each class is
+    // spec-driven with injected dirty docs, since the clean synthetic
+    // corpus should — and does — flag zero).
+    "q_charset_audit" -> Q(
+      """WITH per AS (
+        |  SELECT source, cast(length(text) as bigint) AS nc,
+        |    cast(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) as bigint) AS na,
+        |    cast(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) as bigint) AS nk,
+        |    cast(length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g')) as bigint) AS nr
+        |  FROM documents)
+        |SELECT source, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(nc) as bigint) AS n_chars,
+        |  cast(sum(na) as bigint) AS n_non_ascii,
+        |  cast(CASE WHEN sum(nc) = 0 THEN 0
+        |       ELSE (sum(na) * 1000000) // sum(nc) END as bigint) AS non_ascii_ppm,
+        |  cast(sum(nk) as bigint) AS n_ctrl,
+        |  cast(sum(nr) as bigint) AS n_repl,
+        |  cast(sum(CASE WHEN nk > 0 OR nr > 0 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_docs_flagged
+        |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      charsetAudit(docs(s, dir).select(col("source"), col("text")))
     },
 
     // Document fingerprint: md5 over whitespace-normalized lowercase text

@@ -1082,4 +1082,39 @@ class LlmSpec extends AnyFunSuite {
         rowPpm > 1000000L - got.count(_._1._1 == lang), s"lang $lang")
     }
   }
+
+  test("q_charset_audit detects every dirty class on injected docs and " +
+    "matches the codepoint brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "clean ascii text"),
+      ("s1", "tabs\tand\nnewlines\rare legitimate"),
+      ("s2", "bare ctrl and vtab chars"),
+      ("s2", "bad transcode �� here"),
+      ("s3", "日本語テキスト mixed with ascii"),
+      ("s3", ""))
+    def brute(src: String) = {
+      val ts = docs.filter(_._1 == src).map(_._2)
+      val cps = ts.map(t => t.codePoints().toArray.toSeq)
+      val nc = cps.map(_.size.toLong).sum
+      val na = cps.map(_.count(_ > 0x7F).toLong).sum
+      def isCtrl(c: Int) = (c <= 0x08) || c == 0x0B || c == 0x0C ||
+        (c >= 0x0E && c <= 0x1F) || c == 0x7F
+      val perDoc = cps.map(c => (c.count(isCtrl).toLong, c.count(_ == 0xFFFD).toLong))
+      (ts.size.toLong, nc, na, if (nc == 0) 0L else na * 1000000L / nc,
+        perDoc.map(_._1).sum, perDoc.map(_._2).sum,
+        perDoc.count(p => p._1 > 0 || p._2 > 0).toLong)
+    }
+    val got = TextAnalysis.charsetAudit(docs.toDF("source", "text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(got === Map("s1" -> brute("s1"), "s2" -> brute("s2"),
+      "s3" -> brute("s3")))
+    // each class individually detected where injected
+    assert(got("s2")._5 > 0 && got("s2")._6 > 0 && got("s2")._7 === 2L)
+    assert(got("s3")._3 > 0, "CJK codepoints must count as non-ASCII")
+    assert(got("s1")._5 === 0L && got("s1")._7 === 0L,
+      "tab/LF/CR must NOT flag as control chars")
+  }
 }
