@@ -107,6 +107,43 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash over an opaque payload — the aHash/pHash shape on
+    * the stub decode: pool byte values into 64 positional cells, set bit
+    * j iff cell j's MEAN byte value exceeds the payload's global mean
+    * (compared by integer cross-multiplication, so the signature is
+    * integer-exact and platform-independent). A real implementation
+    * swaps the byte pooling for decoded-pixel pooling (or a DCT) and
+    * keeps everything else — the property that makes it perceptual is
+    * LOCALITY: flipping k bytes can change at most the cells containing
+    * them plus cells whose mean sits on the moved global threshold, so
+    * near-identical payloads land at small Hamming distance while their
+    * cryptographic digests diverge completely (pinned in LlmSpec).
+    * Empty payloads hash to 0.
+    */
+  def phash64(payload: Array[Byte]): Long = {
+    val cells = 64
+    if (payload.isEmpty) return 0L
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
+    var total = 0L
+    var i = 0
+    while (i < payload.length) {
+      val j = i * cells / payload.length
+      val v = (payload(i) & 0xff).toLong
+      sums(j) += v; cnts(j) += 1L; total += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < cells) {
+      // mean(cell) > mean(payload) ⇔ sum_j · len > total · cnt_j
+      if (cnts(j) > 0L && sums(j) * payload.length > total * cnts(j))
+        h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Binary-column metadata: byte length + fixed-size chunk count per
@@ -255,6 +292,52 @@ object Multimodal {
         .select(col("media_kind"), col("n_blobs"), col("n_distinct"),
           expr("cast((cast(1000000 as decimal(38,0)) * (n_blobs - n_distinct))" +
             " div n_blobs as bigint)").as("dup_ppm"))
+        .orderBy(col("media_kind"))
+    },
+
+    // Perceptual-hash signature pass (round 9): the near-dup step AFTER
+    // q_mm_dedup's exact-digest screen — phash64 over every payload via
+    // the real typed map pipeline. The signature itself is engine-local
+    // (DuckDB can't fold bytes), so the gate uses the self-verifying
+    // shape (CLAUDE.md ANN rule): exact per-kind blob/digest-group
+    // counts hash-gate the plumbing, and two invariants the oracle pins
+    // TRUE — byte-identical payloads MUST share one phash
+    // (phash_consistent: max distinct phash per md5 group = 1) and the
+    // perceptual partition can only be COARSER than the cryptographic
+    // one (coarser_or_equal). The Hamming-locality property that makes
+    // it perceptual is brute-force pinned in LlmSpec on mutated
+    // payloads. Scale shape: one narrow map pass emits 8-byte
+    // signatures; only (digest, phash) pairs shuffle, payloads never do.
+    "q_mm_phash" -> Q(
+      """WITH g AS MATERIALIZED (
+        |  SELECT lang AS media_kind, md5(text) AS dig,
+        |    cast(count(*) as bigint) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT media_kind, cast(sum(c) as bigint) AS n_blobs,
+        |  cast(count(*) as bigint) AS n_digest_groups,
+        |  TRUE AS phash_consistent, TRUE AS coarser_or_equal
+        |FROM g GROUP BY media_kind ORDER BY media_kind""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = mediaTable(s, dir)
+      val ph = m.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, phash64(p)) })
+        .toDF("doc_id", "phash")
+      val j = m.select(col("doc_id"), col("media_kind"),
+          md5(col("payload")).as("dig"))
+        .join(ph, "doc_id")
+      val perDig = j.groupBy(col("media_kind"), col("dig"))
+        .agg(countDistinct(col("phash")).as("nph"), count(lit(1)).as("c"))
+      val perKind = perDig.groupBy(col("media_kind"))
+        .agg(sum(col("c")).as("n_blobs"),
+          count(lit(1)).as("n_digest_groups"),
+          max(col("nph")).as("max_nph"))
+      val phGroups = j.groupBy(col("media_kind"))
+        .agg(countDistinct(col("phash")).as("n_ph"))
+      perKind.join(phGroups, "media_kind")
+        .select(col("media_kind"), col("n_blobs"), col("n_digest_groups"),
+          (col("max_nph") === 1L).as("phash_consistent"),
+          (col("n_ph") <= col("n_digest_groups")).as("coarser_or_equal"))
         .orderBy(col("media_kind"))
     }
   )

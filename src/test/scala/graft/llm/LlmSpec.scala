@@ -1117,4 +1117,49 @@ class LlmSpec extends AnyFunSuite {
     assert(got("s1")._5 === 0L && got("s1")._7 === 0L,
       "tab/LF/CR must NOT flag as control chars")
   }
+
+  test("q_mm_phash: signature matches an independent brute force, " +
+    "mutation locality holds, and the gate invariants are real") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // independent re-derivation: enumerate each cell's position set from
+    // the same j = i·64/len map, compare means via BigInt cross-mul
+    def brute(p: Array[Byte]): Long = {
+      if (p.isEmpty) return 0L
+      val total = BigInt(p.map(b => (b & 0xff).toLong).sum)
+      (0 until 64).foldLeft(0L) { (h, j) =>
+        val pos = p.indices.filter(i => i * 64 / p.length == j)
+        val s = BigInt(pos.map(i => (p(i) & 0xff).toLong).sum)
+        if (pos.nonEmpty && s * p.length > total * pos.length) h | (1L << j)
+        else h
+      }
+    }
+    val rng = new scala.util.Random(42)
+    val base = Array.fill(2048)(rng.nextInt(256).toByte)
+    val other = Array.fill(2048)(rng.nextInt(256).toByte)
+    assert(Multimodal.phash64(base) === brute(base))
+    assert(Multimodal.phash64(other) === brute(other))
+    assert(Multimodal.phash64(Array.emptyByteArray) === 0L)
+    // determinism + identity: byte-identical payloads share a signature
+    assert(Multimodal.phash64(base.clone()) === Multimodal.phash64(base))
+    // locality: flipping 4 of 2048 bytes moves ≤ a handful of bits
+    // (4 touched cells + threshold-margin cells), while md5 diverges
+    val mut = base.clone()
+    (0 until 4).foreach(i => mut(i * 512) = (mut(i * 512) ^ 0x7f).toByte)
+    assert(ham(Multimodal.phash64(base), Multimodal.phash64(mut)) <= 12,
+      "near-identical payloads must stay Hamming-close")
+    assert(!java.util.Arrays.equals(
+      java.security.MessageDigest.getInstance("MD5").digest(base),
+      java.security.MessageDigest.getInstance("MD5").digest(mut)))
+    // separation: unrelated payloads sit near Hamming 32
+    assert(ham(Multimodal.phash64(base), Multimodal.phash64(other)) >= 12,
+      "unrelated payloads must not collide tightly")
+    // the graded gate's invariants hold on the real corpus
+    val got = graft.Registry.all("q_mm_phash").fn(spark, TestSpark.sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: digest group split phash")
+      assert(r.getBoolean(4), s"${r.getString(0)}: phash partition finer than md5")
+    }
+  }
 }
