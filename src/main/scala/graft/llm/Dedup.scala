@@ -1351,6 +1351,72 @@ object Dedup {
           expr("cast((cast(1000000 as decimal(38,0)) * n_dup_docs)" +
             " div n_docs as bigint)").as("dup_ppm"))
         .orderBy(col("source"))
+    },
+
+    // Cross-detector agreement audit (round 9): the pair-set overlap of
+    // the two independent near-dup detectors — SimHash (hamming ≤ 6) vs
+    // banded MinHash verified at Jaccard ≥ 0.35. The "which detector do
+    // I trust, and do they see the same corpus" eval run BEFORE
+    // committing a 100 TB dedup to either; high disagreement means the
+    // thresholds are mis-calibrated for this corpus (q_minhash_est is
+    // the per-pair calibration view, this is the set-level verdict).
+    // Both pair pipelines are already mirrored bit-exact in SQL, so the
+    // whole audit hash-gates. Scale shape: two sub-quadratic candidate
+    // pipelines, one (d1, d2)-keyed agg over their union (edge-sized),
+    // one 1-row close; set-Jaccard is nonneg scale-0 floor division.
+    "q_dedup_agreement" -> Q(
+      s"""WITH $oSimhashSigsCte,
+         |ssp AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming),
+         |msigs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    $oSigExprs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
+         |  FROM msigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |cands AS MATERIALIZED (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id),
+         |mh AS (SELECT j.d1, j.d2 FROM jac j
+         |       JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+         |       WHERE j.jac >= 0.35),
+         |u AS (SELECT d1, d2, max(in_s) AS s, max(in_m) AS m FROM (
+         |        SELECT d1, d2, 1 AS in_s, 0 AS in_m FROM ssp
+         |        UNION ALL SELECT d1, d2, 0, 1 FROM mh)
+         |      GROUP BY d1, d2)
+         |SELECT cast(sum(s) as bigint) AS n_simhash,
+         |  cast(sum(m) as bigint) AS n_minhash,
+         |  cast(sum(s * m) as bigint) AS n_both,
+         |  cast(count(*) as bigint) AS n_union,
+         |  cast(CASE WHEN count(*) = 0 THEN 0
+         |       ELSE (sum(s * m) * 1000000) // count(*) END as bigint) AS agree_ppm
+         |FROM u ORDER BY n_union""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val bits = simhashBitsFor(d.count())
+      val sp = simhashNearDup(simhashSignaturesStateless(d, bits),
+          maxHamming = simhashMaxHamming, bits = bits)
+        .select(col("d1"), col("d2"),
+          lit(1L).as("in_s"), lit(0L).as("in_m"))
+      val mp = jaccardForCandidates(shingles(d),
+          lshCandidates(minhashSignaturesStateless(d)))
+        .filter(col("jac") >= 0.35)
+        .select(col("d1"), col("d2"),
+          lit(0L).as("in_s"), lit(1L).as("in_m"))
+      sp.union(mp)
+        .groupBy(col("d1"), col("d2"))
+        .agg(max(col("in_s")).as("s"), max(col("in_m")).as("m"))
+        .agg(sum(col("s")).as("n_simhash"), sum(col("m")).as("n_minhash"),
+          sum(col("s") * col("m")).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_simhash"), col("n_minhash"), col("n_both"),
+          col("n_union"),
+          expr("CASE WHEN n_union = 0 THEN 0L " +
+            "ELSE (n_both * 1000000L) div n_union END").as("agree_ppm"))
+        .orderBy(col("n_union"))
     }
   )
 }

@@ -1162,4 +1162,23 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getBoolean(4), s"${r.getString(0)}: phash partition finer than md5")
     }
   }
+
+  test("q_dedup_agreement is exactly the set algebra of the gated simhash " +
+    "and minhash pair sets") {
+    def pairSet(name: String): Set[(Long, Long)] =
+      graft.Registry.all(name).fn(spark, TestSpark.sfDir)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sp = pairSet("q_dedup_simhash")
+    val mp = pairSet("q_dedup_minhash")
+    val r = graft.Registry.all("q_dedup_agreement").fn(spark, TestSpark.sfDir)
+      .collect().head
+    assert(r.getLong(0) === sp.size.toLong)
+    assert(r.getLong(1) === mp.size.toLong)
+    assert(r.getLong(2) === (sp & mp).size.toLong)
+    assert(r.getLong(3) === (sp | mp).size.toLong)
+    assert(r.getLong(4) ===
+      (sp & mp).size.toLong * 1000000L / (sp | mp).size.toLong)
+    assert((sp | mp).nonEmpty, "sf0.001 must produce a nonempty pair union")
+  }
 }
