@@ -121,14 +121,29 @@ object TextAnalysis {
     * counters are one codegen'd map pass; everything after is a
     * source-sized agg; ppm is nonneg scale-0 floor division.
     */
-  def charsetAudit(d: DataFrame): DataFrame = {
+  def charsetAudit(d: DataFrame): DataFrame =
+    charsetRollup(charsetPerDoc(d)).orderBy(col("source"))
+
+  /** The per-doc counter projection of [[charsetAudit]] — one codegen'd
+    * map pass, shared verbatim by the streaming twin (s_charset) so the
+    * batch and streaming readouts can never drift.
+    */
+  def charsetPerDoc(d: DataFrame): DataFrame = {
     def nClass(pat: String): Column =
       length(col("text")) - length(regexp_replace(col("text"), pat, ""))
-    val per = d.select(col("source"),
+    d.select(col("source"),
       length(col("text")).cast(LongType).as("nc"),
       nClass("[^\\x00-\\x7F]").cast(LongType).as("na"),
       nClass("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").cast(LongType).as("nk"),
       nClass("\\x{FFFD}").cast(LongType).as("nr"))
+  }
+
+  /** The per-source rollup of [[charsetAudit]] — a plain aggregation, so
+    * it runs identically over a static frame and a streaming one (where
+    * the |sources|-bounded aggregation state IS the monitor). No sort:
+    * streaming aggregations can't order; batch callers add it.
+    */
+  def charsetRollup(per: DataFrame): DataFrame =
     per.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("nc")).as("n_chars"),
@@ -141,8 +156,6 @@ object TextAnalysis {
         expr("CASE WHEN n_chars = 0 THEN 0 ELSE (n_non_ascii * 1000000) div n_chars END")
           .cast(LongType).as("non_ascii_ppm"),
         col("n_ctrl"), col("n_repl"), col("n_docs_flagged"))
-      .orderBy(col("source"))
-  }
 
   /** q_normalize core over any (doc_id, text, n_chars) frame: normalized
     * length + digest, and the size of each post-normalization duplicate

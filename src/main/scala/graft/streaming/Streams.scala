@@ -383,6 +383,23 @@ object Streams {
       graft.functions.TextExpressions.shingles(col("text"), graft.llm.Search.decontamK),
       typedLit(evalGrams)))
 
+  /** Encoding-health monitor at INGEST (s_charset): q_charset_audit's
+    * per-source mojibake counters as a streaming aggregation — the live
+    * dashboard a firehose ingest watches so a source that starts
+    * shipping broken transcodes (U+FFFD runs, bare control chars) is
+    * caught within a micro-batch instead of at the next batch audit.
+    * Shares the batch operator's per-doc projection and rollup verbatim
+    * ([[graft.llm.TextAnalysis.charsetPerDoc]]/[[graft.llm.TextAnalysis.charsetRollup]]),
+    * so twin parity is structural, not re-implemented (StreamingSpec
+    * pins it on the real corpus + a dirty injected batch, both state
+    * providers, incl. checkpoint restart). State is the aggregation
+    * buffer itself: one row of counters per SOURCE — domain-bounded,
+    * watermark-free, unbounded-safe at any ingest rate.
+    */
+  def streamingCharsetAudit(docsStream: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.charsetRollup(
+      graft.llm.TextAnalysis.charsetPerDoc(docsStream))
+
   /** Stream-stream inner join with an event-time bound (s_join_stream):
     * correlate two live streams per key where the right event lands
     * within `window` after the left one (click→conversion attribution).

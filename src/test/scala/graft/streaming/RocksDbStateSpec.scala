@@ -322,4 +322,30 @@ class RocksDbStateSpec extends AnyFunSuite {
         s"extra: ${(got -- want).take(3)}; missing: ${(want -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("s_charset: per-source counter aggregation state under RocksDB " +
+    "accumulates across batches and equals the batch rollup") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    val b1 = Seq(("a", "plain ascii doc"), ("b", "badctrl"))
+    val b2 = Seq(("a", "日本語テキスト"), ("b", "more � damage"))
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.streamingCharsetAudit(mem.toDF().toDF("source", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("r_charset").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      assertRocksDbActive(q)
+      val got = snap(rocks.table("r_charset"))
+      val want = snap(graft.llm.TextAnalysis.charsetAudit(
+        (b1 ++ b2).toDF("source", "text")))
+      assert(got == want, s"got $got want $want")
+      // cross-batch accumulation is real: both sources span both batches
+      assert(got.exists(r => r._1 == "a" && r._2 == 2L && r._4 > 0L))
+      assert(got.exists(r => r._1 == "b" && r._2 == 2L && r._6 > 0L && r._7 > 0L))
+    } finally q.stop()
+  }
 }

@@ -999,4 +999,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == twaBatchWant(),
       s"restart diverged: extra=${(got -- twaBatchWant()).take(3)}")
   }
+
+  private def charsetRows(): Seq[(String, String)] = {
+    import spark.implicits._
+    graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect().toSeq
+  }
+
+  /** Dirty ingest batch for the charset monitor: one bare control char,
+    * one U+FFFD pair, one clean line — exercises every counter.
+    */
+  private val dirtyCharsetRows: Seq[(String, String)] = Seq(
+    ("bad_src", "ctrlhere"),
+    ("bad_src", "transcode �� fail"),
+    ("bad_src", "one clean doc"))
+
+  test("streamingCharsetAudit equals the batch q_charset_audit rollup " +
+    "across batches, including an injected dirty source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = charsetRows() ++ dirtyCharsetRows
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.streamingCharsetAudit(mem.toDF().toDF("source", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_charset").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("t_charset").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      val want = graft.llm.TextAnalysis.charsetAudit(
+          all.toDF("source", "text")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      assert(got == want,
+        s"extra: ${(got -- want).take(3)}; missing: ${(want -- got).take(3)}")
+      // the injected source actually tripped the flag counters
+      assert(got.exists(r => r._1 == "bad_src" && r._6 > 0 && r._7 > 0 &&
+        r._8 == 2L))
+    } finally q.stop()
+  }
+
+  test("streamingCharsetAudit with checkpoint: counter state survives restart") {
+    val base = "/tmp/graft_test_stage/charset_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    val all = charsetRows() ++ dirtyCharsetRows
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val schema = b1.toDF("source", "text").schema
+    b1.toDF("source", "text").write.mode("append").parquet(srcDir)
+    // complete-mode monitor published per batch (parquet can't take
+    // complete mode directly): overwrite the readout with each trigger
+    def start() = Streams.streamingCharsetAudit(
+        spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(outDir)
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toDF("source", "text").write.mode("append").parquet(srcDir) // while DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    val want = graft.llm.TextAnalysis.charsetAudit(all.toDF("source", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == want,
+      s"restart diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
 }
