@@ -36,6 +36,12 @@ object Stats {
   val anomalyMinN: Long = 5L
   val anomalyMult: Long = 3L
 
+  /** q_survival_km churn horizon: a user whose last event sits at least
+    * this many days before the corpus frontier counts as churned; later-
+    * active users are right-censored. Shared with the oracle SQL.
+    */
+  val churnGapDays: Long = 7L
+
   /** Benford expected first-digit shares, floor-ppm. Computed once in
     * Scala and interpolated into BOTH the graded plan and the oracle SQL
     * as the same CASE literal, so neither engine evaluates log10.
@@ -690,5 +696,77 @@ object Stats {
         .select(col("event_type"), col("n"), col("r2_sum"),
           col("n_total"), col("tie_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // Kaplan-Meier / Nelson-Aalen risk table per event type (round 9):
+    // a user's FEATURE lifetime = days between their first and last
+    // event of that type; a user whose last such event sits
+    // ≥ churnGapDays before the corpus frontier CHURNED from the
+    // feature at that lifetime, later-active users are right-CENSORED
+    // there — the survival-analysis shape (retention WITH censoring,
+    // which q_cohort/q_churn ignore). Emits per (type, lifetime): the
+    // at-risk count, churn/censor counts, and the Nelson-Aalen
+    // cumulative hazard as a SUM OF PER-TERM FLOORS Σ floor(1e6·d/n) —
+    // the estimator's discrete form, integer-exact on both engines (the
+    // KM survival PRODUCT closes driver-side from the same columns,
+    // like q_mann_whitney's p-value). Scale shape: the corpus collapses
+    // to one row per (user, type) in a map-side min/max agg, then to
+    // the per-type lifetime grid (≤ calendar days per type); the
+    // risk-set complement and hazard cumsum windows partition BY TYPE
+    // over that bounded grid; the frontier is the legal 1-row
+    // crossJoin(broadcast).
+    "q_survival_km" -> Q(
+      s"""WITH u AS MATERIALIZED (
+         |  SELECT user_id, event_type,
+         |    min(cast(ts as date)) AS d0, max(cast(ts as date)) AS d1
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT max(d1) AS frontier FROM u),
+         |lt AS (SELECT event_type, date_diff('day', d0, d1) AS lifetime,
+         |         CASE WHEN date_diff('day', d1, frontier) >= $churnGapDays
+         |              THEN 1 ELSE 0 END AS churned
+         |       FROM u, f),
+         |g AS (SELECT event_type, lifetime,
+         |        cast(sum(churned) as bigint) AS n_churn,
+         |        cast(count(*) - sum(churned) as bigint) AS n_cens
+         |      FROM lt GROUP BY 1, 2),
+         |r AS (SELECT event_type, lifetime, n_churn, n_cens,
+         |        sum(n_churn + n_cens) OVER (PARTITION BY event_type) -
+         |          coalesce(sum(n_churn + n_cens) OVER (PARTITION BY event_type
+         |            ORDER BY lifetime
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS n_risk
+         |      FROM g)
+         |SELECT event_type, cast(lifetime as bigint) AS lifetime_days,
+         |  cast(n_risk as bigint) AS n_risk, n_churn, n_cens,
+         |  cast(sum((n_churn * 1000000) // n_risk) OVER (PARTITION BY event_type
+         |    ORDER BY lifetime
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         |    AS cumhaz_ppm
+         |FROM r ORDER BY event_type, lifetime_days""".stripMargin) { (s, dir) =>
+      val u = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val f = u.agg(max(col("d1")).as("frontier"))
+      val lt = u.crossJoin(broadcast(f))
+        .select(col("event_type"), datediff(col("d1"), col("d0")).as("lifetime"),
+          when(datediff(col("frontier"), col("d1")) >= churnGapDays, 1L)
+            .otherwise(0L).as("churned"))
+      val g = lt.groupBy(col("event_type"), col("lifetime"))
+        .agg(sum(col("churned")).as("n_churn"),
+          (count(lit(1)) - sum(col("churned"))).as("n_cens"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("lifetime"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("lifetime"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("n_risk",
+          sum(col("n_churn") + col("n_cens")).over(wAll) -
+            coalesce(sum(col("n_churn") + col("n_cens")).over(wPrev), lit(0L)))
+        .withColumn("cumhaz_ppm",
+          sum(expr("(n_churn * 1000000L) div n_risk")).over(wCum))
+        .select(col("event_type"),
+          col("lifetime").cast(LongType).as("lifetime_days"),
+          col("n_risk"), col("n_churn"), col("n_cens"), col("cumhaz_ppm"))
+        .orderBy(col("event_type"), col("lifetime_days"))
     })
 }

@@ -86,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_balanced", // crossJoin(broadcast(|lang|-row cutoffs + 1-row target))
     "q_kendall_tau",     // crossJoin(broadcast(calendar-day grid)) pair enumeration
     "q_runs_test",       // crossJoin(broadcast(1-row median))
-    "q_kruskal_wallis")  // crossJoin(broadcast(1-row N + tie term))
+    "q_kruskal_wallis",  // crossJoin(broadcast(1-row N + tie term))
+    "q_survival_km")     // crossJoin(broadcast(1-row corpus frontier))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably

@@ -546,4 +546,37 @@ class StatsSpec extends AnyFunSuite {
     // pooled 2×rank-sums over all groups tile 2·(1+...+N) = N(N+1)
     assert(got.values.map(_._2).sum === n * (n + 1L))
   }
+
+  test("q_survival_km equals the brute-force per-type risk table and the " +
+    "risk sets telescope to each type's user count") {
+    val got = run("q_survival_km").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byUserType = Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((_, t), xs) => (t, xs.map(_._3).min, xs.map(_._3).max) }
+    val frontier = byUserType.map(_._3).max
+    val lts = byUserType.map { case (t, d0, d1) =>
+      (t, d1 - d0, frontier - d1 >= Stats.churnGapDays) }
+    val exp = lts.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, us) =>
+      val grid = us.groupBy(_._2).toSeq.sortBy(_._1).map { case (lt, xs) =>
+        (lt, xs.count(_._3).toLong, xs.count(!_._3).toLong) }
+      var atRisk = us.size.toLong
+      var haz = 0L
+      val rows = grid.map { case (lt, d, c) =>
+        haz += d * 1000000L / atRisk
+        val row = (t, lt, atRisk, d, c, haz)
+        atRisk -= d + c
+        row
+      }
+      assert(atRisk === 0L, s"type $t risk set must telescope to zero")
+      rows
+    }
+    assert(got.toSeq === exp)
+    // non-degenerate: both churned and censored (user, type) chains exist
+    assert(lts.exists(_._3) && lts.exists(!_._3))
+  }
 }
