@@ -400,6 +400,69 @@ object Streams {
     graft.llm.TextAnalysis.charsetRollup(
       graft.llm.TextAnalysis.charsetPerDoc(docsStream))
 
+  /** Streaming count-min sketch maintenance (s_sketch_cms): the
+    * frequency sketch kept live over a keyed stream as a streaming
+    * aggregation on (row, bucket) counter CELLS — the structure behind
+    * q_join_size_est / q_heavy_hitters, maintained at ingest so a
+    * consumer can price a join or screen hot keys without a batch pass.
+    * The md5-derived [[graft.functions.TextExpressions.cmsHashes]]
+    * expression (the batch sketch's own hash family) maps each key to
+    * its depth buckets, so the streaming counter table is
+    * BIT-IDENTICAL to the batch sketch over the same rows — twin parity
+    * is equality of counter cells, not a bound (StreamingSpec pins it,
+    * plus the CMS point-query guarantees through the shared estimate
+    * path). State = at most depth × width counter rows, INDEPENDENT of
+    * key cardinality — the whole point of sketching a 100 TB stream;
+    * width is fixed at build time (a stream can't derive it from a key
+    * count the way the batch estimator does — size it from expected
+    * cardinality, the documented production knob).
+    */
+  /** The CMS hash family over any key type: the fused
+    * [[graft.functions.TextExpressions.cmsHashes]] codegen expression
+    * for bigint keys (the batch estimator's hot path), and the
+    * bit-identical md5 chain it is pinned equal to (FunctionsSpec) for
+    * everything else — `conv(substr(md5(r || ':' || key), 1, 8))` per
+    * depth row, so a string-keyed stream sketches to the same cells the
+    * oracle-mirrored batch form would produce.
+    */
+  private def cmsHashFamily(key: org.apache.spark.sql.Column,
+      keyType: org.apache.spark.sql.types.DataType, depth: Int) =
+    keyType match {
+      case org.apache.spark.sql.types.LongType =>
+        graft.functions.TextExpressions.cmsHashes(key, depth)
+      case _ => array((0 until depth).map { r =>
+        conv(substring(md5(concat(lit(r.toString), lit(":"),
+          key.cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType)
+      }: _*)
+    }
+
+  def streamingCms(keyed: DataFrame, keyCol: String,
+      depth: Int = 3, width: Long = 1024L): DataFrame =
+    keyed
+      .select(posexplode(cmsHashFamily(col(keyCol),
+        keyed.schema(keyCol).dataType, depth)).as(Seq("r", "h")))
+      .select(col("r").cast(org.apache.spark.sql.types.LongType).as("r"),
+        pmod(col("h"), lit(width)).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
+  /** Point-query over a [[streamingCms]] counter table: min over the
+    * key's depth cells — shared by the batch twin and the spec so the
+    * estimate path itself is common code.
+    */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 3, width: Long = 1024L): DataFrame =
+    keys
+      .select(col(keyCol),
+        posexplode(cmsHashFamily(col(keyCol),
+          keys.schema(keyCol).dataType, depth)).as(Seq("r", "h")))
+      .select(col(keyCol),
+        col("r").cast(org.apache.spark.sql.types.LongType).as("r"),
+        pmod(col("h"), lit(width)).as("b"))
+      .join(cells, Seq("r", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
   /** Stream-stream inner join with an event-time bound (s_join_stream):
     * correlate two live streams per key where the right event lands
     * within `window` after the left one (click→conversion attribution).

@@ -1041,6 +1041,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCms counter cells are bit-identical to the batch sketch " +
+    "across batches, and point queries obey the CMS guarantees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val toks = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .as[String].collect().toSeq
+    val (b1, b2) = toks.splitAt(toks.length / 2)
+    val mem = MemoryStream[String]
+    val q = Streams.streamingCms(mem.toDF().toDF("token"), "token")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_cms").start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = cells(spark.table("t_cms"))
+      val want = cells(Streams.streamingCms(toks.toDF("token"), "token"))
+      assert(got == want, "streaming counter table diverged from the batch sketch")
+      // the sketch state is depth × width cells at most — never key-sized
+      assert(got.size <= 3 * 1024)
+      // point queries through the shared estimate path: est >= exact for
+      // every key (the CMS one-sided error), exact for the corpus top-10
+      // when collisions are rare at this SF
+      val exact = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val keys = exact.keys.toSeq.toDF("token")
+      val est = Streams.cmsEstimate(spark.table("t_cms"), keys, "token")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"CMS under-estimated '$k': ${est(k)} < $n")
+      }
+    } finally q.stop()
+  }
+
   test("streamingCharsetAudit with checkpoint: counter state survives restart") {
     val base = "/tmp/graft_test_stage/charset_e2e"
     graft.util.Fs.deleteRecursively(base)
