@@ -719,6 +719,43 @@ object Similarity {
           sum((col("c") - col("gcen")) * (col("c") - col("gcen")))
             .as("drift_sq"))
         .orderBy(col("label"))
+    },
+
+    // Embedding-norm health histogram (round 9): squared L2 norms in
+    // micro-units, bucketed by integer bit-length — the "are my vectors
+    // collapsed/exploded/unnormalized" screen run BEFORE any cosine
+    // pipeline trusts the table (a normalized corpus occupies one or
+    // two buckets; a spray of low buckets means dead vectors, high
+    // buckets mean scale bugs). Bit-length via length(bin(x)) — the
+    // q_graph_degree_hist integer-log2 idiom, no float log. Bounds:
+    // |micro| ≤ 2e6 per dim ⇒ norm² ≤ dims·4e12 — bigint-safe past
+    // 10⁶ dims. Scale shape: one narrow per-vector HOF pass (no
+    // explode), then a ≤64-bucket agg.
+    "q_embed_norm_hist" -> Q(
+      """WITH n2 AS (
+        |  SELECT cast(list_sum(list_transform(embedding,
+        |      x -> cast(floor(cast(x as double) * 1000000) as bigint)
+        |           * cast(floor(cast(x as double) * 1000000) as bigint)))
+        |    as bigint) AS norm2
+        |  FROM embeddings)
+        |SELECT cast(CASE WHEN norm2 <= 0 THEN 0
+        |            ELSE length(bin(norm2)) END as bigint) AS bucket,
+        |  cast(count(*) as bigint) AS n_vecs,
+        |  cast(min(norm2) as bigint) AS min_norm2,
+        |  cast(max(norm2) as bigint) AS max_norm2
+        |FROM n2 GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val q = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000000d).cast(LongType))
+      Engine.table(s, dir, "embeddings")
+        .select(aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2"))
+        .select(when(col("norm2") <= 0L, 0L)
+          .otherwise(length(bin(col("norm2"))).cast(LongType)).as("bucket"),
+          col("norm2"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("norm2")).as("min_norm2"),
+          max(col("norm2")).as("max_norm2"))
+        .orderBy(col("bucket"))
     }
   )
 }

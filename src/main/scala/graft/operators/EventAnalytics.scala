@@ -1440,6 +1440,36 @@ object EventAnalytics {
         .orderBy(col("event_type"), col("isodow"))
     },
 
+    // Calendar heatmap (round 9): the weekday × hour activity grid with
+    // distinct-user reach and each hour's share of its weekday — the 2D
+    // traffic fingerprint behind capacity planning and anomaly
+    // baselining (q_seasonality isolates the weekly cycle; this crosses
+    // it with the daily one). Same weekday()+1 ≡ isodow alignment.
+    // Scale shape: one map-side-combined agg to ≤ 7×24 cells (the
+    // distinct-user count shuffles (cell, user) pairs once); the
+    // normalizing window partitions by weekday over ≤ 24 rows.
+    "q_calendar_heatmap" -> Q(
+      """WITH d AS (
+        |  SELECT cast(date_part('isodow', cast(ts as date)) as bigint) AS isodow,
+        |    cast(hour(ts) as bigint) AS hr,
+        |    cast(count(*) as bigint) AS n,
+        |    cast(count(DISTINCT user_id) as bigint) AS n_users
+        |  FROM events GROUP BY 1, 2)
+        |SELECT isodow, hr, n, n_users,
+        |  cast((n * 1000000) // sum(n) OVER (PARTITION BY isodow)
+        |       as bigint) AS day_share_ppm
+        |FROM d ORDER BY isodow, hr""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy((weekday(col("ts")) + 1).cast(LongType).as("isodow"),
+          hour(col("ts")).cast(LongType).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("day_share_ppm", expr(
+          "cast((n * cast(1000000 as bigint))" +
+            " div sum(n) OVER (PARTITION BY isodow) as bigint)"))
+        .orderBy(col("isodow"), col("hr"))
+    },
+
     // Top entry paths (round 8 continuation): the first-3-events journey
     // per user, counted and ranked — the "how do users actually start"
     // path-analysis readout next to q_funnel's fixed three-step

@@ -1181,4 +1181,21 @@ class LlmSpec extends AnyFunSuite {
       (sp & mp).size.toLong * 1000000L / (sp | mp).size.toLong)
     assert((sp | mp).nonEmpty, "sf0.001 must produce a nonempty pair union")
   }
+
+  test("q_embed_norm_hist equals the brute-force micro-unit norm buckets") {
+    val embs = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val norms = embs.map(v =>
+      v.map(x => math.floor(x.toDouble * 1000000d).toLong)
+        .map(q => q * q).sum)
+    val exp = norms.groupBy(n => if (n <= 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, xs) => b -> (xs.length.toLong, xs.min, xs.max) }
+    val got = graft.Registry.all("q_embed_norm_hist").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === exp)
+    assert(got.values.map(_._1).sum === embs.length.toLong)
+  }
 }

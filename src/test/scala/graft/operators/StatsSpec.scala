@@ -579,4 +579,30 @@ class StatsSpec extends AnyFunSuite {
     // non-degenerate: both churned and censored (user, type) chains exist
     assert(lts.exists(_._3) && lts.exists(!_._3))
   }
+
+  test("q_calendar_heatmap equals the brute-force weekday×hour grid") {
+    val got = graft.Registry.all("q_calendar_heatmap").fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val dayUs = 86400000000L
+    val cells = evRows.map { case (_, user, _, us) =>
+      val day = us / dayUs
+      ((((day + 3) % 7) + 1, (us % dayUs) / 3600000000L), user)
+    }
+    val byCell = cells.groupBy(_._1)
+    val byDow = cells.groupBy(_._1._1).map { case (d, xs) => d -> xs.size.toLong }
+    assert(got.keySet === byCell.keySet)
+    byCell.foreach { case (cell @ (dow, _), xs) =>
+      val (n, nu, share) = got(cell)
+      assert(n === xs.size.toLong)
+      assert(nu === xs.map(_._2).distinct.size.toLong)
+      assert(share === xs.size.toLong * 1000000L / byDow(dow))
+    }
+    // per-weekday shares sum to ~1e6 (floor slack < hours per weekday)
+    byDow.keys.foreach { d =>
+      val s = got.collect { case ((dd, _), (_, _, p)) if dd == d => p }.sum
+      assert(s <= 1000000L && s > 1000000L - 24L, s"dow $d share sum $s")
+    }
+  }
 }
