@@ -28,6 +28,12 @@ object EventAnalytics {
     */
   val sessionGapUs: Long = 30L * 60 * 1000000
 
+  /** q_label_horizon's label window: a view converts if the same user
+    * purchases within this many µs after it (strictly-after in the
+    * (ts, event_id) row order). Shared with the oracle SQL.
+    */
+  val labelHorizonUs: Long = 3600L * 1000000
+
   /** Gaps-and-islands session labeling: each row of `df` gains a
     * `session_id` (1-based ordinal per key) that increments whenever the
     * time since the previous event of the same key exceeds `gapUs`.
@@ -1468,6 +1474,81 @@ object EventAnalytics {
           "cast((n * cast(1000000 as bigint))" +
             " div sum(n) OVER (PARTITION BY isodow) as bigint)"))
         .orderBy(col("isodow"), col("hr"))
+    },
+
+    // Feature engineering for tabular ML (round 9): per event, the
+    // PAST-ONLY per-user feature row a training pipeline materializes —
+    // lag-1/lag-2 values and the previous-3 rolling sum/count, all in
+    // integer cents, all from frames ending at 1 PRECEDING so no
+    // feature can leak the current row (q_label_horizon is the matching
+    // future-only label; together they are the leakage-safe
+    // feature/label split). First events keep NULL lags and n=0 windows
+    // — real "cold start" rows, identical in both engines. Scale shape:
+    // one user-partitioned window with a constant frame — per-user
+    // state is O(frame), embarrassingly parallel across users.
+    "q_feature_lags" -> Q(
+      """SELECT event_id, user_id, cents,
+        |  lag(cents, 1) OVER w AS lag1_cents,
+        |  lag(cents, 2) OVER w AS lag2_cents,
+        |  cast(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) as bigint) AS prev3_sum,
+        |  cast(count(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) as bigint) AS prev3_n
+        |FROM (SELECT event_id, user_id, ts,
+        |        cast(floor(value * 100) as bigint) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wPrev3 = w.rowsBetween(-3, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          lag(col("cents"), 1).over(w).as("lag1_cents"),
+          lag(col("cents"), 2).over(w).as("lag2_cents"),
+          sum(col("cents")).over(wPrev3).as("prev3_sum"),
+          count(col("cents")).over(wPrev3).as("prev3_n"))
+        .orderBy(col("event_id"))
+    },
+
+    // Label generation for tabular ML (round 9): per VIEW event, did
+    // the same user purchase within the next hour — the FUTURE-ONLY
+    // label column next to q_feature_lags' past-only features
+    // (strictly-after is defined by the (ts, event_id) row order, so
+    // the label can never see its own row; horizon = labelHorizonUs).
+    // Computed as a conditional running min over the FOLLOWING frame —
+    // one user-partitioned window, no per-event self-join, no
+    // event×purchase blowup. tt_us is NULL exactly when the label is
+    // false (no purchase inside the horizon).
+    "q_label_horizon" -> Q(
+      s"""WITH x AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |      AS next_p_us
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |  (next_p_us IS NOT NULL AND next_p_us - us <= $labelHorizonUs)
+         |    AS label,
+         |  CASE WHEN next_p_us - us <= $labelHorizonUs
+         |       THEN cast(next_p_us - us as bigint) END AS tt_us
+         |FROM x WHERE event_type = 'view'
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(1, Window.unboundedFollowing)).as("next_p_us"))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          (col("next_p_us").isNotNull &&
+            col("next_p_us") - col("us") <= labelHorizonUs).as("label"),
+          when(col("next_p_us") - col("us") <= labelHorizonUs,
+            col("next_p_us") - col("us")).as("tt_us"))
+        .orderBy(col("event_id"))
     },
 
     // Top entry paths (round 8 continuation): the first-3-events journey

@@ -605,4 +605,59 @@ class StatsSpec extends AnyFunSuite {
       assert(s <= 1000000L && s > 1000000L - 24L, s"dow $d share sum $s")
     }
   }
+
+  private lazy val evFull: Seq[(Long, Long, Long, String, Long)] =
+    Engine.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+
+  test("q_feature_lags equals the brute-force past-only per-user walk") {
+    val got = graft.Registry.all("q_feature_lags").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6))).toMap
+    val exp = evFull.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._1))
+      s.indices.map { i =>
+        val prev3 = s.slice(math.max(0, i - 3), i).map(_._5)
+        s(i)._1 -> (s(i)._5,
+          if (i >= 1) Some(s(i - 1)._5) else None,
+          if (i >= 2) Some(s(i - 2)._5) else None,
+          if (prev3.nonEmpty) Some(prev3.sum) else None,
+          prev3.size.toLong)
+      }
+    }.toMap
+    assert(got === exp)
+    // cold-start rows are real: some user has a NULL lag1
+    assert(got.values.exists(_._2.isEmpty))
+  }
+
+  test("q_label_horizon equals the brute-force future-only label walk " +
+    "and labels both classes") {
+    val got = graft.Registry.all("q_label_horizon").fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val exp = evFull.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._1))
+      s.indices.collect { case i if s(i)._4 == "view" =>
+        val nextP = s.drop(i + 1).collectFirst {
+          case r if r._4 == "purchase" => r._3
+        }
+        // conditional min over the following frame = the FIRST purchase
+        // in row order (rows are time-sorted, so min us == first)
+        val tt = nextP.map(_ - s(i)._3)
+          .filter(_ <= graft.operators.EventAnalytics.labelHorizonUs)
+        s(i)._1 -> (tt.isDefined, tt)
+      }
+    }.toMap
+    assert(got === exp)
+    assert(got.values.exists(_._1) && got.values.exists(!_._1),
+      "label must be non-degenerate at sf0.001")
+  }
 }
