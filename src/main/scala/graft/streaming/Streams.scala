@@ -94,6 +94,23 @@ case class TwaState(lastUs: Long, lastCents: Long, nSteps: Long,
 case class TwaRow(user_id: Long, n_steps: Long, dur_us: Long, wsum: Long,
     twa_cents_ppm: Long)
 
+/** One open (not-yet-labeled) view inside [[Streams.streamingLabelHorizon]]'s
+  * per-user window.
+  */
+case class ViewPending(event_id: Long, us: Long)
+
+/** Per-user state for [[Streams.streamingLabelHorizon]]: the open views
+  * whose label is still undecided — bounded by view rate × horizon, the
+  * stream-stream-join state shape.
+  */
+case class LabelState(views: Seq[ViewPending])
+
+/** Emitted label — the streaming twin of one q_label_horizon row.
+  * `tt_us` is None exactly when `label` is false.
+  */
+case class LabelRow(user_id: Long, event_id: Long, label: Boolean,
+    tt_us: Option[Long])
+
 /** Per-user state for [[Streams.streamingMatchPattern]]: the last two
   * readings plus the running pattern stats — O(1) per user (a
   * consecutive-row pattern needs exactly pattern_length−1 trailing rows
@@ -865,6 +882,67 @@ object Streams {
             st = RunningMoment(st.n + 1, st.sumCents + e.cents)
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming label generation (s_label_horizon): q_label_horizon's
+    * future-only did-purchase-within-the-horizon label emitted LIVE —
+    * the online-learning feeder that turns the event firehose into
+    * (features, label) training rows without a daily batch join. Per
+    * user the state is the OPEN views whose label is still undecided;
+    * each event advances that user's frontier, so a view resolves the
+    * moment its answer is knowable: TRUE (with exact tt_us) when a
+    * purchase lands inside the horizon, FALSE when the user's own
+    * frontier passes horizon µs beyond it. Views still open when the
+    * stream pauses simply stay buffered — a label is emitted exactly
+    * once and only when final (LabelSpec pins the emitted set against
+    * the batch twin: every batch-TRUE row arrives bit-identical, every
+    * batch-FALSE row whose user frontier passed the horizon arrives,
+    * and the unemitted remainder is exactly the still-undecidable set).
+    *
+    * Strictly-after follows the batch twin's (ts, event_id) row order:
+    * a purchase labels only views at-or-before it in that order. State
+    * is bounded by view rate × horizon per user (the stream-stream-join
+    * state shape) — frontier expiry evicts; no processing-time timeout,
+    * so replays are deterministic. Lateness contract (the s_twa
+    * observed-monitor discipline): a cross-batch late purchase labels
+    * only views still open at its arrival; batch q_label_horizon over
+    * the settled log is the reconciliation path.
+    */
+  def streamingLabelHorizon(events: Dataset[ValueEvent],
+      horizonUs: Long = graft.operators.EventAnalytics.labelHorizonUs): Dataset[LabelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LabelState, LabelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ValueEvent], state: GroupState[LabelState]) =>
+          var views = state.getOption.map(_.views.toList).getOrElse(Nil)
+          val out = Seq.newBuilder[LabelRow]
+          batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id)).foreach { e =>
+            val us = MicroTs.toUs(e.ts)
+            // frontier expiry: any open view more than horizon behind
+            // THIS user's newest event can never convert — final FALSE
+            val (expired, open) = views.partition(v => us - v.us > horizonUs)
+            expired.foreach(v => out += LabelRow(uid, v.event_id, label = false, None))
+            views = open
+            e.event_type match {
+              case "purchase" =>
+                // labels only views at-or-before it in row order (v.us
+                // <= us always holds on chronological feeds; the guard
+                // is the late-arrival contract)
+                val (hit, stillOpen) = views.partition(_.us <= us)
+                hit.foreach(v =>
+                  out += LabelRow(uid, v.event_id, label = true, Some(us - v.us)))
+                views = stillOpen
+              case "view" =>
+                views = views :+ ViewPending(e.event_id, us)
+              case _ => ()
+            }
+          }
+          state.update(LabelState(views))
           out.result().iterator
       }
   }

@@ -790,6 +790,80 @@ class StreamingSpec extends AnyFunSuite {
       .as[ValueEvent].collect()
   }
 
+  private def labelBatchWant(): (Map[Long, (Boolean, Option[Long])], Map[Long, (Boolean, Option[Long])]) = {
+    // batch truth + its DECIDABLE subset: all TRUE rows, plus FALSE rows
+    // whose user frontier passed horizon µs beyond the view
+    val ev = valueEvents(spark)
+    val usOf = ev.map(e => e.event_id -> MicroTs.toUs(e.ts)).toMap
+    val frontier = ev.groupBy(_.user_id)
+      .map { case (u, xs) => u -> xs.map(e => MicroTs.toUs(e.ts)).max }
+    val batch = graft.Registry.all("q_label_horizon").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val all = batch.map(r => r._1 -> (r._3, r._4)).toMap
+    val decidable = batch.filter { case (eid, uid, label, _) =>
+      label || frontier(uid) - usOf(eid) >
+        graft.operators.EventAnalytics.labelHorizonUs
+    }.map(r => r._1 -> (r._3, r._4)).toMap
+    (all, decidable)
+  }
+
+  test("streamingLabelHorizon emits exactly the decidable subset of batch " +
+    "q_label_horizon on a chronological split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingLabelHorizon(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_label").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_label").as[LabelRow].collect()
+        .map(r => r.event_id -> (r.label, r.tt_us)).toMap
+      val (all, decidable) = labelBatchWant()
+      assert(got == decidable,
+        s"extra: ${(got.toSet -- decidable.toSet).take(3)}; " +
+          s"missing: ${(decidable.toSet -- got.toSet).take(3)}")
+      // non-degenerate: both classes emitted, and some views remain
+      // genuinely undecidable (still open) at stream end
+      assert(got.values.exists(_._1) && got.values.exists(!_._1))
+      assert(decidable.size < all.size,
+        "every view decidable — the open-state path was never exercised")
+    } finally q.stop()
+  }
+
+  test("streamingLabelHorizon with checkpoint: open-view state survives restart") {
+    val base = "/tmp/graft_test_stage/label_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingLabelHorizon(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .as[ValueEvent])
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toSeq.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).as[LabelRow].collect()
+      .map(r => r.event_id -> (r.label, r.tt_us)).toMap
+    val (_, decidable) = labelBatchWant()
+    assert(got == decidable,
+      s"restart diverged: extra=${(got.toSet -- decidable.toSet).take(3)} " +
+        s"missing=${(decidable.toSet -- got.toSet).take(3)}")
+  }
+
   test("streamingAnomaly equals batch q_anomaly_alerts on a chronological split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
