@@ -323,6 +323,34 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_label_horizon: open-view buffer state under RocksDB resolves " +
+    "labels across batches") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val h = graft.operators.EventAnalytics.labelHorizonUs
+    def ev(id: Long, usOff: Long, t: String) =
+      ValueEvent(1L, t, MicroTs.toTs(1700000000000000L + usOff), id, 0L)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingLabelHorizon(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("r_label").start()
+    try {
+      // batch 1: two open views — nothing decidable yet
+      mem.addData(ev(1, 0L, "view"), ev(2, h / 2, "view"))
+      q.processAllAvailable()
+      assert(rocks.table("r_label").count() == 0L)
+      // batch 2: a purchase inside view-2's horizon but past view-1's —
+      // resolution must read BOTH buffered views back from RocksDB
+      mem.addData(ev(3, h + h / 4, "purchase"))
+      q.processAllAvailable()
+      assertRocksDbActive(q)
+      val got = rocks.table("r_label").as[LabelRow].collect()
+        .map(r => r.event_id -> (r.label, r.tt_us)).toMap
+      assert(got == Map(1L -> (false, None),
+        2L -> (true, Some(h + h / 4 - h / 2))), s"got $got")
+    } finally q.stop()
+  }
+
   test("s_charset: per-source counter aggregation state under RocksDB " +
     "accumulates across batches and equals the batch rollup") {
     implicit val sqlCtx = rocks.sqlContext
