@@ -35,6 +35,71 @@ object Search {
     */
   val bm25Terms: Seq[String] = Seq("join", "hash", "scan")
 
+  /** The q_bm25 oracle pipeline as a reusable CTE chain ending in
+    * `bmtop(doc_id, score_e6, rk)` — shared by q_bm25 and the hybrid
+    * q_rank_fusion so the two oracles can never drift.
+    */
+  private[llm] val oBm25Cte: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |dl AS (SELECT doc_id, cast(len(t) as bigint) AS dl FROM d),
+       |tot AS (SELECT cast(count(*) as bigint) AS n_docs,
+       |               cast(sum(len(t)) as bigint) AS l FROM d),
+       |tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+       |tf AS (SELECT doc_id, token, cast(count(*) as bigint) AS tf
+       |       FROM tok WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY doc_id, token),
+       |dfc AS (SELECT token, cast(count(DISTINCT doc_id) as bigint) AS df
+       |        FROM tok WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |        GROUP BY token),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    ((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1))
+       |      * ((2200000 * tf) //
+       |         (tf*10000 + 3000 + (9000 * ((dl*10000*n_docs) // l)) // 10000))
+       |      // 1000000 AS s
+       |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id), tot),
+       |agg AS (SELECT doc_id, cast(sum(s) as bigint) AS score_e6
+       |        FROM scored GROUP BY doc_id),
+       |bmtop AS (SELECT doc_id, score_e6, rk FROM (
+       |  SELECT doc_id, score_e6,
+       |    cast(row_number() OVER (ORDER BY score_e6 DESC, doc_id) as int) AS rk
+       |  FROM agg) WHERE rk <= 10)""".stripMargin
+
+  /** The q_bm25 graded pipeline, factored for reuse by q_rank_fusion:
+    * exact-integer BM25 over [[bm25Terms]], TakeOrdered top-10, rank via
+    * the post-limit ≤10-row window (PlanAuditSpec bounded-window list).
+    */
+  private[llm] def bm25Top10(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+    val dl = d.select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
+    val tot = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast(LongType)).as("l"))
+    val tok = d.select(col("doc_id"), explode(col("t")).as("token"))
+      .filter(col("token").isin(bm25Terms: _*))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfc), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("s", expr(
+        """((2*n_docs - 2*df + 1) * 1000000 div (2*df + 1))
+          | * ((2200000 * tf) div
+          |    (tf*10000 + 3000 + (9000 * ((dl*10000*n_docs) div l)) div 10000))
+          | div 1000000""".stripMargin))
+    val top = scored.groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(10)
+    // single-partition rank window is BENIGN (WindowExec warns): input
+    // is the already-limited top-10 — ≤ k rows by construction
+    // (PlanAuditSpec bounded-window list)
+    top.withColumn("rk", row_number()
+        .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
+        .cast(IntegerType))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Benchmark decontamination (the n-gram-overlap check of GPT-3
@@ -133,60 +198,54 @@ object Search {
     // broadcasts, and the global top-10 is TakeOrdered (no global
     // window) — the 10-row rank window runs post-limit.
     "q_bm25" -> Q(
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |dl AS (SELECT doc_id, cast(len(t) as bigint) AS dl FROM d),
-         |tot AS (SELECT cast(count(*) as bigint) AS n_docs,
-         |               cast(sum(len(t)) as bigint) AS l FROM d),
-         |tok AS (SELECT doc_id, unnest(t) AS token FROM d),
-         |tf AS (SELECT doc_id, token, cast(count(*) as bigint) AS tf
-         |       FROM tok WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |       GROUP BY doc_id, token),
-         |dfc AS (SELECT token, cast(count(DISTINCT doc_id) as bigint) AS df
-         |        FROM tok WHERE token IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |        GROUP BY token),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    ((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1))
-         |      * ((2200000 * tf) //
-         |         (tf*10000 + 3000 + (9000 * ((dl*10000*n_docs) // l)) // 10000))
-         |      // 1000000 AS s
-         |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id), tot),
-         |agg AS (SELECT doc_id, cast(sum(s) as bigint) AS score_e6
-         |        FROM scored GROUP BY doc_id)
-         |SELECT doc_id, score_e6, rk FROM (
-         |  SELECT doc_id, score_e6,
-         |    cast(row_number() OVER (ORDER BY score_e6 DESC, doc_id) as int) AS rk
-         |  FROM agg)
-         |WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
-      val dl = d.select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
-      val tot = d.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("t")).cast(LongType)).as("l"))
-      val tok = d.select(col("doc_id"), explode(col("t")).as("token"))
-        .filter(col("token").isin(bm25Terms: _*))
-      val tf = tok.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val dfc = tok.groupBy(col("token"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val scored = tf.join(broadcast(dfc), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(tot))
-        .withColumn("s", expr(
-          """((2*n_docs - 2*df + 1) * 1000000 div (2*df + 1))
-            | * ((2200000 * tf) div
-            |    (tf*10000 + 3000 + (9000 * ((dl*10000*n_docs) div l)) div 10000))
-            | div 1000000""".stripMargin))
-      val top = scored.groupBy(col("doc_id"))
-        .agg(sum(col("s")).as("score_e6"))
-        .orderBy(col("score_e6").desc, col("doc_id"))
-        .limit(10)
-      // single-partition rank window is BENIGN (WindowExec warns): input
-      // is the already-limited top-10 — ≤ k rows by construction
-      // (PlanAuditSpec bounded-window list)
-      top.withColumn("rk", row_number()
-          .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
+      s"""WITH $oBm25Cte
+         |SELECT doc_id, score_e6, rk FROM bmtop
+         |ORDER BY rk""".stripMargin) { (s, dir) =>
+      bm25Top10(s, dir).orderBy(col("rk"))
+    },
+
+    // Hybrid retrieval via reciprocal-rank fusion (round 9): the
+    // standard way to combine a lexical ranking (BM25 over bm25Terms)
+    // with a semantic one (exact cosine top-10 around query vector 0 —
+    // the doc_id ≡ vec_id alignment of the corpus) without calibrating
+    // their incomparable scores: RRF(d) = Σ 1/(60 + rank_d), emitted as
+    // a sum of per-list floor-ppm terms so the fused score is integer
+    // on both engines. Both constituent rankings are already
+    // oracle-mirrored (exact-integer BM25; 6dp-rounded cosine with id
+    // tiebreak — the q_cluster_assign cross-engine ranking rule), so
+    // the FUSED list hash-gates whole. Scale shape: two top-k pipelines
+    // + one ≤2k-row full-outer join; nothing new touches the corpus.
+    "q_rank_fusion" -> Q(
+      s"""WITH $oBm25Cte,
+         |ctop AS (SELECT vec_id, rk FROM (
+         |  SELECT vec_id,
+         |    cast(row_number() OVER (ORDER BY cos_r DESC, vec_id) as int) AS rk
+         |  FROM (
+         |    SELECT b.vec_id,
+         |      round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_r
+         |    FROM embeddings b
+         |    CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |    WHERE b.vec_id <> 0
+         |    ORDER BY cos_r DESC, b.vec_id LIMIT 10)))
+         |SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
+         |  b.rk AS bm25_rk, c.rk AS cos_rk,
+         |  cast(coalesce(1000000 // (60 + b.rk), 0)
+         |     + coalesce(1000000 // (60 + c.rk), 0) as bigint) AS rrf_ppm
+         |FROM bmtop b FULL OUTER JOIN ctop c ON b.doc_id = c.vec_id
+         |ORDER BY rrf_ppm DESC, doc_id""".stripMargin) { (s, dir) =>
+      val b = bm25Top10(s, dir).select(col("doc_id"), col("rk").as("bm25_rk"))
+      val c = Similarity.topK(Engine.table(s, dir, "embeddings"),
+          queryId = 0L, k = 10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("cos_r").desc, col("vec_id")))
           .cast(IntegerType))
-        .orderBy(col("rk"))
+        .select(col("vec_id").as("doc_id"), col("rk").as("cos_rk"))
+      b.join(c, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("bm25_rk"), col("cos_rk"),
+          (coalesce(expr("1000000L div (60 + bm25_rk)"), lit(0L))
+            + coalesce(expr("1000000L div (60 + cos_rk)"), lit(0L)))
+            .as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
     },
 
     // Inverted-index construction (round 7): the serving structure BM25

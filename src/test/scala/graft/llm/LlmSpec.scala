@@ -1182,6 +1182,27 @@ class LlmSpec extends AnyFunSuite {
     assert((sp | mp).nonEmpty, "sf0.001 must produce a nonempty pair union")
   }
 
+  test("q_rank_fusion is exactly the RRF of the two gated rankings") {
+    val bm = graft.Registry.all("q_bm25").fn(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cos = graft.Registry.all("q_sim_topk").fn(spark, TestSpark.sfDir)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val exp = (bm.keySet ++ cos.keySet).toSeq.map { id =>
+      val rrf = bm.get(id).map(rk => 1000000L / (60 + rk)).getOrElse(0L) +
+        cos.get(id).map(rk => 1000000L / (60 + rk)).getOrElse(0L)
+      (id, bm.get(id), cos.get(id), rrf)
+    }.sortBy(t => (-t._4, t._1))
+    val got = graft.Registry.all("q_rank_fusion").fn(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getLong(3))).toSeq
+    assert(got === exp)
+    // the fusion is real: some doc appears in exactly one list
+    assert(exp.exists(t => t._2.isEmpty ^ t._3.isEmpty))
+  }
+
   test("q_embed_norm_hist equals the brute-force micro-unit norm buckets") {
     val embs = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
       .select(col("embedding")).collect()

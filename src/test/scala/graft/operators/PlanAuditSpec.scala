@@ -87,7 +87,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kendall_tau",     // crossJoin(broadcast(calendar-day grid)) pair enumeration
     "q_runs_test",       // crossJoin(broadcast(1-row median))
     "q_kruskal_wallis",  // crossJoin(broadcast(1-row N + tie term))
-    "q_survival_km")     // crossJoin(broadcast(1-row corpus frontier))
+    "q_survival_km",     // crossJoin(broadcast(1-row corpus frontier))
+    "q_rank_fusion")     // crossJoin(broadcast(1-row query vector + bm25 totals))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
@@ -107,7 +108,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bm25",           // input: the already-limited top-10
     "q_rolling_corr",   // input: calendar days (daily metric grid)
     "q_runs_test",      // input: calendar days (median rank + run lag)
-    "q_kruskal_wallis") // input: value-domain cents cells (pooled rank)
+    "q_kruskal_wallis", // input: value-domain cents cells (pooled rank)
+    "q_rank_fusion")    // input: the two already-limited top-10 lists
 
   test("no query outside the allowed set plans a partition-less window") {
     // logical-plan audit (the physical tree hides behind
