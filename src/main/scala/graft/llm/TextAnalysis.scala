@@ -1291,6 +1291,52 @@ object TextAnalysis {
         .orderBy(col("lang"), col("pred_lang"))
     },
 
+    // Temperature-scaled mixture (round 9): per-language sampling
+    // weights p_i ∝ n_i^(1/τ) at τ = 2 — the standard multilingual
+    // rebalancing (low-resource languages up-weighted relative to raw
+    // token share) beside q_mix_weighted's explicit weights and
+    // q_mix_epochs' repeat factors. √n is computed as a PORTABLE
+    // integer isqrt: floor(sqrt(double)) from the correctly-rounded
+    // IEEE sqrt both engines share, then the m·m > n pull-back — exact
+    // for every n < 2^52 regardless of the borderline rounding case, so
+    // the whole readout stays hash-hard with no float ever emitted.
+    // Scale shape: one map-side token-count agg to |langs| rows; the
+    // 1-row totals ride the legal crossJoin(broadcast); products lift
+    // to decimal(38,0)/HUGEINT (n_tok·1e6 passes 2^63 at ~9e12 tokens).
+    "q_mix_temperature" -> Q(
+      """WITH t AS (SELECT lang,
+        |    cast(sum(len(string_split(text, ' '))) as bigint) AS n_tok
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_tok,
+        |        CASE WHEN m0 * m0 > n_tok THEN m0 - 1 ELSE m0 END AS w
+        |      FROM (SELECT lang, n_tok,
+        |              cast(floor(sqrt(cast(n_tok as double))) as bigint) AS m0
+        |            FROM t)),
+        |tot AS (SELECT cast(sum(n_tok) as bigint) AS tn,
+        |               cast(sum(w) as bigint) AS tw FROM w)
+        |SELECT lang, n_tok, cast(w as bigint) AS w,
+        |  cast((cast(n_tok as hugeint) * 1000000) // tn as bigint) AS share_raw_ppm,
+        |  cast((cast(w as hugeint) * 1000000) // tw as bigint) AS share_t2_ppm
+        |FROM w, tot ORDER BY lang""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(size(toks).cast(LongType)).as("n_tok"))
+      val w = t
+        .withColumn("m0", floor(sqrt(col("n_tok").cast(DoubleType))).cast(LongType))
+        .withColumn("w",
+          when(col("m0") * col("m0") > col("n_tok"), col("m0") - 1L)
+            .otherwise(col("m0")))
+        .drop("m0")
+      val tot = w.agg(sum(col("n_tok")).as("tn"), sum(col("w")).as("tw"))
+      w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tok"), col("w"),
+          expr("cast((cast(n_tok as decimal(38,0)) * 1000000) div tn as bigint)")
+            .as("share_raw_ppm"),
+          expr("cast((cast(w as decimal(38,0)) * 1000000) div tw as bigint)")
+            .as("share_t2_ppm"))
+        .orderBy(col("lang"))
+    },
+
     // Charset / encoding-health audit (round 9): per-source counts of
     // non-ASCII codepoints, bare control chars, and U+FFFD replacement
     // chars — the mojibake screen run per ingest source BEFORE any text

@@ -1182,6 +1182,43 @@ class LlmSpec extends AnyFunSuite {
     assert((sp | mp).nonEmpty, "sf0.001 must produce a nonempty pair union")
   }
 
+  test("q_mix_temperature equals the brute-force t=2 rebalance and " +
+    "up-weights the low-resource tail") {
+    def isqrt(n: Long): Long = {
+      val m = math.floor(math.sqrt(n.toDouble)).toLong
+      if (m * m > n) m - 1 else m
+    }
+    // the pull-back form is exact across perfect-square boundaries even
+    // where the double rounding is borderline
+    for (m <- Seq(3L, 1L << 20, (1L << 26) - 3, (1L << 26) - 1);
+         n <- Seq(m * m - 1, m * m, m * m + 1)) {
+      val bi = java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+      assert(isqrt(n) === bi, s"n=$n")
+    }
+    val nTok = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val tn = nTok.values.sum
+    val tw = nTok.values.map(isqrt).sum
+    val got = graft.Registry.all("q_mix_temperature").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === nTok.keySet)
+    nTok.foreach { case (l, n) =>
+      assert(got(l) === ((n, isqrt(n),
+        (BigInt(n) * 1000000 / tn).toLong,
+        (BigInt(isqrt(n)) * 1000000 / tw).toLong)), s"lang $l")
+    }
+    // the temperature actually rebalances: the smallest language's t=2
+    // share strictly exceeds its raw share (and vice versa for the largest)
+    val smallest = nTok.minBy(_._2)._1
+    val largest = nTok.maxBy(_._2)._1
+    assert(got(smallest)._4 > got(smallest)._3)
+    assert(got(largest)._4 < got(largest)._3)
+  }
+
   test("q_rank_fusion is exactly the RRF of the two gated rankings") {
     val bm = graft.Registry.all("q_bm25").fn(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap

@@ -88,7 +88,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_runs_test",       // crossJoin(broadcast(1-row median))
     "q_kruskal_wallis",  // crossJoin(broadcast(1-row N + tie term))
     "q_survival_km",     // crossJoin(broadcast(1-row corpus frontier))
-    "q_rank_fusion")     // crossJoin(broadcast(1-row query vector + bm25 totals))
+    "q_rank_fusion",     // crossJoin(broadcast(1-row query vector + bm25 totals))
+    "q_mix_temperature") // crossJoin(broadcast(1-row Σtokens + Σweights))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
