@@ -1111,6 +1111,68 @@ object Components {
         .orderBy(col("size"))
     },
 
+    // Clustering-quality audit (round 9): Newman modularity of the
+    // near-dup transitive-closure partition — per cluster the internal
+    // edge count, degree sum, and the exact-rational contribution
+    // e_c/m − (d_c/2m)² emitted as floor-ppb of (4m·e_c − d_c²)/4m².
+    // For a CC partition every edge is internal (d_c = 2·e_c — the spec
+    // pins the identity), so each contribution is e/m·(1 − e/m) ≥ 0 and
+    // Q = Σ answers "is the dedup clustering balanced or one giant
+    // blob" (Q → 0 as a single component swallows the graph — the
+    // failure mode q_dedup_cluster_sizes eyeballs, here as one number).
+    // Scale shape: shared pair index + label cache; one edge-sized
+    // label join + two label-sized aggs; d_c² and 4m² lift to
+    // decimal(38,0)/HUGEINT (4m² passes 2^63 at ~1.5e9 edges); the
+    // 1-row m rides the legal crossJoin(broadcast).
+    "q_graph_modularity" -> Q(
+      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
+         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY id),
+         |eint AS (SELECT c.cluster_id, cast(count(*) as bigint) AS e_in
+         |         FROM prs p JOIN comp c ON p.d1 = c.doc_id GROUP BY 1),
+         |degs AS (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |         FROM edges GROUP BY src),
+         |cd AS (SELECT c.cluster_id, cast(count(*) as bigint) AS n_vertices,
+         |         cast(sum(d.deg) as bigint) AS d_sum
+         |       FROM comp c JOIN degs d ON c.doc_id = d.id GROUP BY 1),
+         |mm AS (SELECT cast(count(*) as bigint) AS m FROM prs)
+         |SELECT cd.cluster_id, cd.n_vertices, e.e_in, cd.d_sum,
+         |  cast(((4 * cast(mm.m as hugeint) * e.e_in
+         |         - cast(cd.d_sum as hugeint) * cd.d_sum) * 1000000000)
+         |       // (4 * cast(mm.m as hugeint) * mm.m) as bigint) AS contrib_ppb
+         |FROM cd JOIN eint e USING (cluster_id), mm
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val labels = simhashLabels(s, dir)
+      val pairs = simhashPairs(s, dir)
+      val eint = pairs
+        .join(labels.select(col("id").as("d1"), col("label").as("cluster_id")), "d1")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("e_in"))
+      val edges = pairs.select(col("d1").as("src"))
+        .union(pairs.select(col("d2")))
+      val degs = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val cd = labels.join(degs, "id")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("d_sum"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      cd.join(eint, "cluster_id")
+        .crossJoin(broadcast(m))
+        .select(col("cluster_id"), col("n_vertices"), col("e_in"), col("d_sum"),
+          expr("""cast(((4 * cast(m as decimal(38,0)) * e_in
+                 |       - cast(d_sum as decimal(38,0)) * d_sum) * 1000000000)
+                 |     div (4 * cast(m as decimal(38,0)) * m) as bigint)""".stripMargin)
+            .as("contrib_ppb"))
+        .orderBy(col("cluster_id"))
+    },
+
     // Link prediction (round 9): resource-allocation scores over the
     // near-dup graph — for non-adjacent pairs sharing common neighbors,
     // RA(u,w) = Σ_v floor(1e6/deg(v)) over common neighbors with

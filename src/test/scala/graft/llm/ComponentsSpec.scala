@@ -309,6 +309,44 @@ class ComponentsSpec extends AnyFunSuite {
       Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("q_graph_modularity equals the brute-force partition arithmetic " +
+    "and the CC identity d_sum = 2*e_in holds per cluster") {
+    val pairs = Components.simhashPairs(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute-force labels: union-find over the pair list
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val labelOf = verts.map(v => v -> find(v)).toMap
+    val m = pairs.size.toLong
+    val eIn = pairs.groupBy(p => labelOf(p._1)).map { case (c, xs) => c -> xs.size.toLong }
+    val dSum = verts.groupBy(labelOf).map { case (c, vs) =>
+      c -> vs.map(v => pairs.count(p => p._1 == v || p._2 == v).toLong).sum
+    }
+    val nV = verts.groupBy(labelOf).map { case (c, vs) => c -> vs.size.toLong }
+    val got = graft.Registry.all("q_graph_modularity").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet === eIn.keySet)
+    got.foreach { case (c, (nv, e, d, ppb)) =>
+      assert(nv === nV(c) && e === eIn(c) && d === dSum(c), s"cluster $c")
+      assert(d === 2L * e, s"cluster $c: CC partition must have d=2e")
+      val num = (BigInt(4) * m * e - BigInt(d) * d) * 1000000000L
+      assert(ppb === (num / (BigInt(4) * m * m)).toLong, s"cluster $c")
+      assert(ppb >= 0L)
+    }
+    // contributions tile: Σ e_in = m
+    assert(got.values.map(_._2).sum === m)
+  }
+
   test("q_link_predict equals the brute-force resource-allocation ranking " +
       "on the real pair graph, and on a synthetic graph with hub centers") {
     // brute-force RA over an explicit edge list, identical definition:

@@ -89,7 +89,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kruskal_wallis",  // crossJoin(broadcast(1-row N + tie term))
     "q_survival_km",     // crossJoin(broadcast(1-row corpus frontier))
     "q_rank_fusion",     // crossJoin(broadcast(1-row query vector + bm25 totals))
-    "q_mix_temperature") // crossJoin(broadcast(1-row Σtokens + Σweights))
+    "q_mix_temperature", // crossJoin(broadcast(1-row Σtokens + Σweights))
+    "q_graph_modularity") // crossJoin(broadcast(1-row edge count m))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
