@@ -1291,6 +1291,70 @@ object TextAnalysis {
         .orderBy(col("lang"), col("pred_lang"))
     },
 
+    // Vocabulary coverage curve (round 9): what share of all token
+    // OCCURRENCES the top-k most frequent word types cover, at k ∈
+    // {100, 1k, 10k} — the tokenizer-budget readout (how big a vocab
+    // buys 95%). Top-k by frequency needs a global order over a
+    // corpus-sized vocab — so the ranking runs over COUNT-VALUE cells
+    // instead (the q_bin_equidepth discipline): collapse the vocab to
+    // (count c, #types v) cells, cumulate types from the most frequent
+    // cell down, and resolve a k-cut that splits a tied cell exactly
+    // ((k − types_above)·c — all tied types have the same count, so the
+    // covered-token answer is choice-independent and deterministic).
+    // Scale shape: one token agg (vocab-sized, map-side combined), one
+    // cell agg (≤ distinct count values), a bounded-cell window, and
+    // the 3-row k grid + 1-row totals ride broadcasts; covered·1e6
+    // lifts to decimal(38,0)/HUGEINT.
+    "q_vocab_coverage" -> Q(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uc AS (SELECT w, cast(count(*) as bigint) AS c FROM tok GROUP BY w),
+        |cells AS (SELECT c, cast(count(*) as bigint) AS v FROM uc GROUP BY c),
+        |cum AS (SELECT c, v,
+        |          sum(v) OVER (ORDER BY c DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        |        FROM cells),
+        |tot AS (SELECT cast(sum(c) as bigint) AS t_total,
+        |               cast(count(*) as bigint) AS v_total FROM uc),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS k),
+        |cov AS (SELECT k,
+        |          cast(sum(CASE WHEN cum_w <= k THEN c * v
+        |                   WHEN cum_w - v < k THEN (k - (cum_w - v)) * c
+        |                   ELSE 0 END) as bigint) AS covered_tokens
+        |        FROM cum, ks GROUP BY k)
+        |SELECT cast(k as bigint) AS k,
+        |  cast(least(k, v_total) as bigint) AS vocab_k,
+        |  covered_tokens,
+        |  cast((cast(covered_tokens as hugeint) * 1000000) // t_total as bigint)
+        |    AS coverage_ppm
+        |FROM cov, tot ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val uc = docs(s, dir).select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val cells = uc.groupBy(col("c")).agg(count(lit(1)).as("v"))
+      // single-partition window is BENIGN (WindowExec warns): input is
+      // the count-VALUE cell table — bounded by the distinct count
+      // domain, never vocab rows (PlanAuditSpec bounded-window list)
+      val cum = cells.withColumn("cum_w",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      val tot = uc.agg(sum(col("c")).as("t_total"), count(lit(1)).as("v_total"))
+      val ks = Seq(100L, 1000L, 10000L).toDF("k")
+      cum.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(sum(when(col("cum_w") <= col("k"), col("c") * col("v"))
+          .when(col("cum_w") - col("v") < col("k"),
+            (col("k") - (col("cum_w") - col("v"))) * col("c"))
+          .otherwise(0L)).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), least(col("k"), col("v_total")).as("vocab_k"),
+          col("covered_tokens"),
+          expr("cast((cast(covered_tokens as decimal(38,0)) * 1000000)" +
+            " div t_total as bigint)").as("coverage_ppm"))
+        .orderBy(col("k"))
+    },
+
     // Temperature-scaled mixture (round 9): per-language sampling
     // weights p_i ∝ n_i^(1/τ) at τ = 2 — the standard multilingual
     // rebalancing (low-resource languages up-weighted relative to raw

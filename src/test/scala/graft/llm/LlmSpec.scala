@@ -1182,6 +1182,26 @@ class LlmSpec extends AnyFunSuite {
     assert((sp | mp).nonEmpty, "sf0.001 must produce a nonempty pair union")
   }
 
+  test("q_vocab_coverage equals the brute-force top-k occurrence share") {
+    val counts = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }.toSeq
+      .sortBy(-_)
+    val tTotal = counts.sum
+    val got = graft.Registry.all("q_vocab_coverage").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq(100L, 1000L, 10000L).foreach { k =>
+      val covered = counts.take(k.toInt).sum
+      assert(got(k) === ((math.min(k, counts.size.toLong), covered,
+        (BigInt(covered) * 1000000 / tTotal).toLong)), s"k=$k")
+    }
+    // monotone, and the largest k at this SF covers the whole corpus
+    assert(got(100L)._3 <= got(1000L)._3 && got(1000L)._3 <= got(10000L)._3)
+  }
+
   test("q_mix_temperature equals the brute-force t=2 rebalance and " +
     "up-weights the low-resource tail") {
     def isqrt(n: Long): Long = {

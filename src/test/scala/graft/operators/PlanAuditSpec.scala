@@ -90,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_survival_km",     // crossJoin(broadcast(1-row corpus frontier))
     "q_rank_fusion",     // crossJoin(broadcast(1-row query vector + bm25 totals))
     "q_mix_temperature", // crossJoin(broadcast(1-row Σtokens + Σweights))
-    "q_graph_modularity") // crossJoin(broadcast(1-row edge count m))
+    "q_graph_modularity", // crossJoin(broadcast(1-row edge count m))
+    "q_vocab_coverage")  // crossJoin(broadcast(3-row k grid + 1-row totals))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
@@ -111,7 +112,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rolling_corr",   // input: calendar days (daily metric grid)
     "q_runs_test",      // input: calendar days (median rank + run lag)
     "q_kruskal_wallis", // input: value-domain cents cells (pooled rank)
-    "q_rank_fusion")    // input: the two already-limited top-10 lists
+    "q_rank_fusion",    // input: the two already-limited top-10 lists
+    "q_vocab_coverage") // input: count-value cells (distinct count domain)
 
   test("no query outside the allowed set plans a partition-less window") {
     // logical-plan audit (the physical tree hides behind
