@@ -1291,6 +1291,43 @@ object TextAnalysis {
         .orderBy(col("lang"), col("pred_lang"))
     },
 
+    // Readability features (round 9): per doc the Flesch reading-ease
+    // inputs — words, sentence-ending punctuation runs ([.!?]+, floored
+    // at 1 for fragment docs), and the standard vowel-run syllable
+    // proxy — plus the score itself in integer milli-points composed
+    // from floored ratios (206835 − 1015·W div S − 84600·Y div W; the
+    // float formula's divisions are the only non-portable parts, so
+    // both engines floor the SAME two ratios). Explicit character
+    // classes only (the charset-audit rule). Scale shape: one codegen'd
+    // per-doc map pass, no shuffle at all.
+    "q_readability" -> Q(
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) as bigint) AS n_words,
+        |  cast(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) as bigint)
+        |    AS n_sents,
+        |  cast(len(regexp_extract_all(lower(text), '[aeiou]+')) as bigint)
+        |    AS n_vowel_runs,
+        |  cast(206835
+        |    - (1015 * len(string_split(text, ' ')))
+        |      // greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    - (84600 * len(regexp_extract_all(lower(text), '[aeiou]+')))
+        |      // len(string_split(text, ' ')) as bigint) AS flesch_milli
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = size(toks).cast(LongType)
+      val sents = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast(LongType))
+      val y = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+        .cast(LongType)
+      docs(s, dir)
+        .select(col("doc_id"), w.as("n_words"), sents.as("n_sents"),
+          y.as("n_vowel_runs"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_vowel_runs"),
+          (lit(206835L)
+            - expr("(1015 * n_words) div n_sents")
+            - expr("(84600 * n_vowel_runs) div n_words")).as("flesch_milli"))
+        .orderBy(col("doc_id"))
+    },
+
     // Vocabulary coverage curve (round 9): what share of all token
     // OCCURRENCES the top-k most frequent word types cover, at k ∈
     // {100, 1k, 10k} — the tokenizer-budget readout (how big a vocab

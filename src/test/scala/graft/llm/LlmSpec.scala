@@ -1182,6 +1182,23 @@ class LlmSpec extends AnyFunSuite {
     assert((sp | mp).nonEmpty, "sf0.001 must produce a nonempty pair union")
   }
 
+  test("q_readability equals the brute-force Flesch feature walk") {
+    val texts = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = graft.Registry.all("q_readability").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    texts.foreach { case (id, t) =>
+      val w = t.split(" ", -1).length.toLong
+      val s = math.max(1L, "[.!?]+".r.findAllIn(t).size.toLong)
+      val y = "[aeiou]+".r.findAllIn(t.toLowerCase).size.toLong
+      val f = 206835L - (1015L * w) / s - (84600L * y) / w
+      assert(got(id) === ((w, s, y, f)), s"doc $id")
+    }
+  }
+
   test("q_vocab_coverage equals the brute-force top-k occurrence share") {
     val counts = graft.Engine.table(spark, TestSpark.sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
