@@ -184,6 +184,46 @@ object EventAnalytics {
             .as("lift_ppm"))
     },
 
+    // Sample-ratio-mismatch guardrail (round 9): the FIRST check an
+    // experimentation platform runs before trusting q_abtest_lift /
+    // q_abtest_cuped — are the md5-parity arms actually 50/50, or did
+    // assignment/logging bias the split? χ²(1 dof, equal expected) =
+    // (n_a−n_b)²/N, emitted in exact integer milli-units with the
+    // 3.841 critical-value flag evaluated identically on both engines.
+    // Scale shape: one user-distinct agg (the only corpus shuffle) +
+    // a 1-row close; (n_a−n_b)²·1000 lifts to decimal(38,0)/HUGEINT.
+    "q_ab_srm" -> Q(
+      """WITH u AS (
+        |  SELECT DISTINCT user_id,
+        |    (instr('0123456789abcdef',
+        |           substr(md5(cast(user_id as varchar)), 1, 1)) - 1) % 2 AS arm
+        |  FROM events),
+        |c AS (SELECT
+        |    cast(count(CASE WHEN arm = 0 THEN 1 END) as bigint) AS n_a,
+        |    cast(count(CASE WHEN arm = 1 THEN 1 END) as bigint) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b, n_a + n_b AS n_total,
+        |  cast((cast(n_a - n_b as hugeint) * (n_a - n_b) * 1000)
+        |       // (n_a + n_b) as bigint) AS chi2_milli,
+        |  (cast(n_a - n_b as hugeint) * (n_a - n_b) * 1000)
+        |    // (n_a + n_b) > 3841 AS srm_flag
+        |FROM c ORDER BY n_total""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)),
+            1, 1), 16, 10).cast(LongType) % 2)
+        .agg(count(when(col("arm") === 0, 1)).as("n_a"),
+          count(when(col("arm") === 1, 1)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          (col("n_a") + col("n_b")).as("n_total"),
+          expr("cast((cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000)" +
+            " div (n_a + n_b) as bigint)").as("chi2_milli"),
+          expr("(cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000)" +
+            " div (n_a + n_b) > 3841").as("srm_flag"))
+        .orderBy(col("n_total"))
+    },
+
     // CUPED variance-reduced A/B readout (round 9; Deng et al. 2013 —
     // the adjustment every mature experimentation platform applies):
     // adjusted_i = post_i − θ·(pre_i − mean_pre), θ = cov(pre,post)/

@@ -580,6 +580,22 @@ class StatsSpec extends AnyFunSuite {
     assert(lts.exists(_._3) && lts.exists(!_._3))
   }
 
+  test("q_ab_srm equals the brute-force md5-parity split arithmetic") {
+    def arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) % 2
+    }
+    val users = evRows.map(_._2).distinct
+    val nA = users.count(arm(_) == 0).toLong
+    val nB = users.count(arm(_) == 1).toLong
+    val chi2 = (BigInt(nA - nB) * (nA - nB) * 1000 / (nA + nB)).toLong
+    val r = run("q_ab_srm").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) === ((nA, nB, nA + nB, chi2, chi2 > 3841L)))
+    assert(nA > 0 && nB > 0)
+  }
+
   test("q_calendar_heatmap equals the brute-force weekday×hour grid") {
     val got = graft.Registry.all("q_calendar_heatmap").fn(spark, dir)
       .collect()
