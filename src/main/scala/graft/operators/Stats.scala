@@ -698,6 +698,82 @@ object Stats {
         .orderBy(col("event_type"))
     },
 
+    // Metric correlation matrix (round 9): pairwise Pearson r² (ppm +
+    // sign) between the daily counts of EVERY event-type pair — the
+    // all-metrics health grid behind "which KPIs move together"
+    // (q_rolling_corr is the windowed two-metric trace; this is the
+    // static all-pairs matrix). Zero-filled over the full observed
+    // calendar so a type's quiet days count as 0, not as missing. Same
+    // integer moment algebra and staged Cauchy-Schwarz-bounded floors
+    // as q_rolling_corr (cov²//vx ≤ vy keeps every intermediate
+    // in-range); per-term products lift to decimal(38,0)/HUGEINT before
+    // the sums. Scale shape: corpus collapses to the (type, day) grid
+    // in one map-side agg; the zero-fill is the legal
+    // crossJoin(broadcast(tiny type list)); the pair join is grid-sized
+    // equi-on-day with |types|²/2 output groups.
+    "q_corr_matrix" -> Q(
+      """WITH g AS (SELECT event_type, cast(ts as date) AS day,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM g),
+        |ty AS (SELECT DISTINCT event_type FROM g),
+        |f AS (SELECT ty.event_type, days.day, coalesce(g.n, 0) AS n
+        |      FROM days CROSS JOIN ty
+        |      LEFT JOIN g ON g.event_type = ty.event_type AND g.day = days.day),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        cast(count(*) as bigint) AS k,
+        |        cast(sum(cast(a.n as hugeint)) as hugeint) AS sx,
+        |        cast(sum(cast(b.n as hugeint)) as hugeint) AS sy,
+        |        sum(cast(a.n as hugeint) * b.n) AS sxy,
+        |        sum(cast(a.n as hugeint) * a.n) AS sxx,
+        |        sum(cast(b.n as hugeint) * b.n) AS syy
+        |      FROM f a JOIN f b ON a.day = b.day AND a.event_type < b.event_type
+        |      GROUP BY 1, 2),
+        |m AS (SELECT type_a, type_b, k,
+        |        k * sxy - sx * sy AS cov,
+        |        k * sxx - sx * sx AS vx,
+        |        k * syy - sy * sy AS vy
+        |      FROM p)
+        |SELECT type_a, type_b, k,
+        |  cast(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+        |    as bigint) AS corr_sign,
+        |  cast(CASE WHEN vx > 0 AND vy > 0
+        |       THEN (((cov * cov) // vx) * 1000000) // vy END as bigint)
+        |    AS r2_ppm
+        |FROM m ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val g = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = g.select(col("day")).distinct()
+      val ty = g.select(col("event_type")).distinct()
+      val f = days.crossJoin(broadcast(ty))
+        .join(g, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val a = f.toDF("type_a", "day", "xa")
+      val b = f.toDF("type_b", "day", "xb")
+      val p = a.join(b, "day").filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("xa").cast(dec)).as("sx"),
+          sum(col("xb").cast(dec)).as("sy"),
+          sum(col("xa").cast(dec) * col("xb")).as("sxy"),
+          sum(col("xa").cast(dec) * col("xa")).as("sxx"),
+          sum(col("xb").cast(dec) * col("xb")).as("syy"))
+      p.select(col("type_a"), col("type_b"), col("k"),
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("cov"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("vx"),
+          (col("k") * col("syy") - col("sy") * col("sy")).as("vy"))
+        .select(col("type_a"), col("type_b"), col("k"),
+          expr("cast(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END" +
+            " as bigint)").as("corr_sign"),
+          expr("cast(CASE WHEN vx > 0 AND vy > 0" +
+            " THEN (((cov * cov) div vx) * 1000000) div vy END as bigint)")
+            .as("r2_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Kaplan-Meier / Nelson-Aalen risk table per event type (round 9):
     // a user's FEATURE lifetime = days between their first and last
     // event of that type; a user whose last such event sits

@@ -91,7 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_rank_fusion",     // crossJoin(broadcast(1-row query vector + bm25 totals))
     "q_mix_temperature", // crossJoin(broadcast(1-row Σtokens + Σweights))
     "q_graph_modularity", // crossJoin(broadcast(1-row edge count m))
-    "q_vocab_coverage")  // crossJoin(broadcast(3-row k grid + 1-row totals))
+    "q_vocab_coverage",  // crossJoin(broadcast(3-row k grid + 1-row totals))
+    "q_corr_matrix")     // crossJoin(broadcast(tiny type list)) zero-fill
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably

@@ -580,6 +580,35 @@ class StatsSpec extends AnyFunSuite {
     assert(lts.exists(_._3) && lts.exists(!_._3))
   }
 
+  test("q_corr_matrix equals the BigInt brute force over the zero-filled " +
+    "calendar grid, for every type pair") {
+    val cells = evRows.map { case (t, _, _, us) => (t, us / 86400000000L) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val days = cells.keys.map(_._2).toSeq.distinct.sorted
+    val types = cells.keys.map(_._1).toSeq.distinct.sorted
+    val got = run("q_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val pairs = for (i <- types.indices; j <- (i + 1) until types.length)
+      yield (types(i), types(j))
+    assert(got.keySet === pairs.toSet)
+    pairs.foreach { case (ta, tb) =>
+      val xs = days.map(d => BigInt(cells.getOrElse((ta, d), 0L)))
+      val ys = days.map(d => BigInt(cells.getOrElse((tb, d), 0L)))
+      val k = BigInt(days.size)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val cov = k * sxy - sx * sy
+      val vx = k * xs.map(x => x * x).sum - sx * sx
+      val vy = k * ys.map(y => y * y).sum - sy * sy
+      val sign = cov.signum.toLong
+      val r2 = if (vx > 0 && vy > 0) Some(((cov * cov / vx * 1000000) / vy).toLong)
+        else None
+      assert(got((ta, tb)) === ((days.size.toLong, sign, r2)), s"pair ($ta,$tb)")
+    }
+  }
+
   test("q_ab_srm equals the brute-force md5-parity split arithmetic") {
     def arm(u: Long): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
