@@ -99,6 +99,17 @@ case class TwaRow(user_id: Long, n_steps: Long, dur_us: Long, wsum: Long,
   */
 case class ViewPending(event_id: Long, us: Long)
 
+/** Per-user state for [[Streams.streamingFeatureLags]]: the last ≤3
+  * observed cents, most recent first — O(frame) per user, exactly the
+  * information q_feature_lags' 3-PRECEDING window frame carries.
+  */
+case class FeatState(last: Seq[Long])
+
+/** Emitted feature row — the streaming twin of one q_feature_lags row. */
+case class FeatRow(event_id: Long, user_id: Long, cents: Long,
+    lag1_cents: Option[Long], lag2_cents: Option[Long],
+    prev3_sum: Option[Long], prev3_n: Long)
+
 /** Per-user state for [[Streams.streamingLabelHorizon]]: the open views
   * whose label is still undecided — bounded by view rate × horizon, the
   * stream-stream-join state shape.
@@ -882,6 +893,42 @@ object Streams {
             st = RunningMoment(st.n + 1, st.sumCents + e.cents)
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming feature generation (s_feature_lags): q_feature_lags'
+    * past-only per-user feature row computed AT INGEST — the online
+    * feature-store update that, paired with [[streamingLabelHorizon]],
+    * turns the firehose into live (features, label) training rows. Per
+    * user the state is the last ≤3 observed cents — EXACTLY the
+    * information the batch twin's 3-PRECEDING window frame carries, so
+    * on chronological per-user arrival every emitted row is
+    * bit-identical to q_feature_lags (TOTAL parity, no decidable-subset
+    * caveat: past-only features are final the moment the row arrives;
+    * StreamingSpec pins it incl. checkpoint restart). O(frame) state
+    * per user; each micro-batch folds in (ts, event_id) order. Lateness
+    * contract (the s_twa observed-monitor discipline): features reflect
+    * the OBSERVED prefix — a late row is folded at arrival position,
+    * and batch q_feature_lags over the settled log reconciles.
+    */
+  def streamingFeatureLags(events: Dataset[ValueEvent]): Dataset[FeatRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FeatState, FeatRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ValueEvent], state: GroupState[FeatState]) =>
+          var last = state.getOption.map(_.last.toList).getOrElse(Nil)
+          val out = Seq.newBuilder[FeatRow]
+          batch.toArray.sortBy(e => (MicroTs.toUs(e.ts), e.event_id)).foreach { e =>
+            out += FeatRow(e.event_id, uid, e.cents,
+              last.headOption, last.drop(1).headOption,
+              if (last.nonEmpty) Some(last.sum) else None, last.size.toLong)
+            last = (e.cents :: last).take(3)
+          }
+          state.update(FeatState(last))
           out.result().iterator
       }
   }

@@ -837,6 +837,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def featBatchWant(): Map[Long, (Long, Long, Option[Long], Option[Long], Option[Long], Long)] =
+    graft.Registry.all("q_feature_lags").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6))).toMap
+
+  test("streamingFeatureLags equals batch q_feature_lags row-for-row on a " +
+    "chronological split (total parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingFeatureLags(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_feat").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_feat").as[FeatRow].collect()
+        .map(r => r.event_id -> (r.user_id, r.cents, r.lag1_cents,
+          r.lag2_cents, r.prev3_sum, r.prev3_n)).toMap
+      val want = featBatchWant()
+      assert(got == want,
+        s"extra: ${(got.toSet -- want.toSet).take(3)}; " +
+          s"missing: ${(want.toSet -- got.toSet).take(3)}")
+      // state genuinely crossed the batch boundary: some batch-2 row has
+      // a lag fed by a batch-1 row
+      val b1Ids = b1.map(_.event_id).toSet
+      val b2Ids = b2.map(_.event_id).toSet
+      assert(got.exists { case (eid, (_, _, l1, _, _, _)) =>
+        b2Ids(eid) && l1.isDefined &&
+          b1.exists(e => b1Ids(e.event_id) && Some(e.cents) == l1)
+      })
+    } finally q.stop()
+  }
+
+  test("streamingFeatureLags with checkpoint: the last-3 state survives restart") {
+    val base = "/tmp/graft_test_stage/feat_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    val ev = valueEvents(spark)
+    val cutoffUs = ev.map(e => MicroTs.toUs(e.ts)).sorted.apply(ev.length / 2)
+    val (b1, b2) = ev.partition(e => MicroTs.toUs(e.ts) < cutoffUs)
+    b1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingFeatureLags(
+        spark.readStream.schema(b1.toSeq.toDS().schema).parquet(srcDir)
+          .as[ValueEvent])
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.toSeq.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).as[FeatRow].collect()
+      .map(r => r.event_id -> (r.user_id, r.cents, r.lag1_cents,
+        r.lag2_cents, r.prev3_sum, r.prev3_n)).toMap
+    assert(got == featBatchWant(), "restart diverged from batch twin")
+  }
+
   test("streamingLabelHorizon with checkpoint: open-view state survives restart") {
     val base = "/tmp/graft_test_stage/label_e2e"
     graft.util.Fs.deleteRecursively(base)
