@@ -118,7 +118,11 @@ object Multimodal {
     * them plus cells whose mean sits on the moved global threshold, so
     * near-identical payloads land at small Hamming distance while their
     * cryptographic digests diverge completely (pinned in LlmSpec).
-    * Empty payloads hash to 0.
+    * Empty payloads hash to 0. Integer bound: the cross-multiplication
+    * sums(j)·len ≤ 255·len² stays inside Long for payloads < ~190 MB —
+    * far above any CHUNKED media blob this pipeline shuffles; a real
+    * codec integration re-pools decoded pixels per frame, where the
+    * same bound holds per frame by construction.
     */
   def phash64(payload: Array[Byte]): Long = {
     val cells = 64
