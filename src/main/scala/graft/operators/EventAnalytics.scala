@@ -1516,6 +1516,50 @@ object EventAnalytics {
         .orderBy(col("isodow"), col("hr"))
     },
 
+    // Calendar-aware anomaly screen (round 9): each (day, hour) cell's
+    // volume vs the baseline of the SAME weekday-hour on every OTHER
+    // day — the seasonality-adjusted spike detector (a Monday-9am surge
+    // is only anomalous relative to other Monday 9ams; q_anomaly_alerts
+    // is the per-user value monitor, this is the traffic-shape one).
+    // Spike test is the integer cross-multiplication n·k_others >
+    // 2·base_n (no mean division, the q_anomaly_alerts discipline);
+    // cells with no baseline (k_others = 0) are unjudgeable and emit
+    // false. Scale shape: corpus collapses to the (day, hour) grid in
+    // one map-side agg; the baseline is a (dow, hr)-keyed agg over that
+    // calendar-bounded grid joined back on the same key.
+    "q_calendar_anomaly" -> Q(
+      """WITH c AS (
+        |  SELECT cast(ts as date) AS day,
+        |    cast(date_part('isodow', cast(ts as date)) as bigint) AS isodow,
+        |    cast(hour(ts) as bigint) AS hr,
+        |    cast(count(*) as bigint) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |b AS (SELECT isodow, hr, cast(sum(n) as bigint) AS tot,
+        |        cast(count(*) as bigint) AS k
+        |      FROM c GROUP BY 1, 2)
+        |SELECT c.day, c.hr, c.n,
+        |  cast(b.tot - c.n as bigint) AS base_n,
+        |  cast(b.k - 1 as bigint) AS k_others,
+        |  (b.k > 1 AND c.n * (b.k - 1) > 2 * (b.tot - c.n)) AS spike
+        |FROM c JOIN b USING (isodow, hr)
+        |ORDER BY day, hr""".stripMargin) { (s, dir) =>
+      val c = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"),
+          (weekday(col("ts")) + 1).cast(LongType).as("isodow"),
+          hour(col("ts")).cast(LongType).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val b = c.groupBy(col("isodow"), col("hr"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+      c.join(b, Seq("isodow", "hr"))
+        .select(col("day"), col("hr"), col("n"),
+          (col("tot") - col("n")).as("base_n"),
+          (col("k") - 1L).as("k_others"),
+          (col("k") > 1L &&
+            col("n") * (col("k") - 1L) > lit(2L) * (col("tot") - col("n")))
+            .as("spike"))
+        .orderBy(col("day"), col("hr"))
+    },
+
     // Feature engineering for tabular ML (round 9): per event, the
     // PAST-ONLY per-user feature row a training pipeline materializes —
     // lag-1/lag-2 values and the previous-3 rolling sum/count, all in

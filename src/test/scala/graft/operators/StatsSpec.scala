@@ -580,6 +580,30 @@ class StatsSpec extends AnyFunSuite {
     assert(lts.exists(_._3) && lts.exists(!_._3))
   }
 
+  test("q_calendar_anomaly equals the brute-force weekday-hour baseline walk") {
+    val dayUs = 86400000000L
+    val cells = evRows.map { case (_, _, _, us) =>
+      (us / dayUs, (us % dayUs) / 3600000000L)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = run("q_calendar_anomaly").collect()
+      .map { r =>
+        val day = r.getDate(0).toLocalDate.toEpochDay
+        (day, r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))
+      }.toMap
+    assert(got.keySet === cells.keySet.map(identity))
+    cells.foreach { case (cell @ (day, hr), n) =>
+      val dow = ((day + 3) % 7) + 1
+      val others = cells.filter { case ((d2, h2), _) =>
+        h2 == hr && (((d2 + 3) % 7) + 1) == dow && d2 != day
+      }.values
+      val (base, k) = (others.sum, others.size.toLong)
+      assert(got(cell) === ((n, base, k, k > 0 && n * k > 2 * base)),
+        s"cell $cell")
+    }
+    assert(got.values.exists(_._3 > 0), "some cell must have a baseline")
+  }
+
   test("q_corr_matrix equals the BigInt brute force over the zero-filled " +
     "calendar grid, for every type pair") {
     val cells = evRows.map { case (t, _, _, us) => (t, us / 86400000000L) }
