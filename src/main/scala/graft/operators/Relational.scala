@@ -789,6 +789,61 @@ object Relational {
         |  FROM orders) x
         |ORDER BY check_name""".stripMargin) { (s, dir) =>
       dqReport(t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
+    },
+
+    // Functional-dependency profiling (round 9): does column A determine
+    // column B — the Metanome-style FD check a schema-discovery /
+    // normalization pass runs before trusting a join key or collapsing
+    // a dimension. For each candidate (lhs → rhs): |distinct lhs| vs
+    // |distinct (lhs, rhs)| — equal ⇔ the FD holds; the difference
+    // counts violating lhs groups' extra rhs values. Candidates span a
+    // true FD (nation key → region key), a near-miss, and clear
+    // negatives, so both verdicts are exercised. Scale shape: each
+    // candidate is two map-side-combinable distinct aggregates over a
+    // pruned 2-column scan, unioned as independent branches (the
+    // q_dq_checks shape).
+    "q_fd_check" -> Q(
+      """SELECT * FROM (
+        |  SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+        |    cast(count(DISTINCT n_nationkey) as bigint) AS n_lhs,
+        |    cast(count(DISTINCT (n_nationkey, n_regionkey)) as bigint) AS n_pairs,
+        |    count(DISTINCT n_nationkey)
+        |      = count(DISTINCT (n_nationkey, n_regionkey)) AS holds
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'customer: c_nationkey -> c_mktsegment',
+        |    cast(count(DISTINCT c_nationkey) as bigint),
+        |    cast(count(DISTINCT (c_nationkey, c_mktsegment)) as bigint),
+        |    count(DISTINCT c_nationkey)
+        |      = count(DISTINCT (c_nationkey, c_mktsegment))
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders: o_custkey -> o_orderpriority',
+        |    cast(count(DISTINCT o_custkey) as bigint),
+        |    cast(count(DISTINCT (o_custkey, o_orderpriority)) as bigint),
+        |    count(DISTINCT o_custkey)
+        |      = count(DISTINCT (o_custkey, o_orderpriority))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem: l_orderkey -> l_returnflag',
+        |    cast(count(DISTINCT l_orderkey) as bigint),
+        |    cast(count(DISTINCT (l_orderkey, l_returnflag)) as bigint),
+        |    count(DISTINCT l_orderkey)
+        |      = count(DISTINCT (l_orderkey, l_returnflag))
+        |  FROM lineitem) x
+        |ORDER BY fd""".stripMargin) { (s, dir) =>
+      def branch(table: String, lhs: String, rhs: String): DataFrame =
+        t(s, dir, table)
+          .agg(countDistinct(col(lhs)).as("n_lhs"),
+            countDistinct(col(lhs), col(rhs)).as("n_pairs"))
+          .select(lit(s"$table: $lhs -> $rhs").as("fd"),
+            col("n_lhs"), col("n_pairs"),
+            (col("n_lhs") === col("n_pairs")).as("holds"))
+      branch("nation", "n_nationkey", "n_regionkey")
+        .union(branch("customer", "c_nationkey", "c_mktsegment"))
+        .union(branch("orders", "o_custkey", "o_orderpriority"))
+        .union(branch("lineitem", "l_orderkey", "l_returnflag"))
+        .orderBy(col("fd"))
     }
   )
 

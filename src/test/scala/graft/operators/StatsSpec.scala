@@ -580,6 +580,31 @@ class StatsSpec extends AnyFunSuite {
     assert(lts.exists(_._3) && lts.exists(!_._3))
   }
 
+  test("q_fd_check equals the brute-force distinct arithmetic and " +
+    "exercises both verdicts") {
+    def counts(table: String, lhs: String, rhs: String): (Long, Long) = {
+      val rows = Engine.table(spark, dir, table)
+        .select(col(lhs).cast("string"), col(rhs).cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      (rows.map(_._1).distinct.size.toLong, rows.distinct.size.toLong)
+    }
+    val cands = Seq(
+      ("nation", "n_nationkey", "n_regionkey"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("lineitem", "l_orderkey", "l_returnflag"))
+    val got = graft.Registry.all("q_fd_check").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    cands.foreach { case (tn, l, rr) =>
+      val (nl, np) = counts(tn, l, rr)
+      assert(got(s"$tn: $l -> $rr") === ((nl, np, nl == np)), s"$tn.$l->$rr")
+    }
+    assert(got("nation: n_nationkey -> n_regionkey")._3,
+      "the true FD must hold")
+    assert(got.values.exists(!_._3), "a negative candidate must fail")
+  }
+
   test("q_calendar_anomaly equals the brute-force weekday-hour baseline walk") {
     val dayUs = 86400000000L
     val cells = evRows.map { case (_, _, _, us) =>
