@@ -351,6 +351,30 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_feature_lags: last-3 buffer state under RocksDB feeds " +
+    "cross-batch lags") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    def ev(id: Long, c: Long) =
+      ValueEvent(7L, "view", MicroTs.toTs(1700000000000000L + id * 1000000L), id, c)
+    val mem = MemoryStream[ValueEvent]
+    val q = Streams.streamingFeatureLags(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("r_feat").start()
+    try {
+      mem.addData(ev(1, 10L), ev(2, 20L)); q.processAllAvailable()
+      // batch-2 rows must see batch-1 cents through recovered state
+      mem.addData(ev(3, 30L), ev(4, 40L)); q.processAllAvailable()
+      assertRocksDbActive(q)
+      val got = rocks.table("r_feat").as[FeatRow].collect()
+        .map(r => r.event_id -> (r.lag1_cents, r.lag2_cents, r.prev3_sum,
+          r.prev3_n)).toMap
+      assert(got(1L) === ((None, None, None, 0L)))
+      assert(got(3L) === ((Some(20L), Some(10L), Some(30L), 2L)))
+      assert(got(4L) === ((Some(30L), Some(20L), Some(60L), 3L)))
+    } finally q.stop()
+  }
+
   test("s_charset: per-source counter aggregation state under RocksDB " +
     "accumulates across batches and equals the batch rollup") {
     implicit val sqlCtx = rocks.sqlContext
