@@ -784,8 +784,17 @@ object Components {
       curRdd
     }
     val fin = spark.createDataFrame(finalRdd, schema)
-    fin.select(col("a").as("doc_id")).union(fin.select(col("b")))
+    // materialize the VERTEX-sized degree agg eagerly so the EDGE-sized
+    // finalRdd can be released here instead of staying pinned behind the
+    // returned plan (the one-size-smaller variant of the CC-labels policy;
+    // outRdd itself is reclaimed by the ContextCleaner once unreferenced)
+    val out = fin.select(col("a").as("doc_id")).union(fin.select(col("b")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+    val outRdd = out.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val res = spark.createDataFrame(outRdd, outSchema)
+    res.count()
+    finalRdd.unpersist()
+    res
   }
 
   /** Oracle twin of one [[twoCore]] peel round over `e${k-1}`. */

@@ -157,9 +157,10 @@ object CorpusStats {
         |  cast(sum(CASE WHEN b = 0 THEN 0
         |           ELSE ((a - b) * (a - b) * 1000) // b END) as bigint)
         |    AS phi2_ppb,
-        |  cast(sum(CASE WHEN b = 0 THEN 0
-        |           ELSE ((a - b) * (a - b) * 1000) // b END)
-        |       // least(max(nr) - 1, max(nc) - 1) as bigint) AS v2_ppb
+        |  cast(CASE WHEN least(max(nr) - 1, max(nc) - 1) = 0 THEN 0
+        |       ELSE sum(CASE WHEN b = 0 THEN 0
+        |                ELSE ((a - b) * (a - b) * 1000) // b END)
+        |            // least(max(nr) - 1, max(nc) - 1) END as bigint) AS v2_ppb
         |FROM terms ORDER BY n_docs""".stripMargin) { (s, dir) =>
       val cells = docs(s, dir)
         .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
@@ -182,7 +183,11 @@ object CorpusStats {
           sum(expr("CASE WHEN b = 0 THEN 0" +
             " ELSE ((a - b) * (a - b) * 1000) div b END")).as("phi2_ppb"))
         .select(col("n_docs"), col("n_langs"), col("n_sources"), col("phi2_ppb"),
-          expr("phi2_ppb div least(n_langs - 1, n_sources - 1)").as("v2_ppb"))
+          // single-lang/single-source corpus: min(r-1,c-1)=0 — define V²=0
+          // on BOTH engines (Spark div would NULL, DuckDB // would raise)
+          expr("CASE WHEN least(n_langs - 1, n_sources - 1) = 0 THEN 0L " +
+            "ELSE phi2_ppb div least(n_langs - 1, n_sources - 1) END")
+            .as("v2_ppb"))
     },
 
     // Spearman rank correlation, per language, between document LENGTH

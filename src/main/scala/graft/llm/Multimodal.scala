@@ -51,7 +51,8 @@ object Multimodal {
     if (payload.nonEmpty) {
       var i = 0
       while (i < payload.length) {
-        out(i * dims / payload.length) += (payload(i) & 0xff) / 255.0f
+        // Long cross-multiplication: i*dims overflows Int at ~256 MB payloads
+        out((i.toLong * dims / payload.length).toInt) += (payload(i) & 0xff) / 255.0f
         i += 1
       }
     }
@@ -118,11 +119,14 @@ object Multimodal {
     * them plus cells whose mean sits on the moved global threshold, so
     * near-identical payloads land at small Hamming distance while their
     * cryptographic digests diverge completely (pinned in LlmSpec).
-    * Empty payloads hash to 0. Integer bound: the cross-multiplication
-    * sums(j)·len ≤ 255·len² stays inside Long for payloads < ~190 MB —
-    * far above any CHUNKED media blob this pipeline shuffles; a real
-    * codec integration re-pools decoded pixels per frame, where the
-    * same bound holds per frame by construction.
+    * Empty payloads hash to 0. Integer bound: the cell index is computed
+    * in Long (i·64 overflows Int at 2^25-byte ≈ 33.5 MB payloads — the
+    * index itself was the binding constraint, not the threshold compare),
+    * and the cross-multiplication sums(j)·len ≤ 255·len² stays inside
+    * Long for payloads < ~190 MB, which is now the true limit — far above
+    * any CHUNKED media blob this pipeline shuffles; a real codec
+    * integration re-pools decoded pixels per frame, where the same bound
+    * holds per frame by construction.
     */
   def phash64(payload: Array[Byte]): Long = {
     val cells = 64
@@ -132,7 +136,7 @@ object Multimodal {
     var total = 0L
     var i = 0
     while (i < payload.length) {
-      val j = i * cells / payload.length
+      val j = (i.toLong * cells / payload.length).toInt
       val v = (payload(i) & 0xff).toLong
       sums(j) += v; cnts(j) += 1L; total += v
       i += 1

@@ -910,9 +910,10 @@ object EventAnalytics {
     // of integer power iteration on q_event_transitions' matrix, ranks
     // in parts-per-billion (the q_pagerank discipline applied to a
     // ROW-STOCHASTIC chain: per-term floor (r·n) // rowsum, no damping —
-    // the observed chain is irreducible; an absorbing type would simply
-    // leave the from-type frame, identically on both engines). The
-    // oracle unrolls the same three rounds as chained CTEs. Scale shape:
+    // a type with outgoing but zero INCOMING transitions keeps its row
+    // with stationary_ppb=0 on both engines: the oracle's final join on
+    // m3 is a LEFT JOIN with coalesce(r,0), matching the engine's empty
+    // sum). The oracle unrolls the same three rounds as chained CTEs. Scale shape:
     // the corpus collapses to the |types|² matrix in one user-windowed
     // pass (shared with q_event_transitions); every round is a
     // grid-sized join.
@@ -938,8 +939,8 @@ object EventAnalytics {
                |GROUP BY p.to_type)""".stripMargin).mkString(",\n")}
          |SELECT ty.t AS event_type,
          |  cast(max(p.rowsum) as bigint) AS n_out,
-         |  cast(max(m3.r) as bigint) AS stationary_ppb
-         |FROM ty JOIN p ON p.from_type = ty.t JOIN m3 ON m3.t = ty.t
+         |  cast(coalesce(max(m3.r), 0) as bigint) AS stationary_ppb
+         |FROM ty JOIN p ON p.from_type = ty.t LEFT JOIN m3 ON m3.t = ty.t
          |GROUP BY ty.t ORDER BY event_type""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))

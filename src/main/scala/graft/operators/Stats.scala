@@ -494,11 +494,13 @@ object Stats {
     // all pairwise daily-revenue slopes — the robust trend estimator
     // paired with q_mann_kendall's significance test. slope_ppm uses the
     // PORTABLE signed floor division (num − pmod(num, den)) div den:
-    // Spark `div` truncates toward zero while DuckDB `//` floors, so a
-    // raw negative-numerator division diverges by 1 — subtracting the
-    // positive mod first makes the numerator exactly divisible, where
-    // truncation ≡ floor on both engines (% follows the dividend's sign
-    // identically in both). The median is the lower order statistic at
+    // subtracting the positive mod first makes the numerator exactly
+    // divisible, so the quotient is the FLOOR on both engines REGARDLESS
+    // of each engine's native rounding rule for inexact division (both
+    // Spark `div` and DuckDB bigint/hugeint `//` truncate toward zero as
+    // measured here, but the pmod subtraction pins floor semantics
+    // without relying on that; % follows the dividend's sign identically
+    // in both). The median is the lower order statistic at
     // rank (m+1) div 2 — deterministic regardless of tie permutation.
     // Scale shape: same calendar-grid pair join as q_mann_kendall; the
     // rank window partitions BY TYPE over ≤ days²/2 pairs (calendar-
