@@ -331,8 +331,14 @@ object Dedup {
     * signatures, never document text.
     */
   def bandIndex(corpus: DataFrame): DataFrame =
-    lshBands(minhashSignaturesStateless(corpus))
-      .select(col("band_id"), col("key")).distinct()
+    bandIndexFromSigs(minhashSignaturesStateless(corpus))
+
+  /** [[bandIndex]] over an already-signed corpus `(doc_id, h0..h5)` — the
+    * form that probes a PERSISTED signature artifact
+    * ([[Components.minhashSigs]]) instead of re-signing the corpus text.
+    */
+  def bandIndexFromSigs(sigs: DataFrame): DataFrame =
+    lshBands(sigs).select(col("band_id"), col("key")).distinct()
 
   private[graft] def lshBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
@@ -899,7 +905,7 @@ object Dedup {
          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM sigs GROUP BY ${minhashSeeds.indices.map(i => s"h$i").mkString(", ")}
          |ORDER BY keep_id""".stripMargin) { (s, dir) =>
-      minhashSignaturesStateless(docs(s, dir))
+      Components.minhashSigs(s, dir)
         .groupBy(minhashSeeds.indices.map(i => col(s"h$i")): _*)
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
@@ -924,14 +930,16 @@ object Dedup {
          |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id)
          |SELECT j.d1, j.d2, j.jac FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
          |WHERE j.jac >= 0.35 ORDER BY j.d1, j.d2""".stripMargin) { (s, dir) =>
-      // signatures come from the fused stateless expression (no shuffle;
-      // identical values to the aggregated form — LlmSpec pins it), so
-      // the exploded shingle table only feeds candidate verification;
-      // scoring runs only over LSH candidates (jaccardForCandidates),
-      // never the all-pairs self-join. sh consumers share its distinct
-      // exchange via ReuseExchange (see q_dedup_near note) — no cache.
+      // candidates come from the materialized band-candidate index
+      // (Components.minhashCands — same rows as
+      // lshCandidates(minhashSignaturesStateless(docs)), LlmSpec pins
+      // it), so the exploded shingle table only feeds candidate
+      // verification; scoring runs only over LSH candidates
+      // (jaccardForCandidates), never the all-pairs self-join. sh
+      // consumers share its distinct exchange via ReuseExchange (see
+      // q_dedup_near note) — no cache.
       val sh = shingles(docs(s, dir))
-      val cands = lshCandidates(minhashSignaturesStateless(docs(s, dir)))
+      val cands = Components.minhashCands(s, dir)
       jaccardForCandidates(sh, cands)
         .filter(col("jac") >= 0.35)
         .select(col("d1"), col("d2"), col("jac"))
@@ -976,8 +984,8 @@ object Dedup {
          |FROM ag g JOIN jac j ON j.d1 = g.d1 AND j.d2 = g.d2
          |ORDER BY g.d1, g.d2""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val sigs = minhashSignaturesStateless(d)
-      val cands = lshCandidates(sigs)
+      val sigs = Components.minhashSigs(s, dir)
+      val cands = Components.minhashCands(s, dir)
       val l = sigs.toDF("d1" +: minhashSeeds.indices.map(i => s"l$i"): _*)
       val r = sigs.toDF("d2" +: minhashSeeds.indices.map(i => s"r$i"): _*)
       val agree = minhashSeeds.indices
@@ -1021,7 +1029,7 @@ object Dedup {
          |  cast(sum((cast(occ as hugeint) * (occ - 1)) // 2) as bigint)
          |    AS cand_pairs
          |FROM occ GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, dir) =>
-      val occ = lshBands(minhashSignaturesStateless(docs(s, dir)))
+      val occ = lshBands(Components.minhashSigs(s, dir))
         .groupBy(col("band_id"), col("key"))
         .agg(count(lit(1)).as("occ"))
       occ.groupBy(col("band_id").cast(LongType).as("band_id"))
@@ -1064,7 +1072,7 @@ object Dedup {
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val ascii = docs(s, dir).filter(col("text").rlike("^[ -~]*$"))
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      lshCandidates(minhashSignaturesStateless(docs(s, dir)))
+      Components.minhashCands(s, dir)
         .join(ascii.select(col("doc_id").as("d1"), col("text").as("t1"),
           col("len").as("len1")), "d1")
         .join(ascii.select(col("doc_id").as("d2"), col("text").as("t2"),
@@ -1294,7 +1302,7 @@ object Dedup {
          |  ON nb.band_id = ck.band_id AND nb.key = ck.key
          |WHERE nb.is_new
          |GROUP BY nb.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val bands = lshBands(minhashSignaturesStateless(docs(s, dir)))
+      val bands = lshBands(Components.minhashSigs(s, dir))
         .withColumn("is_new",
           conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)),
             1, 2), 16, 10).cast(LongType) % 10 === 9)
@@ -1396,13 +1404,14 @@ object Dedup {
          |       ELSE (sum(s * m) * 1000000) // count(*) END as bigint) AS agree_ppm
          |FROM u ORDER BY n_union""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val bits = simhashBitsFor(d.count())
-      val sp = simhashNearDup(simhashSignaturesStateless(d, bits),
-          maxHamming = simhashMaxHamming, bits = bits)
+      // both detectors read their materialized pair/candidate indexes —
+      // rows identical to the inline pipelines (simhashPairs is the same
+      // simhashNearDup chain; minhashCands the same banded self-join)
+      val sp = Components.simhashPairs(s, dir)
         .select(col("d1"), col("d2"),
           lit(1L).as("in_s"), lit(0L).as("in_m"))
       val mp = jaccardForCandidates(shingles(d),
-          lshCandidates(minhashSignaturesStateless(d)))
+          Components.minhashCands(s, dir))
         .filter(col("jac") >= 0.35)
         .select(col("d1"), col("d2"),
           lit(0L).as("in_s"), lit(1L).as("in_m"))

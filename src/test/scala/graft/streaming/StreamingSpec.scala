@@ -271,9 +271,11 @@ class StreamingSpec extends AnyFunSuite {
         md5(col("doc_id").cast(org.apache.spark.sql.types.StringType)
           .cast(org.apache.spark.sql.types.BinaryType)), 1, 2), 16, 10)
       .cast(org.apache.spark.sql.types.LongType) % 10 === 9
-    val corpus = docs.filter(!isNew)
     val probe = docs.filter(isNew)
-    val idx = graft.llm.Dedup.bandIndex(corpus)
+    // the corpus side probes the PERSISTED signature artifact — the same
+    // index the batch twin (and a production daily ingest) reads
+    val idx = graft.llm.Dedup.bandIndexFromSigs(
+      graft.llm.Components.minhashSigs(spark, TestSpark.sfDir).filter(!isNew))
     // feed the probe docs across TWO micro-batches (cross-batch parity,
     // not one lucky batch)
     implicit val sqlCtx = spark.sqlContext
