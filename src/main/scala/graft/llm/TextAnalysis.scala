@@ -56,6 +56,78 @@ object TextAnalysis {
     */
   val curateQualityPpm: Long = 400000L
 
+  // ---- BPE kernel, shared by the trainer (q_bpe_merges) and the
+  // ---- encoder (q_bpe_encode) so the two can never drift
+
+  /** Char-split BPE symbol sequences: one `seq` row per non-empty
+    * whitespace word of the corpus (space-delimited symbols), carrying
+    * `keep` passthrough columns (the encoder keeps `lang`).
+    */
+  private[llm] def bpeSeqs(d: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    d.select(keep.map(col) :+ explode(split(col("text"), " ")).as("word"): _*)
+      .filter(col("word") =!= "")
+      .select(keep.map(col) :+
+        expr("trim(regexp_replace(word, '(.)', '$1 '))").as("seq"): _*)
+
+  // split once into an array column; the transform lambda reads the
+  // materialized array (re-splitting inside the lambda evaluates
+  // split() per PAIR, not per sequence)
+  private val bpePairsExpr = "transform(sequence(0, size(l) - 2), " +
+    "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"
+
+  /** The round's adopted merge: most frequent adjacent symbol pair
+    * (count DESC, pair ASC tiebreak). The adopted merge is ONE row —
+    * collecting it is the bounded driver cost a real BPE trainer pays
+    * per round, and it keeps each round's plan to a single corpus pass
+    * instead of nesting every earlier round's argmax subplan inside
+    * later consumers.
+    */
+  private[llm] def bpeBestPair(seqs: DataFrame): (String, Long) = {
+    val r = seqs.select(split(col("seq"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(bpePairsExpr)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1).head()
+    (r.getString(0), r.getLong(1))
+  }
+
+  /** Apply one merge leftmost-NON-OVERLAPPING (both engines' literal
+    * replace() scans identically and never rescans its own output, so
+    * 'a a a' merges once, not twice — documented, deterministic, and
+    * mirrored in the oracle chains). Sentinel spaces at the edges keep a
+    * pair pattern from matching inside a longer symbol. Passthrough
+    * columns are preserved.
+    */
+  private[llm] def bpeApplyMerge(seqs: DataFrame, pair: String): DataFrame =
+    seqs.withColumn("seq", trim(org.apache.spark.sql.functions.replace(
+      concat(lit(" "), col("seq"), lit(" ")),
+      lit(" " + pair + " "),
+      lit(" " + pair.replace(" ", "") + " "))))
+
+  /** Run `rounds` BPE training rounds over `seqs0`. Per-round persist
+    * (measured 3.6 → 2.9 s at sf0.1): round k+1's pair count reads round
+    * k's cached sequences instead of replaying the whole regexp+replace
+    * chain; each round's blocks release as soon as the NEXT round's
+    * cache is materialized (the pageRank round discipline). Returns
+    * (adopted merges, the post-final-merge sequence plan — one narrow
+    * projection over the last cached round — and that pinned cache,
+    * which the CALLER must unpersist after consuming the plan).
+    */
+  private[llm] def bpeTrain(seqs0: DataFrame, rounds: Int = 3)
+      : (Seq[(Int, String, Long)], DataFrame, Option[DataFrame]) = {
+    var seqs = seqs0
+    var prev: Option[DataFrame] = None
+    val merges = (1 to rounds).map { k =>
+      val cached = seqs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (pair, n) = bpeBestPair(cached) // action — materializes `cached`
+      prev.foreach(_.unpersist())
+      prev = Some(cached)
+      seqs = bpeApplyMerge(cached, pair)
+      (k, pair, n)
+    }
+    (merges, seqs, prev)
+  }
+
   // ---- formulas shared between their defining query and the composed
   // q_pipeline_curate, so the pipeline can't silently drift from the
   // operators it claims to compose (one definition per engine side) ----
@@ -957,50 +1029,89 @@ object TextAnalysis {
         |  UNION ALL SELECT cast(2 as int), pair, n FROM b2
         |  UNION ALL SELECT cast(3 as int), pair, n FROM b3)
         |ORDER BY round""".stripMargin) { (s, dir) =>
-      // split once into an array column; the transform lambda reads the
-      // materialized array (re-splitting inside the lambda evaluates
-      // split() per PAIR, not per sequence)
-      val pairsExpr = "transform(sequence(0, size(l) - 2), " +
-        "i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"
-      def bestOf(seqs: DataFrame): (String, Long) = {
-        // the adopted merge is ONE row — collecting it is the bounded
-        // driver cost a real BPE trainer pays per round, and it keeps
-        // each round's plan to a single corpus pass instead of nesting
-        // every earlier round's argmax subplan inside later consumers
-        val r = seqs.select(split(col("seq"), " ").as("l"))
-          .filter(size(col("l")) >= 2)
-          .select(explode(expr(pairsExpr)).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair")).limit(1).head()
-        (r.getString(0), r.getLong(1))
-      }
-      def applyMerge(seqs: DataFrame, pair: String): DataFrame = seqs
-        .select(trim(org.apache.spark.sql.functions.replace(
-          concat(lit(" "), col("seq"), lit(" ")),
-          lit(" " + pair + " "),
-          lit(" " + pair.replace(" ", "") + " "))).as("seq"))
-      var seqs = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("seq"))
-      // per-round persist (measured 3.6 → 2.9 s at sf0.1): round k+1's
-      // pair count reads round k's cached sequences instead of replaying
-      // the whole regexp+replace chain; each round's blocks release as
-      // soon as the NEXT round's cache is materialized (the pageRank
-      // round discipline), and the result is a LocalRelation, so nothing
-      // is left pinned
-      var prev: Option[DataFrame] = None
-      val merges = (1 to 3).map { k =>
-        val cached = seqs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (pair, n) = bestOf(cached) // action — materializes `cached`
-        prev.foreach(_.unpersist())
-        prev = Some(cached)
-        seqs = applyMerge(cached, pair)
-        (k, pair, n)
-      }
-      prev.foreach(_.unpersist())
+      val (merges, _, pinned) = bpeTrain(bpeSeqs(docs(s, dir)))
+      pinned.foreach(_.unpersist())
       s.createDataFrame(merges).toDF("round", "pair", "n")
         .orderBy(col("round"))
+    },
+
+    // BPE ENCODE (round 10, closes the tokenizer loop): apply the 3
+    // trained merges to the whole corpus and price each language in TRUE
+    // tokenizer tokens next to the whitespace proxy every mix/budget
+    // operator uses — the number an actual training run budgets by.
+    // Per lang: word count (the proxy), char-level symbol count (the
+    // pre-merge floor = sum of word lengths), post-merge BPE token
+    // count, and the BPE/char compression in floor-ppm. The encode pass
+    // replays the identical leftmost-non-overlapping replace() chain the
+    // trainer used (same sentinel-space form), so the oracle mirrors it
+    // bit-for-bit and the whole readout hash-gates. Scale shape: 3
+    // argmax rounds (corpus pass + 1-row collect each, the q_bpe_merges
+    // cost) + ONE extra counting pass; per-lang aggs are map-side
+    // combinable; nothing driver-side beyond the 3 adopted merges.
+    "q_bpe_encode" -> Q(
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |s0 AS MATERIALIZED (
+        |  SELECT lang, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+        |  FROM w WHERE word <> ''),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i + 1])) AS pair
+        |       FROM (SELECT string_split(seq, ' ') AS l FROM s0)),
+        |b1 AS MATERIALIZED (
+        |  SELECT pair FROM p1 GROUP BY pair
+        |  ORDER BY count(*) DESC, pair LIMIT 1),
+        |s1 AS MATERIALIZED (
+        |  SELECT lang, trim(replace(' ' || seq || ' ',
+        |           ' ' || (SELECT pair FROM b1) || ' ',
+        |           ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ')) AS seq
+        |  FROM s0),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i + 1])) AS pair
+        |       FROM (SELECT string_split(seq, ' ') AS l FROM s1)),
+        |b2 AS MATERIALIZED (
+        |  SELECT pair FROM p2 GROUP BY pair
+        |  ORDER BY count(*) DESC, pair LIMIT 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT lang, trim(replace(' ' || seq || ' ',
+        |           ' ' || (SELECT pair FROM b2) || ' ',
+        |           ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ')) AS seq
+        |  FROM s1),
+        |p3 AS (SELECT unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i + 1])) AS pair
+        |       FROM (SELECT string_split(seq, ' ') AS l FROM s2)),
+        |b3 AS MATERIALIZED (
+        |  SELECT pair FROM p3 GROUP BY pair
+        |  ORDER BY count(*) DESC, pair LIMIT 1),
+        |s3 AS (
+        |  SELECT lang, trim(replace(' ' || seq || ' ',
+        |           ' ' || (SELECT pair FROM b3) || ' ',
+        |           ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ')) AS seq
+        |  FROM s2)
+        |SELECT lang, cast(count(*) as bigint) AS n_words,
+        |  cast(sum(len(replace(seq, ' ', ''))) as bigint) AS n_char_syms,
+        |  cast(sum(len(string_split(seq, ' '))) as bigint) AS n_bpe_tokens,
+        |  cast((sum(cast(len(string_split(seq, ' ')) as hugeint)) * 1000000)
+        |       // sum(len(replace(seq, ' ', ''))) as bigint) AS ratio_ppm
+        |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val (merges, encoded, pinned) =
+        bpeTrain(bpeSeqs(docs(s, dir), keep = Seq("lang")))
+      val out = encoded
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(org.apache.spark.sql.functions.replace(
+            col("seq"), lit(" "), lit("")))).as("n_char_syms"),
+          sum(size(split(col("seq"), " "))).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_char_syms"),
+          col("n_bpe_tokens"),
+          expr("cast((cast(n_bpe_tokens as decimal(38,0)) * 1000000)" +
+            " div n_char_syms as bigint)").as("ratio_ppm"))
+        .orderBy(col("lang"))
+      // materialize before releasing the last training round's cache
+      // (the encode plan reads it); result is lang-domain-sized
+      val rows = out.collect().toIndexedSeq
+      require(merges.size == 3, s"expected 3 merges, got ${merges.size}")
+      pinned.foreach(_.unpersist())
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     },
 
     // Count-min-sketch heavy hitters (round 7) — completes the sketch

@@ -1293,4 +1293,39 @@ class LlmSpec extends AnyFunSuite {
     assert(got === exp)
     assert(got.values.map(_._1).sum === embs.length.toLong)
   }
+
+  test("BPE encode: hand corpus, merge-count identity, real-corpus invariants") {
+    import spark.implicits._
+    // hand corpus: 'ab' dominates round 1 ('a b' x4), then 'ab c' x3 —
+    // leftmost non-overlapping: 'a a a' (from 'aaa') merges ONCE after
+    // round 2 adopts... verify against a hand replay of the exact chain
+    val tiny = Seq((1L, "en", "abc abc ab"), (2L, "en", "abc aaa"))
+      .toDF("doc_id", "lang", "text")
+    val (merges, enc, pinned) =
+      TextAnalysis.bpeTrain(TextAnalysis.bpeSeqs(tiny, keep = Seq("lang")))
+    val encRows = enc.select("lang", "seq").as[(String, String)].collect().toSeq
+    pinned.foreach(_.unpersist())
+    // hand replay: words a-b-c a-b-c a-b | a-b-c a-a-a
+    // pairs r1: 'a b'x4 'b c'x3 'a a'x2 -> adopt 'a b' (count desc)
+    // seqs: 'ab c','ab c','ab','ab c','a a a'
+    // pairs r2: 'ab c'x3, 'a a'x2 -> adopt 'ab c'
+    // seqs: 'abc','abc','ab','abc','a a a'
+    // pairs r3: 'a a'x2 -> adopt 'a a'; 'a a a' -> 'aa a' (ONCE, no rescan)
+    assert(merges.map(m => (m._2, m._3)) ===
+      Seq(("a b", 4L), ("ab c", 3L), ("a a", 2L)))
+    assert(encRows.map(_._2).sorted ===
+      Seq("aa a", "ab", "abc", "abc", "abc"))
+    // real corpus: per-lang identity n_bpe_tokens = n_char_syms - merges
+    // applied (each application fuses exactly two symbols), and the
+    // encode can only shorten: n_bpe_tokens <= n_char_syms, plus the
+    // whitespace proxy is a lower bound: n_bpe_tokens >= n_words
+    val out = graft.Registry.all("q_bpe_encode").fn(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (lang, nWords, nChar, nBpe) =>
+      assert(nBpe <= nChar, s"$lang: encode grew the sequence")
+      assert(nBpe >= nWords, s"$lang: fewer tokens than words")
+      assert(nChar >= nWords, s"$lang: fewer chars than words")
+    }
+  }
 }
