@@ -309,6 +309,43 @@ class ComponentsSpec extends AnyFunSuite {
       Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("twoCore chain-collapse: 10k-vertex chain converges in <= 36 rounds, " +
+      "collapse never over-deletes") {
+    import spark.implicits._
+    def core(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Components.twoCore(edges.toDF("d1", "d2")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the verdict's cliff case: a 10k chain takes ~5k naive peel rounds —
+    // the collapse phase must finish it right after the cheap phase
+    assert(core((0L until 10000L).map(i => (i, i + 1))) === Map.empty)
+    assert(Components.twoCoreLastRounds <= Components.twoCoreCheapRounds + 4,
+      s"chain took ${Components.twoCoreLastRounds} rounds")
+    // collapse rounds must KEEP leafless degree-2 structure: a 40-cycle
+    // (pure cycle: no leaf, survives), a 30-path BRIDGING two triangles
+    // (junction-to-junction path: in the 2-core), and an 80-path PENDANT
+    // off one triangle (leaf-ended: peels) — the pendant is longer than
+    // the cheap phase (one leaf end = one vertex peeled per cheap round),
+    // so its removal happens in the collapse phase, next to the
+    // structures that must survive it
+    val cycle = (0L until 40L).map(i => (100L + i, 100L + (i + 1) % 40L))
+    val triA = Seq((200L, 201L), (201L, 202L), (202L, 200L))
+    val triB = Seq((300L, 301L), (301L, 302L), (302L, 300L))
+    val bridgePath = (0L until 30L).map(i =>
+      (if (i == 0) 200L else 400L + i - 1, if (i == 29) 300L else 400L + i))
+    val pendant = (0L until 80L).map(i =>
+      (if (i == 0) 301L else 500L + i - 1, 500L + i))
+    val got = core(cycle ++ triA ++ triB ++ bridgePath ++ pendant)
+    val want =
+      cycle.map(_._1 -> 2L).toMap ++
+        Map(200L -> 3L, 201L -> 2L, 202L -> 2L,
+          // 301 ends at 2: its pendant-start edge peels with the pendant
+          300L -> 3L, 301L -> 2L, 302L -> 2L) ++
+        (0L until 29L).map(i => (400L + i) -> 2L).toMap
+    assert(got === want)
+    assert(Components.twoCoreLastRounds <= Components.twoCoreCheapRounds + 4,
+      s"mixed graph took ${Components.twoCoreLastRounds} rounds")
+  }
+
   test("q_graph_modularity equals the brute-force partition arithmetic " +
     "and the CC identity d_sum = 2*e_in holds per cluster") {
     val pairs = Components.simhashPairs(spark, TestSpark.sfDir)
