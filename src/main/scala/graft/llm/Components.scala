@@ -1044,10 +1044,8 @@ object Components {
     // parts-per-billion. The oracle unrolls the identical three rounds
     // as chained CTEs from the same shared round template.
     "q_pagerank" -> Q(
-      s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |deg AS MATERIALIZED (SELECT src AS doc_id, cast(count(*) as bigint) AS deg
@@ -1072,10 +1070,8 @@ object Components {
     // identical degree orientation; the orientation is a total order, so
     // both engines enumerate the exact same wedge set.
     "q_triangles" -> Q(
-      s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
@@ -1117,10 +1113,8 @@ object Components {
     // ~64-bucket agg; the vertex left-join keys on doc_id. Nothing about
     // this query touches raw text.
     "q_graph_degree_hist" -> Q(
-      s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
@@ -1148,10 +1142,8 @@ object Components {
     // + two semi-joins on a monotonically shrinking edge set; same loop
     // disciplines as connectedComponents.
     "q_graph_kcore" -> Q(
-      s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |e0 AS MATERIALIZED (SELECT d1, d2 FROM prs),
          |${(1 to oPeelRounds).map(oPeelRound).mkString(",\n")}
          |SELECT id AS doc_id, cast(count(*) as bigint) AS core_deg
@@ -1172,10 +1164,8 @@ object Components {
     // per-cluster argmax is a map-side-combinable max_by — no window
     // over members.
     "q_dedup_keep_best" -> Q(
-      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |reach(id, lab) AS (
@@ -1211,10 +1201,8 @@ object Components {
     // engines agree because the edge set is integer-exact and min-label
     // is order-independent.
     "q_dedup_cc" -> Q(
-      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |reach(id, lab) AS (
@@ -1241,10 +1229,8 @@ object Components {
     // no near-dup edge are by contract not in the graph); two
     // label-sized aggs on top. All integers.
     "q_dedup_cluster_sizes" -> Q(
-      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |reach(id, lab) AS (
@@ -1280,10 +1266,8 @@ object Components {
     // decimal(38,0)/HUGEINT (4m² passes 2^63 at ~1.5e9 edges); the
     // 1-row m rides the legal crossJoin(broadcast).
     "q_graph_modularity" -> Q(
-      s"""WITH RECURSIVE ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |reach(id, lab) AS (
@@ -1337,10 +1321,8 @@ object Components {
     // term floor keeps both engines integer; top-25 under a total
     // (ra_ppm DESC, d1, d2) order crosses engines.
     "q_link_predict" -> Q(
-      s"""WITH ${Dedup.oSimhashSigsCte},
-         |prs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= ${Dedup.simhashMaxHamming}),
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
          |          UNION SELECT d2, d1 FROM prs),
          |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
@@ -1358,6 +1340,75 @@ object Components {
          |WHERE p.d1 IS NULL
          |ORDER BY sc.ra_ppm DESC, sc.d1, sc.d2 LIMIT 25""".stripMargin) { (s, dir) =>
       linkPredictFromPairs(simhashPairs(s, dir))
+    },
+
+    // Degree assortativity (round 10): Pearson correlation between the
+    // endpoint degrees of the near-dup graph's edges — positive means
+    // hubs pair with hubs (template families cross-linking: dedup the
+    // CLUSTER cores first), negative means hub-and-spoke boilerplate
+    // (one canonical doc with many variants). The standard Newman
+    // r = corr(deg(u), deg(v)) over DIRECTED edge listings (both
+    // orientations, so the statistic is symmetric). Same integer moment
+    // algebra + staged Cauchy-Schwarz-bounded floors as q_rolling_corr /
+    // q_corr_matrix: cov = k·Σxy − Σx·Σy in decimal(38,0)/HUGEINT, sign
+    // emitted separately, r²·1e6 via ((cov²//vx)·1e6)//vy. Bounds:
+    // k ≤ 2m, deg ≤ n ⇒ k·Σxy ≤ 2m·(2m·n²) — inside decimal(38) for any
+    // graph this pipeline shuffles (m ≤ 1e12, deg ≤ 1e6). Scale shape:
+    // the pair index is read, one edge-sized degree agg, two edge-sized
+    // equi-joins, ONE map-side-combinable moment agg — no windows, no
+    // pairs beyond the index.
+    "q_graph_assortativity" -> Q(
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION ALL SELECT d2, d1 FROM prs),
+         |deg AS MATERIALIZED (SELECT src AS id, cast(count(*) as bigint) AS deg
+         |        FROM edges GROUP BY src),
+         |xy AS (SELECT a.deg AS x, b.deg AS y
+         |       FROM edges e JOIN deg a ON a.id = e.src
+         |                    JOIN deg b ON b.id = e.dst),
+         |m AS (SELECT cast(count(*) as hugeint) AS k,
+         |        sum(cast(x as hugeint)) AS sx,
+         |        sum(cast(y as hugeint)) AS sy,
+         |        sum(cast(x as hugeint) * y) AS sxy,
+         |        sum(cast(x as hugeint) * x) AS sxx,
+         |        sum(cast(y as hugeint) * y) AS syy
+         |      FROM xy),
+         |c AS (SELECT k, k * sxy - sx * sy AS cov,
+         |        k * sxx - sx * sx AS vx, k * syy - sy * sy AS vy
+         |      FROM m)
+         |SELECT cast(k as bigint) AS n_dir_edges,
+         |  cast(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+         |    as bigint) AS corr_sign,
+         |  cast(CASE WHEN vx > 0 AND vy > 0
+         |       THEN (((cov * cov) // vx) * 1000000) // vy ELSE 0 END
+         |    as bigint) AS r2_ppm
+         |FROM c ORDER BY n_dir_edges""".stripMargin) { (s, dir) =>
+      val prs = simhashPairs(s, dir)
+      val edges = prs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(prs.select(col("d2").as("src"), col("d1").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      edges
+        .join(deg.select(col("id").as("src"), col("deg").cast(dec).as("x")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").cast(dec).as("y")), "dst")
+        .agg(count(lit(1)).cast(dec).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("k"),
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("cov"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("vx"),
+          (col("k") * col("syy") - col("sy") * col("sy")).as("vy"))
+        .select(col("k").cast(LongType).as("n_dir_edges"),
+          when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+            .as("corr_sign"),
+          when(col("vx") > 0 && col("vy") > 0,
+            expr("cast((((cov * cov) div vx) * 1000000) div vy as bigint)"))
+            .otherwise(0L).as("r2_ppm"))
+        .orderBy(col("n_dir_edges"))
     }
   )
 }

@@ -575,24 +575,74 @@ object Dedup {
       |                   JOIN sizes s2 ON d2 = s2.doc_id)""".stripMargin
 
   /** Shingle CTE + the full portable SimHash signature pipeline (hex md5
-    * nibbles → 32-bit value → ±1 bit sums → sign bits), ending in
-    * `sigs(doc_id, sig)`. Shared by q_dedup_simhash and q_dedup_cc so the
-    * two oracles can never drift apart.
+    * nibbles → hash value → ±1 bit sums → sign bits), ending in
+    * `sigs(doc_id, sig)`. Shared by every simhash-family oracle so they
+    * can never drift apart. WIDTH-PARAMETRIC since round 10: `swb`
+    * derives the signature width from the corpus size exactly as the
+    * engine does ([[simhashBitsFor]]: 32 up to 16 384 docs, else 63), so
+    * the same oracle text states the 63-bit regime at replica scale
+    * instead of pinning the graded-SF width — at every graded SF it
+    * still resolves to 32, leaving gate hashes untouched. The 63-bit
+    * value mirrors [[graft.functions.TextOps.simhash]]: first 8 md5
+    * bytes big-endian (HUGEINT — the 64-bit intermediate overflows
+    * BIGINT) floor-halved, i.e. `>>> 1`, clearing the sign bit.
     */
   private[llm] val oSimhashSigsCte: String =
     s"""$oShingleCte,
+       |swb AS (SELECT CASE WHEN count(*) <= 16384 THEN 32 ELSE 63 END AS sbits
+       |        FROM documents),
        |hv AS (SELECT doc_id,
-       |         ${(0 until 8).map(j =>
+       |         CASE WHEN (SELECT sbits FROM swb) = 32
+       |         THEN ${(0 until 8).map(j =>
       s"(instr('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1) * ${1L << (4 * (7 - j))}")
-      .mkString("\n       |       + ")} AS hv
+      .mkString("\n       |            + ")}
+       |         ELSE cast(((${(0 until 16).map(j =>
+      s"cast(instr('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1 as hugeint) * ${BigInt(16).pow(15 - j)}")
+      .mkString("\n       |            + ")}) // 2) as bigint)
+       |         END AS hv
        |       FROM sh),
        |bits AS (SELECT doc_id, g.b,
        |           CASE WHEN ((hv >> g.b) & 1) = 1 THEN 1 ELSE -1 END AS sign
-       |         FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g),
+       |         FROM hv CROSS JOIN (
+       |           SELECT unnest(range(0, (SELECT sbits FROM swb))) AS b) g),
        |bsum AS (SELECT doc_id, b, sum(sign) AS s FROM bits GROUP BY doc_id, b),
        |sigs AS MATERIALIZED (SELECT doc_id,
        |           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS sig
        |         FROM bsum GROUP BY doc_id)""".stripMargin
+
+  /** [[oSimhashSigsCte]] + banded candidate generation + hamming verify,
+    * ending in `spairs(d1, d2, hamming)` — the oracle twin of the whole
+    * near-dup pair pipeline. The band spec is interpolated from
+    * [[simhashBandSpecFor]] at BOTH widths and filtered by the derived
+    * `swb.sbits`, and pigeonhole losslessness at hamming ≤
+    * [[simhashMaxHamming]] (≤ 6 flipped bits corrupt at most 6 of 7
+    * chunks; LlmSpec pins it) makes `spairs` EQUAL to the all-pairs
+    * truth — while being an equi-join DuckDB hash-plans at any corpus
+    * size. The previous all-pairs `sigs a JOIN sigs b ON a.doc_id <
+    * b.doc_id` form was the 30×-gate's 10-query timeout class (~100+
+    * CPU-min each at 150k docs).
+    */
+  private[llm] val oSimhashPairsCte: String =
+    s"""$oSimhashSigsCte,
+       |sbspec AS (SELECT sband, soff, sw FROM (VALUES
+       |             ${Seq(32, 63).flatMap(w =>
+      simhashBandSpecFor(w).zipWithIndex.map { case ((off, wd), i) =>
+        s"($w, $i, $off, $wd)" }).mkString(",\n       |             ")})
+       |             t(tb, sband, soff, sw)
+       |           WHERE tb = (SELECT sbits FROM swb)),
+       |sbnd AS (SELECT s.doc_id, b.sband,
+       |           ((s.sig >> b.soff) & ((1::BIGINT << b.sw) - 1)) AS skey
+       |         FROM sigs s CROSS JOIN sbspec b),
+       |scand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |          FROM sbnd l JOIN sbnd r
+       |            ON l.sband = r.sband AND l.skey = r.skey
+       |            AND l.doc_id < r.doc_id),
+       |spairs AS MATERIALIZED (
+       |  SELECT c.d1, c.d2,
+       |    cast(bit_count(xor(x.sig, y.sig)) as bigint) AS hamming
+       |  FROM scand c JOIN sigs x ON x.doc_id = c.d1
+       |               JOIN sigs y ON y.doc_id = c.d2
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= $simhashMaxHamming)""".stripMargin
 
   /** Target mean LSH bucket occupancy for embedding near-dup pair
     * generation: plane count derives as max(8, ceil(log2(N / this))), so
@@ -1087,18 +1137,17 @@ object Dedup {
     // SimHash near-dup: 32-bit signatures over shingle features, hamming
     // distance <= simhashMaxHamming (random pairs center at 16).
     "q_dedup_simhash" -> Q(
-      s"""WITH $oSimhashSigsCte
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |  cast(bit_count(xor(a.sig, b.sig)) as bigint) AS hamming
-         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming
+      s"""WITH $oSimhashPairsCte
+         |SELECT d1, d2, hamming FROM spairs
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       // signatures from the fused stateless expression (one narrow pass);
       // candidates via bit-chunk banding (equi-join; lossless for ham<=6
       // by pigeonhole — see simhashBandSpec) with inline hamming verify.
-      // The oracle stays the exact all-pairs definition: same result set.
-      // Width derives from the corpus (simhashBitsFor): 32 at every
-      // graded SF (matching the oracle's 32-bit CTE), 63 past 16k docs.
+      // The oracle (oSimhashPairsCte) mirrors BOTH the width derivation
+      // and the banded candidate generation since round 10, so it states
+      // the same pair set at every corpus size — including the 63-bit
+      // regime past 16k docs — and completes at replica scale (the
+      // all-pairs form was the 30x-gate timeout class).
       val d = docs(s, dir)
       val bits = simhashBitsFor(d.count())
       simhashNearDup(simhashSignaturesStateless(d, bits),
@@ -1373,10 +1422,8 @@ object Dedup {
     // pipelines, one (d1, d2)-keyed agg over their union (edge-sized),
     // one 1-row close; set-Jaccard is nonneg scale-0 floor division.
     "q_dedup_agreement" -> Q(
-      s"""WITH $oSimhashSigsCte,
-         |ssp AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
-         |        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming),
+      s"""WITH $oSimhashPairsCte,
+         |ssp AS (SELECT d1, d2 FROM spairs),
          |msigs AS MATERIALIZED (
          |  SELECT doc_id,
          |    $oSigExprs

@@ -63,7 +63,7 @@ object TextAnalysis {
     * whitespace word of the corpus (space-delimited symbols), carrying
     * `keep` passthrough columns (the encoder keeps `lang`).
     */
-  private[llm] def bpeSeqs(d: DataFrame, keep: Seq[String] = Nil): DataFrame =
+  private[graft] def bpeSeqs(d: DataFrame, keep: Seq[String] = Nil): DataFrame =
     d.select(keep.map(col) :+ explode(split(col("text"), " ")).as("word"): _*)
       .filter(col("word") =!= "")
       .select(keep.map(col) :+
@@ -82,7 +82,7 @@ object TextAnalysis {
     * instead of nesting every earlier round's argmax subplan inside
     * later consumers.
     */
-  private[llm] def bpeBestPair(seqs: DataFrame): (String, Long) = {
+  private[graft] def bpeBestPair(seqs: DataFrame): (String, Long) = {
     val r = seqs.select(split(col("seq"), " ").as("l"))
       .filter(size(col("l")) >= 2)
       .select(explode(expr(bpePairsExpr)).as("pair"))
@@ -98,7 +98,7 @@ object TextAnalysis {
     * pair pattern from matching inside a longer symbol. Passthrough
     * columns are preserved.
     */
-  private[llm] def bpeApplyMerge(seqs: DataFrame, pair: String): DataFrame =
+  private[graft] def bpeApplyMerge(seqs: DataFrame, pair: String): DataFrame =
     seqs.withColumn("seq", trim(org.apache.spark.sql.functions.replace(
       concat(lit(" "), col("seq"), lit(" ")),
       lit(" " + pair + " "),
@@ -113,7 +113,7 @@ object TextAnalysis {
     * projection over the last cached round — and that pinned cache,
     * which the CALLER must unpersist after consuming the plan).
     */
-  private[llm] def bpeTrain(seqs0: DataFrame, rounds: Int = 3)
+  private[graft] def bpeTrain(seqs0: DataFrame, rounds: Int = 3)
       : (Seq[(Int, String, Long)], DataFrame, Option[DataFrame]) = {
     var seqs = seqs0
     var prev: Option[DataFrame] = None
@@ -1349,6 +1349,55 @@ object TextAnalysis {
         col("doc_id"), col("n_tok"),
         qualityPpmCol.as("quality_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // Quality-score calibration against duplication (round 10): is the
+    // quality blend PREDICTIVE of the thing curation uses it for? Bucket
+    // q_quality_score's ppm into 10 fixed-width deciles and read each
+    // bucket's exact-duplicate rate (q_fingerprint's corpus-wide
+    // whitespace-normalized md5, count > 1) — a reliability table: a
+    // useful score shows dup rate falling as quality rises; a flat
+    // column says the threshold in q_pipeline_curate is cutting noise.
+    // Shares qualityPpmCol/oQualityPpm and the fingerprint definition
+    // verbatim, so it cannot drift from the operators it audits. All
+    // integer (floor-ppm rate), fully hash-gated. Scale shape: one
+    // per-doc codegen pass, one fingerprint groupBy + join-back
+    // (q_dup_rate_by_source's three linear shuffles), 10-row close.
+    "q_calibration" -> Q(
+      s"""WITH s0 AS (
+         |  SELECT doc_id, n_chars,
+         |    cast(len(string_split(text, ' ')) as double) AS n_tok,
+         |    ${oLexCount("en")} AS n_stop,
+         |    $oFingerprint AS fp
+         |  FROM documents),
+         |q AS MATERIALIZED (
+         |  SELECT doc_id, fp, $oQualityPpm AS q_ppm FROM s0),
+         |g AS MATERIALIZED (SELECT fp, count(*) AS gs FROM q GROUP BY fp),
+         |j AS (SELECT least(q.q_ppm // 100000, 9) AS bucket,
+         |        CASE WHEN g.gs > 1 THEN 1 ELSE 0 END AS dup
+         |      FROM q JOIN g USING (fp))
+         |SELECT cast(bucket as bigint) AS bucket,
+         |  cast(count(*) as bigint) AS n_docs,
+         |  cast(sum(dup) as bigint) AS n_dup,
+         |  cast((cast(sum(dup) as hugeint) * 1000000) // count(*) as bigint)
+         |    AS dup_ppm
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val q = docs(s, dir).select(
+          col("doc_id"), col("n_chars"),
+          size(toks).cast(DoubleType).as("n_tok"),
+          lexCount("en").as("n_stop"),
+          fingerprintCol.as("fp"))
+        .select(col("fp"), qualityPpmCol.as("q_ppm"))
+      val g = q.groupBy(col("fp")).agg(count(lit(1)).as("gs"))
+      q.join(g, "fp")
+        .select(least(expr("q_ppm div 100000"), lit(9L)).as("bucket"),
+          when(col("gs") > 1, 1L).otherwise(0L).as("dup"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dup"))
+        .select(col("bucket"), col("n_docs"), col("n_dup"),
+          expr("cast((cast(n_dup as decimal(38,0)) * 1000000) div n_docs" +
+            " as bigint)").as("dup_ppm"))
+        .orderBy(col("bucket"))
     },
 
     // Language ID: stopword-density argmax with a stable alphabetical

@@ -846,5 +846,148 @@ object Stats {
           col("lifetime").cast(LongType).as("lifetime_days"),
           col("n_risk"), col("n_churn"), col("n_cens"), col("cumhaz_ppm"))
         .orderBy(col("event_type"), col("lifetime_days"))
+    },
+
+    // Permutation test (round 10): the assumption-free significance
+    // companion to q_abtest_lift/q_mann_whitney — does the md5-parity
+    // arm split's per-user revenue difference exceed what RANDOM splits
+    // produce? 20 deterministic permutations re-derive the arm from
+    // md5('p<i>:' || user_id) (no RNG — both engines replay the same
+    // reshuffles), statistic t = |S_A·n_B − S_B·n_A|·1e6 // (n_A·n_B)
+    // (the cross-multiplied |mean diff| in floor-ppm of cents — exact
+    // integers end to end), p = (#{t_i ≥ t_obs}+1)/(k+1) in milli (the
+    // add-one Phipson-Smyth estimator). Scale shape: ONE corpus pass to
+    // the per-user metric; the 21-way seed explode runs over the USER
+    // table, never events; every agg map-side-combinable; 21-row close.
+    "q_permutation_test" -> Q(
+      """WITH u AS MATERIALIZED (
+        |  SELECT user_id, cast(sum(CASE WHEN value IS NOT NULL
+        |      THEN cast(floor(value * 100) as bigint) ELSE 0 END) as bigint) AS m
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT unnest(range(0, 21)) AS seed),
+        |a AS (
+        |  SELECT g.seed,
+        |    (instr('0123456789abcdef', substr(md5(
+        |       CASE WHEN g.seed = 0 THEN cast(user_id as varchar)
+        |            ELSE 'p' || cast(g.seed as varchar) || ':'
+        |                 || cast(user_id as varchar) END), 1, 1)) - 1) % 2 AS arm,
+        |    u.m
+        |  FROM u CROSS JOIN g),
+        |t AS (
+        |  SELECT seed,
+        |    cast(count(CASE WHEN arm = 0 THEN 1 END) as hugeint) AS n_a,
+        |    cast(count(CASE WHEN arm = 1 THEN 1 END) as hugeint) AS n_b,
+        |    cast(sum(CASE WHEN arm = 0 THEN m ELSE 0 END) as hugeint) AS s_a,
+        |    cast(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) as hugeint) AS s_b
+        |  FROM a GROUP BY seed),
+        |ts AS (SELECT seed,
+        |    CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+        |         ELSE (abs(s_a * n_b - s_b * n_a) * 1000000)
+        |              // (n_a * n_b) END AS t
+        |  FROM t),
+        |ob AS (SELECT t AS t_obs FROM ts WHERE seed = 0)
+        |SELECT cast(20 as bigint) AS n_perms,
+        |  cast(ob.t_obs as bigint) AS t_obs,
+        |  cast(count(CASE WHEN ts.seed > 0 AND ts.t >= ob.t_obs THEN 1 END)
+        |    as bigint) AS n_ge,
+        |  cast(((count(CASE WHEN ts.seed > 0 AND ts.t >= ob.t_obs THEN 1 END)
+        |         + 1) * 1000) // 21 as bigint) AS p_milli
+        |FROM ts, ob GROUP BY ob.t_obs ORDER BY n_perms""".stripMargin) { (s, dir) =>
+      val k = 20
+      val dec = DecimalType(38, 0)
+      val u = events(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(col("value").isNotNull,
+          floor(col("value") * 100).cast(LongType)).otherwise(0L)).as("m"))
+      val seeds = s.range(0, k + 1).select(col("id").as("seed"))
+      val key = when(col("seed") === 0, col("user_id").cast(StringType))
+        .otherwise(concat(lit("p"), col("seed").cast(StringType), lit(":"),
+          col("user_id").cast(StringType)))
+      val t = u.crossJoin(broadcast(seeds))
+        .select(col("seed"), col("m"),
+          (conv(substring(md5(key.cast(BinaryType)), 1, 1), 16, 10)
+            .cast(LongType) % 2).as("arm"))
+        .groupBy(col("seed"))
+        .agg(count(when(col("arm") === 0, 1)).cast(dec).as("n_a"),
+          count(when(col("arm") === 1, 1)).cast(dec).as("n_b"),
+          sum(when(col("arm") === 0, col("m")).otherwise(0L)).cast(dec).as("s_a"),
+          sum(when(col("arm") === 1, col("m")).otherwise(0L)).cast(dec).as("s_b"))
+        .select(col("seed"),
+          expr("CASE WHEN n_a = 0 OR n_b = 0 THEN cast(0 as decimal(38,0)) " +
+            "ELSE (abs(s_a * n_b - s_b * n_a) * 1000000) div (n_a * n_b) END")
+            .as("t"))
+      val tObs = t.filter(col("seed") === 0)
+        .select(col("t").as("t_obs"))
+      t.filter(col("seed") > 0).crossJoin(broadcast(tObs))
+        .groupBy(col("t_obs"))
+        .agg(count(when(col("t") >= col("t_obs"), 1)).as("n_ge"))
+        .select(lit(k.toLong).as("n_perms"),
+          col("t_obs").cast(LongType).as("t_obs"), col("n_ge"),
+          expr(s"((n_ge + 1) * 1000) div ${k + 1}").as("p_milli"))
+        .orderBy(col("n_perms"))
+    },
+
+    // Binary change-point detection (round 10): per event type, the day
+    // split maximizing the between-segment separation of daily revenue —
+    // the "when did this metric move" screen next to q_cusum_shift's
+    // sequential detector. Candidate k (after each day) scores
+    // (S_L·n_R − S_R·n_L)² // (n_L·n_R) — the n-scaled between-group
+    // variance with the constant n dropped (ordering unchanged) — in
+    // decimal(38,0)/HUGEINT with a (score DESC, day ASC) total tiebreak,
+    // so both engines select the identical argmax row; only bigint-safe
+    // columns are emitted (split day, day counts, floored segment means
+    // in cents — nonneg revenue, scale-0 floor division). Bound: the
+    // internal square needs corpus revenue ≤ ~1e15 cents × 400 days
+    // inside decimal(38); beyond that, re-scale to dollars. Scale shape:
+    // corpus collapses to the (type, day) calendar grid in one map-side
+    // agg; windows partition BY TYPE over day cells (calendar-bounded,
+    // never corpus rows).
+    "q_changepoint" -> Q(
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type, cast(ts as date) AS day,
+        |    cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, cast(ts as date)),
+        |w AS (SELECT event_type, day,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY day) AS sl,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day) AS nl,
+        |    sum(c) OVER (PARTITION BY event_type) AS st,
+        |    count(*) OVER (PARTITION BY event_type) AS nt
+        |  FROM d),
+        |sc AS (SELECT event_type, day, sl, nl, st, nt,
+        |    (cast(sl as hugeint) * (nt - nl) - cast(st - sl as hugeint) * nl)
+        |    * (cast(sl as hugeint) * (nt - nl) - cast(st - sl as hugeint) * nl)
+        |    // (cast(nl as hugeint) * (nt - nl)) AS key
+        |  FROM w WHERE nl < nt),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY key DESC, day) AS rk FROM sc)
+        |SELECT event_type, day AS split_day, cast(nt as bigint) AS n_days,
+        |  cast(sl // nl as bigint) AS mean_l_cents,
+        |  cast((st - sl) // (nt - nl) as bigint) AS mean_r_cents
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val d = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("c"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val sc = d.select(col("event_type"), col("day"),
+          sum(col("c")).over(wOrd).as("sl"),
+          count(lit(1)).over(wOrd).as("nl"),
+          sum(col("c")).over(wAll).as("st"),
+          count(lit(1)).over(wAll).as("nt"))
+        .filter(col("nl") < col("nt"))
+        .withColumn("dterm",
+          col("sl").cast(dec) * (col("nt") - col("nl"))
+            - (col("st") - col("sl")).cast(dec) * col("nl"))
+        .withColumn("key",
+          expr("(dterm * dterm) div (cast(nl as decimal(38,0)) * (nt - nl))"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("key").desc, col("day"))
+      sc.withColumn("rk", row_number().over(rk)).filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("nt").cast(LongType).as("n_days"),
+          expr("cast(sl div nl as bigint)").as("mean_l_cents"),
+          expr("cast((st - sl) div (nt - nl) as bigint)").as("mean_r_cents"))
+        .orderBy(col("event_type"))
     })
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -427,6 +427,40 @@ object Streams {
   def streamingCharsetAudit(docsStream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.charsetRollup(
       graft.llm.TextAnalysis.charsetPerDoc(docsStream))
+
+  /** BPE encoding at INGEST (s_bpe_encode): annotate each streaming doc
+    * with its TRUE tokenizer token count under a TRAINED merge table —
+    * the per-doc twin of q_bpe_encode's corpus rollup, and the number a
+    * live ingest budgets/prices by instead of the whitespace proxy. The
+    * merge table is a training-time artifact (q_bpe_merges /
+    * [[graft.llm.TextAnalysis.bpeTrain]]) shipped as plan literals, so
+    * the whole streaming plan is ONE STATELESS narrow projection: per
+    * word, char-split then the identical leftmost-non-overlapping
+    * sentinel-space replace() chain the trainer used, then count
+    * symbols; per doc, sum over words via `aggregate` — zero state
+    * stores, no watermark, unbounded-safe at any ingest rate (the
+    * s_stream_decontam discipline). Empty texts carry n_bpe_tokens = 0.
+    * StreamingSpec pins per-lang sums equal to the batch operator on the
+    * real corpus across micro-batches.
+    */
+  def streamingBpeEncode(docsStream: DataFrame, merges: Seq[String]): DataFrame = {
+    val perWord: Column => Column = w => {
+      val charSplit =
+        concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+      val merged = merges.foldLeft(charSplit) { (c, p) =>
+        // replacement keeps the flanking sentinels, so the next merge
+        // in the chain sees the same spaced form the batch kernel does
+        org.apache.spark.sql.functions.replace(c,
+          lit(" " + p + " "), lit(" " + p.replace(" ", "") + " "))
+      }
+      size(split(trim(merged), " "))
+    }
+    docsStream.withColumn("n_bpe_tokens",
+      aggregate(
+        filter(split(col("text"), " "), w => w =!= ""),
+        lit(0L),
+        (acc, w) => acc + perWord(w).cast(LongType)))
+  }
 
   /** Streaming count-min sketch maintenance (s_sketch_cms): the
     * frequency sketch kept live over a keyed stream as a streaming

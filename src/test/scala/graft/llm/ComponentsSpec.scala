@@ -431,4 +431,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(syn === Seq((100L, 102L, 1L, 500000L), (101L, 103L, 1L, 500000L)),
       "hub wedges must be excluded by the center cap")
   }
+
+  test("q_graph_assortativity equals the BigInt moment brute force over the pair graph") {
+    val pairs = Components.simhashPairs(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = edges.map { case (u, v) => (BigInt(deg(u)), BigInt(deg(v))) }
+    val k = BigInt(xy.size)
+    val sx = xy.map(_._1).sum
+    val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val cov = k * sxy - sx * sy
+    val vx = k * sxx - sx * sx
+    val vy = k * syy - sy * sy
+    val r2 = if (vx > 0 && vy > 0) (((cov * cov) / vx) * 1000000) / vy else BigInt(0)
+    val got = graft.Registry.all("q_graph_assortativity")
+      .fn(spark, TestSpark.sfDir).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === xy.size.toLong)
+    assert(got.head.getLong(1) === cov.signum.toLong)
+    assert(got.head.getLong(2) === r2.toLong)
+    assert(xy.nonEmpty, "pair graph must be non-empty at the test SF")
+  }
 }

@@ -1328,4 +1328,31 @@ class LlmSpec extends AnyFunSuite {
       assert(nChar >= nWords, s"$lang: fewer chars than words")
     }
   }
+
+  test("q_calibration equals q_quality_score buckets x brute-force dup flags") {
+    import spark.implicits._
+    val q = graft.Registry.all("q_quality_score").fn(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("quality_ppm")).as[(Long, Long)]
+      .collect().toMap
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val fps = rows.map { case (id, t) =>
+      (id, md5hex(t.toLowerCase.replaceAll("[ \\t\\n\\r\\f]+", " ")))
+    }
+    val cnt = fps.groupBy(_._2).view.mapValues(_.size).toMap
+    val exp = fps.map { case (id, fp) =>
+      (math.min(q(id) / 100000, 9L), if (cnt(fp) > 1) 1L else 0L)
+    }.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_._2).sum,
+        (BigInt(xs.map(_._2).sum) * 1000000 / xs.length).toLong))
+    }
+    val got = graft.Registry.all("q_calibration").fn(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === exp)
+    assert(got.values.map(_._1).sum === rows.length.toLong)
+  }
 }

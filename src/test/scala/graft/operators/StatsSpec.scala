@@ -754,4 +754,62 @@ class StatsSpec extends AnyFunSuite {
     assert(got.values.exists(_._1) && got.values.exists(!_._1),
       "label must be non-degenerate at sf0.001")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("q_permutation_test equals a MessageDigest replay of the 20 reshuffles") {
+    val rows = Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0L else math.floor(r.getDouble(1) * 100).toLong))
+    val perUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def arm(key: String): Int = Integer.parseInt(md5hex(key).take(1), 16) % 2
+    def tOf(seed: Int): BigInt = {
+      val as = perUser.toSeq.map { case (u, m) =>
+        (arm(if (seed == 0) u.toString else s"p$seed:$u"), m)
+      }
+      val na = BigInt(as.count(_._1 == 0)); val nb = BigInt(as.count(_._1 == 1))
+      val sa = BigInt(as.filter(_._1 == 0).map(_._2).sum)
+      val sb = BigInt(as.filter(_._1 == 1).map(_._2).sum)
+      if (na == 0 || nb == 0) BigInt(0)
+      else ((sa * nb - sb * na).abs * 1000000) / (na * nb)
+    }
+    val t0 = tOf(0)
+    val nGe = (1 to 20).count(i => tOf(i) >= t0).toLong
+    val got = run("q_permutation_test").collect()
+    assert(got.length === 1)
+    assert((got.head.getLong(0), got.head.getLong(1),
+      got.head.getLong(2), got.head.getLong(3)) ===
+      ((20L, t0.toLong, nGe, (nGe + 1) * 1000 / 21)))
+  }
+
+  test("q_changepoint equals the brute-force argmax split per type") {
+    val d = Engine.table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val got = run("q_changepoint").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDate(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val multi = d.groupBy(_._1).filter(_._2.length >= 2)
+    assert(got.keySet === multi.keySet)
+    multi.foreach { case (t, xs0) =>
+      val xs = xs0.sortBy(_._2.getTime)
+      val n = xs.length
+      val total = xs.map(x => BigInt(x._3)).sum
+      var bestKey = BigInt(-1); var bestK = -1
+      for (k <- 1 until n) {
+        val sl = xs.take(k).map(x => BigInt(x._3)).sum
+        val dterm = sl * (n - k) - (total - sl) * k
+        val key = (dterm * dterm) / (BigInt(k) * (n - k))
+        if (key > bestKey) { bestKey = key; bestK = k } // day-asc tiebreak
+      }
+      val sl = xs.take(bestK).map(x => BigInt(x._3)).sum
+      assert(got(t) === ((xs(bestK - 1)._2, n.toLong,
+        (sl / bestK).toLong, ((total - sl) / (n - bestK)).toLong)), s"type $t")
+    }
+  }
 }

@@ -1250,4 +1250,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"restart diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
+
+  test("streamingBpeEncode: per-lang sums equal batch q_bpe_encode across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // train the merge table once (the batch trainer), ship it as plan
+    // literals — the stream applies the identical replace() chain
+    val (merges, _, pinned) = graft.llm.TextAnalysis.bpeTrain(
+      graft.llm.TextAnalysis.bpeSeqs(d))
+    pinned.foreach(_.unpersist())
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.streamingBpeEncode(
+        mem.toDF().toDF("doc_id", "lang", "text"), merges.map(_._2))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_bpeenc").start()
+    try {
+      val rows = d.as[(Long, String, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_bpeenc").groupBy(col("lang"))
+        .agg(sum(col("n_bpe_tokens")).as("n"))
+        .as[(String, Long)].collect().toMap
+      val want = graft.Registry.all("q_bpe_encode").fn(spark, TestSpark.sfDir)
+        .select(col("lang"), col("n_bpe_tokens"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want,
+        s"extra: ${(got.toSet -- want.toSet).take(3)}; " +
+          s"missing: ${(want.toSet -- got.toSet).take(3)}")
+      assert(want.values.sum > 0L)
+    } finally q.stop()
+  }
 }
