@@ -1,9 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.{Engine, Q}
@@ -1409,6 +1409,123 @@ object Components {
             expr("cast((((cov * cov) div vx) * 1000000) div vy as bigint)"))
             .otherwise(0L).as("r2_ppm"))
         .orderBy(col("n_dir_edges"))
+    },
+
+    // HITS hubs/authorities (round 10) on the customer→supplier
+    // bipartite graph (who buys from whom, distinct pairs): two
+    // sum-normalized integer power-iteration rounds — a(s) alternates
+    // with h(c), each round one edge-sized join + map-side agg, scores
+    // scaled to ppb by floor division against the round's total (the
+    // q_pagerank discipline; sum-normalized nonneg iteration converges
+    // to the same principal direction as the L2 form, and stays exact
+    // integers both engines hash). Top-15 authorities under a total
+    // (ppb DESC, suppkey) order. Scale shape: |E| distinct pairs from
+    // one orders⋈lineitem shuffle; every round edge-linear; 1-row total
+    // broadcasts; TakeOrdered top-k.
+    "q_hits" -> Q(
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT s, cast(count(*) as bigint) AS a FROM e GROUP BY s),
+        |ta1 AS (SELECT cast(sum(a) as hugeint) AS t FROM a1),
+        |a1n AS (SELECT s, cast((cast(a as hugeint) * 1000000000) // ta1.t
+        |          as bigint) AS an FROM a1, ta1),
+        |h1 AS (SELECT e.c, cast(sum(a1n.an) as bigint) AS h
+        |       FROM e JOIN a1n ON a1n.s = e.s GROUP BY e.c),
+        |th1 AS (SELECT cast(sum(h) as hugeint) AS t FROM h1),
+        |h1n AS (SELECT c, cast((cast(h as hugeint) * 1000000000) // th1.t
+        |          as bigint) AS hn FROM h1, th1),
+        |a2 AS (SELECT e.s, cast(sum(h1n.hn) as bigint) AS a
+        |       FROM e JOIN h1n ON h1n.c = e.c GROUP BY e.s),
+        |ta2 AS (SELECT cast(sum(a) as hugeint) AS t FROM a2)
+        |SELECT s AS s_suppkey,
+        |  cast((cast(a as hugeint) * 1000000000) // ta2.t as bigint)
+        |    AS auth_ppb
+        |FROM a2, ta2
+        |ORDER BY auth_ppb DESC, s_suppkey LIMIT 15""".stripMargin) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Engine.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Engine.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          "o_orderkey")
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      def normalize(scores: DataFrame, key: String, v: String): DataFrame = {
+        val tot = scores.agg(sum(col(v)).cast(dec).as("t"))
+        scores.crossJoin(broadcast(tot))
+          .select(col(key),
+            expr(s"cast((cast($v as decimal(38,0)) * 1000000000) div t" +
+              " as bigint)").as(s"${v}n"))
+      }
+      val a1 = e.groupBy(col("s")).agg(count(lit(1)).as("a"))
+      val a1n = normalize(a1, "s", "a")
+      val h1 = e.join(a1n, "s").groupBy(col("c")).agg(sum(col("an")).as("h"))
+      val h1n = normalize(h1, "c", "h")
+      val a2 = e.join(h1n, "c").groupBy(col("s")).agg(sum(col("hn")).as("a"))
+      normalize(a2, "s", "a")
+        .select(col("s").as("s_suppkey"), col("an").as("auth_ppb"))
+        .orderBy(col("auth_ppb").desc, col("s_suppkey")).limit(15)
+    },
+
+    // Train/eval near-dup leakage audit (round 10): after the md5-bucket
+    // split (bucket 9 = eval, the q_dedup_incremental/q_sample_hash
+    // convention), how many near-dup pairs CROSS the split — the
+    // split-level contamination q_decontam's gram overlap can't see and
+    // the number that decides whether the eval set must be re-drawn or
+    // the crossing train docs dropped. Reads the shared pair graph;
+    // emits pair- and doc-level leakage in floor-ppm of exact counts.
+    // Scale shape: pair-index read + two narrow bucket projections +
+    // one distinct over the crossing pairs' eval side; 1-row close.
+    "q_eval_leakage" -> Q(
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |fl AS (SELECT d1, d2,
+         |    ((instr('0123456789abcdef', substr(md5(cast(d1 as varchar)), 1, 1)) - 1) * 16
+         |     + (instr('0123456789abcdef', substr(md5(cast(d1 as varchar)), 2, 1)) - 1))
+         |      % 10 = 9 AS e1,
+         |    ((instr('0123456789abcdef', substr(md5(cast(d2 as varchar)), 1, 1)) - 1) * 16
+         |     + (instr('0123456789abcdef', substr(md5(cast(d2 as varchar)), 2, 1)) - 1))
+         |      % 10 = 9 AS e2
+         |  FROM spairs),
+         |ev AS (SELECT cast(count(*) as bigint) AS n_eval FROM documents
+         |       WHERE ((instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+         |              + (instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1))
+         |             % 10 = 9),
+         |cx AS (SELECT CASE WHEN e1 THEN d1 ELSE d2 END AS eval_doc
+         |       FROM fl WHERE e1 <> e2),
+         |ag AS (SELECT cast(count(*) as bigint) AS n_pairs,
+         |         cast(count(CASE WHEN e1 <> e2 THEN 1 END) as bigint)
+         |           AS n_cross_pairs
+         |       FROM fl),
+         |lk AS (SELECT cast(count(DISTINCT eval_doc) as bigint) AS n_leaked
+         |       FROM cx)
+         |SELECT ag.n_pairs, ag.n_cross_pairs, ev.n_eval, lk.n_leaked,
+         |  cast(CASE WHEN ev.n_eval = 0 THEN 0
+         |       ELSE (cast(lk.n_leaked as hugeint) * 1000000) // ev.n_eval END
+         |    as bigint) AS leaked_ppm
+         |FROM ag, ev, lk ORDER BY n_pairs""".stripMargin) { (s, dir) =>
+      def isEval(c: Column): Column =
+        conv(substring(md5(c.cast(org.apache.spark.sql.types.StringType)
+          .cast(org.apache.spark.sql.types.BinaryType)), 1, 2), 16, 10)
+          .cast(LongType) % 10 === 9
+      val fl = simhashPairs(s, dir)
+        .select(col("d1"), col("d2"),
+          isEval(col("d1")).as("e1"), isEval(col("d2")).as("e2"))
+      val ag = fl.agg(count(lit(1)).as("n_pairs"),
+        count(when(col("e1") =!= col("e2"), 1)).as("n_cross_pairs"))
+      val ev = Engine.table(s, dir, "documents")
+        .filter(isEval(col("doc_id")))
+        .agg(count(lit(1)).as("n_eval"))
+      val lk = fl.filter(col("e1") =!= col("e2"))
+        .select(when(col("e1"), col("d1")).otherwise(col("d2")).as("eval_doc"))
+        .agg(countDistinct(col("eval_doc")).as("n_leaked"))
+      ag.crossJoin(broadcast(ev)).crossJoin(broadcast(lk))
+        .select(col("n_pairs"), col("n_cross_pairs"), col("n_eval"),
+          col("n_leaked"),
+          expr("cast(CASE WHEN n_eval = 0 THEN 0L " +
+            "ELSE (cast(n_leaked as decimal(38,0)) * 1000000) div n_eval END" +
+            " as bigint)").as("leaked_ppm"))
+        .orderBy(col("n_pairs"))
     }
   )
 }

@@ -1636,6 +1636,54 @@ object EventAnalytics {
         .orderBy(col("event_id"))
     },
 
+    // Deterministic negative sampling (round 10): per user, the 2 ITEMS
+    // (the props.k catalog) they have NEVER interacted with, ranked by
+    // an md5-derived pseudo-random key — the (user, negative) pairs a
+    // recommender/contrastive training feed draws beside the positive
+    // interactions (q_feature_lags/q_label_horizon's frame family). No
+    // RNG: both engines rank md5(user ‖ ':' ‖ item) hex with an item
+    // tiebreak, so the draw is reproducible and hash-gated. Scale
+    // shape: interactions collapse to distinct (user, item) — bounded
+    // by users × catalog; candidates = users × broadcast catalog with a
+    // left-anti prune; the rank window partitions per user over
+    // ≤ |catalog| rows (catalog-bounded at any corpus size — a huge
+    // catalog would swap the per-user window for a per-(user, hash-
+    // bucket) pre-top-k, the q_topk shape).
+    "q_negative_sampling" -> Q(
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id,
+        |    cast(json_extract_string(props, '$.k') as bigint) AS item
+        |  FROM events),
+        |it AS MATERIALIZED (SELECT DISTINCT item FROM ev),
+        |u AS MATERIALIZED (SELECT DISTINCT user_id FROM ev),
+        |seen AS MATERIALIZED (SELECT DISTINCT user_id, item FROM ev),
+        |cand AS (
+        |  SELECT u.user_id, it.item FROM u CROSS JOIN it
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s
+        |    WHERE s.user_id = u.user_id AND s.item = it.item)),
+        |r AS (SELECT user_id, item,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY md5(cast(user_id as varchar) || ':'
+        |                       || cast(item as varchar)), item) AS rk
+        |      FROM cand)
+        |SELECT user_id, item AS neg_item, cast(rk as bigint) AS rk
+        |FROM r WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+      val it = ev.select(col("item")).distinct()
+      val u = ev.select(col("user_id")).distinct()
+      val seen = ev.select(col("user_id"), col("item")).distinct()
+      val cand = u.crossJoin(broadcast(it))
+        .join(seen, Seq("user_id", "item"), "left_anti")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(md5(concat(col("user_id").cast(StringType), lit(":"),
+          col("item").cast(StringType)).cast(BinaryType)), col("item"))
+      cand.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 2)
+        .select(col("user_id"), col("item").as("neg_item"), col("rk"))
+        .orderBy(col("user_id"), col("rk"))
+    },
+
     // Top entry paths (round 8 continuation): the first-3-events journey
     // per user, counted and ranked — the "how do users actually start"
     // path-analysis readout next to q_funnel's fixed three-step

@@ -456,4 +456,47 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.head.getLong(2) === r2.toLong)
     assert(xy.nonEmpty, "pair graph must be non-empty at the test SF")
   }
+
+  test("q_hits equals the BigInt sum-normalized power-iteration replay") {
+    val e = graft.Engine.table(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def norm(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val t = m.values.sum
+      m.view.mapValues(v => v * 1000000000L / t).toMap
+    }
+    val a1 = norm(e.groupBy(_._2).view.mapValues(xs => BigInt(xs.size)).toMap)
+    val h1 = norm(e.groupBy(_._1).view
+      .mapValues(xs => xs.map(x => a1(x._2)).sum).toMap)
+    val a2 = norm(e.groupBy(_._2).view
+      .mapValues(xs => xs.map(x => h1(x._1)).sum).toMap)
+    val exp = a2.toSeq.map { case (s, a) => (s, a.toLong) }
+      .sortBy(t => (-t._2, t._1)).take(15)
+    val got = graft.Registry.all("q_hits").fn(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === exp)
+  }
+
+  test("q_eval_leakage equals the md5-bucket replay over the pair graph") {
+    val pairs = Components.simhashPairs(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def isEval(id: Long): Boolean =
+      Integer.parseInt(md5hex(id.toString).take(2), 16) % 10 == 9
+    val cross = pairs.filter(p => isEval(p._1) != isEval(p._2))
+    val leaked = cross.map(p => if (isEval(p._1)) p._1 else p._2).distinct
+    val nEval = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).count(isEval)
+    val got = graft.Registry.all("q_eval_leakage").fn(spark, TestSpark.sfDir)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((pairs.size.toLong, cross.size.toLong,
+      nEval.toLong, leaked.size.toLong,
+      if (nEval == 0) 0L else leaked.size.toLong * 1000000L / nEval)))
+  }
 }

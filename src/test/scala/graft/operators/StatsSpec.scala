@@ -812,4 +812,25 @@ class StatsSpec extends AnyFunSuite {
         (sl / bestK).toLong, ((total - sl) / (n - bestK)).toLong)), s"type $t")
     }
   }
+
+  test("q_negative_sampling equals the MessageDigest-ranked complement draw") {
+    val inter = Engine.table(spark, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val items = inter.map(_._2).distinct
+    val seen = inter.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = seen.keys.toSeq.sorted.flatMap { u =>
+      items.filterNot(seen(u))
+        .map(i => (md5hex(s"$u:$i"), i))
+        .sorted.take(2).zipWithIndex
+        .map { case ((_, i), k) => (u, i, k + 1L) }
+    }
+    val got = run("q_negative_sampling").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+    assert(got.nonEmpty, "complement draw must be non-empty at sf0.001")
+    // a negative is never an interacted item
+    got.foreach { case (u, i, _) => assert(!seen(u).contains(i)) }
+  }
 }
