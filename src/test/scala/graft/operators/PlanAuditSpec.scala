@@ -92,7 +92,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_temperature", // crossJoin(broadcast(1-row Σtokens + Σweights))
     "q_graph_modularity", // crossJoin(broadcast(1-row edge count m))
     "q_vocab_coverage",  // crossJoin(broadcast(3-row k grid + 1-row totals))
-    "q_corr_matrix")     // crossJoin(broadcast(tiny type list)) zero-fill
+    "q_corr_matrix",     // crossJoin(broadcast(tiny type list)) zero-fill
+    "q_permutation_test", // crossJoin(broadcast(21-row seed grid + 1-row t_obs))
+    "q_hits",            // crossJoin(broadcast(1-row normalization totals)) ×3
+    "q_eval_leakage",    // crossJoin(broadcast(1-row eval-count + leak aggs))
+    "q_negative_sampling") // crossJoin(broadcast(catalog item list))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
