@@ -1526,6 +1526,70 @@ object Components {
             "ELSE (cast(n_leaked as decimal(38,0)) * 1000000) div n_eval END" +
             " as bigint)").as("leaked_ppm"))
         .orderBy(col("n_pairs"))
+    },
+
+    // Dedup × mix interaction audit (round 10): transitive-closure dedup
+    // (keep the min-id representative per cluster, q_dedup_cc's rule)
+    // does not remove docs uniformly — a scraper-heavy source loses
+    // more, SHIFTING the training mix every mix/budget operator then
+    // prices. Per source: docs before/after dedup, kept share, and the
+    // corpus share before vs after in floor-ppm — the table that says
+    // whether the post-dedup corpus still matches the mix spec. Reads
+    // the shared labels index; the oracle restates the closure with the
+    // recursive reach CTE (q_dedup_cc's) over the banded spairs. Scale
+    // shape: label-index read + one anti join + two source-sized aggs;
+    // the two 1-row totals ride legal crossJoin(broadcast)s.
+    "q_mix_dedup_interaction" -> Q(
+      s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
+         |prs AS (SELECT d1, d2 FROM spairs),
+         |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM prs
+         |          UNION SELECT d2, d1 FROM prs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(lab) AS cluster_id
+         |         FROM reach GROUP BY id),
+         |dropd AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+         |b AS (SELECT source, cast(count(*) as bigint) AS n_before
+         |      FROM documents GROUP BY source),
+         |a AS (SELECT d.source, cast(count(*) as bigint) AS n_after
+         |      FROM documents d LEFT JOIN dropd x ON d.doc_id = x.doc_id
+         |      WHERE x.doc_id IS NULL GROUP BY d.source),
+         |tb AS (SELECT cast(sum(n_before) as hugeint) AS t FROM b),
+         |ta AS (SELECT cast(sum(n_after) as hugeint) AS t FROM a)
+         |SELECT b.source, b.n_before,
+         |  cast(coalesce(a.n_after, 0) as bigint) AS n_after,
+         |  cast((cast(coalesce(a.n_after, 0) as hugeint) * 1000000)
+         |       // b.n_before as bigint) AS kept_ppm,
+         |  cast((cast(b.n_before as hugeint) * 1000000) // tb.t as bigint)
+         |    AS share_before_ppm,
+         |  cast(CASE WHEN ta.t = 0 THEN 0
+         |       ELSE (cast(coalesce(a.n_after, 0) as hugeint) * 1000000)
+         |            // ta.t END as bigint) AS share_after_ppm
+         |FROM b LEFT JOIN a USING (source), tb, ta
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Engine.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val dropped = simhashLabels(s, dir)
+        .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      val before = d.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+      val after = d.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      val tb = before.agg(sum(col("n_before")).as("tb"))
+      val ta = after.agg(sum(col("n_after")).as("ta"))
+      before.join(after, Seq("source"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .crossJoin(broadcast(tb)).crossJoin(broadcast(ta))
+        .select(col("source"), col("n_before"), col("n_after"),
+          expr("cast((cast(n_after as decimal(38,0)) * 1000000)" +
+            " div n_before as bigint)").as("kept_ppm"),
+          expr("cast((cast(n_before as decimal(38,0)) * 1000000)" +
+            " div tb as bigint)").as("share_before_ppm"),
+          expr("cast(CASE WHEN ta = 0 THEN 0L " +
+            "ELSE (cast(n_after as decimal(38,0)) * 1000000) div ta END" +
+            " as bigint)").as("share_after_ppm"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -1090,6 +1090,52 @@ object Dedup {
         .orderBy(col("band_id"))
     },
 
+    // Threshold-sweep calibration (round 10): the exact-Jaccard
+    // distribution over the banded MinHash candidates, bucketed into
+    // ppm deciles with a from-the-top cumulative — the table that
+    // PICKS q_dedup_minhash's 0.35 verification threshold for a new
+    // corpus ("threshold b/10 keeps n_at_or_above pairs") instead of
+    // inheriting it. All integer (floor-ppm, bucket 9 absorbs exact
+    // dups via least). Scale shape: candidate-sized verification (the
+    // pair index read + one shingle-intersection agg), a ≤10-row bucket
+    // table, and a cumulative window over those 10 cells (bounded
+    // global window — PlanAuditSpec-listed).
+    "q_dedup_threshold_sweep" -> Q(
+      s"""WITH $oShingleCte,
+         |msigs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    $oSigExprs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, g.b AS band_id,
+         |    CASE g.b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3 ELSE h4 || h5 END AS key
+         |  FROM msigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b) g),
+         |cands AS MATERIALIZED (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r
+         |    ON l.band_id = r.band_id AND l.key = r.key AND l.doc_id < r.doc_id),
+         |bk AS (SELECT least(((j.inter * 1000000) // (j.n1 + j.n2 - j.inter))
+         |                    // 100000, 9) AS bucket
+         |       FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2),
+         |g AS (SELECT bucket, cast(count(*) as bigint) AS n_pairs
+         |      FROM bk GROUP BY bucket)
+         |SELECT cast(bucket as bigint) AS bucket, n_pairs,
+         |  cast(sum(n_pairs) OVER (ORDER BY bucket DESC) as bigint)
+         |    AS n_at_or_above
+         |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val b = jaccardForCandidates(shingles(docs(s, dir)),
+          Components.minhashCands(s, dir))
+        .select(least(expr(
+          "((inter * 1000000L) div (n1 + n2 - inter)) div 100000"), lit(9L))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+        .select(col("bucket"), col("n_pairs"), col("n_at_or_above"))
+        .orderBy(col("bucket"))
+    },
+
     // Edit-distance verification tier: exact Levenshtein over the SAME
     // banded MinHash candidates q_dedup_minhash proposes, keeping pairs
     // within 20% relative edit distance (lev*5 <= max_len, exact integer

@@ -147,6 +147,17 @@ object TextAnalysis {
       |  + 0.4 * (n_stop / n_tok)
       |  + 0.3 * least(((n_chars - n_tok + 1.0) / n_tok) / 8.0, 1.0)) * 1000000) as bigint)""".stripMargin
 
+  /** Append `quality_ppm` ([[qualityPpmCol]]) to any frame carrying
+    * (text, n_chars) — the per-row projection the streaming quality gate
+    * (s_quality_gate) shares verbatim with q_quality_score, so the two
+    * cannot drift. One codegen'd map pass, no shuffle, stream-safe.
+    */
+  private[graft] def withQualityPpm(d: DataFrame): DataFrame =
+    d.withColumn("n_tok", size(split(col("text"), " ")).cast(DoubleType))
+      .withColumn("n_stop", lexCount("en"))
+      .withColumn("quality_ppm", qualityPpmCol)
+      .drop("n_tok", "n_stop")
+
   /** Whitespace-normalized lowercase md5 fingerprint
     * (q_fingerprint + q_pipeline_curate). The whitespace class is the
     * EXPLICIT [ \t\n\r\f], not \s: Java regex \s includes vertical tab

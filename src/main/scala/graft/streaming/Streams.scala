@@ -428,6 +428,20 @@ object Streams {
     graft.llm.TextAnalysis.charsetRollup(
       graft.llm.TextAnalysis.charsetPerDoc(docsStream))
 
+  /** Quality gate at INGEST (s_quality_gate): drop streaming docs whose
+    * quality blend falls below the curation cut — the stateless filter
+    * tier that fronts the lake beside decontam/charset/sig-dedup.
+    * Shares the batch q_quality_score projection VERBATIM
+    * ([[graft.llm.TextAnalysis.withQualityPpm]]), so twin parity is
+    * structural; the plan is one codegen'd narrow map + filter — zero
+    * state stores, no watermark, unbounded-safe at any ingest rate.
+    * Kept rows carry `quality_ppm` for downstream mix/budget pricing.
+    */
+  def streamingQualityGate(docsStream: DataFrame,
+      minPpm: Long = graft.llm.TextAnalysis.curateQualityPpm): DataFrame =
+    graft.llm.TextAnalysis.withQualityPpm(docsStream)
+      .filter(col("quality_ppm") >= minPpm)
+
   /** BPE encoding at INGEST (s_bpe_encode): annotate each streaming doc
     * with its TRUE tokenizer token count under a TRAINED merge table —
     * the per-doc twin of q_bpe_encode's corpus rollup, and the number a

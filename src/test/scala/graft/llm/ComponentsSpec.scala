@@ -499,4 +499,39 @@ class ComponentsSpec extends AnyFunSuite {
       nEval.toLong, leaked.size.toLong,
       if (nEval == 0) 0L else leaked.size.toLong * 1000000L / nEval)))
   }
+
+  test("q_mix_dedup_interaction equals the union-find + per-source replay") {
+    val pairs = Components.simhashPairs(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // min-id representative per cluster survives; the rest drop
+    val dropped = verts.groupBy(find).values.flatMap(vs => vs.filter(_ != vs.min)).toSet
+    val docsRows = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val before = docsRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val after = docsRows.filterNot(d => dropped(d._1))
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tb, ta) = (before.values.sum, after.values.sum)
+    val exp = before.keys.toSeq.sorted.map { src =>
+      val (nb, na) = (before(src), after.getOrElse(src, 0L))
+      (src, nb, na, na * 1000000L / nb, nb * 1000000L / tb,
+        if (ta == 0) 0L else na * 1000000L / ta)
+    }
+    val got = graft.Registry.all("q_mix_dedup_interaction")
+      .fn(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === exp)
+    assert(dropped.nonEmpty, "dedup must drop something at the test SF")
+  }
 }

@@ -1355,4 +1355,26 @@ class LlmSpec extends AnyFunSuite {
     assert(got === exp)
     assert(got.values.map(_._1).sum === rows.length.toLong)
   }
+
+  test("q_dedup_threshold_sweep equals the candidate-jaccard bucket replay") {
+    val sh = Dedup.shingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val sets = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cands = graft.llm.Components.minhashCands(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val buckets = cands.map { case (a, b) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      val ppm = inter * 1000000L / (sa.size + sb.size - inter)
+      math.min(ppm / 100000L, 9L)
+    }
+    val exp = buckets.groupBy(identity).toSeq.sortBy(_._1).map {
+      case (bk, xs) => (bk, xs.size.toLong,
+        buckets.count(_ >= bk).toLong)
+    }
+    val got = graft.Registry.all("q_dedup_threshold_sweep")
+      .fn(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+  }
 }

@@ -96,7 +96,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_permutation_test", // crossJoin(broadcast(21-row seed grid + 1-row t_obs))
     "q_hits",            // crossJoin(broadcast(1-row normalization totals)) ×3
     "q_eval_leakage",    // crossJoin(broadcast(1-row eval-count + leak aggs))
-    "q_negative_sampling") // crossJoin(broadcast(catalog item list))
+    "q_negative_sampling", // crossJoin(broadcast(catalog item list))
+    "q_mix_dedup_interaction") // crossJoin(broadcast(two 1-row totals))
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably
@@ -118,7 +119,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_runs_test",      // input: calendar days (median rank + run lag)
     "q_kruskal_wallis", // input: value-domain cents cells (pooled rank)
     "q_rank_fusion",    // input: the two already-limited top-10 lists
-    "q_vocab_coverage") // input: count-value cells (distinct count domain)
+    "q_vocab_coverage", // input: count-value cells (distinct count domain)
+    "q_dedup_threshold_sweep") // input: the ≤10-row jac-decile bucket table
 
   test("no query outside the allowed set plans a partition-less window") {
     // logical-plan audit (the physical tree hides behind

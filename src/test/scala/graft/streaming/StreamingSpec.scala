@@ -1251,6 +1251,35 @@ class StreamingSpec extends AnyFunSuite {
       s"restart diverged: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
 
+  test("streamingQualityGate: kept set and scores equal the batch quality cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streams.streamingQualityGate(
+        mem.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_qgate").start()
+    try {
+      val rows = d.as[(Long, String, Long)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_qgate")
+        .select(col("doc_id"), col("quality_ppm"))
+        .as[(Long, Long)].collect().toMap
+      val want = graft.Registry.all("q_quality_score").fn(spark, TestSpark.sfDir)
+        .select(col("doc_id"), col("quality_ppm"))
+        .as[(Long, Long)].collect()
+        .filter(_._2 >= graft.llm.TextAnalysis.curateQualityPpm).toMap
+      assert(got == want)
+      // the gate is a real filter at this corpus: something dropped,
+      // something kept
+      assert(want.nonEmpty && want.size < rows.length)
+    } finally q.stop()
+  }
+
   test("streamingBpeEncode: per-lang sums equal batch q_bpe_encode across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
