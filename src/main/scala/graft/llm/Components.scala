@@ -1444,12 +1444,19 @@ object Components {
         |FROM a2, ta2
         |ORDER BY auth_ppb DESC, s_suppkey LIMIT 15""".stripMargin) { (s, dir) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val e = Engine.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Engine.table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-          "o_orderkey")
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      // per-ORDER supplier dedup pushed BELOW the join (shrinks the join
+      // probe and the wide (c, s) distinct input). The edge list is
+      // consumed by all three iteration rounds as a RECOMPUTED plan:
+      // persisting it was measured SLOWER at both SFs (sf0.1 ~3 → 6 s,
+      // 100× 45 → 48 s — cache serialization beats the exchange-reused
+      // recompute; the CLAUDE.md materialize-vs-recompute rule, measured
+      // before trusting), so the shared shuffle rides ReuseExchange.
+      val e = Engine.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey").as("s"))
+        .distinct()
+        .join(Engine.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("c")), "o_orderkey")
+        .select(col("c"), col("s"))
         .distinct()
       def normalize(scores: DataFrame, key: String, v: String): DataFrame = {
         val tot = scores.agg(sum(col(v)).cast(dec).as("t"))
