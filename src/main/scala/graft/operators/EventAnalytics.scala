@@ -1495,6 +1495,50 @@ object EventAnalytics {
     // Scale shape: one map-side-combined agg to ≤ 7×24 cells (the
     // distinct-user count shuffles (cell, user) pairs once); the
     // normalizing window partitions by weekday over ≤ 24 rows.
+    // k-anonymity audit (round 10): before events leave the lake as a
+    // training/analytics extract, how identifying is the
+    // quasi-identifier tuple (event_type, weekday, hour) — the weekly
+    // behavioral pattern a linker would join on? Rows in an equivalence
+    // class smaller than k = 5 are linkable — the governance readout
+    // next to q_pii_redact's content scrub (that op cleans the text;
+    // this one prices the metadata). Per type: classes, rows, at-risk
+    // rows (class size < 5), and the at-risk share in floor-ppm — all
+    // exact integers. Scale shape: the corpus collapses to the QI grid
+    // (types × 7 × 24) in one map-side-combinable agg; everything after
+    // is grid-sized.
+    "q_k_anonymity" -> Q(
+      """WITH q AS (
+        |  SELECT event_type,
+        |    cast(date_part('isodow', cast(ts as date)) as bigint) AS isodow,
+        |    cast(hour(ts) as bigint) AS hr,
+        |    cast(count(*) as bigint) AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  cast(count(*) as bigint) AS n_classes,
+        |  cast(sum(c) as bigint) AS n_rows,
+        |  cast(count(CASE WHEN c < 5 THEN 1 END) as bigint)
+        |    AS n_small_classes,
+        |  cast(sum(CASE WHEN c < 5 THEN c ELSE 0 END) as bigint)
+        |    AS n_rows_at_risk,
+        |  cast((cast(sum(CASE WHEN c < 5 THEN c ELSE 0 END) as hugeint)
+        |        * 1000000) // sum(c) as bigint) AS risk_ppm
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(col("ts")) + 1).cast(LongType).as("isodow"),
+          hour(col("ts")).cast(LongType).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("c")).as("n_rows"),
+          count(when(col("c") < 5, 1)).as("n_small_classes"),
+          sum(when(col("c") < 5, col("c")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(col("event_type"), col("n_classes"), col("n_rows"),
+          col("n_small_classes"), col("n_rows_at_risk"),
+          expr("cast((cast(n_rows_at_risk as decimal(38,0)) * 1000000)" +
+            " div n_rows as bigint)").as("risk_ppm"))
+        .orderBy(col("event_type"))
+    },
+
     "q_calendar_heatmap" -> Q(
       """WITH d AS (
         |  SELECT cast(date_part('isodow', cast(ts as date)) as bigint) AS isodow,

@@ -833,4 +833,24 @@ class StatsSpec extends AnyFunSuite {
     // a negative is never an interacted item
     got.foreach { case (u, i, _) => assert(!seen(u).contains(i)) }
   }
+
+  test("q_k_anonymity equals the brute-force QI-class census") {
+    val rows = Engine.table(spark, dir, "events")
+      .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toString, r.getLong(2)))
+    val classes = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = rows.map(_._1).distinct.sorted.map { t =>
+      val cs = classes.filter(_._1._1 == t).values.toSeq
+      val atRisk = cs.filter(_ < 5).sum
+      (t, cs.size.toLong, cs.sum, cs.count(_ < 5).toLong, atRisk,
+        atRisk * 1000000L / cs.sum)
+    }
+    val got = run("q_k_anonymity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === exp)
+    // the audit must be non-degenerate: some class is small, some isn't
+    assert(classes.values.exists(_ < 5) && classes.values.exists(_ >= 5))
+  }
 }
