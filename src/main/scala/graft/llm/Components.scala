@@ -943,22 +943,68 @@ object Components {
     res
   }
 
-  /** Oracle twin of one [[twoCore]] peel round over `e${k-1}`. */
-  private def oPeelRound(k: Int): String =
-    s"""g$k AS (SELECT id, count(*) AS deg FROM (
-       |          SELECT d1 AS id FROM e${k - 1}
-       |          UNION ALL SELECT d2 FROM e${k - 1}) GROUP BY id),
-       |e$k AS MATERIALIZED (
-       |  SELECT e.d1, e.d2 FROM e${k - 1} e
-       |  JOIN g$k x ON e.d1 = x.id JOIN g$k y ON e.d2 = y.id
-       |  WHERE x.deg >= 2 AND y.deg >= 2)""".stripMargin
-
-  /** Unrolled oracle peel depth — the plan iterates to the true fixpoint,
-    * so this only needs to be ≥ the rounds the data actually takes (the
-    * gate fails LOUDLY, never silently, if it is not: extra rounds past
-    * the fixpoint are no-ops, too few leave the oracle above it).
+  /** Oracle twin of one [[twoCore]] peel round, ALIVE-VERTEX form
+    * (round 11): instead of re-materializing a shrinking EDGE CTE per
+    * round (24 edge tables dominated the 6m38s 30× replay), every round
+    * joins the ONE materialized directed adjacency `adjc` against the
+    * previous round's vertex set and keeps vertices with ≥ 2 alive
+    * neighbors — two hash joins + one agg per round, vertex-sized
+    * output. Fixpoint-identical to edge peeling (an edge is alive iff
+    * both endpoints are).
     */
-  private val oPeelRounds = 24
+  private def oPeelVRound(name: String, prev: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT t.v FROM adjc t
+       |  JOIN $prev x ON t.v = x.v JOIN $prev y ON t.n = y.v
+       |  GROUP BY t.v HAVING count(*) >= 2)""".stripMargin
+
+  /** Unrolled oracle peel depths around the chain-collapse closing block
+    * — the plan iterates to the true fixpoint, so these only need to
+    * cover the BUSHY peel depth the data actually takes (the gate fails
+    * LOUDLY, never silently, if they do not: extra rounds past the
+    * fixpoint are no-ops, too few leave the oracle above it). Chains of
+    * ANY length are closed exactly by the collapse CTE between the two
+    * phases (the [[twoCore]] capability, ADVICE r10: a pendant chain
+    * longer than ~2× the old 24 fixed rounds used to out-run the
+    * oracle), so depth here bounds only tree BUSHINESS, not length.
+    */
+  private val oPeelRoundsPre = 12
+  private val oPeelRoundsPost = 12
+
+  /** Chain-collapse closing block, oracle twin of [[twoCore]]'s
+    * collapse phase over the residual graph after the `pre` peels:
+    * vertices of residual degree ≤ 2 are component-labeled over their
+    * induced (path/cycle-shaped) subgraph by a recursive min-label
+    * closure — singletons label themselves — and every component
+    * containing a residual LEAF (deg ≤ 1) is deleted in one shot.
+    * Exact: a deg-≤2 component with a leaf is a pendant path, which
+    * iterative peeling provably removes entirely; cycles (no leaf)
+    * survive, as they must.
+    */
+  private def oChainCollapse(prev: String, out: String): String =
+    s"""er AS MATERIALIZED (SELECT e.d1, e.d2 FROM e0 e
+       |  JOIN $prev x ON e.d1 = x.v JOIN $prev y ON e.d2 = y.v),
+       |dr AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+       |        SELECT d1 AS id FROM er UNION ALL SELECT d2 FROM er)
+       |      GROUP BY id),
+       |lowv AS MATERIALIZED (SELECT id FROM dr WHERE deg <= 2),
+       |ind AS MATERIALIZED (SELECT e.d1, e.d2 FROM er e
+       |  JOIN lowv x ON e.d1 = x.id JOIN lowv y ON e.d2 = y.id),
+       |indadj AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM ind
+       |          UNION SELECT d2, d1 FROM ind),
+       |reachl(id, lab) AS (
+       |  SELECT src, src FROM indadj
+       |  UNION
+       |  SELECT e.src, r.lab FROM indadj e JOIN reachl r ON r.id = e.dst),
+       |complo AS (SELECT id, min(lab) AS lab FROM reachl GROUP BY id),
+       |lab2 AS MATERIALIZED (SELECT l.id, coalesce(c.lab, l.id) AS lab
+       |         FROM lowv l LEFT JOIN complo c ON c.id = l.id),
+       |doomedlab AS (SELECT DISTINCT lb.lab FROM lab2 lb
+       |              JOIN dr d ON d.id = lb.id WHERE d.deg <= 1),
+       |doomed AS MATERIALIZED (SELECT lb.id FROM lab2 lb
+       |           JOIN doomedlab dl ON lb.lab = dl.lab),
+       |$out AS MATERIALIZED (SELECT x.v FROM $prev x
+       |  WHERE NOT EXISTS (SELECT 1 FROM doomed d WHERE d.id = x.v))""".stripMargin
 
   /** q_graph_degree_hist's downstream: log2-bucketed degree histogram of
     * the pair graph over the vertex frame.
@@ -1135,20 +1181,34 @@ object Components {
     // reinforcing duplication structure (template-spam cliques) as
     // opposed to tree-shaped incidental chains, which a transitive
     // closure cannot tell apart. The k=2 step of the standard k-core
-    // peel; the oracle unrolls the identical peel as chained
-    // MATERIALIZED CTEs (fixpoint is schedule-independent, so only the
-    // DEPTH needs to be generous, never the order — too-shallow fails
-    // the hash loudly). Scale shape: per round one edge-sized degree agg
-    // + two semi-joins on a monotonically shrinking edge set; same loop
-    // disciplines as connectedComponents.
+    // peel. ORACLE (restated round 11, the other 30× straggler): the
+    // fixpoint is schedule-independent, so the oracle peels in the
+    // cheap ALIVE-VERTEX form (oPeelVRound — one materialized adjacency
+    // joined per round, vertex-sized outputs; the old 24 re-materialized
+    // edge CTEs replayed in 6m38s at 30×, this form in seconds) with a
+    // CHAIN-COLLAPSE closing block between two 12-round phases
+    // (oChainCollapse — recursive leaf-component delete), matching
+    // twoCore's arbitrary-chain-length capability: unrolled depth now
+    // bounds only tree BUSHINESS (≤ 24), never chain length. Too-bushy
+    // data fails the hash loudly, never silently. Scale shape (engine):
+    // per round one edge-sized degree agg + two semi-joins on a
+    // monotonically shrinking edge set; same loop disciplines as
+    // connectedComponents.
     "q_graph_kcore" -> Q(
-      s"""WITH ${Dedup.oSimhashPairsCte},
+      s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
          |prs AS (SELECT d1, d2 FROM spairs),
          |e0 AS MATERIALIZED (SELECT d1, d2 FROM prs),
-         |${(1 to oPeelRounds).map(oPeelRound).mkString(",\n")}
+         |adjc AS MATERIALIZED (SELECT d1 AS v, d2 AS n FROM e0
+         |        UNION ALL SELECT d2, d1 FROM e0),
+         |a0 AS MATERIALIZED (SELECT DISTINCT v FROM adjc),
+         |${(1 to oPeelRoundsPre).map(k => oPeelVRound(s"a$k", s"a${k - 1}")).mkString(",\n")},
+         |${oChainCollapse(s"a$oPeelRoundsPre", "b0")},
+         |${(1 to oPeelRoundsPost).map(k => oPeelVRound(s"b$k", s"b${k - 1}")).mkString(",\n")},
+         |fe AS (SELECT e.d1, e.d2 FROM e0 e
+         |  JOIN b$oPeelRoundsPost x ON e.d1 = x.v
+         |  JOIN b$oPeelRoundsPost y ON e.d2 = y.v)
          |SELECT id AS doc_id, cast(count(*) as bigint) AS core_deg
-         |FROM (SELECT d1 AS id FROM e$oPeelRounds
-         |      UNION ALL SELECT d2 FROM e$oPeelRounds)
+         |FROM (SELECT d1 AS id FROM fe UNION ALL SELECT d2 FROM fe)
          |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       twoCore(simhashPairs(s, dir)).orderBy(col("doc_id"))
     },
@@ -1351,9 +1411,20 @@ object Components {
     // orientations, so the statistic is symmetric). Same integer moment
     // algebra + staged Cauchy-Schwarz-bounded floors as q_rolling_corr /
     // q_corr_matrix: cov = k·Σxy − Σx·Σy in decimal(38,0)/HUGEINT, sign
-    // emitted separately, r²·1e6 via ((cov²//vx)·1e6)//vy. Bounds:
-    // k ≤ 2m, deg ≤ n ⇒ k·Σxy ≤ 2m·(2m·n²) — inside decimal(38) for any
-    // graph this pipeline shuffles (m ≤ 1e12, deg ≤ 1e6). Scale shape:
+    // emitted separately, r²·1e6 via a staged floor that divides by the
+    // LARGER variance FIRST — ((cov²//vmax)·1e6)//vmin — so by
+    // Cauchy-Schwarz the bigint intermediate is ≤ min(vx,vy)·1e6
+    // (round 11, ADVICE r10: the fixed vx-first order let the
+    // intermediate approach vy·1e6 with vy unbounded). Exact-parity
+    // envelope (corrected round 11): |cov| < 1e19 (cov² must fit
+    // decimal(38)) and min(vx,vy) < 9.2e12 (the staged bigint quotient
+    // ×1e6 under 2^63; Spark's `div` is BIGINT-valued, so past either
+    // bound Spark nulls/ANSI-throws while DuckDB's hugeint keeps going).
+    // In graph terms k·Σxy ≤ 4m²·deg² ⇒ m·deg ≲ 1.5e9 covers the square
+    // — far above the candidate-capped pair graphs this engine
+    // shuffles; a graph beyond it should right-shift degrees to a
+    // common grid before the moments (r is scale-invariant; the floor
+    // perturbs r² sub-ppm at a 2^20 grid). Scale shape:
     // the pair index is read, one edge-sized degree agg, two edge-sized
     // equi-joins, ONE map-side-combinable moment agg — no windows, no
     // pairs beyond the index.
@@ -1380,8 +1451,11 @@ object Components {
          |SELECT cast(k as bigint) AS n_dir_edges,
          |  cast(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
          |    as bigint) AS corr_sign,
-         |  cast(CASE WHEN vx > 0 AND vy > 0
-         |       THEN (((cov * cov) // vx) * 1000000) // vy ELSE 0 END
+         |  cast(CASE WHEN vx > 0 AND vy > 0 THEN
+         |         CASE WHEN vx >= vy
+         |           THEN (((cov * cov) // vx) * 1000000) // vy
+         |           ELSE (((cov * cov) // vy) * 1000000) // vx END
+         |       ELSE 0 END
          |    as bigint) AS r2_ppm
          |FROM c ORDER BY n_dir_edges""".stripMargin) { (s, dir) =>
       val prs = simhashPairs(s, dir)
@@ -1406,7 +1480,10 @@ object Components {
           when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
             .as("corr_sign"),
           when(col("vx") > 0 && col("vy") > 0,
-            expr("cast((((cov * cov) div vx) * 1000000) div vy as bigint)"))
+            expr("""cast(CASE WHEN vx >= vy
+                   THEN (((cov * cov) div vx) * 1000000) div vy
+                   ELSE (((cov * cov) div vy) * 1000000) div vx END
+                   as bigint)"""))
             .otherwise(0L).as("r2_ppm"))
         .orderBy(col("n_dir_edges"))
     },

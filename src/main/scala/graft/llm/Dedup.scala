@@ -873,19 +873,43 @@ object Dedup {
     // only. The cap is mirrored in the oracle, so both engines see the
     // identical pair set; LlmSpec separately proves the cap lossless for
     // jac >= 0.8 pairs.
+    //
+    // ORACLE restatement (round 11, the 30× straggler): the old single
+    // probe `cands ⋈ sh(d1) ⋈ sh(d2 on shingle)` left DuckDB free to
+    // reorder into the sh⋈sh shingle-only join — the full quadratic
+    // co-occurrence on common shingles (27m46s at 30×; the semantically
+    // identical containment twin drew the good order and passed, so the
+    // cost was plan instability, not the statement). Now the intersection
+    // is SPLIT BY DF CLASS, each side order-forced with MATERIALIZED
+    // boundaries: rare shingles (df ≤ 50, the candidate generators)
+    // intersect in the bounded-fanout rsh self-join that already builds
+    // the pair set (`ir` — inter_r arrives free with the candidates), and
+    // big shingles (df > 50 — FEW distinct, so per-doc big lists are
+    // short) intersect via the pair-probe over the small bsh table only.
+    // inter = inter_r + inter_b exactly (every shared shingle is in
+    // exactly one class); the pair set (≥ 1 shared rare shingle) and all
+    // emitted values are unchanged, so gate hashes are unchanged.
     "q_dedup_near" -> Q(
       s"""WITH $oShingleCte,
          |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         |rsh AS (SELECT s.doc_id, s.shingle FROM sh s
+         |rsh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh s
          |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df <= 50),
-         |cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |          FROM rsh a JOIN rsh b
-         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
-         |           FROM cands c
-         |           JOIN sh s1 ON s1.doc_id = c.d1
-         |           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-         |           GROUP BY 1, 2),
+         |bsh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh s
+         |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df > 50),
+         |ir AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |          count(*) AS inter_r
+         |        FROM rsh a JOIN rsh b
+         |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |p1 AS MATERIALIZED (SELECT i.d1, i.d2, s1.shingle
+         |        FROM ir i JOIN bsh s1 ON s1.doc_id = i.d1),
+         |ib AS (SELECT p1.d1, p1.d2, count(*) AS inter_b
+         |       FROM p1 JOIN bsh s2 ON s2.doc_id = p1.d2
+         |                          AND s2.shingle = p1.shingle
+         |       GROUP BY 1, 2),
+         |cinter AS (SELECT i.d1, i.d2,
+         |             i.inter_r + coalesce(b.inter_b, 0) AS inter
+         |           FROM ir i LEFT JOIN ib b ON i.d1 = b.d1 AND i.d2 = b.d2),
          |cjac AS (SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
          |           cast(inter as double) / (s1.n + s2.n - inter) AS jac
          |         FROM cinter JOIN sizes s1 ON d1 = s1.doc_id
@@ -909,22 +933,31 @@ object Dedup {
     // doc fully contained in a much larger one has low union-relative
     // similarity but containment 1.0). Same capped inverted-index
     // candidate generation as q_dedup_near, same exact full-set
-    // intersection on survivors; only the final score differs. Both
-    // engines divide exact integers, so the filter boundary is
-    // bit-deterministic.
+    // intersection on survivors (and since round 11 the same df-class
+    // SPLIT oracle restatement — see q_dedup_near); only the final score
+    // differs. Both engines divide exact integers, so the filter
+    // boundary is bit-deterministic.
     "q_dedup_containment" -> Q(
       s"""WITH $oShingleCte,
          |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         |rsh AS (SELECT s.doc_id, s.shingle FROM sh s
+         |rsh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh s
          |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df <= 50),
-         |cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |          FROM rsh a JOIN rsh b
-         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |cinter AS (SELECT c.d1, c.d2, count(*) AS inter
-         |           FROM cands c
-         |           JOIN sh s1 ON s1.doc_id = c.d1
-         |           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-         |           GROUP BY 1, 2),
+         |bsh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh s
+         |        JOIN dfs f ON s.shingle = f.shingle WHERE f.df > 50),
+         |ir AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |          count(*) AS inter_r
+         |        FROM rsh a JOIN rsh b
+         |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |p1 AS MATERIALIZED (SELECT i.d1, i.d2, s1.shingle
+         |        FROM ir i JOIN bsh s1 ON s1.doc_id = i.d1),
+         |ib AS (SELECT p1.d1, p1.d2, count(*) AS inter_b
+         |       FROM p1 JOIN bsh s2 ON s2.doc_id = p1.d2
+         |                          AND s2.shingle = p1.shingle
+         |       GROUP BY 1, 2),
+         |cinter AS (SELECT i.d1, i.d2,
+         |             i.inter_r + coalesce(b.inter_b, 0) AS inter
+         |           FROM ir i LEFT JOIN ib b ON i.d1 = b.d1 AND i.d2 = b.d2),
          |ccont AS (SELECT d1, d2, s1.n AS n1, s2.n AS n2, inter,
          |            cast(inter as double) / least(s1.n, s2.n) AS containment
          |          FROM cinter JOIN sizes s1 ON d1 = s1.doc_id

@@ -1680,24 +1680,36 @@ object EventAnalytics {
         .orderBy(col("event_id"))
     },
 
-    // Deterministic negative sampling (round 10): per user, the 2 ITEMS
-    // (the props.k catalog) they have NEVER interacted with, ranked by
-    // an md5-derived pseudo-random key — the (user, negative) pairs a
-    // recommender/contrastive training feed draws beside the positive
-    // interactions (q_feature_lags/q_label_horizon's frame family). No
-    // RNG: both engines rank md5(user ‖ ':' ‖ item) hex with an item
-    // tiebreak, so the draw is reproducible and hash-gated. Scale
-    // shape: interactions collapse to distinct (user, item) — bounded
-    // by users × catalog; candidates = users × broadcast catalog with a
-    // left-anti prune; the rank window partitions per user over
-    // ≤ |catalog| rows (catalog-bounded at any corpus size — a huge
-    // catalog would swap the per-user window for a per-(user, hash-
-    // bucket) pre-top-k, the q_topk shape).
+    // Deterministic negative sampling (round 10; catalog-scale-safe form
+    // round 11): per user, the 2 ITEMS (the props.k catalog, NULLs
+    // excluded — an event missing props.k is not a catalog item, and a
+    // NULL md5 key would sort FIRST in Spark but LAST in DuckDB) they
+    // have NEVER interacted with, ranked by an md5-derived pseudo-random
+    // key — the (user, negative) pairs a recommender/contrastive
+    // training feed draws beside the positive interactions. No RNG: both
+    // engines rank md5(user ‖ ':' ‖ item) hex with an item tiebreak, so
+    // the draw is reproducible and hash-gated. Scale shape (the round-11
+    // rework — no crossJoin, nothing user×catalog is ever SHUFFLED):
+    // the catalog is hash-bucketed (~2k items per bucket, bucket count
+    // derived from |catalog|; the draw is provably bucket-invariant, so
+    // the bucketing never touches the output), users expand to
+    // (user, bucket) probes that pick up their per-bucket SEEN set as a
+    // collect_set array in one equi-join, candidates stream map-side out
+    // of the broadcast bucket join with an array_contains prune (the
+    // anti-join became a map-side filter), and ranking is a per-(user,
+    // bucket) top-2 (WindowGroupLimit partial — per-bucket top-2 of
+    // UNSEEN items provably contains the global top-2) closed by a
+    // per-user top-2 over ≤ 2·buckets pre-limited rows. The |U|·|I| md5
+    // evaluations are inherent to the exact draw and stay inside one
+    // codegen'd map stage; at enormous catalogs drop the broadcast hint
+    // and let the bucket join shuffle (bucket count scales with the
+    // catalog, so there is no 16-key skew cliff).
     "q_negative_sampling" -> Q(
       """WITH ev AS MATERIALIZED (
         |  SELECT user_id,
         |    cast(json_extract_string(props, '$.k') as bigint) AS item
-        |  FROM events),
+        |  FROM events
+        |  WHERE cast(json_extract_string(props, '$.k') as bigint) IS NOT NULL),
         |it AS MATERIALIZED (SELECT DISTINCT item FROM ev),
         |u AS MATERIALIZED (SELECT DISTINCT user_id FROM ev),
         |seen AS MATERIALIZED (SELECT DISTINCT user_id, item FROM ev),
@@ -1713,16 +1725,34 @@ object EventAnalytics {
         |SELECT user_id, item AS neg_item, cast(rk as bigint) AS rk
         |FROM r WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin) { (s, dir) =>
       val ev = events(s, dir).select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .filter(col("item").isNotNull)
       val it = ev.select(col("item")).distinct()
-      val u = ev.select(col("user_id")).distinct()
-      val seen = ev.select(col("user_id"), col("item")).distinct()
-      val cand = u.crossJoin(broadcast(it))
-        .join(seen, Seq("user_id", "item"), "left_anti")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(md5(concat(col("user_id").cast(StringType), lit(":"),
-          col("item").cast(StringType)).cast(BinaryType)), col("item"))
-      cand.withColumn("rk", row_number().over(w).cast(LongType))
+      // one bounded catalog count sizes the bucket grid (~2k items per
+      // bucket); the output is bucket-count-invariant, so this only
+      // shapes the plan
+      val nBuckets = math.max(1L, it.count() / 2048L).toInt
+      val bucketOf = pmod(xxhash64(col("item")), lit(nBuckets.toLong))
+        .cast(IntegerType)
+      val itB = it.withColumn("bucket", bucketOf)
+      val uB = ev.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(nBuckets - 1))).as("bucket"))
+      val seenB = ev.distinct().withColumn("bucket", bucketOf)
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(collect_set(col("item")).as("seen_arr"))
+      val cand = uB
+        .join(seenB, Seq("user_id", "bucket"), "left")
+        .join(broadcast(itB), Seq("bucket"))
+        .filter(!coalesce(array_contains(col("seen_arr"), col("item")),
+          lit(false)))
+      val key = md5(concat(col("user_id").cast(StringType), lit(":"),
+        col("item").cast(StringType)).cast(BinaryType))
+      val wb = Window.partitionBy(col("user_id"), col("bucket"))
+        .orderBy(key, col("item"))
+      val w = Window.partitionBy(col("user_id")).orderBy(key, col("item"))
+      cand.withColumn("rkb", row_number().over(wb)).filter(col("rkb") <= 2)
+        .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 2)
         .select(col("user_id"), col("item").as("neg_item"), col("rk"))
         .orderBy(col("user_id"), col("rk"))

@@ -935,9 +935,17 @@ object Stats {
     // decimal(38,0)/HUGEINT with a (score DESC, day ASC) total tiebreak,
     // so both engines select the identical argmax row; only bigint-safe
     // columns are emitted (split day, day counts, floored segment means
-    // in cents — nonneg revenue, scale-0 floor division). Bound: the
-    // internal square needs corpus revenue ≤ ~1e15 cents × 400 days
-    // inside decimal(38); beyond that, re-scale to dollars. Scale shape:
+    // in cents — nonneg revenue, scale-0 floor division). Bound
+    // (corrected round 11, ADVICE r10): the binding constraint is the
+    // QUOTIENT, not the square — Spark's `div` is BIGINT-valued, so the
+    // argmax key dterm²/(nl·(nt−nl)) must stay under 2^63 (adversarial
+    // worst case all-revenue-on-one-day makes that st²·(nt−1), i.e.
+    // per-type revenue ≲ 1.5e8 cents at a 400-day calendar), and
+    // dterm² = (sl·nt − st·nl)² must fit decimal(38) (|dterm| < 1e19).
+    // Past either bound Spark nulls/ANSI-throws while DuckDB's hugeint
+    // keeps the exact key — re-scale cents to a coarser unit first
+    // (both engines floor identically, so they still agree on the
+    // split; the key is (1/s²)-equivariant under c→c/s). Scale shape:
     // corpus collapses to the (type, day) calendar grid in one map-side
     // agg; windows partition BY TYPE over day cells (calendar-bounded,
     // never corpus rows).

@@ -96,8 +96,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_permutation_test", // crossJoin(broadcast(21-row seed grid + 1-row t_obs))
     "q_hits",            // crossJoin(broadcast(1-row normalization totals)) ×3
     "q_eval_leakage",    // crossJoin(broadcast(1-row eval-count + leak aggs))
-    "q_negative_sampling", // crossJoin(broadcast(catalog item list))
     "q_mix_dedup_interaction") // crossJoin(broadcast(two 1-row totals))
+  // q_negative_sampling left this list in round 11: the users×catalog
+  // crossJoin became a bucketed broadcast EQUI-join (per-bucket top-2
+  // pre-limit, map-side seen-array prune) — see EventAnalytics.
 
   /** Queries allowed to plan a PARTITION-LESS window (WindowExec's "No
     * Partition Defined" warning): each one's window INPUT is provably

@@ -834,6 +834,32 @@ class StatsSpec extends AnyFunSuite {
     got.foreach { case (u, i, _) => assert(!seen(u).contains(i)) }
   }
 
+  test("q_negative_sampling bucketed draw is identical to the cross-join form") {
+    // result-identity pin for the round-11 catalog-scale-safe rework:
+    // the retired users×catalog crossJoin + left-anti + per-user window
+    // plan, re-stated here as the reference implementation
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    val it = ev.select(col("item")).distinct()
+    val u = ev.select(col("user_id")).distinct()
+    val seen = ev.select(col("user_id"), col("item")).distinct()
+    val cand = u.crossJoin(broadcast(it))
+      .join(seen, Seq("user_id", "item"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(md5(concat(col("user_id").cast("string"), lit(":"),
+        col("item").cast("string")).cast("binary")), col("item"))
+    val exp = cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .select(col("user_id"), col("item").as("neg_item"), col("rk"))
+      .orderBy(col("user_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run("q_negative_sampling").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+  }
+
   test("q_k_anonymity equals the brute-force QI-class census") {
     val rows = Engine.table(spark, dir, "events")
       .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("isodow"),
