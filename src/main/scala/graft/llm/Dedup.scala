@@ -867,6 +867,108 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // TRUE exact-substring dedup at the ≥50-token bar (round 11,
+    // Lee et al. "Deduplicating Training Data Makes Language Models
+    // Better", ACL'22 — the ExactSubstr dedup q_dedup_span only
+    // approximates at 5-gram granularity): per doc, the MAXIMAL
+    // duplicated spans of ≥ 50 tokens, their count, and the exact token
+    // coverage. Identity used: a position lies inside a duplicated
+    // substring of length ≥ 50 iff it is covered by some 50-token
+    // window that occurs ≥ 2 times in the corpus (counting intra-doc
+    // repeats, as the paper does) — so the single-node suffix array's
+    // adjacent-suffix LCP ≥ 50 test becomes, distributed, EQUALITY of
+    // fixed-width window keys: once keys are fixed-width, sorted-order
+    // ADJACENCY is equality grouping, and the Spark-first plan is a
+    // hash agg + left-semi join back (one shuffle fewer than
+    // rankGlobal-sorting the keys to rediscover equal neighbors).
+    // Window keys are md5 digests (16 bytes instead of ~50 tokens — the
+    // shuffle stays corpus-linear; both engines hash the identical
+    // space-joined window string). Maximal spans come from a per-DOC
+    // interval merge of the [p, p+49] windows (new span iff
+    // p > prev_max_p + 50; windows with gap ≤ 50 overlap/touch in
+    // coverage), so covered_tokens is the exact union length WITHOUT
+    // the 50× position explode. Scale shape: one window projection
+    // (corpus-linear rows, 16-byte keys), one map-side-combinable key
+    // count, one left-semi join back (AQE handles hot-key skew), and
+    // doc-partitioned windows — nothing global, nothing quadratic.
+    // LlmSpec brute-forces planted long duplicates.
+    "q_dedup_suffix" -> Q(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |base AS (SELECT doc_id, cast(len(t) as bigint) AS n_tokens,
+        |           cast(greatest(len(t) - 49, 0) as bigint) AS n_win
+        |         FROM toks),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
+        |        FROM toks WHERE len(t) >= 50)),
+        |hot AS (SELECT k FROM wins GROUP BY k HAVING count(*) >= 2),
+        |dup AS MATERIALIZED (
+        |  SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (k)),
+        |iv AS (SELECT doc_id, pos,
+        |         max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |       FROM dup),
+        |g2 AS (SELECT doc_id, pos,
+        |         sum(CASE WHEN pmax IS NULL OR pos > pmax + 50
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS UNBOUNDED PRECEDING) AS grp
+        |       FROM iv),
+        |sp AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 49 AS e
+        |       FROM g2 GROUP BY doc_id, grp),
+        |spa AS (SELECT doc_id, cast(count(*) as bigint) AS n_spans,
+        |          cast(sum(e - s + 1) as bigint) AS covered
+        |        FROM sp GROUP BY doc_id),
+        |dc AS (SELECT doc_id, cast(count(*) as bigint) AS n_dup
+        |       FROM dup GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_win,
+        |  cast(coalesce(dc.n_dup, 0) as bigint) AS n_dup_starts,
+        |  cast(coalesce(spa.n_spans, 0) as bigint) AS n_spans,
+        |  cast(coalesce(spa.covered, 0) as bigint) AS covered_tokens,
+        |  cast(coalesce(spa.covered, 0) * 1000000 // b.n_tokens as bigint)
+        |    AS dup_cover_ppm
+        |FROM base b LEFT JOIN dc USING (doc_id) LEFT JOIN spa USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val base = toks.select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        greatest(size(col("t")) - 49, lit(0)).cast(LongType).as("n_win"))
+      val wins = toks.filter(size(col("t")) >= 50)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 49)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5s(concat_ws(" ", slice(col("t"), col("pos"), lit(50)))).as("k"))
+      val hot = wins.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("k"))
+      val dup = wins.join(hot, Seq("k"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val iv = dup.withColumn("pmax",
+        max(col("pos")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      val g2 = iv.withColumn("grp",
+        sum(when(col("pmax").isNull || col("pos") > col("pmax") + 50, 1L)
+          .otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      val sp = g2.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 49).as("e"))
+      val spa = sp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("covered"))
+      val dc = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      base
+        .join(dc, Seq("doc_id"), "left")
+        .join(spa, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_win"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_starts"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          expr("(coalesce(covered, 0L) * 1000000L) div n_tokens")
+            .as("dup_cover_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // n-gram Jaccard near-dup: candidate GENERATION is df-capped (shingles
     // in > 50 docs are the d²/2 quadratic blowup at scale and carry almost
     // no signal), then exact Jaccard over FULL shingle sets of candidates

@@ -442,6 +442,22 @@ object Streams {
     graft.llm.TextAnalysis.withQualityPpm(docsStream)
       .filter(col("quality_ppm") >= minPpm)
 
+  /** Trained-model quality gate at INGEST (s_quality_model): the
+    * streaming twin of q_quality_model — the SAME feature projection
+    * ([[graft.llm.TextAnalysis.qualityModelFeatures]], shared verbatim)
+    * scored by the in-row fold of the same weight literals
+    * (qualityModelScoreCol; LlmSpec pins the fold equal to the batch
+    * operator's broadcast-table dot product), then the same ≥-threshold
+    * cut. ONE stateless codegen'd projection + filter: zero state
+    * stores, no watermark, unbounded-safe at any ingest rate (the
+    * s_quality_gate discipline).
+    */
+  def streamingQualityModel(docsStream: DataFrame,
+      minPpm: Long = graft.llm.TextAnalysis.qualityModelMinPpm): DataFrame =
+    graft.llm.TextAnalysis.qualityModelFeatures(docsStream)
+      .withColumn("score_ppm", graft.llm.TextAnalysis.qualityModelScoreCol)
+      .filter(col("score_ppm") >= minPpm)
+
   /** BPE encoding at INGEST (s_bpe_encode): annotate each streaming doc
     * with its TRUE tokenizer token count under a TRAINED merge table —
     * the per-doc twin of q_bpe_encode's corpus rollup, and the number a

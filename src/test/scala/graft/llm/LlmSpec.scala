@@ -1303,18 +1303,19 @@ class LlmSpec extends AnyFunSuite {
       .toDF("doc_id", "lang", "text")
     val (merges, enc, pinned) =
       TextAnalysis.bpeTrain(TextAnalysis.bpeSeqs(tiny, keep = Seq("lang")))
-    val encRows = enc.select("lang", "seq").as[(String, String)].collect().toSeq
+    val encRows = enc.select("lang", "seq", "cnt")
+      .as[(String, String, Long)].collect().toSeq
     pinned.foreach(_.unpersist())
-    // hand replay: words a-b-c a-b-c a-b | a-b-c a-a-a
-    // pairs r1: 'a b'x4 'b c'x3 'a a'x2 -> adopt 'a b' (count desc)
-    // seqs: 'ab c','ab c','ab','ab c','a a a'
+    // hand replay over the WEIGHTED histogram (round 11): vocab
+    // abc(cnt 3), ab(1), aaa(1)
+    // pairs r1: 'a b' 3+1=4, 'b c' 3, 'a a' 2 -> adopt 'a b' (count desc)
+    // vocab: 'ab c'(3), 'ab'(1), 'a a a'(1)
     // pairs r2: 'ab c'x3, 'a a'x2 -> adopt 'ab c'
-    // seqs: 'abc','abc','ab','abc','a a a'
     // pairs r3: 'a a'x2 -> adopt 'a a'; 'a a a' -> 'aa a' (ONCE, no rescan)
     assert(merges.map(m => (m._2, m._3)) ===
       Seq(("a b", 4L), ("ab c", 3L), ("a a", 2L)))
-    assert(encRows.map(_._2).sorted ===
-      Seq("aa a", "ab", "abc", "abc", "abc"))
+    assert(encRows.map(r => (r._2, r._3)).sortBy(_._1) ===
+      Seq(("aa a", 1L), ("ab", 1L), ("abc", 3L)))
     // real corpus: per-lang identity n_bpe_tokens = n_char_syms - merges
     // applied (each application fuses exactly two symbols), and the
     // encode can only shorten: n_bpe_tokens <= n_char_syms, plus the
@@ -1327,6 +1328,34 @@ class LlmSpec extends AnyFunSuite {
       assert(nBpe >= nWords, s"$lang: fewer tokens than words")
       assert(nChar >= nWords, s"$lang: fewer chars than words")
     }
+  }
+
+  test("q_quality_model: planted tier monotonicity + fold equals broadcast-table dot") {
+    import spark.implicits._
+    // planted quality tiers: clean English prose (stopword-rich, all
+    // alpha) > alpha gibberish (no stopwords) > symbol/digit noise
+    val tiers = Seq(
+      (1L, "the cat sat on the mat and the dog was in the house with a ball"),
+      (2L, "zxqv kjhg wwpo the aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (3L, "#### 1234 %%%% 9999 @@@@ ++++ ==== |||| :::: ////"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.qualityModelFeatures(tiers)
+      .withColumn("score_ppm", TextAnalysis.qualityModelScoreCol)
+      .select(col("doc_id"), col("score_ppm"))
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L),
+      s"tier scores not monotone: $s")
+    // the streaming twin's in-row fold ≡ the batch operator's
+    // long-format broadcast-table dot product, on the real corpus
+    val fold = TextAnalysis.qualityModelFeatures(
+        docs.select(col("doc_id"), col("text")))
+      .withColumn("score_ppm", TextAnalysis.qualityModelScoreCol)
+      .select(col("doc_id"), col("score_ppm"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.Registry.all("q_quality_model").fn(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("score_ppm"))
+      .as[(Long, Long)].collect().toMap
+    assert(fold === batch)
   }
 
   test("q_calibration equals q_quality_score buckets x brute-force dup flags") {

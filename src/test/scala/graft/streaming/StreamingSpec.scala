@@ -1280,15 +1280,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingQualityModel: kept set and scores equal the batch model cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingQualityModel(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_qmodel").start()
+    try {
+      val rows = d.as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_qmodel")
+        .select(col("doc_id"), col("score_ppm"))
+        .as[(Long, Long)].collect().toMap
+      val want = graft.Registry.all("q_quality_model").fn(spark, TestSpark.sfDir)
+        .select(col("doc_id"), col("score_ppm"), col("model_keep"))
+        .as[(Long, Long, Boolean)].collect()
+        .filter(_._3).map(r => (r._1, r._2)).toMap
+      assert(got == want)
+      // the model gate is a real filter at this corpus
+      assert(want.nonEmpty && want.size < rows.length)
+    } finally q.stop()
+  }
+
   test("streamingBpeEncode: per-lang sums equal batch q_bpe_encode across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val d = graft.Engine.table(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-    // train the merge table once (the batch trainer), ship it as plan
+    // train the merge table once (the batch trainer, at the same
+    // vocab-derived budget the batch operator uses), ship it as plan
     // literals — the stream applies the identical replace() chain
     val (merges, _, pinned) = graft.llm.TextAnalysis.bpeTrain(
-      graft.llm.TextAnalysis.bpeSeqs(d))
+      graft.llm.TextAnalysis.bpeSeqs(d),
+      rounds = graft.llm.TextAnalysis.bpeBudgetFor(d))
     pinned.foreach(_.unpersist())
     val mem = MemoryStream[(Long, String, String)]
     val q = Streams.streamingBpeEncode(

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Fresh-JVM per-query spot bench (round 11, VERDICT r10 #8): the shared
+# ~300-query bench JVM carries ambient cost (persisted indexes, GC,
+# codegen-cache pressure) that inflates individual timings 20-40%, so
+# cross-round per-query comparisons on the whole-bench map are only valid
+# at equal registry size. This script runs ONE sbt/Spark JVM PER QUERY
+# for the N slowest queries of the latest whole-bench map
+# (/tmp/graft_bench.json) and appends the isolated numbers to
+# BENCH_SPOT.json — the mechanical cross-round baseline.
+#
+# Usage: [N=10] [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1] tools/bench_spot.sh [query ...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="${N:-10}"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+
+QUERIES=("$@")
+if [ ${#QUERIES[@]} -eq 0 ]; then
+  mapfile -t QUERIES < <(python3 - "$N" <<'EOF'
+import json, sys
+m = json.load(open("/tmp/graft_bench.json"))["queries"]
+for q, _ in sorted(m.items(), key=lambda kv: -kv[1])[: int(sys.argv[1])]:
+    print(q)
+EOF
+)
+fi
+
+OUT="BENCH_SPOT.json"
+echo "[bench_spot] ${#QUERIES[@]} queries, fresh JVM each, sf dir $SF"
+{
+  printf '{"sf_dir": "%s", "protocol": "fresh-jvm min-of-2", "queries": {' "$SF"
+  first=1
+  for q in "${QUERIES[@]}"; do
+    t=$(SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.BenchOne $q" 2>/dev/null |
+      grep -E "^\[benchone\] $q run" | awk '{print $4}' | sed 's/s$//' | sort -n | head -1)
+    [ $first -eq 1 ] || printf ', '
+    printf '"%s": %s' "$q" "${t:-null}"
+    first=0
+    echo "[bench_spot] $q ${t:-FAILED}" >&2
+  done
+  printf '}}\n'
+} > "$OUT"
+echo "[bench_spot] wrote $OUT"
