@@ -100,6 +100,21 @@ object ScaleUp {
             .withColumn("ts",
               (unix_micros(col("ts")) + lit(i * 7L * 86400L * 1000000L))
                 * lit(1000L))
+            // per-replica item-catalog offset (round 11): props.$.k is
+            // the recommender item catalog — without the offset a
+            // reps× corpus keeps a FIXED 100-item catalog and the
+            // users×catalog surface of q_negative_sampling grows only
+            // linearly, hiding exactly the blow-up the bucketed draw
+            // exists to absorb. With it, catalog and users both scale
+            // reps×, the realistic shape. props is the single-field
+            // JSON {"k": N} (TESTDATA.md), so the rewrite is a rebuild.
+            .withColumn("props",
+              when(get_json_object(col("props"), "$.k").isNotNull,
+                concat(lit("{\"k\": "),
+                  (get_json_object(col("props"), "$.k").cast("long")
+                    + lit(i * 1000L)).cast("string"),
+                  lit("}")))
+                .otherwise(col("props")))
       },
       "documents" -> replicate(Engine.table(spark, src, "documents"), reps) {
         (df, i) =>

@@ -1528,6 +1528,14 @@ object Components {
       // 100× 45 → 48 s — cache serialization beats the exchange-reused
       // recompute; the CLAUDE.md materialize-vs-recompute rule, measured
       // before trusting), so the shared shuffle rides ReuseExchange.
+      // Round-11 negative (HitsBucketedBench at 100×, VERDICT r10 #4):
+      // bucketBy(8, o_orderkey) artifacts for both join sides make the
+      // orders join exchange-free, but cold build+consume measured
+      // 9.1 + 39.6 s vs the shipped plan's 43.7 s min-of-2 — a wash at
+      // best even with the artifact amortized (39.6 vs 43.7, inside
+      // run-to-run spread), because the dominant cost is the (c, s)
+      // distinct + three edge-linear rounds, which bucketing-by-ORDERKEY
+      // cannot co-locate (the downstream keys are c and s). Not adopted.
       val e = Engine.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey").as("s"))
         .distinct()

@@ -1330,6 +1330,57 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_suffix equals brute force on planted long duplicates") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    // docs 1 & 2 share a 60-token run (cross-doc duplicate); doc 3
+    // repeats a 55-token run INTRA-doc (two spans); doc 4 is all-unique
+    // (no duplicated window); doc 5 is shorter than one window.
+    val shared = (0 until 60).map(i => s"s$i")
+    val rep = (0 until 55).map(i => s"r$i")
+    val corpus = Seq(
+      1L -> (toks("a", 10) ++ shared ++ toks("b", 30)),
+      2L -> (toks("c", 25) ++ shared ++ toks("d", 15)),
+      3L -> (rep ++ toks("e", 5) ++ rep ++ toks("f", 10)),
+      4L -> toks("g", 80),
+      5L -> toks("h", 20))
+    val dir = java.nio.file.Files.createTempDirectory("suffixspec").toString
+    corpus.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // brute force: every full 50-token window, corpus-wide multiset
+    // count, dup starts where count >= 2, interval-merged coverage
+    def windows(t: Seq[String]) =
+      t.sliding(50).filter(_.length == 50).map(_.mkString(" ")).toSeq
+    val cnt = corpus.flatMap(c => windows(c._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val exp = corpus.map { case (id, t) =>
+      val starts = windows(t).zipWithIndex
+        .collect { case (w, i) if cnt(w) >= 2 => i + 1 }
+      val covered = starts.flatMap(p => p until p + 50).distinct.size
+      val spans = starts.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        acc match {
+          case (s, e) :: rest if p <= e + 1 => (s, math.max(e, p + 49)) :: rest
+          case _ => (p, p + 49) :: acc
+        }
+      }.size
+      (id, t.length.toLong, math.max(t.length - 49, 0).toLong,
+        starts.size.toLong, spans.toLong, covered.toLong,
+        if (t.isEmpty) 0L else covered.toLong * 1000000L / t.length)
+    }
+    val got = graft.Registry.all("q_dedup_suffix").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === exp)
+    // the planted structure is detected as planted: 60 covered tokens
+    // in each of docs 1/2 (one span), two spans and 110 covered in doc 3
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._5 === 1L && byId(1L)._6 === 60L)
+    assert(byId(2L)._5 === 1L && byId(2L)._6 === 60L)
+    assert(byId(3L)._5 === 2L && byId(3L)._6 === 110L)
+    assert(byId(4L)._6 === 0L && byId(5L)._3 === 0L)
+  }
+
   test("q_quality_model: planted tier monotonicity + fold equals broadcast-table dot") {
     import spark.implicits._
     // planted quality tiers: clean English prose (stopword-rich, all
