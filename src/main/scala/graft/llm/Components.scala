@@ -958,53 +958,51 @@ object Components {
        |  JOIN $prev x ON t.v = x.v JOIN $prev y ON t.n = y.v
        |  GROUP BY t.v HAVING count(*) >= 2)""".stripMargin
 
-  /** Unrolled oracle peel depths around the chain-collapse closing block
-    * — the plan iterates to the true fixpoint, so these only need to
+  /** Unrolled oracle peel depths around the leaf-walk closing block —
+    * the plan iterates to the true fixpoint, so these only need to
     * cover the BUSHY peel depth the data actually takes (the gate fails
     * LOUDLY, never silently, if they do not: extra rounds past the
     * fixpoint are no-ops, too few leave the oracle above it). Chains of
-    * ANY length are closed exactly by the collapse CTE between the two
-    * phases (the [[twoCore]] capability, ADVICE r10: a pendant chain
-    * longer than ~2× the old 24 fixed rounds used to out-run the
+    * ANY length are closed exactly by the walk between the two phases
+    * (the [[twoCore]] chain-collapse capability, ADVICE r10: a pendant
+    * chain longer than ~2× the old 24 fixed rounds used to out-run the
     * oracle), so depth here bounds only tree BUSHINESS, not length.
+    * DEPTH IS A HARD DUCKDB BUDGET, measured at 30× (round 11): chained
+    * CTEs downstream of the banded-simhash tree are ~free up to ~10
+    * total, then the optimizer falls off a cliff (6 peel rounds 98 s ≈
+    * the 87 s spairs floor; 8 rounds 255 s; 12 rounds 295 s; the
+    * 20-CTE recursive-CC collapse variant 312 s) — this shape stays at
+    * 10 CTEs and replays in ~the spairs floor.
     */
-  private val oPeelRoundsPre = 12
-  private val oPeelRoundsPost = 12
+  private val oPeelRoundsPre = 1
+  private val oPeelRoundsPost = 1
 
-  /** Chain-collapse closing block, oracle twin of [[twoCore]]'s
-    * collapse phase over the residual graph after the `pre` peels:
-    * vertices of residual degree ≤ 2 are component-labeled over their
-    * induced (path/cycle-shaped) subgraph by a recursive min-label
-    * closure — singletons label themselves — and every component
-    * containing a residual LEAF (deg ≤ 1) is deleted in one shot.
-    * Exact: a deg-≤2 component with a leaf is a pendant path, which
-    * iterative peeling provably removes entirely; cycles (no leaf)
-    * survive, as they must.
+  /** Leaf-walk closing block, the oracle twin of [[twoCore]]'s
+    * chain-collapse capability in THREE CTEs (the DuckDB chained-CTE
+    * budget above): a recursive walk that starts at every residual leaf
+    * and follows degree-≤2 vertices, removing the whole pendant
+    * path/chain in one recursion regardless of length. Sound by
+    * induction: a leaf is peelable, and a deg-≤2 vertex whose walk
+    * predecessor was removed has ≤1 live edge left, so it is peelable
+    * too; cycles have no leaf to start from and survive, as they must.
+    * NOT complete for bushy trees (a branch vertex of degree ≥3 stops
+    * the walk) — the surrounding unrolled peel rounds cover bushiness,
+    * and a too-bushy residue fails the gate hash loudly, never
+    * silently. Degrees ride the alive adjacency as a window column, so
+    * the whole block is one materialized adjacency + one recursion +
+    * one anti-filter.
     */
-  private def oChainCollapse(prev: String, out: String): String =
-    s"""er AS MATERIALIZED (SELECT e.d1, e.d2 FROM e0 e
-       |  JOIN $prev x ON e.d1 = x.v JOIN $prev y ON e.d2 = y.v),
-       |dr AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
-       |        SELECT d1 AS id FROM er UNION ALL SELECT d2 FROM er)
-       |      GROUP BY id),
-       |lowv AS MATERIALIZED (SELECT id FROM dr WHERE deg <= 2),
-       |ind AS MATERIALIZED (SELECT e.d1, e.d2 FROM er e
-       |  JOIN lowv x ON e.d1 = x.id JOIN lowv y ON e.d2 = y.id),
-       |indadj AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM ind
-       |          UNION SELECT d2, d1 FROM ind),
-       |reachl(id, lab) AS (
-       |  SELECT src, src FROM indadj
+  private def oLeafWalk(prev: String, out: String): String =
+    s"""ea AS MATERIALIZED (
+       |  SELECT t.v, t.n, count(*) OVER (PARTITION BY t.v) AS deg
+       |  FROM adjc t JOIN $prev x ON t.v = x.v JOIN $prev y ON t.n = y.v),
+       |rem(frm, v) AS (
+       |  SELECT e.v, e.n FROM ea e WHERE e.deg <= 1
        |  UNION
-       |  SELECT e.src, r.lab FROM indadj e JOIN reachl r ON r.id = e.dst),
-       |complo AS (SELECT id, min(lab) AS lab FROM reachl GROUP BY id),
-       |lab2 AS MATERIALIZED (SELECT l.id, coalesce(c.lab, l.id) AS lab
-       |         FROM lowv l LEFT JOIN complo c ON c.id = l.id),
-       |doomedlab AS (SELECT DISTINCT lb.lab FROM lab2 lb
-       |              JOIN dr d ON d.id = lb.id WHERE d.deg <= 1),
-       |doomed AS MATERIALIZED (SELECT lb.id FROM lab2 lb
-       |           JOIN doomedlab dl ON lb.lab = dl.lab),
+       |  SELECT r.v, e.n FROM rem r JOIN ea e ON e.v = r.v AND e.n <> r.frm
+       |  WHERE e.deg <= 2),
        |$out AS MATERIALIZED (SELECT x.v FROM $prev x
-       |  WHERE NOT EXISTS (SELECT 1 FROM doomed d WHERE d.id = x.v))""".stripMargin
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.frm = x.v))""".stripMargin
 
   /** q_graph_degree_hist's downstream: log2-bucketed degree histogram of
     * the pair graph over the vertex frame.
@@ -1185,11 +1183,13 @@ object Components {
     // fixpoint is schedule-independent, so the oracle peels in the
     // cheap ALIVE-VERTEX form (oPeelVRound — one materialized adjacency
     // joined per round, vertex-sized outputs; the old 24 re-materialized
-    // edge CTEs replayed in 6m38s at 30×, this form in seconds) with a
-    // CHAIN-COLLAPSE closing block between two 12-round phases
-    // (oChainCollapse — recursive leaf-component delete), matching
-    // twoCore's arbitrary-chain-length capability: unrolled depth now
-    // bounds only tree BUSHINESS (≤ 24), never chain length. Too-bushy
+    // edge CTEs replayed in 6m38s at 30×) with the LEAF-WALK closing
+    // block between two single-round phases (oLeafWalk — a recursive
+    // walk removing pendant paths of ANY length), matching twoCore's
+    // arbitrary-chain-length capability: unrolled depth now bounds only
+    // tree BUSHINESS, never chain length, and the whole chain stays at
+    // the measured 10-CTE DuckDB budget (see oPeelRoundsPre scaladoc) —
+    // 30× replay ≈ the 87 s spairs floor vs 6m38s before. Too-bushy
     // data fails the hash loudly, never silently. Scale shape (engine):
     // per round one edge-sized degree agg + two semi-joins on a
     // monotonically shrinking edge set; same loop disciplines as
@@ -1202,7 +1202,7 @@ object Components {
          |        UNION ALL SELECT d2, d1 FROM e0),
          |a0 AS MATERIALIZED (SELECT DISTINCT v FROM adjc),
          |${(1 to oPeelRoundsPre).map(k => oPeelVRound(s"a$k", s"a${k - 1}")).mkString(",\n")},
-         |${oChainCollapse(s"a$oPeelRoundsPre", "b0")},
+         |${oLeafWalk(s"a$oPeelRoundsPre", "b0")},
          |${(1 to oPeelRoundsPost).map(k => oPeelVRound(s"b$k", s"b${k - 1}")).mkString(",\n")},
          |fe AS (SELECT e.d1, e.d2 FROM e0 e
          |  JOIN b$oPeelRoundsPost x ON e.d1 = x.v
