@@ -40,6 +40,20 @@ object Dedup {
 
   private def md5s(c: Column): Column = md5(c.cast(BinaryType))
 
+  /** Fixed-width 50-token window keys for the exact-substring family
+    * (q_dedup_suffix / q_span_provenance): one (doc_id, pos, k) row per
+    * full window, k = md5 of the space-joined window (16-byte keys keep
+    * the shuffle corpus-linear; suffix-sort adjacency ⇔ key equality
+    * once keys are fixed-width — see q_dedup_suffix).
+    */
+  private def suffixWindows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 50)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 49)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5s(concat_ws(" ", slice(col("t"), col("pos"), lit(50)))).as("k"))
+
   /** Exact dedup on a key set: keep the min doc_id per group (function
     * form used by specs; `dropDuplicates` is the one-liner equivalent).
     */
@@ -931,15 +945,11 @@ object Dedup {
         |FROM base b LEFT JOIN dc USING (doc_id) LEFT JOIN spa USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val toks = d.select(col("doc_id"), split(col("text"), " ").as("t"))
-      val base = toks.select(col("doc_id"),
-        size(col("t")).cast(LongType).as("n_tokens"),
-        greatest(size(col("t")) - 49, lit(0)).cast(LongType).as("n_win"))
-      val wins = toks.filter(size(col("t")) >= 50)
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), size(col("t")) - 49)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          md5s(concat_ws(" ", slice(col("t"), col("pos"), lit(50)))).as("k"))
+      val base = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast(LongType).as("n_tokens"),
+          greatest(size(col("t")) - 49, lit(0)).cast(LongType).as("n_win"))
+      val wins = suffixWindows(d)
       val hot = wins.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("k"))
       val dup = wins.join(hot, Seq("k"), "left_semi")
@@ -967,6 +977,69 @@ object Dedup {
           expr("(coalesce(covered, 0L) * 1000000L) div n_tokens")
             .as("dup_cover_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // Span provenance (round 11, the q_dedup_suffix downstream): WHICH
+    // source pairs share exact ≥50-token spans — the cross-source
+    // mirror/plagiarism screen (a wiki mirrored into a crawl source, an
+    // eval set leaked into a scrape) and, on the diagonal, the
+    // per-source internal-boilerplate reading. Same fixed-width md5'd
+    // window keys as q_dedup_suffix (shared suffixWindows projection);
+    // keys with 2-50 occurrences pair their distinct docs (the
+    // occurrence cap mirrors the q_dedup_near df discipline — an
+    // unbounded hot key is C(occ,2) quadratic and carries no provenance
+    // signal beyond "everywhere"; the cap is stated identically in both
+    // engines). Per unordered source pair: distinct shared windows,
+    // distinct doc pairs, and the cross-source flag. Scale shape:
+    // corpus-linear window projection, map-side-combinable key count,
+    // Σ C(occ≤50, 2)-bounded pair fanout, two dim joins on doc_id, one
+    // source-pair-sized agg.
+    "q_span_provenance" -> Q(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
+        |        FROM toks WHERE len(t) >= 50)),
+        |hk AS (SELECT k FROM wins GROUP BY k
+        |       HAVING count(*) BETWEEN 2 AND 50),
+        |wd AS MATERIALIZED (
+        |  SELECT DISTINCT w.k, w.doc_id FROM wins w JOIN hk USING (k)),
+        |pr AS (SELECT w1.k, w1.doc_id AS d1, w2.doc_id AS d2
+        |       FROM wd w1 JOIN wd w2
+        |         ON w1.k = w2.k AND w1.doc_id < w2.doc_id),
+        |ps AS (SELECT least(sa.source, sb.source) AS src_a,
+        |         greatest(sa.source, sb.source) AS src_b, pr.k, pr.d1, pr.d2
+        |       FROM pr JOIN documents sa ON sa.doc_id = pr.d1
+        |               JOIN documents sb ON sb.doc_id = pr.d2)
+        |SELECT src_a, src_b,
+        |  cast(count(DISTINCT k) as bigint) AS n_windows,
+        |  cast(count(DISTINCT (d1, d2)) as bigint) AS n_doc_pairs,
+        |  src_a <> src_b AS cross_source
+        |FROM ps GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val wins = suffixWindows(d)
+      val hk = wins.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 50)).select(col("k"))
+      val wd = wins.join(hk, Seq("k"), "left_semi")
+        .select(col("k"), col("doc_id")).distinct()
+      val pr = wd.as("w1").join(wd.as("w2"),
+          col("w1.k") === col("w2.k") && col("w1.doc_id") < col("w2.doc_id"))
+        .select(col("w1.k").as("k"), col("w1.doc_id").as("d1"),
+          col("w2.doc_id").as("d2"))
+      val src = d.select(col("doc_id"), col("source"))
+      pr
+        .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          col("k"), col("d1"), col("d2"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(countDistinct(col("k")).as("n_windows"),
+          countDistinct(col("d1"), col("d2")).as("n_doc_pairs"))
+        .select(col("src_a"), col("src_b"), col("n_windows"),
+          col("n_doc_pairs"), (col("src_a") =!= col("src_b")).as("cross_source"))
+        .orderBy(col("src_a"), col("src_b"))
     },
 
     // n-gram Jaccard near-dup: candidate GENERATION is df-capped (shingles

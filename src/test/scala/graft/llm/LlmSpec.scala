@@ -1381,6 +1381,43 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._6 === 0L && byId(5L)._3 === 0L)
   }
 
+  test("q_span_provenance: planted mirrors attributed to source pairs, hot-window cap applied") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    // planted structure:
+    //  - a 60-token run shared by doc 1 (src a) and doc 2 (src b)
+    //    -> cross-source pair (a,b): 11 shared windows, 1 doc pair
+    //  - a 55-token boilerplate run in docs 3 & 4, both src a
+    //    -> within-source (a,a): 6 windows, 1 doc pair
+    //  - one exact 50-token run as the WHOLE text of 3 docs in src c
+    //    -> (c,c): 1 window, C(3,2)=3 doc pairs
+    //  - the same for 51 docs in src d -> occurrence 51 > 50 cap:
+    //    contributes NOTHING (an everywhere-window has no provenance
+    //    signal and would be quadratic)
+    val shared = (0 until 60).map(i => s"s$i")
+    val boiler = (0 until 55).map(i => s"r$i")
+    val ok50 = (0 until 50).map(i => s"k$i")
+    val hot50 = (0 until 50).map(i => s"h$i")
+    val corpus =
+      Seq((1L, "a", toks("u", 10) ++ shared ++ toks("v", 5)),
+          (2L, "b", toks("w", 20) ++ shared),
+          (3L, "a", boiler ++ toks("x", 8)),
+          (4L, "a", toks("y", 3) ++ boiler)) ++
+      (0 until 3).map(i => (10L + i, "c", ok50)) ++
+      (0 until 51).map(i => (100L + i, "d", hot50))
+    val dir = java.nio.file.Files.createTempDirectory("spanprov").toString
+    corpus.map { case (id, src, t) => (id, src, t.mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.Registry.all("q_span_provenance").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      ("a", "a", 6L, 1L, false),
+      ("a", "b", 11L, 1L, true),
+      ("c", "c", 1L, 3L, false)))
+  }
+
   test("q_quality_model: planted tier monotonicity + fold equals broadcast-table dot") {
     import spark.implicits._
     // planted quality tiers: clean English prose (stopword-rich, all
