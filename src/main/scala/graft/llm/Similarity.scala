@@ -54,6 +54,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force maximum-inner-product top-k (MIPS — the retrieval
+    * scoring for unnormalized embeddings, where cosine's norm division
+    * erases magnitude): one broadcast of the query vector + a narrow
+    * codegen'd map + TakeOrdered, no corpus shuffle — corpus-linear at
+    * any size. The bucketed scale path for BATCHED queries is the
+    * standard norm-augmentation reduction (Bachrach et al. RecSys'14 /
+    * Shrivastava & Li NIPS'14): append sqrt(M² − |x|²) with M = max
+    * corpus norm, making inner-product order ≡ cosine order on the
+    * augmented vectors, then ride [[lshBuckets]]/[[writeLshIndex]]
+    * unchanged; to keep the augmented coordinate engine-portable the
+    * norm would be computed in the same floor-quantized integer space
+    * as the LSH sign test.
+    */
+  def mipsTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val withV = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = withV.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    withV.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("dot_r", round(dot(col("v"), col("qv")), 6))
+      .select(col("vec_id"), col("dot_r"))
+      .orderBy(col("dot_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane p is
     * derived from md5(p:d) → uniform in [-1, 1). Portable and seedless —
     * any worker regenerates the same planes (single source:
@@ -449,6 +473,21 @@ object Similarity {
         |WHERE b.vec_id <> 0
         |ORDER BY cos_r DESC, b.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       topK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
+    // Brute-force MIPS top-10 (inner product, not cosine — the score an
+    // unnormalized two-tower retriever ranks by): same 6dp-rounded
+    // cross-engine ordering discipline as q_sim_topk, tiebreak vec_id.
+    // Scale path documented at [[mipsTopK]] (norm-augmentation to
+    // cosine LSH).
+    "q_sim_mips" -> Q(
+      """SELECT b.vec_id,
+        |  round(list_inner_product(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS dot_r
+        |FROM embeddings b
+        |CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY dot_r DESC, b.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      mipsTopK(Engine.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
     // ANN variant (LSH buckets + multi-probe + exact rerank) —

@@ -56,6 +56,56 @@ object TextAnalysis {
     */
   val curateQualityPpm: Long = 400000L
 
+  /** q_dsir_weights hashed-feature space: unigram + bigram OCCURRENCES
+    * (multiplicity kept — DSIR counts, not vocabularies) hashed into
+    * 1024 buckets via the first 4 md5 nibbles mod 1024 (engine-portable;
+    * the oracle recomputes the identical mapping with the instr-nibble
+    * polynomial). The dimensionality is a model constant (DSIR uses a
+    * fixed 10^4), not data-derived.
+    */
+  val dsirBuckets: Int = 1024
+  def dsirBucketCol(g: Column): Column =
+    conv(substring(md5(g.cast(BinaryType)), 1, 4), 16, 10)
+      .cast(LongType) % dsirBuckets
+  def dsirFeatures(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("lang"), col("text"))
+    val uni = base.select(col("doc_id"), col("lang"),
+      explode(toks).as("g"))
+    val bi = base.filter(size(toks) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExpressions.shingles(col("text"), 2)).as("g"))
+    uni.unionByName(bi).withColumn("b", dsirBucketCol(col("g")))
+  }
+
+  /** The trained DSIR artifact: the COMPLETE 1024-row bucket → ratio_ppm
+    * table (spine-joined, so unseen buckets carry the add-1-smoothed
+    * default and a serving-time lookup can never miss). Shared by the
+    * batch scorer (q_dsir_weights) and the streaming ingest gate
+    * (s_dsir_gate, which ships it as a plan-literal map).
+    */
+  def dsirRatioTable(d: DataFrame,
+      isTarget: Column = col("lang") === "en"): DataFrame = {
+    val feat = dsirFeatures(d)
+    val spine = d.sparkSession.range(dsirBuckets).select(col("id").as("b"))
+    val rc = feat.groupBy(col("b")).agg(count(lit(1)).as("c_ref"))
+    val tc = feat.filter(isTarget)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val tot = rc.agg(sum(col("c_ref")).as("n_ref")).crossJoin(
+      tc.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt")))
+    spine.join(rc, Seq("b"), "left").join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio_ppm", expr(
+        "cast(((coalesce(c_tgt, 0) + 1) * cast(1000000 as decimal(38,0))" +
+          " * (n_ref + 1024))" +
+          " div ((coalesce(c_ref, 0) + 1) * cast(n_tgt + 1024 as decimal(38,0))) as bigint)"))
+      .select(col("b"), col("ratio_ppm"))
+  }
+
+  /** s_dsir_gate keep threshold: ratio ≥ 1× (at least as target-like as
+    * the reference mix); shared with StreamingSpec.
+    */
+  val dsirMinPpm: Long = 1000000L
+
   // ---- BPE kernel, shared by the trainer (q_bpe_merges) and the
   // ---- encoder (q_bpe_encode) so the two can never drift
 
@@ -713,6 +763,66 @@ object TextAnalysis {
           col("pmi_ratio_ppm"))
         .orderBy(col("pmi_ratio_ppm").desc, col("bigram"))
         .limit(20)
+    },
+
+    // DSIR-style importance weights (round 11; Xie et al. NeurIPS'23
+    // "Data Selection for LMs via Importance Resampling", public paper):
+    // score every raw document by how target-like its hashed n-gram
+    // profile is, for importance resampling toward a target domain
+    // (here lang='en' stands in for the quality target; the library
+    // callable takes any target predicate). Features are unigram AND
+    // bigram OCCURRENCES hashed into 1024 buckets (md5-derived, the
+    // engine-portable instr-nibble mapping of q_sim_ann); per bucket an
+    // add-1-smoothed target/reference likelihood RATIO in floor ppm
+    // (linear space, not log — exact integer arithmetic both engines;
+    // same monotone ranking intent); per doc the occurrence-weighted
+    // mean ratio. Scale shape: two corpus-linear codegen'd explodes, a
+    // 1024-row ratio dim built map-side-combinably and broadcast back,
+    // one doc-sized agg — nothing quadratic, nothing driver-side. All
+    // arithmetic decimal(38,0)/hugeint per the floor-division rule.
+    "q_dsir_weights" -> Q(
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, lang, g FROM (
+        |  SELECT doc_id, lang, unnest(t) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM t WHERE len(t) >= 2)),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    ((instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 1024 AS b
+        |  FROM g),
+        |rc AS (SELECT b, cast(count(*) as bigint) AS c_ref FROM f GROUP BY b),
+        |tc AS (SELECT b, cast(count(*) as bigint) AS c_tgt FROM f
+        |       WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT cast(sum(c_ref) as bigint) AS n_ref,
+        |  (SELECT cast(coalesce(sum(c_tgt), 0) as bigint) FROM tc) AS n_tgt
+        |  FROM rc),
+        |r AS MATERIALIZED (
+        |  SELECT rc.b,
+        |    cast(((coalesce(tc.c_tgt, 0) + 1) * cast(1000000 as hugeint)
+        |          * (tot.n_ref + 1024))
+        |      // ((rc.c_ref + 1) * cast(tot.n_tgt + 1024 as hugeint)) as bigint)
+        |      AS ratio_ppm
+        |  FROM rc LEFT JOIN tc USING (b), tot)
+        |SELECT f.doc_id, f.lang = 'en' AS is_target,
+        |  cast(count(*) as bigint) AS n_feats,
+        |  cast(sum(r.ratio_ppm) // count(*) as bigint) AS weight_ppm
+        |FROM f JOIN r USING (b)
+        |GROUP BY f.doc_id, f.lang
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val feat = dsirFeatures(d)
+      feat.join(broadcast(dsirRatioTable(d)), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"),
+          expr("cast(sum(ratio_ppm) div count(1) as bigint)").as("weight_ppm"))
+        .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+          col("n_feats"), col("weight_ppm"))
+        .orderBy(col("doc_id"))
     },
 
     // Text canonicalization (round 7) — the normalize stage every

@@ -458,6 +458,37 @@ object Streams {
       .withColumn("score_ppm", graft.llm.TextAnalysis.qualityModelScoreCol)
       .filter(col("score_ppm") >= minPpm)
 
+  /** DSIR importance gate at INGEST (s_dsir_gate): score each streaming
+    * doc's target-likeness under a TRAINED bucket→ratio table
+    * ([[graft.llm.TextAnalysis.dsirRatioTable]], the batch q_dsir_weights
+    * artifact — complete over all 1024 buckets, so a lookup can never
+    * miss) and keep docs at least as target-like as the reference mix.
+    * The table ships as a plan-literal map (1024 entries — the
+    * s_bpe_encode merge-literal discipline), the n-gram → bucket mapping
+    * is the SHARED [[graft.llm.TextAnalysis.dsirBucketCol]] expression,
+    * and the whole plan is ONE STATELESS narrow projection + filter:
+    * in-row gram array (same unigram+bigram multiset as the batch
+    * explode), in-row map lookups, integer mean — zero state stores, no
+    * watermark, unbounded-safe at any ingest rate. StreamingSpec pins
+    * per-doc weight equality with the batch operator on the real corpus
+    * across micro-batches.
+    */
+  def streamingDsirGate(docsStream: DataFrame, ratio: Map[Long, Long],
+      minPpm: Long = graft.llm.TextAnalysis.dsirMinPpm): DataFrame = {
+    val grams = concat(split(col("text"), " "),
+      graft.functions.TextExpressions.shingles(col("text"), 2))
+    val rlit = typedLit(ratio)
+    docsStream
+      .withColumn("n_feats", size(grams).cast(LongType))
+      .withColumn("w_sum",
+        aggregate(transform(grams,
+            g => element_at(rlit, graft.llm.TextAnalysis.dsirBucketCol(g))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("weight_ppm", expr("cast(w_sum div n_feats as bigint)"))
+      .filter(col("weight_ppm") >= minPpm)
+      .drop("w_sum")
+  }
+
   /** BPE encoding at INGEST (s_bpe_encode): annotate each streaming doc
     * with its TRUE tokenizer token count under a TRAINED merge table —
     * the per-doc twin of q_bpe_encode's corpus rollup, and the number a

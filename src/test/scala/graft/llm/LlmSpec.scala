@@ -1418,6 +1418,59 @@ class LlmSpec extends AnyFunSuite {
       ("c", "c", 1L, 3L, false)))
   }
 
+  test("q_sim_mips ranks by inner product, not cosine (magnitude matters)") {
+    import spark.implicits._
+    // query [1,0]; a=[0.9,0] is the cosine winner (cos 1.0, dot 0.9);
+    // b=[5,5] is the MIPS winner (dot 5.0, cos ~0.707)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(emb, queryId = 0L, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mips === Seq(2L, 1L))
+    val cos = Similarity.topK(emb, queryId = 0L, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(cos === Seq(1L, 2L))
+  }
+
+  test("q_dsir_weights: planted target vocabulary outranks off-target; bucket hash replayed") {
+    import spark.implicits._
+    // target (en) docs speak vocabulary E, off-target (zh) docs speak Z;
+    // one zh-labeled doc speaks E — importance resampling must score it
+    // like the target docs (that's the whole point: select target-LIKE
+    // raw docs regardless of their label)
+    val eText = "alpha beta gamma delta epsilon zeta eta theta"
+    val zText = "uno dos tres cuatro cinco seis siete ocho"
+    val corpus =
+      (1L to 6L).map(i => (i, "en", eText)) ++
+      (11L to 16L).map(i => (i, "zh", zText)) ++
+      Seq((21L, "zh", eText), (22L, "en", zText))
+    val dir = java.nio.file.Files.createTempDirectory("dsirspec").toString
+    corpus.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.Registry.all("q_dsir_weights").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // identical text ⇒ identical weight regardless of label
+    assert(got(21L)._3 === got(1L)._3)
+    assert(got(22L)._3 === got(11L)._3)
+    // target-like text scores strictly above off-target text
+    assert(got(21L)._3 > got(11L)._3)
+    // n_feats = unigrams + bigrams = 8 + 7
+    assert(got(1L)._2 === 15L && got(1L)._1 === true && got(21L)._1 === false)
+    // bucket mapping pinned against a MessageDigest replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("alpha beta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024
+    val b = TextAnalysis.dsirFeatures(Seq((1L, "en", "alpha beta"))
+        .toDF("doc_id", "lang", "text"))
+      .filter(col("g") === "alpha beta").select("b").as[Long].head()
+    assert(b === expected)
+  }
+
   test("q_quality_model: planted tier monotonicity + fold equals broadcast-table dot") {
     import spark.implicits._
     // planted quality tiers: clean English prose (stopword-rich, all

@@ -49,6 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_join_cross",      // cartesian by definition
     "q_join_theta",      // non-equi join predicate
     "q_sim_topk",        // crossJoin(broadcast(1-row query vector))
+    "q_sim_mips",        // crossJoin(broadcast(1-row query vector))
+    "q_dsir_weights",    // crossJoin(broadcast(1-row n_ref/n_tgt totals))
     "q_sim_ann",         // crossJoin(broadcast(probe set)) variant
     "q_sim_ivf",         // crossJoin(broadcast(1-row query + centroid table))
     "q_cluster_assign",  // crossJoin(broadcast(8-row centroid table))

@@ -1308,6 +1308,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDsirGate: kept set and weights equal the batch DSIR scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // train the ratio table once (the batch artifact — complete over all
+    // 1024 buckets), ship it as a plan-literal map
+    val ratio = graft.llm.TextAnalysis.dsirRatioTable(d)
+      .as[(Long, Long)].collect().toMap
+    assert(ratio.size === graft.llm.TextAnalysis.dsirBuckets)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.streamingDsirGate(
+        mem.toDF().toDF("doc_id", "lang", "text"), ratio)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_dsir").start()
+    try {
+      val rows = d.as[(Long, String, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_dsir")
+        .select(col("doc_id"), col("weight_ppm"))
+        .as[(Long, Long)].collect().toMap
+      val want = graft.Registry.all("q_dsir_weights").fn(spark, TestSpark.sfDir)
+        .select(col("doc_id"), col("weight_ppm"))
+        .as[(Long, Long)].collect()
+        .filter(_._2 >= graft.llm.TextAnalysis.dsirMinPpm).toMap
+      assert(got == want)
+      // the gate is a real filter at this corpus
+      assert(want.nonEmpty && want.size < rows.length)
+    } finally q.stop()
+  }
+
   test("streamingBpeEncode: per-lang sums equal batch q_bpe_encode across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
