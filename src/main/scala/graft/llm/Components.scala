@@ -958,25 +958,27 @@ object Components {
        |  JOIN $prev x ON t.v = x.v JOIN $prev y ON t.n = y.v
        |  GROUP BY t.v HAVING count(*) >= 2)""".stripMargin
 
-  /** Unrolled oracle peel depths around the leaf-walk closing block —
-    * the plan iterates to the true fixpoint, so these only need to
-    * cover the BUSHY peel depth the data actually takes (the gate fails
-    * LOUDLY, never silently, if they do not: extra rounds past the
-    * fixpoint are no-ops, too few leave the oracle above it). Chains of
-    * ANY length are closed exactly by the walk between the two phases
-    * (the [[twoCore]] chain-collapse capability, ADVICE r10: a pendant
-    * chain longer than ~2× the old 24 fixed rounds used to out-run the
-    * oracle), so depth here bounds only tree BUSHINESS, not length.
-    * DEPTH IS A HARD DUCKDB BUDGET, measured at 30× (round 11): chained
-    * CTEs downstream of the banded-simhash tree are ~free up to ~10
-    * total, then the optimizer falls off a cliff (6 peel rounds 98 s ≈
-    * the 87 s spairs floor; 8 rounds 255 s; 12 rounds 295 s; the
-    * 20-CTE recursive-CC collapse variant 312 s) — this shape stays at
-    * 10 CTEs and replays in ~the spairs floor.
+  /** Oracle schedule around the leaf-walk closing blocks: WALK → one
+    * peel round → WALK (round 11 final). The first walk subsumes leaf
+    * peeling (a deg-≤1 vertex is its own walk seed) and removes pendant
+    * paths of ANY length; the middle peel exposes branch vertices whose
+    * hanging chains just died; the second walk removes the chains THAT
+    * exposure creates. The sf0.1 graph is the bushy witness: its
+    * periphery needs 12 pure peel rounds, peel-walk-peel left 31
+    * vertices above the fixpoint, walk-peel-walk closes it exactly
+    * (simulated on all four data sets: sf0.001 13, sf0.01 7, sf0.1
+    * 1539, 30× 731 — each the engine's own fixpoint). Depth beyond two
+    * branch-exposure levels fails the gate hash LOUDLY, never silently
+    * (extra rounds past the fixpoint are no-ops, too few leave the
+    * oracle above it). CTE COUNT IS A HARD DUCKDB BUDGET, measured at
+    * 30× (round 11): chained CTEs downstream of the banded-simhash tree
+    * are ~free up to ~10 total, then the optimizer falls off a cliff
+    * (6 peel rounds 98 s ≈ the 87 s spairs floor; 8 rounds 255 s; 12
+    * rounds 295 s; the 20-CTE recursive-CC collapse variant 312 s) —
+    * this shape stays at EXACTLY 10 downstream CTEs (adjc, a0,
+    * 2×(ea, rem, out), one peel, fe) by folding the former prs/e0
+    * alias CTEs into direct spairs references.
     */
-  private val oPeelRoundsPre = 1
-  private val oPeelRoundsPost = 1
-
   /** Leaf-walk closing block, the oracle twin of [[twoCore]]'s
     * chain-collapse capability in THREE CTEs (the DuckDB chained-CTE
     * budget above): a recursive walk that starts at every residual leaf
@@ -986,23 +988,28 @@ object Components {
     * predecessor was removed has ≤1 live edge left, so it is peelable
     * too; cycles have no leaf to start from and survive, as they must.
     * NOT complete for bushy trees (a branch vertex of degree ≥3 stops
-    * the walk) — the surrounding unrolled peel rounds cover bushiness,
-    * and a too-bushy residue fails the gate hash loudly, never
-    * silently. Degrees ride the alive adjacency as a window column, so
-    * the whole block is one materialized adjacency + one recursion +
-    * one anti-filter.
+    * the walk) — the walk-peel-walk schedule covers two exposure
+    * levels of bushiness, and a too-bushy residue fails the gate hash
+    * loudly, never silently. A vertex isolated by earlier stages has no
+    * alive adjacency row, so a walk cannot remove it — harmless by
+    * construction: the final `fe` join keeps only edges with BOTH
+    * endpoints alive, so isolated leftovers contribute no output row.
+    * Degrees ride the alive adjacency as a window column, so the whole
+    * block is one materialized adjacency + one recursion + one
+    * anti-filter; `sfx` uniquifies the CTE names per instantiation.
     */
-  private def oLeafWalk(prev: String, out: String): String =
-    s"""ea AS MATERIALIZED (
+  private def oLeafWalk(prev: String, out: String, sfx: String): String =
+    s"""ea$sfx AS MATERIALIZED (
        |  SELECT t.v, t.n, count(*) OVER (PARTITION BY t.v) AS deg
        |  FROM adjc t JOIN $prev x ON t.v = x.v JOIN $prev y ON t.n = y.v),
-       |rem(frm, v) AS (
-       |  SELECT e.v, e.n FROM ea e WHERE e.deg <= 1
+       |rem$sfx(frm, v) AS (
+       |  SELECT e.v, e.n FROM ea$sfx e WHERE e.deg <= 1
        |  UNION
-       |  SELECT r.v, e.n FROM rem r JOIN ea e ON e.v = r.v AND e.n <> r.frm
+       |  SELECT r.v, e.n FROM rem$sfx r
+       |    JOIN ea$sfx e ON e.v = r.v AND e.n <> r.frm
        |  WHERE e.deg <= 2),
        |$out AS MATERIALIZED (SELECT x.v FROM $prev x
-       |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.frm = x.v))""".stripMargin
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem$sfx r WHERE r.frm = x.v))""".stripMargin
 
   /** q_graph_degree_hist's downstream: log2-bucketed degree histogram of
     * the pair graph over the vertex frame.
@@ -1180,33 +1187,33 @@ object Components {
     // opposed to tree-shaped incidental chains, which a transitive
     // closure cannot tell apart. The k=2 step of the standard k-core
     // peel. ORACLE (restated round 11, the other 30× straggler): the
-    // fixpoint is schedule-independent, so the oracle peels in the
-    // cheap ALIVE-VERTEX form (oPeelVRound — one materialized adjacency
-    // joined per round, vertex-sized outputs; the old 24 re-materialized
-    // edge CTEs replayed in 6m38s at 30×) with the LEAF-WALK closing
-    // block between two single-round phases (oLeafWalk — a recursive
-    // walk removing pendant paths of ANY length), matching twoCore's
-    // arbitrary-chain-length capability: unrolled depth now bounds only
-    // tree BUSHINESS, never chain length, and the whole chain stays at
-    // the measured 10-CTE DuckDB budget (see oPeelRoundsPre scaladoc) —
-    // 30× replay ≈ the 87 s spairs floor vs 6m38s before. Too-bushy
-    // data fails the hash loudly, never silently. Scale shape (engine):
-    // per round one edge-sized degree agg + two semi-joins on a
+    // fixpoint is schedule-independent, so the oracle runs the
+    // WALK → PEEL → WALK schedule — two LEAF-WALK closing blocks
+    // (oLeafWalk, a recursive walk removing pendant paths of ANY
+    // length; the first subsumes plain leaf peeling since a leaf is its
+    // own walk seed) around one cheap ALIVE-VERTEX peel round
+    // (oPeelVRound), matching twoCore's arbitrary-chain-length
+    // capability at two branch-exposure levels of bushiness (the sf0.1
+    // graph is the witness: 12 pure peel rounds deep, peel-walk-peel
+    // left 31 vertices above the fixpoint). Stays at the measured
+    // 10-CTE DuckDB budget by reading spairs directly (no alias CTEs;
+    // see the schedule scaladoc above oLeafWalk) — 30× replay ≈ the
+    // 87 s spairs floor vs 6m38s before the walk form. Too-bushy data
+    // fails the hash loudly, never silently. Scale shape (engine): per
+    // round one edge-sized degree agg + two semi-joins on a
     // monotonically shrinking edge set; same loop disciplines as
     // connectedComponents.
     "q_graph_kcore" -> Q(
       s"""WITH RECURSIVE ${Dedup.oSimhashPairsCte},
-         |prs AS (SELECT d1, d2 FROM spairs),
-         |e0 AS MATERIALIZED (SELECT d1, d2 FROM prs),
-         |adjc AS MATERIALIZED (SELECT d1 AS v, d2 AS n FROM e0
-         |        UNION ALL SELECT d2, d1 FROM e0),
+         |adjc AS MATERIALIZED (SELECT d1 AS v, d2 AS n FROM spairs
+         |        UNION ALL SELECT d2, d1 FROM spairs),
          |a0 AS MATERIALIZED (SELECT DISTINCT v FROM adjc),
-         |${(1 to oPeelRoundsPre).map(k => oPeelVRound(s"a$k", s"a${k - 1}")).mkString(",\n")},
-         |${oLeafWalk(s"a$oPeelRoundsPre", "b0")},
-         |${(1 to oPeelRoundsPost).map(k => oPeelVRound(s"b$k", s"b${k - 1}")).mkString(",\n")},
-         |fe AS (SELECT e.d1, e.d2 FROM e0 e
-         |  JOIN b$oPeelRoundsPost x ON e.d1 = x.v
-         |  JOIN b$oPeelRoundsPost y ON e.d2 = y.v)
+         |${oLeafWalk("a0", "w1", "1")},
+         |${oPeelVRound("p1", "w1")},
+         |${oLeafWalk("p1", "w2", "2")},
+         |fe AS (SELECT e.d1, e.d2 FROM spairs e
+         |  JOIN w2 x ON e.d1 = x.v
+         |  JOIN w2 y ON e.d2 = y.v)
          |SELECT id AS doc_id, cast(count(*) as bigint) AS core_deg
          |FROM (SELECT d1 AS id FROM fe UNION ALL SELECT d2 FROM fe)
          |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>

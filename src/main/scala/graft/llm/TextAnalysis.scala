@@ -816,10 +816,15 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
       val feat = dsirFeatures(d)
+      // per-doc sum in decimal(38,0) (oracle: hugeint): a pathologically
+      // rare target (ratio → 1e6·N_ref/N_tgt) times doc feature count
+      // could pass 2^63 on a 100 TB reference corpus; the MEAN stays
+      // bigint-sized
       feat.join(broadcast(dsirRatioTable(d)), Seq("b"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_feats"),
-          expr("cast(sum(ratio_ppm) div count(1) as bigint)").as("weight_ppm"))
+          expr("cast(sum(cast(ratio_ppm as decimal(38,0))) div count(1) as bigint)")
+            .as("weight_ppm"))
         .select(col("doc_id"), (col("lang") === "en").as("is_target"),
           col("n_feats"), col("weight_ppm"))
         .orderBy(col("doc_id"))

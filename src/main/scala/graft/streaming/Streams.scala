@@ -471,7 +471,11 @@ object Streams {
     * explode), in-row map lookups, integer mean — zero state stores, no
     * watermark, unbounded-safe at any ingest rate. StreamingSpec pins
     * per-doc weight equality with the batch operator on the real corpus
-    * across micro-batches.
+    * across micro-batches. Bound: the in-row long fold needs
+    * max ratio_ppm × doc feature count < 2^63 — i.e. the target not
+    * astronomically rarer than the reference (the batch side sums in
+    * decimal(38,0); a stream doc's feature count is doc-sized, so the
+    * practical envelope is the same).
     */
   def streamingDsirGate(docsStream: DataFrame, ratio: Map[Long, Long],
       minPpm: Long = graft.llm.TextAnalysis.dsirMinPpm): DataFrame = {
