@@ -85,14 +85,16 @@ object TextAnalysis {
     */
   def dsirRatioTable(d: DataFrame,
       isTarget: Column = col("lang") === "en"): DataFrame = {
+    // reference and target counts in ONE corpus pass (conditional sum),
+    // so training the table costs one explode + one 1024-cell agg
     val feat = dsirFeatures(d)
     val spine = d.sparkSession.range(dsirBuckets).select(col("id").as("b"))
-    val rc = feat.groupBy(col("b")).agg(count(lit(1)).as("c_ref"))
-    val tc = feat.filter(isTarget)
-      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
-    val tot = rc.agg(sum(col("c_ref")).as("n_ref")).crossJoin(
-      tc.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt")))
-    spine.join(rc, Seq("b"), "left").join(tc, Seq("b"), "left")
+    val cnt = feat.groupBy(col("b")).agg(
+      count(lit(1)).as("c_ref"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("c_tgt"))
+    val tot = cnt.agg(sum(col("c_ref")).as("n_ref"),
+      coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))
+    spine.join(cnt, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("ratio_ppm", expr(
         "cast(((coalesce(c_tgt, 0) + 1) * cast(1000000 as decimal(38,0))" +
