@@ -31,8 +31,11 @@ echo "[bench_spot] ${#QUERIES[@]} queries, fresh JVM each, sf dir $SF"
   printf '{"sf_dir": "%s", "protocol": "fresh-jvm min-of-2", "queries": {' "$SF"
   first=1
   for q in "${QUERIES[@]}"; do
+    # sbt prefixes runMain stdout with "[info] " — don't anchor, and pick
+    # the time field relative to the benchone tag
     t=$(SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.BenchOne $q" 2>/dev/null |
-      grep -E "^\[benchone\] $q run" | awk '{print $4}' | sed 's/s$//' | sort -n | head -1)
+      grep -E "\[benchone\] $q run" |
+      sed -E "s/.*\[benchone\] $q run[0-9]+ ([0-9.]+)s .*/\1/" | sort -n | head -1 || true)
     [ $first -eq 1 ] || printf ', '
     printf '"%s": %s' "$q" "${t:-null}"
     first=0
