@@ -979,6 +979,100 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // Exact-substring dedup, KEEP-ONE form (round 11, the production
+    // semantics of q_dedup_suffix — Lee et al.'s pipeline CUTS the
+    // duplicated spans; a curator keeps one canonical copy): per
+    // duplicated window key the canonical copy is the (min doc_id, min
+    // pos within it) occurrence — a pure aggregate argmin, no window
+    // function — every OTHER occurrence is marked for removal, and the
+    // removal positions interval-merge per doc exactly as
+    // q_dedup_suffix's coverage does. Emits per doc the removed-token
+    // union and the keep ratio a budgeter prices the cut corpus by.
+    // Scale shape: identical to q_dedup_suffix (corpus-linear window
+    // projection, map-side-combinable key aggs, doc-sized interval
+    // windows) plus one key-sized canonical join.
+    "q_dedup_suffix_keep1" -> Q(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |base AS (SELECT doc_id, cast(len(t) as bigint) AS n_tokens
+        |         FROM toks),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
+        |        FROM toks WHERE len(t) >= 50)),
+        |hot AS (SELECT k FROM wins GROUP BY k HAVING count(*) >= 2),
+        |dw AS MATERIALIZED (
+        |  SELECT w.doc_id, w.pos, w.k FROM wins w JOIN hot USING (k)),
+        |ck AS (SELECT k, min(doc_id) AS cd FROM dw GROUP BY k),
+        |cp AS (SELECT d.k, min(d.doc_id) AS cd, min(d.pos) AS cp
+        |       FROM dw d JOIN ck ON d.k = ck.k AND d.doc_id = ck.cd
+        |       GROUP BY d.k),
+        |rem AS MATERIALIZED (
+        |  SELECT d.doc_id, d.pos FROM dw d JOIN cp ON d.k = cp.k
+        |  WHERE NOT (d.doc_id = cp.cd AND d.pos = cp.cp)),
+        |iv AS (SELECT doc_id, pos,
+        |         max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |       FROM rem),
+        |g2 AS (SELECT doc_id, pos,
+        |         sum(CASE WHEN pmax IS NULL OR pos > pmax + 50
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS UNBOUNDED PRECEDING) AS grp
+        |       FROM iv),
+        |sp AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 49 AS e
+        |       FROM g2 GROUP BY doc_id, grp),
+        |spa AS (SELECT doc_id, cast(sum(e - s + 1) as bigint) AS removed
+        |        FROM sp GROUP BY doc_id),
+        |rc AS (SELECT doc_id, cast(count(*) as bigint) AS n_rem
+        |       FROM rem GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  cast(coalesce(rc.n_rem, 0) as bigint) AS n_removed_windows,
+        |  cast(coalesce(spa.removed, 0) as bigint) AS removed_tokens,
+        |  cast(b.n_tokens - coalesce(spa.removed, 0) as bigint) AS kept_tokens,
+        |  cast((b.n_tokens - coalesce(spa.removed, 0)) * 1000000
+        |       // b.n_tokens as bigint) AS keep_ppm
+        |FROM base b LEFT JOIN rc USING (doc_id) LEFT JOIN spa USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"))
+      val wins = suffixWindows(d)
+      val hot = wins.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("k"))
+      val dw = wins.join(hot, Seq("k"), "left_semi")
+      val ck = dw.groupBy(col("k")).agg(min(col("doc_id")).as("cd"))
+      val cp = dw.join(ck, Seq("k")).filter(col("doc_id") === col("cd"))
+        .groupBy(col("k"))
+        .agg(min(col("doc_id")).as("cdd"), min(col("pos")).as("cpp"))
+      val rem = dw.join(cp, Seq("k"))
+        .filter(!(col("doc_id") === col("cdd") && col("pos") === col("cpp")))
+        .select(col("doc_id"), col("pos"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val iv = rem.withColumn("pmax",
+        max(col("pos")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      val g2 = iv.withColumn("grp",
+        sum(when(col("pmax").isNull || col("pos") > col("pmax") + 50, 1L)
+          .otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      val sp = g2.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 49).as("e"))
+      val spa = sp.groupBy(col("doc_id"))
+        .agg(sum(col("e") - col("s") + 1).as("removed"))
+      val rc = rem.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rem"))
+      base
+        .join(rc, Seq("doc_id"), "left")
+        .join(spa, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_rem"), lit(0L)).as("n_removed_windows"),
+          coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+          (col("n_tokens") - coalesce(col("removed"), lit(0L)))
+            .as("kept_tokens"),
+          expr("((n_tokens - coalesce(removed, 0L)) * 1000000L) div n_tokens")
+            .as("keep_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Span provenance (round 11, the q_dedup_suffix downstream): WHICH
     // source pairs share exact ≥50-token spans — the cross-source
     // mirror/plagiarism screen (a wiki mirrored into a crawl source, an

@@ -832,6 +832,76 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Dataset card (round 11): the one-row-per-source summary a corpus
+    // EXPORT ships beside the parquet — docs, token volume, mean
+    // heuristic quality, how many docs are corpus-wide exact duplicates
+    // (the fingerprint definition of q_fingerprint, shared verbatim),
+    // the majority language (min-lang tiebreak, the q_cluster_purity
+    // discipline) and language spread. Every component formula is an
+    // already-mirrored kernel, composed into the governance artifact a
+    // 100 TB lake publishes per source. Scale shape: two corpus-linear
+    // projections (quality, fingerprint), one fingerprint-sized dup agg
+    // joined back semi, source- and (source, lang)-sized aggregates —
+    // output is sources-sized.
+    "q_data_card" -> Q(
+      s"""WITH q AS (SELECT doc_id, source, lang,
+        |    cast(n_tok as bigint) AS n_tokens, $oQualityPpm AS quality_ppm,
+        |    $oFingerprint AS fp
+        |  FROM (SELECT doc_id, source, lang, text, n_chars,
+        |          cast(len(string_split(text, ' ')) as double) AS n_tok,
+        |          ${oLexCount("en")} AS n_stop
+        |        FROM documents)),
+        |dk AS (SELECT fp FROM q GROUP BY fp HAVING count(*) >= 2),
+        |dup AS (SELECT source, cast(count(*) as bigint) AS n_exact_dup
+        |        FROM q JOIN dk USING (fp) GROUP BY source),
+        |lc AS (SELECT source, lang, cast(count(*) as bigint) AS c
+        |       FROM q GROUP BY source, lang),
+        |mx AS (SELECT source, max(c) AS mc FROM lc GROUP BY source),
+        |top AS (SELECT lc.source, min(lc.lang) AS top_lang
+        |        FROM lc JOIN mx ON lc.source = mx.source AND lc.c = mx.mc
+        |        GROUP BY lc.source),
+        |base AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+        |           cast(sum(n_tokens) as bigint) AS n_tokens,
+        |           cast(sum(quality_ppm) // count(*) as bigint)
+        |             AS mean_quality_ppm,
+        |           cast(count(DISTINCT lang) as bigint) AS n_langs
+        |         FROM q GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_tokens, b.mean_quality_ppm,
+        |  cast(coalesce(d.n_exact_dup, 0) as bigint) AS n_exact_dup,
+        |  t.top_lang, b.n_langs
+        |FROM base b LEFT JOIN dup d USING (source)
+        |JOIN top t ON t.source = b.source
+        |ORDER BY b.source""".stripMargin) { (s, dir) =>
+      val q = withQualityPpm(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          col("quality_ppm"), fingerprintCol.as("fp"))
+      val dk = q.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("fp"))
+      val dup = q.join(dk, Seq("fp"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_exact_dup"))
+      val lc = q.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val mx = lc.groupBy(col("source")).agg(max(col("c")).as("mc"))
+      val top = lc.join(mx, Seq("source"))
+        .filter(col("c") === col("mc"))
+        .groupBy(col("source")).agg(min(col("lang")).as("top_lang"))
+      val base = q.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("cast(sum(quality_ppm) div count(1) as bigint)")
+          .as("mean_quality_ppm"),
+        countDistinct(col("lang")).as("n_langs"))
+      base
+        .join(dup, Seq("source"), "left")
+        .join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_quality_ppm"),
+          coalesce(col("n_exact_dup"), lit(0L)).as("n_exact_dup"),
+          col("top_lang"), col("n_langs"))
+        .orderBy(col("source"))
+    },
+
     // Text canonicalization (round 7) — the normalize stage every
     // pipeline runs before dedup (C4 strips punctuation before its
     // three-sentence dedup; fastText lowercases before language ID):

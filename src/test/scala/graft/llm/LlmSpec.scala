@@ -1381,6 +1381,39 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._6 === 0L && byId(5L)._3 === 0L)
   }
 
+  test("q_dedup_suffix_keep1 cuts every copy except the (min doc, min pos) canonical") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    // same planted structure as the q_dedup_suffix spec: docs 1 & 2
+    // share a 60-token run (canonical = doc 1 → doc 2 loses 60 tokens);
+    // doc 3 repeats a 55-token run intra-doc (canonical = first
+    // occurrence → the second's 55 tokens are cut); docs 4/5 untouched
+    val shared = (0 until 60).map(i => s"s$i")
+    val rep = (0 until 55).map(i => s"r$i")
+    val corpus = Seq(
+      1L -> (toks("a", 10) ++ shared ++ toks("b", 30)),
+      2L -> (toks("c", 25) ++ shared ++ toks("d", 15)),
+      3L -> (rep ++ toks("e", 5) ++ rep ++ toks("f", 10)),
+      4L -> toks("g", 80),
+      5L -> toks("h", 20))
+    val dir = java.nio.file.Files.createTempDirectory("keep1spec").toString
+    corpus.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.Registry.all("q_dedup_suffix_keep1").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // doc 1 is canonical for the shared run: nothing removed
+    assert(got(1L) === ((100L, 0L, 0L, 100L, 1000000L)))
+    // doc 2 loses the 11 shared windows -> one merged 60-token span
+    assert(got(2L) === ((100L, 11L, 60L, 40L, 400000L)))
+    // doc 3 keeps the first rep occurrence, loses the second (55 tokens)
+    assert(got(3L) === ((125L, 6L, 55L, 70L, 560000L)))
+    assert(got(4L)._2 === 0L && got(5L)._2 === 0L)
+    // conservation: removed + kept == n_tokens everywhere
+    got.values.foreach { case (n, _, rm, kp, _) => assert(rm + kp === n) }
+  }
+
   test("q_span_provenance: planted mirrors attributed to source pairs, hot-window cap applied") {
     import spark.implicits._
     def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
@@ -1469,6 +1502,32 @@ class LlmSpec extends AnyFunSuite {
         .toDF("doc_id", "lang", "text"))
       .filter(col("g") === "alpha beta").select("b").as[Long].head()
     assert(b === expected)
+  }
+
+  test("q_data_card: planted per-source card (cross-source exact dups, majority lang, tie-break)") {
+    import spark.implicits._
+    // docs 1/3 (src a) and 4 (src b) are the same text modulo case —
+    // one corpus-wide fingerprint group of 3; src b has an en/fr tie
+    // broken to the smaller lang
+    val corpus = Seq(
+      (1L, "a", "en", "the cat sat on the mat"),
+      (2L, "a", "es", "el gato aa bb"),
+      (3L, "a", "en", "the cat sat on the mat"),
+      (4L, "b", "en", "THE CAT SAT ON THE MAT"),
+      (5L, "b", "fr", "bonjour le monde"))
+    val dir = java.nio.file.Files.createTempDirectory("cardspec").toString
+    val df = corpus.toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.Registry.all("q_data_card").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6))).toMap
+    val q = TextAnalysis.withQualityPpm(df)
+      .select(col("source"), col("quality_ppm")).as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def meanPpm(src: String) = q(src).sum / q(src).length
+    assert(got("a") === ((3L, 16L, meanPpm("a"), 2L, "en", 2L)))
+    assert(got("b") === ((2L, 9L, meanPpm("b"), 1L, "en", 2L)))
   }
 
   test("q_quality_model: planted tier monotonicity + fold equals broadcast-table dot") {
