@@ -46,7 +46,7 @@ object Dedup {
     * the shuffle corpus-linear; suffix-sort adjacency ⇔ key equality
     * once keys are fixed-width — see q_dedup_suffix).
     */
-  private[llm] def suffixWindows(d: DataFrame): DataFrame =
+  private[graft] def suffixWindows(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 50)
       .select(col("doc_id"), col("t"),

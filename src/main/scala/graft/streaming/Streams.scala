@@ -391,6 +391,30 @@ object Streams {
         :+ col("n_bands_hit") :+ col("is_dup"): _*)
   }
 
+  /** Exact-substring probe at INGEST (s_suffix_probe): emit every
+    * ≥50-token window of an incoming doc that ALREADY EXISTS verbatim in
+    * the corpus — the streaming face of the q_dedup_suffix family, and
+    * the exact-copy tier of the ingest contamination story (band probe
+    * catches near-dups; this catches literal spans: a mirrored wiki
+    * paragraph, a leaked eval answer). The corpus side is the persisted
+    * window-key index (distinct `k` of
+    * [[graft.llm.Dedup.suffixWindows]] — the same artifact the batch
+    * family scans), joined as a STATIC DataFrame: the whole plan is the
+    * shared in-row window projection (stateless narrow explode) + ONE
+    * stream-static left-semi equi-join — zero state stores, no
+    * watermark, unbounded-safe (the s_dedup_incremental discipline;
+    * Spark picks broadcast vs shuffle by index size). Output is the
+    * HIT FEED (doc_id, pos, k) in append mode — window-granular so the
+    * plan stays aggregation-free; the consumer rolls up per doc or
+    * interval-merges with the batch kernels. Sub-window docs emit
+    * nothing (no windows ⇒ no exact 50-token copy).
+    */
+  def streamingSuffixProbe(docsStream: DataFrame,
+      windowIndex: DataFrame): DataFrame =
+    graft.llm.Dedup.suffixWindows(docsStream)
+      .join(windowIndex.select(col("k")).distinct(), Seq("k"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("k"))
+
   /** Decontamination at INGEST (s_stream_decontam): drop any streaming
     * doc that shares a [[graft.llm.Search.decontamK]]-token gram with the
     * (small, fixed) eval set — the batch q_decontam semantics applied in

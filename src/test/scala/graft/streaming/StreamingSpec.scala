@@ -1308,6 +1308,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSuffixProbe: planted mirrored span hits the index at the right positions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val shared = (0 until 60).map(i => s"s$i")
+    // corpus doc 1 holds the 60-token run; the index is its distinct
+    // window keys — the q_dedup_suffix artifact a production lake persists
+    val corpus = Seq((1L, (toks("a", 10) ++ shared ++ toks("b", 5)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.llm.Dedup.suffixWindows(corpus)
+      .select(col("k")).distinct()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingSuffixProbe(
+        mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sprobe").start()
+    try {
+      // doc 100 mirrors the run at a different offset (11 hit windows,
+      // positions 26..36); doc 101 shares nothing; doc 102 is sub-window
+      mem.addData(
+        (100L, (toks("c", 25) ++ shared ++ toks("d", 15)).mkString(" ")),
+        (101L, toks("e", 80).mkString(" ")),
+        (102L, toks("f", 20).mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("t_sprobe")
+        .select(col("doc_id"), col("pos"))
+        .as[(Long, Int)].collect().toSet
+      assert(got === (26 to 36).map(p => (100L, p)).toSet)
+      // batch parity: the hit feed equals wins ⋈ index left-semi
+      val streamed = Seq(
+        (100L, (toks("c", 25) ++ shared ++ toks("d", 15)).mkString(" ")),
+        (101L, toks("e", 80).mkString(" ")),
+        (102L, toks("f", 20).mkString(" "))).toDF("doc_id", "text")
+      val want = graft.llm.Dedup.suffixWindows(streamed)
+        .join(index, Seq("k"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+        .as[(Long, Int)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streamingDsirGate: kept set and weights equal the batch DSIR scorer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
