@@ -1703,7 +1703,14 @@ object EventAnalytics {
     // evaluations are inherent to the exact draw and stay inside one
     // codegen'd map stage; at enormous catalogs drop the broadcast hint
     // and let the bucket join shuffle (bucket count scales with the
-    // catalog, so there is no 16-key skew cliff).
+    // catalog, so there is no 16-key skew cliff). Measured: 38.8 s at
+    // 30× (3k items × 45k users), 148 s at 100× (10k × 150k = 1.5G
+    // md5 evals — ~11× candidates for ~4× time). Past that, the cost
+    // ceiling is the |U|·|I| term itself, which no plan shape removes:
+    // a true web-scale recommender changes the OPERATOR CONTRACT to a
+    // per-user hash-sampled candidate subset (rank md5 within
+    // user-keyed buckets only — same determinism, candidates |U|·k),
+    // trading the exact global top-2 for a stated sample.
     "q_negative_sampling" -> Q(
       """WITH ev AS MATERIALIZED (
         |  SELECT user_id,
