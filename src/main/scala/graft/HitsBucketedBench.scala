@@ -11,13 +11,16 @@ import org.apache.spark.sql.types.LongType
   * Three timings over `SPARK_GRAFT_SF_DIR`:
   *   A. the shipped q_hits plan end-to-end (shuffle join + distinct);
   *   B. bucketed-table BUILD alone (both sides bucketBy(8, o_orderkey));
-  *   C. the bucketed variant end-to-end INCLUDING the build — the cost a
-  *      cold consumer pays — plus the join-only phase reusing the
-  *      already-built tables (the cost when the artifact is amortized
-  *      across queries, the writePairGraph pattern).
+  *   C. the JOIN-ONLY phase reusing the already-built tables (the cost
+  *      when the artifact is amortized across queries, the
+  *      writePairGraph pattern). A COLD consumer pays B + C.
   *
-  * Decision rule (CLAUDE.md): accept the bucketed plan only if C beats A
-  * at 100×; otherwise record the negative in-code at the q_hits site.
+  * Decision rule (CLAUDE.md): accept the bucketed plan only if B + C
+  * beats A at 100× (cold) or C beats A decisively (amortized);
+  * otherwise record the negative in-code at the q_hits site. Round-11
+  * measurement: A 43.7 s min-of-2, B 9.1 s, C 39.6 s — cold loses
+  * outright and even amortized C sits inside A's run spread, so the
+  * negative is recorded.
   */
 object HitsBucketedBench {
   private def time[T](label: String)(f: => T): T = {

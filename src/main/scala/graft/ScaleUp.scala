@@ -108,8 +108,12 @@ object ScaleUp {
             // exists to absorb. With it, catalog and users both scale
             // reps×, the realistic shape. props is the single-field
             // JSON {"k": N} (TESTDATA.md), so the rewrite is a rebuild.
+            // guard on the CAST result, not string presence: a
+            // non-numeric k would make the cast NULL and concat would
+            // null the whole props cell — unparseable rows pass
+            // through untouched instead (code-review r11)
             .withColumn("props",
-              when(get_json_object(col("props"), "$.k").isNotNull,
+              when(get_json_object(col("props"), "$.k").cast("long").isNotNull,
                 concat(lit("{\"k\": "),
                   (get_json_object(col("props"), "$.k").cast("long")
                     + lit(i * 1000L)).cast("string"),

@@ -1211,7 +1211,7 @@ object Components {
          |${oLeafWalk("a0", "w1", "1")},
          |${oPeelVRound("p1", "w1")},
          |${oLeafWalk("p1", "w2", "2")},
-         |fe AS (SELECT e.d1, e.d2 FROM spairs e
+         |fe AS MATERIALIZED (SELECT e.d1, e.d2 FROM spairs e
          |  JOIN w2 x ON e.d1 = x.v
          |  JOIN w2 y ON e.d2 = y.v)
          |SELECT id AS doc_id, cast(count(*) as bigint) AS core_deg

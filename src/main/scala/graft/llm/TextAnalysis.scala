@@ -140,9 +140,19 @@ object TextAnalysis {
     * unrolled CTE chain bounded.)
     */
   private[graft] val bpeMaxRounds = 12
-  private[graft] def bpeBudgetFor(d: DataFrame): Int = {
-    val vocab = d.select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "").select(col("word")).distinct().count()
+
+  /** Budget from the [[bpeSeqs]] HISTOGRAM, not the corpus — exactly
+    * how the oracle's `bud` CTE reads `wc` (code-review r11: the old
+    * form re-exploded the whole corpus for a word count the vocab-sized
+    * histogram already determines). `seq` is an injective recoding of
+    * `word` (char-spacing), so distinct seq ≡ distinct word; for the
+    * per-lang encoder histogram the DISTINCT collapses cross-lang
+    * repeats of the same word, matching `count(DISTINCT word)`.
+    * Persist the histogram before calling so the count and the
+    * trainer's first round share one materialization.
+    */
+  private[graft] def bpeBudgetFor(seqs: DataFrame): Int = {
+    val vocab = seqs.select(col("seq")).distinct().count()
     if (vocab <= 16384L) 8 else bpeMaxRounds
   }
 
@@ -1328,7 +1338,12 @@ object TextAnalysis {
          |WHERE round <= (SELECT b FROM bud)
          |ORDER BY round""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val (merges, _, pinned) = bpeTrain(bpeSeqs(d), rounds = bpeBudgetFor(d))
+      // persist the histogram so the budget count and the trainer's
+      // first argmax share ONE corpus pass (bpeTrain's round-1 persist
+      // is the same cache entry; its prev-chain releases it)
+      val seqs = bpeSeqs(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (merges, _, pinned) = bpeTrain(seqs, rounds = bpeBudgetFor(seqs))
       pinned.foreach(_.unpersist())
       s.createDataFrame(merges).toDF("round", "pair", "n")
         .orderBy(col("round"))
@@ -1373,8 +1388,10 @@ object TextAnalysis {
          |       // sum(len(replace(seq, ' ', '')) * cnt) as bigint) AS ratio_ppm
          |FROM s$bpeMaxRounds GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
+      val seqs = bpeSeqs(d, keep = Seq("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (_, encoded, pinned) =
-        bpeTrain(bpeSeqs(d, keep = Seq("lang")), rounds = bpeBudgetFor(d))
+        bpeTrain(seqs, rounds = bpeBudgetFor(seqs))
       val out = encoded
         .groupBy(col("lang"))
         .agg(sum(col("cnt")).as("n_words"),

@@ -503,6 +503,12 @@ object Streams {
     */
   def streamingDsirGate(docsStream: DataFrame, ratio: Map[Long, Long],
       minPpm: Long = graft.llm.TextAnalysis.dsirMinPpm): DataFrame = {
+    // a partial map would NULL the fold for any doc touching a missing
+    // bucket and the filter would silently drop it — fail loudly at
+    // build time instead (the artifact contract IS completeness)
+    require(ratio.size == graft.llm.TextAnalysis.dsirBuckets,
+      s"ratio map must cover all ${graft.llm.TextAnalysis.dsirBuckets} " +
+        s"buckets (got ${ratio.size}) — build it with dsirRatioTable")
     val grams = concat(split(col("text"), " "),
       graft.functions.TextExpressions.shingles(col("text"), 2))
     val rlit = typedLit(ratio)

@@ -1390,9 +1390,9 @@ class StreamingSpec extends AnyFunSuite {
     // train the merge table once (the batch trainer, at the same
     // vocab-derived budget the batch operator uses), ship it as plan
     // literals — the stream applies the identical replace() chain
+    val seqs = graft.llm.TextAnalysis.bpeSeqs(d)
     val (merges, _, pinned) = graft.llm.TextAnalysis.bpeTrain(
-      graft.llm.TextAnalysis.bpeSeqs(d),
-      rounds = graft.llm.TextAnalysis.bpeBudgetFor(d))
+      seqs, rounds = graft.llm.TextAnalysis.bpeBudgetFor(seqs))
     pinned.foreach(_.unpersist())
     val mem = MemoryStream[(Long, String, String)]
     val q = Streams.streamingBpeEncode(

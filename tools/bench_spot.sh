@@ -5,8 +5,9 @@
 # cross-round per-query comparisons on the whole-bench map are only valid
 # at equal registry size. This script runs ONE sbt/Spark JVM PER QUERY
 # for the N slowest queries of the latest whole-bench map
-# (/tmp/graft_bench.json) and appends the isolated numbers to
-# BENCH_SPOT.json — the mechanical cross-round baseline.
+# (/tmp/graft_bench.json) and WRITES the isolated numbers to
+# BENCH_SPOT.json (overwritten per run — the file is committed, so the
+# cross-round history lives in git; diff against the previous commit).
 #
 # Usage: [N=10] [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1] tools/bench_spot.sh [query ...]
 set -euo pipefail
