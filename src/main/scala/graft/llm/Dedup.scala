@@ -54,6 +54,36 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         md5s(concat_ws(" ", slice(col("t"), col("pos"), lit(50)))).as("k"))
 
+  /** Canonical copy per window key — q_dedup_suffix_keep1's argmin
+    * contract, factored so the batch keep1 operator and the streaming cut
+    * feed ([[graft.streaming.Streams.streamingSuffixCut]]) share it
+    * VERBATIM: per key, the (min doc_id, then min pos within that doc)
+    * occurrence. Pure aggregates (key-sized groupBys + one key equi-join),
+    * no window function. Returns (k, canon_doc, canon_pos).
+    */
+  private[graft] def canonicalCopies(wins: DataFrame): DataFrame = {
+    val ck = wins.groupBy(col("k")).agg(min(col("doc_id")).as("cd"))
+    wins.join(ck, Seq("k"))
+      .filter(col("doc_id") === col("cd"))
+      .groupBy(col("k"))
+      .agg(min(col("doc_id")).as("canon_doc"),
+        min(col("pos")).as("canon_pos"))
+  }
+
+  /** Oracle twin of [[suffixWindows]] — the `toks`/`wins` CTE pair shared
+    * by every exact-substring oracle (q_dedup_suffix, q_dedup_suffix_keep1,
+    * q_span_provenance; the [[oSimhashPairsCte]] pattern), so the window
+    * projection the whole family hinges on is stated ONCE: an edit to the
+    * width or tokenization can no longer silently desynchronize one copy.
+    */
+  private[llm] val oSuffixWinsCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |wins AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
+      |        FROM toks WHERE len(t) >= 50))""".stripMargin
+
   /** Exact dedup on a key set: keep the min doc_id per group (function
     * form used by specs; `dropDuplicates` is the one-liner equivalent).
     */
@@ -907,15 +937,10 @@ object Dedup {
     // doc-partitioned windows — nothing global, nothing quadratic.
     // LlmSpec brute-forces planted long duplicates.
     "q_dedup_suffix" -> Q(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents),
+      s"""WITH $oSuffixWinsCte,
         |base AS (SELECT doc_id, cast(len(t) as bigint) AS n_tokens,
         |           cast(greatest(len(t) - 49, 0) as bigint) AS n_win
         |         FROM toks),
-        |wins AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
-        |        FROM toks WHERE len(t) >= 50)),
         |hot AS (SELECT k FROM wins GROUP BY k HAVING count(*) >= 2),
         |dup AS MATERIALIZED (
         |  SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (k)),
@@ -992,14 +1017,9 @@ object Dedup {
     // projection, map-side-combinable key aggs, doc-sized interval
     // windows) plus one key-sized canonical join.
     "q_dedup_suffix_keep1" -> Q(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents),
+      s"""WITH $oSuffixWinsCte,
         |base AS (SELECT doc_id, cast(len(t) as bigint) AS n_tokens
         |         FROM toks),
-        |wins AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
-        |        FROM toks WHERE len(t) >= 50)),
         |hot AS (SELECT k FROM wins GROUP BY k HAVING count(*) >= 2),
         |dw AS MATERIALIZED (
         |  SELECT w.doc_id, w.pos, w.k FROM wins w JOIN hot USING (k)),
@@ -1041,12 +1061,10 @@ object Dedup {
       val hot = wins.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("k"))
       val dw = wins.join(hot, Seq("k"), "left_semi")
-      val ck = dw.groupBy(col("k")).agg(min(col("doc_id")).as("cd"))
-      val cp = dw.join(ck, Seq("k")).filter(col("doc_id") === col("cd"))
-        .groupBy(col("k"))
-        .agg(min(col("doc_id")).as("cdd"), min(col("pos")).as("cpp"))
+      val cp = canonicalCopies(dw)
       val rem = dw.join(cp, Seq("k"))
-        .filter(!(col("doc_id") === col("cdd") && col("pos") === col("cpp")))
+        .filter(!(col("doc_id") === col("canon_doc") &&
+          col("pos") === col("canon_pos")))
         .select(col("doc_id"), col("pos"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val iv = rem.withColumn("pmax",
@@ -1089,12 +1107,7 @@ object Dedup {
     // Σ C(occ≤50, 2)-bounded pair fanout, two dim joins on doc_id, one
     // source-pair-sized agg.
     "q_span_provenance" -> Q(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents),
-        |wins AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+49], ' ')) AS k
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i
-        |        FROM toks WHERE len(t) >= 50)),
+      s"""WITH $oSuffixWinsCte,
         |hk AS (SELECT k FROM wins GROUP BY k
         |       HAVING count(*) BETWEEN 2 AND 50),
         |wd AS MATERIALIZED (

@@ -393,6 +393,137 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product quantization (PQ — Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * billion-scale ANN layout the engine's quantization tier was missing
+    * between whole-vector int8 ([[quantizeEmbeddings]], 4× compression)
+    * and raw floats. The 64-dim space splits into [[pqSubspaces]]
+    * subspaces; each subvector quantizes to its nearest entry of a
+    * per-subspace [[pqCentroids]]-entry codebook, so a vector stores as
+    * m small codes (~m bytes after densifying — 32× smaller than
+    * float64) while the codebook itself is m × 16 × (64/m) doubles —
+    * KBs, broadcastable at any corpus size. Search is ADC (asymmetric
+    * distance computation): the query stays full-precision, its
+    * dot/norm against every codebook entry is an m×16-row lookup table,
+    * and a candidate's coarse cosine is a pure table-sum over its codes
+    * — the scan that touches every row reads CODES ONLY, never floats.
+    */
+  val pqSubspaces: Int = 16
+  val pqCentroids: Int = 16
+
+  /** (vec_id, sub, sv): the corpus in subvector long format — one
+    * in-row slice explode, m rows per vector, no shuffle.
+    */
+  private def pqSubvectors(emb: DataFrame,
+      m: Int = pqSubspaces): DataFrame = {
+    val subDim = 64 / m
+    val v = toDouble(col("embedding"))
+    val slices = (0 until m).map(s => slice(v, s * subDim + 1, subDim))
+    emb.select(col("vec_id"), posexplode(array(slices: _*)))
+      .toDF("vec_id", "sub", "sv")
+  }
+
+  /** Per-subspace nearest-codebook-entry assignment: broadcast the KB
+    * codebook against the subvector stream, squared-L2 argmin as a
+    * map-side-combinable min_by (the [[assignToCentroids]] discipline —
+    * never a corpus × centroids window). Returns (vec_id, sub, code, sv);
+    * `code` is the seed-derived centroid id (a production layout would
+    * densify to 0..15 and bit-pack — the id space, not the plan, changes).
+    */
+  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), Seq("sub"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
+        first(col("sv")).as("sv"))
+
+  /** Train the m per-subspace codebooks: deterministic lowest-id seeds
+    * (the [[ivfCentroids]] discipline, sliced per subspace) refined by
+    * `iters` Lloyd iterations under squared-L2 — assignment is one
+    * broadcast pass, the M-step ONE hash aggregate summing whole
+    * subvectors ([[graft.functions.VectorSum]]), empty cells keep their
+    * previous entry. Returns (sub, cent_id, cv).
+    */
+  def pqCodebooks(emb: DataFrame, iters: Int = 1,
+      m: Int = pqSubspaces): DataFrame = {
+    val subs = pqSubvectors(emb, m)
+    val seedIds = emb.orderBy(col("vec_id")).limit(pqCentroids)
+      .select(col("vec_id"))
+    val seeds = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    (0 until iters).foldLeft(seeds) { (books, _) =>
+      val means = pqAssign(subs, books)
+        .groupBy(col("sub"), col("code"))
+        .agg(graft.functions.VectorExpressions.vectorSum(col("sv")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("sub"), col("code").as("cent_id"),
+          transform(col("s"), x => x / col("cnt")).as("next"))
+      books.join(means, Seq("sub", "cent_id"), "left")
+        .select(col("sub"), col("cent_id"),
+          coalesce(col("next"), col("cv")).as("cv"))
+    }
+  }
+
+  /** PQ codes for the corpus: (vec_id, sub, code) — the 100 TB serving
+    * artifact (write this table, drop the floats from the hot path).
+    */
+  def pqEncode(emb: DataFrame, books: DataFrame,
+      m: Int = pqSubspaces): DataFrame =
+    pqAssign(pqSubvectors(emb, m), books)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** PQ/ADC top-k: codebook-quantize the corpus, score candidates by the
+    * ADC lookup-table cosine (query dot + entry norms, both from the
+    * broadcast m×16-row table — the coarse scan reads codes only), take a
+    * `shortlist`, rerank exactly. The codebook is persisted once per
+    * query (the ivfTopK centroid discipline: the encode pass and the
+    * lookup table MUST see the same float-summed entries or codes and
+    * table drift apart). Recall vs [[topK]] is LlmSpec's multi-query
+    * curve; the gate pins plumbing + the recall floor (recallGate).
+    */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int,
+      shortlist: Int = 0, m: Int = pqSubspaces,
+      iters: Int = 2): DataFrame = {
+    // shortlist scales with the corpus (default n/25, floor 100): a FIXED
+    // shortlist is a 10× harsher filter on a 10× corpus — measured as the
+    // sf0.1 recall cliff (PqCurve round 12: mean 0.58 at 100 fixed vs
+    // 0.98 at n/25 with m=16/iters=2); one metadata-cheap count derives it
+    val sl = if (shortlist > 0) shortlist
+      else math.max(100L, emb.count() / 25L).toInt
+    val books = pqCodebooks(emb, iters, m)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val codes = pqEncode(emb, books, m)
+    val lut = pqSubvectors(emb.filter(col("vec_id") === queryId), m)
+      .join(books, Seq("sub"))
+      .select(col("sub"), col("cent_id"),
+        dot(col("sv"), col("cv")).as("qc"),
+        dot(col("cv"), col("cv")).as("cc"))
+    // coarse cosine = Σ qc / sqrt(Σ cc) — |q| is constant across
+    // candidates so dividing by it cannot change the ranking; the sums
+    // close per vector in one map-side-combinable aggregate
+    val short = codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && col("code") === col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("rn2"))
+      .withColumn("coarse", col("qdot") / sqrt(col("rn2")))
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(sl)
+      .select("vec_id")
+    val withV = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = withV.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), norm(col("v")).as("qn"))
+    short.join(withV, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r",
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 6))
+      .select(col("vec_id"), col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Driver-gate wrapper for approximate top-k variants whose candidate
     * sets are engine-local (IVF centroids, quantization stats): joins the
     * approximate result against the brute-force exact top-k and emits one
@@ -460,6 +591,19 @@ object Similarity {
         .select(col("vec_id"), (col("pos") + 1).cast(IntegerType).as("dim"),
           col("col").as("code"))
         .orderBy(col("vec_id"), col("dim"))
+    },
+
+    // PQ/ADC ANN (round 12, VERDICT-r11 #2): codebooks are Lloyd-trained
+    // floats (engine-local, like IVF's centroids), so the gate pins
+    // plumbing + the recall floor vs brute force via the recallGate
+    // self-verifying shape (the q_sim_quant/q_sim_ivf precedent);
+    // LlmSpec holds the multi-query recall curve and the coarse-path
+    // layout pins.
+    "q_sim_pq" -> Q(
+      "SELECT least(10, greatest(0, count(*) - 1)) AS n_results, TRUE AS recall_ok FROM embeddings") { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      recallGate(pqTopK(emb, queryId = 0L, k = 10), emb,
+        queryId = 0L, k = 10, minHits = 8)
     },
 
     // Brute-force cosine top-10 neighbors of vec 0 (oracle: DuckDB

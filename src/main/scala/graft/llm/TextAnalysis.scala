@@ -23,6 +23,28 @@ object TextAnalysis {
 
   private val toks: Column = split(col("text"), " ")
 
+  /** Luhn (mod-10) checksum over a 16-digit string column — q_pii_pan's
+    * validation layer. Pure integer position arithmetic unrolled over the
+    * 16 places (digits at odd 1-based positions — even from the right —
+    * double, subtracting 9 past 9), so the whole predicate is one codegen
+    * expression with no UDF and an exact oracle twin ([[oLuhn]]).
+    */
+  private[llm] def luhnValid(s: Column): Column = {
+    val total = (1 to 16).map { i =>
+      val d = substring(s, i, 1).cast(IntegerType)
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    total % 10 === 0
+  }
+
+  /** Oracle-SQL twin of [[luhnValid]] over a 16-char varchar expression. */
+  private def oLuhn(e: String): String =
+    (1 to 16).map { i =>
+      val d = s"cast(substr($e, $i, 1) as int)"
+      if (i % 2 == 1) s"(case when 2 * $d > 9 then 2 * $d - 9 else 2 * $d end)"
+      else s"($d)"
+    }.mkString("((", " + ", ") % 10 = 0)")
+
   /** Tiny per-language function-word lexicons for the n-gram/stopword
     * language-ID heuristic. Deterministic and engine-portable; real
     * deployments would swap in fastText-style profiles — the *plumbing*
@@ -409,6 +431,53 @@ object TextAnalysis {
         "cast(((cast(1000000 as decimal(38,0)) * sum_c))" +
           " div (cast(n_tok as decimal(38,0)) * n_uni) as bigint)"))
       .select(col("doc_id"), col("n_tok"), col("mean_freq_ppm"))
+  }
+
+  /** q_lm_score core over any (doc_id, text) frame (round 12, VERDICT-r11
+    * #6 — the bigram-LM upgrade of [[rarityScores]]' unigram stand-in for
+    * CCNet-style perplexity bucketing): per doc, the mean add-one-smoothed
+    * bigram surprisal in integer BITS — surprisal of bigram (a, b) =
+    * bit_length((c1(a) + V) div (c2(a, b) + 1)), the q_graph_degree_hist
+    * `length(bin(x))` idiom, so the whole statistic is integer-exact in
+    * both engines (no float log anywhere; bit-length log2 is monotone in
+    * the smoothed odds, which is what perplexity BUCKETING consumes).
+    * c1(a) is the context count (occurrences of `a` followed by
+    * anything), c2 the bigram count, V the corpus unigram vocabulary —
+    * all derived from the data, never pinned.
+    *
+    * Scale shape (the rarityScores discipline): the per-OCCURRENCE
+    * bigram stream collapses to the map-side-combinable (doc, bigram) tf
+    * aggregate FIRST, so the count joins carry one row per doc-distinct
+    * bigram — never the raw stopword-skewed occurrence stream — and
+    * Σ surprisal rewrites exactly as Σ tf·bits; c1 derives from the
+    * vocab-sized c2 table (Σ_b c2(a,b)), not a second corpus pass; V is
+    * a 1-row broadcast. Everything else is the ×1e6 decimal(38,0) lift
+    * before one floor division.
+    */
+  def lmScores(d: DataFrame): DataFrame = {
+    val bg = d.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.shingles(col("text"), 2)).as("bg"))
+    val tf2 = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.withColumn("a", split(col("bg"), " ").getItem(0))
+      .groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val vocab = d.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    tf2.join(c2, "bg")
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .join(c1, "a")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        length(bin(expr("(c1 + v) div (c2 + 1)"))).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_surprisal_ppm", expr(
+        "cast((cast(1000000 as decimal(38,0)) * sum_bits)" +
+          " div cast(n_bigrams as decimal(38,0)) as bigint)"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        col("mean_surprisal_ppm"))
   }
 
   /** q_cooccur_window's forward context window (positions ahead of the
@@ -1051,6 +1120,38 @@ object TextAnalysis {
       rarityScores(docs(s, dir)).orderBy(col("doc_id"))
     },
 
+    // Bigram-LM surprisal score (round 12): the add-one-smoothed bigram
+    // language-model upgrade of q_rarity_score's unigram frequency — the
+    // model-free analog of CCNet's perplexity bucketing (Wenzek et al.
+    // LREC'20), scored in integer bit-length surprisal so the statistic
+    // is hash-exact cross-engine (see [[lmScores]] for the full integer
+    // discipline and the scale shape; docs with < 2 tokens have no
+    // bigram model and are excluded by both engines identically).
+    "q_lm_score" -> Q(
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgr AS MATERIALIZED (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS a
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk
+        |        WHERE len(t) >= 2)),
+        |tf2 AS (SELECT doc_id, bg, a, cast(count(*) as bigint) AS tf
+        |        FROM bgr GROUP BY doc_id, bg, a),
+        |c2 AS (SELECT bg, cast(count(*) as bigint) AS c2 FROM bgr GROUP BY bg),
+        |c1 AS (SELECT a, cast(count(*) as bigint) AS c1 FROM bgr GROUP BY a),
+        |v AS (SELECT cast(count(DISTINCT w) as bigint) AS v
+        |      FROM (SELECT unnest(t) AS w FROM tk)),
+        |sc AS (SELECT tf2.doc_id,
+        |         cast(sum(tf2.tf) as bigint) AS n_bigrams,
+        |         cast(sum(tf2.tf * cast(length(bin((c1.c1 + v.v) // (c2.c2 + 1)))
+        |                                as bigint)) as bigint) AS sum_bits
+        |       FROM tf2 JOIN c2 USING (bg) JOIN c1 USING (a) CROSS JOIN v
+        |       GROUP BY tf2.doc_id)
+        |SELECT doc_id, n_bigrams, sum_bits,
+        |  cast((cast(1000000 as hugeint) * sum_bits) // n_bigrams as bigint)
+        |    AS mean_surprisal_ppm
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      lmScores(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
     // Gopher-style rule filter (Rae et al. 2021, "Scaling Language
     // Models" table A1) — the published THRESHOLD-rule quality gate, as
     // opposed to q_quality_score's weighted blend: word count in range,
@@ -1581,6 +1682,50 @@ object TextAnalysis {
           size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
           md5(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
             phoneRe, "[PHONE]").cast(BinaryType)).as("red_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Luhn-validated card-number (PAN) detection (round 12, VERDICT-r11
+    // #7): the checksum layer a bare `\d{16}` regex lacks. Each doc gets
+    // one deterministic 16-digit candidate planted from its doc_id (so
+    // both engines see the identical corpus, and candidates split
+    // naturally into Luhn-valid and Luhn-invalid — 1 in 10 pass); the
+    // operator reports the naive regex hit count, the Luhn verdict
+    // ([[luhnValid]] — pure integer position arithmetic, engine-portable
+    // by construction), and the redaction hash where ONLY the validated
+    // PAN is masked: the misfire a regex-only redactor commits (masking
+    // order numbers / timestamps that happen to be 16 digits) is exactly
+    // what the valid=false rows keep unmasked. Scale: one narrow codegen
+    // projection per doc, no shuffle, no UDF. TextSpec pins the checksum
+    // on known valid/invalid PANs.
+    "q_pii_pan" -> Q(
+      s"""WITH aug AS (SELECT doc_id,
+        |    lpad(cast((doc_id * 9999999967) % 10000000000000000 as varchar),
+        |         16, '0') AS pan,
+        |    text || ' card ' ||
+        |    lpad(cast((doc_id * 9999999967) % 10000000000000000 as varchar),
+        |         16, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[0-9]{16}')) as int) AS n_digit16,
+        |  ${oLuhn("pan")} AS pan_valid,
+        |  md5(CASE WHEN ${oLuhn("pan")}
+        |      THEN replace(t, pan, '[PAN]') ELSE t END) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          lpad(((col("doc_id") * 9999999967L) % 10000000000000000L)
+            .cast(StringType), 16, "0").as("pan"),
+          col("text"))
+        .select(col("doc_id"), col("pan"),
+          concat(col("text"), lit(" card "), col("pan")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit("[0-9]{16}"), lit(0)))
+            .as("n_digit16"),
+          luhnValid(col("pan")).as("pan_valid"),
+          md5(when(luhnValid(col("pan")),
+              expr("replace(t, pan, '[PAN]')"))
+            .otherwise(col("t")).cast(BinaryType)).as("red_md5"))
         .orderBy(col("doc_id"))
     },
 

@@ -415,6 +415,32 @@ object Streams {
       .join(windowIndex.select(col("k")).distinct(), Seq("k"), "left_semi")
       .select(col("doc_id"), col("pos"), col("k"))
 
+  /** Exact-substring CUT feed at INGEST (s_suffix_cut, round 12 —
+    * VERDICT-r11 #5): [[streamingSuffixProbe]] tells ingest WHERE an
+    * arriving doc repeats the corpus; this emits the keep1 ACTION — which
+    * window starts to cut, each annotated with the corpus canonical copy
+    * it duplicates. The static side is the canonical-occurrence index
+    * ([[graft.llm.Dedup.canonicalCopies]] over the corpus windows — the
+    * SAME argmin q_dedup_suffix_keep1 applies, factored not re-stated),
+    * built once at pipeline start and joined as a static DataFrame. Under
+    * keep1 semantics every corpus-indexed window of a NEW doc is cut: the
+    * canonical (min doc_id, min pos) occurrence already sits corpus-side
+    * for any key the index knows, because streamed doc_ids succeed the
+    * corpus ids — the invariant an append-only lake satisfies by
+    * construction and StreamingSpec pins against the batch keep1 rem-set.
+    * Plan: the shared in-row window projection + ONE stream-static inner
+    * equi-join — zero state stores, no watermark, append-safe; output
+    * (doc_id, pos, canon_doc, canon_pos), window-granular so the plan
+    * stays aggregation-free (the consumer interval-merges per doc with
+    * the batch kernels, exactly as the probe feed's consumer rolls up).
+    */
+  def streamingSuffixCut(docsStream: DataFrame,
+      canonIndex: DataFrame): DataFrame =
+    graft.llm.Dedup.suffixWindows(docsStream)
+      .join(canonIndex, Seq("k"))
+      .select(col("doc_id"), col("pos"),
+        col("canon_doc"), col("canon_pos"))
+
   /** Decontamination at INGEST (s_stream_decontam): drop any streaming
     * doc that shares a [[graft.llm.Search.decontamK]]-token gram with the
     * (small, fixed) eval set — the batch q_decontam semantics applied in

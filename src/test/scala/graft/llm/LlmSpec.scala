@@ -14,6 +14,37 @@ class LlmSpec extends AnyFunSuite {
   private def docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
   private def emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
 
+  test("luhnValid accepts real PANs and rejects every off-by-one check digit") {
+    import spark.implicits._
+    // standard Luhn-valid test numbers + their 9 invalid check-digit
+    // mutations each: the checksum must reject all 16-digit strings a
+    // bare \d{16} regex would accept
+    val valid = Seq("4532015112830366", "4556737586899855", "5425233430109903")
+    val cases = valid.flatMap { p =>
+      val base = p.take(15)
+      (0 to 9).map(d => (base + d, base + d == p))
+    }
+    val got = cases.map(_._1).toDF("pan")
+      .select(col("pan"), TextAnalysis.luhnValid(col("pan")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (pan, exp) =>
+      assert(got(pan) === exp, s"luhnValid($pan) should be $exp")
+    }
+  }
+
+  test("q_pii_pan masks only the Luhn-valid planted PAN") {
+    val rows = graft.Registry.all("q_pii_pan")
+      .fn(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    // ~1 in 10 doc_id-derived candidates is Luhn-valid; both classes
+    // must be present or the conditional-redaction branch is untested
+    val nValid = rows.count(_.getBoolean(2))
+    assert(nValid > 0 && nValid < rows.length,
+      s"expected both valid and invalid PANs, got $nValid/${rows.length} valid")
+    // every doc has >= 1 naive 16-digit hit (the planted candidate)
+    assert(rows.forall(_.getInt(1) >= 1))
+  }
+
   test("exactDedup drops full duplicates") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
@@ -470,6 +501,87 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = truth.intersect(got).size.toDouble / truth.size
     assert(recall >= 0.8, s"int8 coarse pass + rerank recall $recall < 0.8")
+  }
+
+  test("q_lm_score equals the integer bigram-LM recomputation on the real corpus") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val tokAll = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val vocab = tokAll.flatMap(_._2).distinct.size.toLong
+    val bigrams = tokAll.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.size == 2).map(p => (id, p.head, p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val exp = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val sumBits = bs.map(b =>
+        bits((c1(b._2) + vocab) / (c2((b._2, b._3)) + 1L))).sum
+      id -> ((bs.size.toLong, sumBits,
+        (BigInt(1000000) * sumBits / bs.size).toLong))
+    }
+    val got = TextAnalysis.lmScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("q_lm_score ranks a planted corpus like the exact-float bigram LM") {
+    import spark.implicits._
+    // three regimes: pure repetition (one bigram, minimal surprisal),
+    // mixed, and all-unique bigrams (maximal smoothed surprisal) — the
+    // bit-length statistic must order them exactly as the float LM does
+    val planted = Seq(
+      (1L, ("ab " * 200).trim),
+      (2L, (1 to 100).map(i => s"w${i % 10}").mkString(" ")),
+      (3L, (1 to 100).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScores(planted)
+      .orderBy(col("mean_surprisal_ppm"))
+      .collect().map(_.getLong(0)).toSeq
+    // exact-float reference: mean -log2 P(b|a), P = (c2+1)/(c1+V)
+    val texts = planted.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val v = toks.flatMap(_._2).distinct.size.toDouble
+    val bgs = toks.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.size == 2).map(p => (id, p.head, p(1))).toSeq }
+    val c2 = bgs.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.size).toMap
+    val floatRank = bgs.groupBy(_._1).map { case (id, bs) =>
+      id -> bs.map(b => math.log((c1(b._2) + v) / (c2((b._2, b._3)) + 1.0))
+        / math.log(2.0)).sum / bs.size
+    }.toSeq.sortBy(_._2).map(_._1)
+    assert(got === floatRank)
+  }
+
+  test("PQ/ADC top-k: mean recall >= 0.8 over 5 queries vs brute force") {
+    // the IVF multi-query discipline: a single lucky query would
+    // overstate the coarse-code ranking
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity.topK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val pq = Similarity.pqTopK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(pq).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"PQ mean recall $mean < 0.8 ($recalls)")
+    assert(recalls.min >= 0.6, s"PQ worst-query recall ${recalls.min} < 0.6 ($recalls)")
+  }
+
+  test("PQ codes: m rows per vector, every code a codebook entry of its subspace") {
+    val books = Similarity.pqCodebooks(emb)
+    val codes = Similarity.pqEncode(emb, books)
+    val n = emb.count()
+    assert(codes.count() === n * Similarity.pqSubspaces)
+    assert(books.count() === Similarity.pqSubspaces.toLong * Similarity.pqCentroids)
+    // every (sub, code) resolves in the codebook — the ADC lut join can
+    // never drop a row
+    val orphan = codes.join(
+      books.select(col("sub"), col("cent_id").as("code")),
+      Seq("sub", "code"), "left_anti").count()
+    assert(orphan === 0L)
   }
 
   test("IVF M-step plans a single vector hash-agg on cent_id, no posexplode") {

@@ -860,6 +860,96 @@ class StatsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("q_negative_sampling multi-bucket closure matches the cross-join form") {
+    // round-11 ADVICE #1: every gated SF resolves to nBuckets = 1 at the
+    // 2048-item default, leaving the >1-bucket per-bucket top-2 closure
+    // and seen-array prune exercised only by the bucket-invariance
+    // argument. Force a >= 3 bucket grid on the tiny test catalog and pin
+    // identity with the retired cross-join reference THROUGH the real
+    // multi-bucket plan.
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    val nItems = ev.select(col("item")).distinct().count()
+    val forced = math.max(1L, nItems / 4L)
+    assert(nItems / forced >= 3L,
+      s"test catalog ($nItems items) must yield >= 3 buckets at size $forced")
+    val prev = EventAnalytics.negSamplingBucketItems
+    val got = try {
+      EventAnalytics.negSamplingBucketItems = forced
+      run("q_negative_sampling").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally EventAnalytics.negSamplingBucketItems = prev
+    val it = ev.select(col("item")).distinct()
+    val u = ev.select(col("user_id")).distinct()
+    val seen = ev.select(col("user_id"), col("item")).distinct()
+    val cand = u.crossJoin(broadcast(it))
+      .join(seen, Seq("user_id", "item"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(md5(concat(col("user_id").cast("string"), lit(":"),
+        col("item").cast("string")).cast("binary")), col("item"))
+    val exp = cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .select(col("user_id"), col("item"), col("rk"))
+      .orderBy(col("user_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+  }
+
+  test("q_negative_sampling_user is deterministic and covers the exact draw at B = 1") {
+    val a = run("q_negative_sampling_user").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = run("q_negative_sampling_user").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a === b, "sampled draw must be run-to-run deterministic")
+    assert(a.nonEmpty)
+    val nItems = Engine.table(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct().count()
+    val bCount = math.max(1L,
+      nItems / EventAnalytics.negSamplingUserBucketItems)
+    if (bCount == 1L) {
+      // the sample covers the whole catalog for every user, so the
+      // sampled contract must coincide with the exact global top-2
+      val exact = run("q_negative_sampling").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(a === exact)
+    }
+  }
+
+  test("q_negative_sampling_user multi-bucket draw equals the driver reference") {
+    // force >= 3 sample buckets on the test catalog and recompute the
+    // whole contract (md5-nibble buckets, per-user bucket probe,
+    // complement, md5-ranked top-2) in plain Scala
+    val inter = Engine.table(spark, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val items = inter.map(_._2).distinct
+    val forced = math.max(1L, items.size / 4L)
+    val bCount = math.max(1L, items.size / forced)
+    assert(bCount >= 3L,
+      s"test catalog (${items.size} items) must yield >= 3 buckets")
+    def hex4(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(4), 16)
+    val seen = inter.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemBucket = items.map(i => i -> hex4(i.toString) % bCount).toMap
+    val exp = seen.keys.toSeq.sorted.flatMap { u =>
+      val ub = hex4(s"u:$u") % bCount
+      items.filter(i => itemBucket(i) == ub && !seen(u).contains(i))
+        .map(i => (md5hex(s"$u:$i"), i))
+        .sorted.take(2).zipWithIndex
+        .map { case ((_, i), k) => (u, i, k + 1L) }
+    }
+    val got = EventAnalytics.negativeSamplingUser(
+        Engine.table(spark, dir, "events"), bucketItems = forced)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+    assert(got.nonEmpty)
+    got.foreach { case (u, i, _) => assert(!seen(u).contains(i)) }
+  }
+
   test("q_k_anonymity equals the brute-force QI-class census") {
     val rows = Engine.table(spark, dir, "events")
       .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("isodow"),

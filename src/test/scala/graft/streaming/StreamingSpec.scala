@@ -1349,6 +1349,98 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSuffixCut: planted mirrored span equals the batch keep1 rem-set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val shared = (0 until 60).map(i => s"s$i")
+    // corpus: doc 1 holds the 60-token run at offset 10, doc 2 repeats it
+    // at offset 0 — the canonical for every shared-run key is doc 1 only
+    // where doc 1's window starts first... doc 2 starts at pos 1 while
+    // doc 1 starts at pos 11, but canonicalCopies argmins doc_id FIRST,
+    // so doc 1 wins every key both docs carry
+    val corpus = Seq(
+      (1L, (toks("a", 10) ++ shared ++ toks("b", 5)).mkString(" ")),
+      (2L, (shared ++ toks("c", 20)).mkString(" "))).toDF("doc_id", "text")
+    val canon = graft.llm.Dedup.canonicalCopies(
+      graft.llm.Dedup.suffixWindows(corpus))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingSuffixCut(
+        mem.toDF().toDF("doc_id", "text"), canon)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_scut").start()
+    val streamedRows = Seq(
+      (100L, (toks("d", 25) ++ shared ++ toks("e", 15)).mkString(" ")),
+      (101L, toks("f", 80).mkString(" ")),
+      (102L, toks("g", 20).mkString(" ")))
+    try {
+      mem.addData(streamedRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("t_scut")
+        .select(col("doc_id"), col("pos"), col("canon_doc"), col("canon_pos"))
+        .as[(Long, Int, Long, Int)].collect().toSet
+      // every cut window of doc 100 names doc 1 (the corpus argmin) as
+      // its canonical; docs 101/102 emit nothing
+      assert(got.nonEmpty && got.forall(r => r._1 == 100L && r._3 == 1L))
+      assert(got.map(_._2) === (26 to 36).toSet)
+      // batch-twin parity: keep1's rem-set over corpus ∪ streamed docs,
+      // restricted to the streamed ids, is exactly the cut feed's
+      // (doc_id, pos) set — the append-only invariant (streamed ids
+      // succeed corpus ids) makes the two contracts coincide
+      val all = corpus.unionByName(streamedRows.toDF("doc_id", "text"))
+      val wins = graft.llm.Dedup.suffixWindows(all)
+      val hot = wins.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("k"))
+      val dw = wins.join(hot, Seq("k"), "left_semi")
+      val cp = graft.llm.Dedup.canonicalCopies(dw)
+      val rem = dw.join(cp, Seq("k"))
+        .filter(!(col("doc_id") === col("canon_doc") &&
+          col("pos") === col("canon_pos")))
+        .filter(col("doc_id") >= 100L)
+        .select(col("doc_id"), col("pos"))
+        .as[(Long, Int)].collect().toSet
+      assert(got.map(r => (r._1, r._2)) === rem)
+    } finally q.stop()
+  }
+
+  test("streamingSuffixCut with checkpoint: restart re-emits nothing, misses nothing") {
+    import spark.implicits._
+    val base = "/tmp/graft_test_stage/suffixcut_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val shared = (0 until 55).map(i => s"s$i")
+    val corpus = Seq((1L, (shared ++ toks("a", 5)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val canon = graft.llm.Dedup.canonicalCopies(
+      graft.llm.Dedup.suffixWindows(corpus))
+    val b1 = Seq((100L, (toks("b", 10) ++ shared).mkString(" ")))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingSuffixCut(
+        spark.readStream.schema(b1.schema).parquet(srcDir), canon)
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 lands while the query is DOWN: another mirror + a clean doc
+    Seq((200L, (shared ++ toks("c", 30)).mkString(" ")),
+        (201L, toks("d", 80).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("pos"), col("canon_doc"))
+      .as[(Long, Int, Long)].collect().toSeq
+    // exactly-once across the restart: no row twice, none dropped —
+    // docs 100 and 200 each carry the run's windows (6 each: 55-token
+    // run ⇒ 6 window starts), doc 201 none
+    assert(out.size === out.toSet.size, "restart re-emitted rows")
+    val byDoc = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDoc === Map(100L -> 6, 200L -> 6))
+    assert(out.forall(_._3 == 1L))
+  }
+
   test("streamingDsirGate: kept set and weights equal the batch DSIR scorer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
