@@ -423,38 +423,65 @@ object Similarity {
       .toDF("vec_id", "sub", "sv")
   }
 
-  /** Per-subspace nearest-codebook-entry assignment: broadcast the KB
-    * codebook against the subvector stream, squared-L2 argmin as a
-    * map-side-combinable min_by (the [[assignToCentroids]] discipline —
-    * never a corpus × centroids window). Returns (vec_id, sub, code, sv);
-    * `code` is the seed-derived centroid id (a production layout would
-    * densify to 0..15 and bit-pack — the id space, not the plan, changes).
+  /** Collect a codebook DataFrame (sub, cent_id, cv) into the m × 16 ×
+    * subDim nested array a plan LITERAL ships to every task — the
+    * codebook is domain-bounded (256 subDim-length rows ≈ KBs at any
+    * corpus size), so this is the BPE/IVF bounded-driver-collect
+    * discipline, and collecting ONCE means every consumer (encode pass,
+    * ADC lookup table) reads the identical float-summed entries.
     */
-  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
-    subs.join(broadcast(books), Seq("sub"))
-      .withColumn("d2",
-        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
-          + dot(col("cv"), col("cv")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("code"),
-        first(col("sv")).as("sv"))
+  private def collectBooks(books: DataFrame,
+      m: Int): Array[Array[Array[Double]]] = {
+    val out = Array.fill(m, pqCentroids)(Array.empty[Double])
+    books.select(col("sub"), col("cent_id"), col("cv")).collect().foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    out
+  }
+
+  /** In-row nearest-codebook-entry code for a subvector: squared-L2
+    * against the 16 literal entries of this row's subspace, first-min
+    * index (ties → smallest code — deterministic). Pure codegen'd HOFs
+    * over a broadcast-literal codebook: no join, no aggregation — the
+    * round-12 rewrite of a min_by-over-join E-step whose
+    * aggregate-buffer arrays fell out of fast hash aggregation
+    * (ObjectHashAggregate sort fallback: 16.5 s/iteration at 60 k
+    * vectors, vs ~1 s in this shape; PqDiag).
+    */
+  private def pqArgmin(sv: Column, sub: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    val entries = element_at(typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq),
+      sub + 1)
+    val scores = transform(entries, cv =>
+      aggregate(zip_with(sv, cv, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (a, x) => a + x))
+    (array_position(scores, array_min(scores)) - 1).cast(IntegerType)
+  }
 
   /** Train the m per-subspace codebooks: deterministic lowest-id seeds
-    * (the [[ivfCentroids]] discipline, sliced per subspace) refined by
-    * `iters` Lloyd iterations under squared-L2 — assignment is one
-    * broadcast pass, the M-step ONE hash aggregate summing whole
-    * subvectors ([[graft.functions.VectorSum]]), empty cells keep their
-    * previous entry. Returns (sub, cent_id, cv).
+    * (the [[ivfCentroids]] discipline, sliced per subspace; cent_id
+    * densified to 0..15 = the seed's rank) refined by `iters` Lloyd
+    * iterations under squared-L2. Each iteration is ONE narrow in-row
+    * argmin pass ([[pqArgmin]] against the collected-literal codebook)
+    * plus a 256-group [[graft.functions.VectorSum]] aggregate; empty
+    * cells keep their previous entry. The per-round driver collect is
+    * codebook-sized (bounded), exactly like the BPE trainer's 1-row
+    * argmax. Returns (sub, cent_id, cv).
     */
   def pqCodebooks(emb: DataFrame, iters: Int = 1,
       m: Int = pqSubspaces): DataFrame = {
     val subs = pqSubvectors(emb, m)
-    val seedIds = emb.orderBy(col("vec_id")).limit(pqCentroids)
-      .select(col("vec_id"))
-    val seeds = subs.join(broadcast(seedIds), "vec_id")
-      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    val seedIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(pqCentroids).collect().map(_.getLong(0))
+    val centOf = map(seedIds.zipWithIndex.flatMap { case (id, i) =>
+      Seq(lit(id), lit(i)) }.toSeq: _*)
+    val seeds = subs.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("sub"), element_at(centOf, col("vec_id")).as("cent_id"),
+        col("sv").as("cv"))
     (0 until iters).foldLeft(seeds) { (books, _) =>
-      val means = pqAssign(subs, books)
+      val cb = collectBooks(books, m)
+      val means = subs
+        .withColumn("code", pqArgmin(col("sv"), col("sub"), cb))
         .groupBy(col("sub"), col("code"))
         .agg(graft.functions.VectorExpressions.vectorSum(col("sv")).as("s"),
           count(lit(1)).as("cnt"))
@@ -468,20 +495,24 @@ object Similarity {
 
   /** PQ codes for the corpus: (vec_id, sub, code) — the 100 TB serving
     * artifact (write this table, drop the floats from the hot path).
+    * One narrow in-row pass, no shuffle.
     */
   def pqEncode(emb: DataFrame, books: DataFrame,
-      m: Int = pqSubspaces): DataFrame =
-    pqAssign(pqSubvectors(emb, m), books)
-      .select(col("vec_id"), col("sub"), col("code"))
+      m: Int = pqSubspaces): DataFrame = {
+    val cb = collectBooks(books, m)
+    pqSubvectors(emb, m).select(col("vec_id"), col("sub"),
+      pqArgmin(col("sv"), col("sub"), cb).as("code"))
+  }
 
   /** PQ/ADC top-k: codebook-quantize the corpus, score candidates by the
-    * ADC lookup-table cosine (query dot + entry norms, both from the
-    * broadcast m×16-row table — the coarse scan reads codes only), take a
-    * `shortlist`, rerank exactly. The codebook is persisted once per
-    * query (the ivfTopK centroid discipline: the encode pass and the
-    * lookup table MUST see the same float-summed entries or codes and
-    * table drift apart). Recall vs [[topK]] is LlmSpec's multi-query
-    * curve; the gate pins plumbing + the recall floor (recallGate).
+    * ADC lookup-table cosine (query dot + entry norms, both plan
+    * literals computed driver-side from ONE collected codebook — the
+    * coarse scan reads codes only), take a `shortlist`, rerank exactly.
+    * Collecting the codebook once gives the encode pass and the lookup
+    * table the same float-summed entries by construction (the ivfTopK
+    * single-materialization requirement, met without a persist). Recall
+    * vs [[topK]] is LlmSpec's multi-query curve; the gate pins plumbing
+    * + the recall floor (recallGate).
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int,
       shortlist: Int = 0, m: Int = pqSubspaces,
@@ -492,20 +523,35 @@ object Similarity {
     // 0.98 at n/25 with m=16/iters=2); one metadata-cheap count derives it
     val sl = if (shortlist > 0) shortlist
       else math.max(100L, emb.count() / 25L).toInt
-    val books = pqCodebooks(emb, iters, m)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val codes = pqEncode(emb, books, m)
-    val lut = pqSubvectors(emb.filter(col("vec_id") === queryId), m)
-      .join(books, Seq("sub"))
-      .select(col("sub"), col("cent_id"),
-        dot(col("sv"), col("cv")).as("qc"),
-        dot(col("cv"), col("cv")).as("cc"))
+    // one driver collect of the codebook feeds BOTH the encode pass and
+    // the ADC lookup table, so the two can never see different
+    // float-summed entries; the LUT itself is computed driver-side in
+    // plain scala (m × 16 exact doubles) and ships as plan literals —
+    // the coarse scan is then ONE narrow projection + a pure-double
+    // hash aggregate over codes, the faithful analog of a real ADC
+    // scan's L1-resident table (no join at all)
+    val subDim = 64 / m
+    val cb = collectBooks(pqCodebooks(emb, iters, m), m)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val lutQc: Seq[Seq[Double]] = (0 until m).map { s =>
+      (0 until pqCentroids).map { c =>
+        val cv = cb(s)(c)
+        (0 until subDim).map(d => qv(s * subDim + d) * cv(d)).sum
+      }
+    }
+    val lutCc: Seq[Seq[Double]] = (0 until m).map { s =>
+      (0 until pqCentroids).map(c => cb(s)(c).map(x => x * x).sum)
+    }
+    val codes = pqSubvectors(emb, m).select(col("vec_id"), col("sub"),
+      pqArgmin(col("sv"), col("sub"), cb).as("code"))
     // coarse cosine = Σ qc / sqrt(Σ cc) — |q| is constant across
     // candidates so dividing by it cannot change the ranking; the sums
     // close per vector in one map-side-combinable aggregate
+    def look(l: Seq[Seq[Double]]): Column =
+      element_at(element_at(typedLit(l), col("sub") + 1), col("code") + 1)
     val short = codes.filter(col("vec_id") =!= queryId)
-      .join(broadcast(lut),
-        codes("sub") === lut("sub") && col("code") === col("cent_id"))
+      .select(col("vec_id"), look(lutQc).as("qc"), look(lutCc).as("cc"))
       .groupBy(col("vec_id"))
       .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("rn2"))
       .withColumn("coarse", col("qdot") / sqrt(col("rn2")))

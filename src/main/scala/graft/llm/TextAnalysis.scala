@@ -1700,11 +1700,11 @@ object TextAnalysis {
     // on known valid/invalid PANs.
     "q_pii_pan" -> Q(
       s"""WITH aug AS (SELECT doc_id,
-        |    lpad(cast((doc_id * 9999999967) % 10000000000000000 as varchar),
-        |         16, '0') AS pan,
+        |    lpad(cast(((doc_id % 1000000007) * 999999937)
+        |              % 10000000000000000 as varchar), 16, '0') AS pan,
         |    text || ' card ' ||
-        |    lpad(cast((doc_id * 9999999967) % 10000000000000000 as varchar),
-        |         16, '0') AS t
+        |    lpad(cast(((doc_id % 1000000007) * 999999937)
+        |              % 10000000000000000 as varchar), 16, '0') AS t
         |  FROM documents)
         |SELECT doc_id,
         |  cast(len(regexp_extract_all(t, '[0-9]{16}')) as int) AS n_digit16,
@@ -1712,9 +1712,12 @@ object TextAnalysis {
         |  md5(CASE WHEN ${oLuhn("pan")}
         |      THEN replace(t, pan, '[PAN]') ELSE t END) AS red_md5
         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // pre-modulus keeps the product < 2^63 at ANY replica scale
+      // (ScaleUp doc_ids reach 2.9e9 at 30x — the raw multiply overflowed)
       docs(s, dir)
         .select(col("doc_id"),
-          lpad(((col("doc_id") * 9999999967L) % 10000000000000000L)
+          lpad((((col("doc_id") % 1000000007L) * 999999937L)
+            % 10000000000000000L)
             .cast(StringType), 16, "0").as("pan"),
           col("text"))
         .select(col("doc_id"), col("pan"),
