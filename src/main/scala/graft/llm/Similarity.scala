@@ -222,23 +222,33 @@ object Similarity {
     * query scans nProbe/nCentroids of the data.
     */
 
-  /** Nearest-centroid assignment: broadcast the (tiny) centroid table
-    * against the corpus, one narrow pass + per-vector argmax. At any
-    * corpus size this is a map-side join — centroids are KBs.
+  /** Nearest-centroid assignment: the centroid table is domain-bounded
+    * (nCentroids × 64 doubles — KBs at any corpus size), so collect it
+    * once and compute the per-vector cosine argmax IN-ROW against the
+    * plan-literal entries — one narrow codegen pass, no join, no
+    * aggregation. (Round 12: this replaced a crossJoin + max_by/first
+    * shape whose aggregate buffers carried the embedding ARRAY and fell
+    * out of fast hash aggregation — the same ObjectHashAggregate sort
+    * fallback PqDiag measured on the PQ E-step.) Results are
+    * bit-identical to the join form: each (v, c) cosine is the same IEEE
+    * expression (ArrayDot ≡ the HOF fold, LlmSpec-pinned), and the
+    * first-max position over the cent_id-sorted literal is exactly the
+    * old max_by's smallest-cent_id tie-break.
     */
-  def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
-      .groupBy(col("vec_id"))
-      // argmax as a map-side-combinable aggregate, NOT a row_number
-      // window: the window would shuffle corpus × nCentroids rows and
-      // sort per vector; max_by partial-aggregates to one row per vector
-      // before the exchange. Tie-break = smallest cent_id (negated in
-      // the ordering struct), matching a deterministic orderBy.
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(col("cent_id"), struct(col("d"), col("cent_id") * -1)).as("cent_id"))
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("cent_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val centsLit = typedLit(rows.map(_._2.toSeq).toSeq)
+    val idOf = map(rows.zipWithIndex.flatMap { case ((id, _), i) =>
+      Seq(lit(i), lit(id)) }.toSeq: _*)
+    val v = toDouble(col("embedding"))
+    val scores = transform(centsLit, cv =>
+      dot(v, cv) / (norm(v) * norm(cv)))
+    emb.select(col("vec_id"), col("embedding"),
+      element_at(idOf,
+        (array_position(scores, array_max(scores)) - 1).cast(IntegerType))
+        .as("cent_id"))
+  }
 
   /** Real k-means centroids: a deterministic lowest-id seed refined by
     * `iters` Lloyd iterations (assign → element-wise mean per cell). Each
@@ -430,7 +440,7 @@ object Similarity {
     * discipline, and collecting ONCE means every consumer (encode pass,
     * ADC lookup table) reads the identical float-summed entries.
     */
-  private def collectBooks(books: DataFrame,
+  private[graft] def collectBooks(books: DataFrame,
       m: Int): Array[Array[Array[Double]]] = {
     val out = Array.fill(m, pqCentroids)(Array.empty[Double])
     books.select(col("sub"), col("cent_id"), col("cv")).collect().foreach { r =>
@@ -570,6 +580,131 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ/ADC top-k (Jégou TPAMI'11 §IV — the composed billion-scale
+    * serving layout): the IVF coarse quantizer prunes the scan to
+    * `nProbe` of `nCentroids` cells, PQ codes of the RESIDUAL
+    * v − centroid rank candidates within them (residuals concentrate
+    * near 0, so a shared 16-entry-per-subspace codebook quantizes them
+    * far tighter than raw vectors), and an exact rerank closes. The
+    * coarse score reconstructs cos(q, ĉ + r̂) entirely from plan-literal
+    * tables: per probed cell the constants q·c and |c|², per (cell, sub,
+    * code) the lookups q_r·r̂ and c·r̂, per (sub, code) |r̂|² — all
+    * computed driver-side from ONE collected centroid table + ONE
+    * collected codebook (the pqTopK float-determinism discipline), so
+    * the cell scan is a narrow projection + pure-double hash aggregate
+    * over (probed) CODES ONLY. At 100 TB: centroids+codebooks are KBs
+    * trained once; the corpus persists as (cell, codes) partitioned by
+    * cell (the [[writeIvfIndex]] layout carrying ~m bytes per vector),
+    * and a query touches nProbe/nCentroids of the code table and
+    * `shortlist` float rows — nothing else.
+    */
+  def ivfpqTopK(emb: DataFrame, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 8, m: Int = pqSubspaces,
+      iters: Int = 2, shortlist: Int = 0): DataFrame = {
+    val subDim = 64 / m
+    val sl = if (shortlist > 0) shortlist
+      else math.max(100L, emb.count() / 25L).toInt
+    // coarse level: ONE collected Lloyd-refined centroid table (bounded:
+    // nCentroids × 64 doubles) feeds assignment, residuals, probe
+    // selection, and the ADC constants — identical floats everywhere
+    val cents = ivfCentroids(emb, nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val nC = cents.length
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    def dotD(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val probed: Seq[Int] = (0 until nC).sortBy(c =>
+      (-dotD(qv, cents(c)) / math.sqrt(dotD(cents(c), cents(c))), c))
+      .take(nProbe)
+    // in-row cell assignment: cosine argmax over the literal centroids,
+    // first-max tie → smallest cell (array_position) — no join, no agg
+    val v = toDouble(col("embedding"))
+    val cellScores = transform(centsLit, cv =>
+      hofDot(v, cv) / (sqrt(hofDot(v, v)) * sqrt(hofDot(cv, cv))))
+    // persisted: HOF lambdas evaluate interpreted (no whole-stage codegen
+    // for higher-order functions), so the cell-argmax + residual
+    // projection must run ONCE — the trainer's per-round driver collects
+    // would otherwise re-materialize it iters+2 times (measured 30-40 s
+    // vs ~13 s at 30×)
+    val resid = emb
+      .select(col("vec_id"), v.as("ve"),
+        (array_position(cellScores, array_max(cellScores)) - 1)
+          .cast(IntegerType).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
+          (x, c) => x - c).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cb = collectBooks(pqCodebooks(resid, iters, m), m)
+    val slices = (0 until m).map(s =>
+      slice(col("embedding"), s * subDim + 1, subDim))
+    val codes = resid
+      .select(col("vec_id"), col("cell"), posexplode(array(slices: _*)))
+      .toDF("vec_id", "cell", "sub", "sv")
+      .select(col("vec_id"), col("cell"), col("sub"),
+        pqArgmin(col("sv"), col("sub"), cb).as("code"))
+    // ADC tables, driver-side exact doubles; probe position p indexes the
+    // per-cell literals so only nProbe cells' tables ship
+    val lutQc: Seq[Seq[Seq[Double]]] = probed.map { c =>
+      (0 until m).map { s =>
+        (0 until pqCentroids).map { kk =>
+          (0 until subDim).map(d =>
+            (qv(s * subDim + d) - cents(c)(s * subDim + d)) * cb(s)(kk)(d)).sum
+        }.toSeq
+      }.toSeq
+    }
+    val lutCcv: Seq[Seq[Seq[Double]]] = probed.map { c =>
+      (0 until m).map { s =>
+        (0 until pqCentroids).map { kk =>
+          (0 until subDim).map(d =>
+            cents(c)(s * subDim + d) * cb(s)(kk)(d)).sum
+        }.toSeq
+      }.toSeq
+    }
+    val lutCc: Seq[Seq[Double]] = (0 until m).map(s =>
+      (0 until pqCentroids).map(kk => cb(s)(kk).map(x => x * x).sum).toSeq)
+    val qc0: Seq[Double] = probed.map(c => dotD(qv, cents(c)))
+    val c2: Seq[Double] = probed.map(c => dotD(cents(c), cents(c)))
+    val pIdx = map(probed.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(i)) }.toSeq: _*)
+    def look3(l: Seq[Seq[Seq[Double]]]): Column =
+      element_at(element_at(element_at(typedLit(l), col("p") + 1),
+        col("sub") + 1), col("code") + 1)
+    def look2(l: Seq[Seq[Double]]): Column =
+      element_at(element_at(typedLit(l), col("sub") + 1), col("code") + 1)
+    val short = codes
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryId)
+      .withColumn("p", element_at(pIdx, col("cell")))
+      .select(col("vec_id"), col("p"),
+        look3(lutQc).as("qc"), look3(lutCcv).as("ccv"), look2(lutCc).as("cc"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("qc")).as("qr"), sum(col("ccv")).as("cr"),
+        sum(col("cc")).as("r2"))
+      // cos(q, ĉ+r̂) = (q·c + q·r̂) / √(|c|² + 2c·r̂ + |r̂|²), ÷|q| omitted
+      // (constant across candidates — cannot change the ranking)
+      .withColumn("coarse",
+        (element_at(typedLit(qc0), col("p") + 1) + col("qr")) /
+          sqrt(element_at(typedLit(c2), col("p") + 1)
+            + lit(2.0) * col("cr") + col("r2")))
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(sl)
+      .select("vec_id")
+    val withV = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = withV.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), norm(col("v")).as("qn"))
+    short.join(withV, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r",
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 6))
+      .select(col("vec_id"), col("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Driver-gate wrapper for approximate top-k variants whose candidate
     * sets are engine-local (IVF centroids, quantization stats): joins the
     * approximate result against the brute-force exact top-k and emits one
@@ -649,6 +784,19 @@ object Similarity {
       "SELECT least(10, greatest(0, count(*) - 1)) AS n_results, TRUE AS recall_ok FROM embeddings") { (s, dir) =>
       val emb = Engine.table(s, dir, "embeddings")
       recallGate(pqTopK(emb, queryId = 0L, k = 10), emb,
+        queryId = 0L, k = 10, minHits = 8)
+    },
+
+    // IVF-PQ/ADC ANN (round 12, the composed billion-scale layout —
+    // coarse cell pruning × residual product quantization, see
+    // [[ivfpqTopK]]): centroids and codebooks are Lloyd-trained floats
+    // (engine-local), so the gate pins plumbing + the recall floor via
+    // recallGate, exactly like q_sim_ivf/q_sim_pq; LlmSpec holds the
+    // multi-query recall curve and the residual-code shape pins.
+    "q_sim_ivfpq" -> Q(
+      "SELECT least(10, greatest(0, count(*) - 1)) AS n_results, TRUE AS recall_ok FROM embeddings") { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      recallGate(ivfpqTopK(emb, queryId = 0L, k = 10), emb,
         queryId = 0L, k = 10, minHits = 8)
     },
 

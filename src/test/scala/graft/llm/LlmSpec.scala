@@ -570,6 +570,21 @@ class LlmSpec extends AnyFunSuite {
     assert(recalls.min >= 0.6, s"PQ worst-query recall ${recalls.min} < 0.6 ($recalls)")
   }
 
+  test("IVF-PQ top-k: mean recall >= 0.8 over 5 queries vs brute force") {
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity.topK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.ivfpqTopK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVF-PQ mean recall $mean < 0.8 ($recalls)")
+    assert(recalls.min >= 0.6,
+      s"IVF-PQ worst-query recall ${recalls.min} < 0.6 ($recalls)")
+  }
+
   test("PQ codes: m rows per vector, every code a codebook entry of its subspace") {
     val books = Similarity.pqCodebooks(emb)
     val codes = Similarity.pqEncode(emb, books)
