@@ -1689,6 +1689,95 @@ object Components {
             "ELSE (cast(n_after as decimal(38,0)) * 1000000) div ta END" +
             " as bigint)").as("share_after_ppm"))
         .orderBy(col("source"))
+    },
+
+    // Contrastive training pairs (round 12): the (anchor, positive,
+    // negative) triples an embedding-model trainer consumes — positives
+    // from the near-dup pair graph (two docs the banded SimHash verify
+    // confirmed similar), negatives a deterministic hash draw from the
+    // anchor's md5 catalog bucket (the q_negative_sampling_user
+    // discipline: ~64 candidates per anchor at ANY corpus size, never a
+    // corpus sweep), with the anchor's own neighbors excluded so a
+    // near-dup can never leak in as a negative. Both selections are
+    // min-md5-key argmins stated identically in both engines (min key →
+    // join back → min id closes the theoretical collision tie), so the
+    // whole triple set is hash-gated. Scale shape: pair-graph-sized
+    // positive agg; one bounded corpus count for the bucket grid; one
+    // bucket equi-join + anti join + bucket-sized negative agg — all
+    // corpus-linear. Anchors whose bucket is fully excluded drop out
+    // (deterministically, both engines).
+    "q_contrastive_pairs" -> Q(
+      s"""WITH ${Dedup.oSimhashPairsCte},
+         |nbr AS MATERIALIZED (
+         |  SELECT d1 AS a, d2 AS p FROM spairs
+         |  UNION ALL SELECT d2, d1 FROM spairs),
+         |pk AS (SELECT a, p,
+         |         md5(cast(a as varchar) || ':' || cast(p as varchar)) AS k
+         |       FROM nbr),
+         |pmin AS (SELECT a, min(k) AS mk FROM pk GROUP BY a),
+         |pos AS MATERIALIZED (
+         |  SELECT pk.a, min(pk.p) AS pos_id
+         |  FROM pk JOIN pmin ON pk.a = pmin.a AND pk.k = pmin.mk
+         |  GROUP BY pk.a),
+         |cnb AS (SELECT greatest(1, count(*) // 64) AS b FROM documents),
+         |db AS (SELECT doc_id,
+         |         ${graft.operators.EventAnalytics.oMd5Hex4("cast(doc_id as varchar)")}
+         |           % (SELECT b FROM cnb) AS sb
+         |       FROM documents),
+         |ab AS (SELECT a,
+         |         ${graft.operators.EventAnalytics.oMd5Hex4("'u:' || cast(a as varchar)")}
+         |           % (SELECT b FROM cnb) AS sb
+         |       FROM pos),
+         |cand AS MATERIALIZED (
+         |  SELECT ab.a, db.doc_id FROM ab JOIN db USING (sb)
+         |  WHERE db.doc_id <> ab.a
+         |    AND NOT EXISTS (SELECT 1 FROM nbr
+         |                    WHERE nbr.a = ab.a AND nbr.p = db.doc_id)),
+         |nk AS (SELECT a, doc_id,
+         |         md5(cast(a as varchar) || ':n:' || cast(doc_id as varchar)) AS k
+         |       FROM cand),
+         |nmin AS (SELECT a, min(k) AS mk FROM nk GROUP BY a),
+         |neg AS (SELECT nk.a, min(nk.doc_id) AS neg_id
+         |        FROM nk JOIN nmin ON nk.a = nmin.a AND nk.k = nmin.mk
+         |        GROUP BY nk.a)
+         |SELECT pos.a AS anchor_id, pos.pos_id, neg.neg_id
+         |FROM pos JOIN neg ON pos.a = neg.a
+         |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      val pairs = simhashPairs(s, dir)
+      val nbr = pairs.select(col("d1").as("a"), col("d2").as("p"))
+        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("p")))
+      def md5s(c: Column): Column = md5(c.cast(BinaryType))
+      def hex4(c: Column): Column =
+        conv(substring(md5s(c), 1, 4), 16, 10).cast(LongType)
+      val pk = nbr.withColumn("k",
+        md5s(concat(col("a").cast(StringType), lit(":"),
+          col("p").cast(StringType))))
+      val pmin = pk.groupBy(col("a")).agg(min(col("k")).as("mk"))
+        .withColumnRenamed("a", "a2")
+      val pos = pk
+        .join(pmin, pk("a") === col("a2") && col("k") === col("mk"))
+        .groupBy(col("a")).agg(min(col("p")).as("pos_id"))
+      val docsIds = Engine.table(s, dir, "documents").select(col("doc_id"))
+      val b = math.max(1L, docsIds.count() / 64L)
+      val db = docsIds
+        .withColumn("sb", hex4(col("doc_id").cast(StringType)) % b)
+      val ab = pos.select(col("a")).withColumn("sb",
+        hex4(concat(lit("u:"), col("a").cast(StringType))) % b)
+      val cand = ab.join(db, Seq("sb"))
+        .filter(col("doc_id") =!= col("a"))
+        .join(nbr.select(col("a"), col("p").as("doc_id")),
+          Seq("a", "doc_id"), "left_anti")
+      val nk = cand.withColumn("k",
+        md5s(concat(col("a").cast(StringType), lit(":n:"),
+          col("doc_id").cast(StringType))))
+      val nmin = nk.groupBy(col("a")).agg(min(col("k")).as("mk"))
+        .withColumnRenamed("a", "a2")
+      val neg = nk
+        .join(nmin, nk("a") === col("a2") && col("k") === col("mk"))
+        .groupBy(col("a")).agg(min(col("doc_id")).as("neg_id"))
+      pos.join(neg, Seq("a"))
+        .select(col("a").as("anchor_id"), col("pos_id"), col("neg_id"))
+        .orderBy(col("anchor_id"))
     }
   )
 }

