@@ -15,6 +15,13 @@
 # produced a number, so the committed comparator can never be silently
 # overwritten with nulls or an empty query map.
 #
+# CROSS-ROUND CAVEAT (round 12): fresh-JVM spot isolates shared-JVM
+# ambient state but NOT machine drift — round 12 measured +31-61% on
+# five unchanged queries that bisected to the MACHINE (same times at the
+# previous round's commit). Before believing a cross-round spot delta,
+# BenchOne one unchanged reference query at the previous round's commit
+# and scale by that calibration ratio.
+#
 # Usage: [N=10] [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1] tools/bench_spot.sh [query ...]
 set -euo pipefail
 cd "$(dirname "$0")/.."
