@@ -29,7 +29,7 @@ object TextAnalysis {
     * double, subtracting 9 past 9), so the whole predicate is one codegen
     * expression with no UDF and an exact oracle twin ([[oLuhn]]).
     */
-  private[llm] def luhnValid(s: Column): Column = {
+  private[graft] def luhnValid(s: Column): Column = {
     val total = (1 to 16).map { i =>
       val d = substring(s, i, 1).cast(IntegerType)
       if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d

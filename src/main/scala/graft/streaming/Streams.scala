@@ -492,6 +492,30 @@ object Streams {
     graft.llm.TextAnalysis.withQualityPpm(docsStream)
       .filter(col("quality_ppm") >= minPpm)
 
+  /** PAN gate at INGEST (s_pii_gate, round 12): hold back any streaming
+    * doc whose text carries a Luhn-VALID 16-digit card number — the
+    * checksum tier of the PII story applied in front of the lake, beside
+    * q_pii_redact's batch scrub and q_pii_pan's audit. Shares the
+    * unrolled integer Luhn predicate VERBATIM
+    * ([[graft.llm.TextAnalysis.luhnValid]], applied per extracted
+    * candidate through a `filter` HOF), so twin parity with the batch
+    * checksum is structural. Kept rows carry the naive digit-run count;
+    * blocked rows never reach the sink — a doc with sixteen digits that
+    * fail the checksum (order ids, timestamps) passes, exactly the
+    * misfire class a bare \d{16} gate would block. One stateless narrow
+    * projection + filter: zero state stores, no watermark,
+    * unbounded-safe at any ingest rate.
+    */
+  def streamingPiiGate(docsStream: DataFrame): DataFrame = {
+    val cands = regexp_extract_all(col("text"), lit("[0-9]{16}"), lit(0))
+    docsStream
+      .withColumn("n_digit16", size(cands))
+      .withColumn("n_pan",
+        size(filter(cands, s => graft.llm.TextAnalysis.luhnValid(s))))
+      .filter(col("n_pan") === 0)
+      .drop("n_pan")
+  }
+
   /** Trained-model quality gate at INGEST (s_quality_model): the
     * streaming twin of q_quality_model — the SAME feature projection
     * ([[graft.llm.TextAnalysis.qualityModelFeatures]], shared verbatim)

@@ -1349,6 +1349,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingPiiGate: blocks only Luhn-valid PANs, keeps checksum-failing digit runs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingPiiGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_piigate").start()
+    try {
+      mem.addData(
+        (1L, "pay with 4532015112830366 now"),        // valid PAN → blocked
+        (2L, "order 4532015112830367 confirmed"),      // invalid check digit → kept
+        (3L, "no digits at all"),                      // no candidate → kept
+        // invalid candidates below are valid PANs with a mutated check
+        // digit — only one last digit satisfies Luhn, so any other fails
+        (4L, "two runs 4556737586899855 and 4532015112830361"), // one valid → blocked
+        (5L, "ts 4532015112830360 then 5425233430109904")) // both invalid → kept
+      q.processAllAvailable()
+      val got = spark.table("t_piigate")
+        .select(col("doc_id"), col("n_digit16"))
+        .as[(Long, Int)].collect().toMap
+      assert(got.keySet === Set(2L, 3L, 5L))
+      assert(got(2L) === 1 && got(3L) === 0 && got(5L) === 2)
+    } finally q.stop()
+  }
+
   test("streamingSuffixCut: planted mirrored span equals the batch keep1 rem-set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
