@@ -446,6 +446,16 @@ object Similarity {
     books.select(col("sub"), col("cent_id"), col("cv")).collect().foreach { r =>
       out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
+    // every (sub, cent_id) slot must be populated: pqArgmin's squared-L2
+    // over an EMPTY entry aggregates to 0.0, which would silently win
+    // array_min over any real distance (round-13 ADVICE guard). The
+    // trainer seeds all m × pqCentroids slots and empty cells keep their
+    // previous entry, so a hole here is a caller bug (e.g. a corpus with
+    // fewer than pqCentroids vectors), not a recall trade.
+    for (s <- 0 until m; c <- 0 until pqCentroids)
+      require(out(s)(c).nonEmpty,
+        s"PQ codebook slot (sub=$s, cent_id=$c) is empty — corpus must " +
+          s"have >= $pqCentroids vectors and the trainer must seed every slot")
     out
   }
 
@@ -685,9 +695,12 @@ object Similarity {
       .agg(sum(col("qc")).as("qr"), sum(col("ccv")).as("cr"),
         sum(col("cc")).as("r2"))
       // cos(q, ĉ+r̂) = (q·c + q·r̂) / √(|c|² + 2c·r̂ + |r̂|²), ÷|q| omitted
-      // (constant across candidates — cannot change the ranking)
+      // (constant across candidates — cannot change the ranking). The
+      // lutQc entries are (q−c)·r̂, so q·r̂ = qr + cr: the numerator needs
+      // the candidate-varying c·r̂ term added back (round-13 ADVICE fix —
+      // omitting it biased shortlist ranking within probed cells).
       .withColumn("coarse",
-        (element_at(typedLit(qc0), col("p") + 1) + col("qr")) /
+        (element_at(typedLit(qc0), col("p") + 1) + col("qr") + col("cr")) /
           sqrt(element_at(typedLit(c2), col("p") + 1)
             + lit(2.0) * col("cr") + col("r2")))
       .orderBy(col("coarse").desc, col("vec_id"))

