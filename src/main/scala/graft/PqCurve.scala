@@ -23,8 +23,10 @@ object PqCurve {
     val k = 10
     val exact = queryIds.map(q => q -> llm.Similarity.topK(emb, q, k)
       .select("vec_id").collect().map(_.getLong(0)).toSet).toMap
+    val derivedSl = llm.AnnIndex.adcShortlistFor(k, emb.count())
+    println(s"[pqcurve] n=${emb.count()} derived shortlist=$derivedSl")
     for (m <- Seq(4, 8, 16); iters <- Seq(1, 2);
-         shortlist <- Seq(100, 200, 400)) {
+         shortlist <- Seq(100, 200, 400, derivedSl).distinct.sorted) {
       val t0 = System.nanoTime()
       val recalls = queryIds.map { q =>
         val got = llm.Similarity.pqTopK(emb, q, k, shortlist, m, iters)

@@ -132,6 +132,96 @@ object VectorOps {
     */
   val LshBucketNull: Long = -1L
 
+  /** First-max cosine argmax of `v` against the centroid rows — the
+    * IVF E-step kernel. Bit-identical to the HOF reference
+    * (`array_position(transform(cents, cv -> dot/(|v||cv|)), array_max(..)) - 1`):
+    * the dot and both norm folds run left-to-right per element exactly as
+    * `aggregate(zip_with(...))` does, comparison uses
+    * `java.lang.Double.compare` (Spark SQL's total order, NaN greatest —
+    * what array_max/array_position apply), and a strict `>` keeps the
+    * FIRST maximum (smallest index) on ties. Returns
+    * [[NearestCentroidNull]] on dimension mismatch or a null element
+    * (no defined cosine), matching zip_with's null propagation.
+    */
+  val NearestCentroidNull: Int = -1
+
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    val dim = cents(0).length
+    if (v.numElements() != dim) return NearestCentroidNull
+    var d = 0
+    while (d < dim) { if (v.isNullAt(d)) return NearestCentroidNull; d += 1 }
+    var vn = 0.0
+    d = 0
+    while (d < dim) { val x = v.getDouble(d); vn += x * x; d += 1 }
+    val nv = math.sqrt(vn)
+    var best = 0.0
+    var bestIdx = 0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0.0
+      var cn = 0.0
+      d = 0
+      while (d < dim) {
+        val x = v.getDouble(d)
+        s += x * cv(d); cn += cv(d) * cv(d); d += 1
+      }
+      val score = s / (nv * math.sqrt(cn))
+      if (c == 0 || java.lang.Double.compare(score, best) > 0) {
+        best = score; bestIdx = c
+      }
+      c += 1
+    }
+    bestIdx
+  }
+
+  /** Packed PQ code word: nibble `s` is the first-min squared-L2 argmin of
+    * subvector `s` against codebook `books(s)` — the whole m-subspace
+    * encode in ONE compiled pass, packed 4 bits per code into a single
+    * long (m ≤ 16, entries ≤ 16 ⇒ exactly 64 bits: the "~m bytes per
+    * vector" serving layout is literally 8 bytes + key here).
+    * Bit-identical to the per-subspace HOF argmin
+    * (`array_position(transform(entries, cv -> Σ(x-c)²), array_min(..)) - 1`,
+    * [[graft.llm.Similarity]]'s pqArgmin): same left-to-right fold, same
+    * total-order comparison, strict `<` keeps the first minimum on ties.
+    * Returns boxed null on dimension mismatch or a null element — an
+    * in-band long sentinel is impossible here because EVERY 64-bit word
+    * is a legal code vector (all-15 nibbles = -1L, observed in the wild
+    * at 500 vectors).
+    */
+  def pqCodesWord(v: ArrayData, books: Array[Array[Array[Double]]]): java.lang.Long = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    if (v.numElements() != m * subDim) return null
+    var d = 0
+    val n = v.numElements()
+    while (d < n) { if (v.isNullAt(d)) return null; d += 1 }
+    var word = 0L
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val entries = books(s)
+      var best = 0.0
+      var bestIdx = 0
+      var c = 0
+      while (c < entries.length) {
+        val cv = entries(c)
+        var acc = 0.0
+        d = 0
+        while (d < subDim) {
+          val t = v.getDouble(base + d) - cv(d); acc += t * t; d += 1
+        }
+        if (c == 0 || java.lang.Double.compare(acc, best) < 0) {
+          best = acc; bestIdx = c
+        }
+        c += 1
+      }
+      word |= bestIdx.toLong << (4 * s)
+      s += 1
+    }
+    java.lang.Long.valueOf(word)
+  }
+
   /** Sign-bucket one vector against the precomputed planes using the
     * QUANTIZED dot product (each term `floor(x * w * 2^30)` is an
     * exactly-representable long, so the sum is order-independent and the
@@ -213,6 +303,101 @@ case class LshBucket(child: Expression, nPlanes: Int, dim: Int,
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid index (first-max cosine argmax) of an `array<double>`
+  * vector against a bounded centroid table shipped as a reference object —
+  * the IVF E-step as ONE codegen-resident kernel call. The HOF form
+  * (`transform` over a typedLit matrix + array_position/array_max) is
+  * interpreted, which made √n-cell assignment the training hotspot once
+  * the coarse grid stopped being a fixed 16 (round-13 derived-grid work);
+  * [[VectorOps.nearestCentroid]] documents the bit-identity argument and
+  * LlmSpec pins it against the HOF reference. Null on dimension mismatch
+  * or null element.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+    "nearest_centroid needs a non-empty, rectangular centroid table")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = VectorOps.nearestCentroid(
+      input.asInstanceOf[ArrayData], cents)
+    if (r == VectorOps.NearestCentroidNull) null else java.lang.Integer.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorOps.nearestCentroid($c, $centsRef);
+         |if (${ev.value} == graft.functions.VectorOps.NearestCentroidNull()) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Packed PQ code word (m 4-bit codes in one long) of an `array<double>`
+  * vector against the m per-subspace codebooks — the whole encode pass as
+  * one codegen-resident kernel call over a reference-object codebook.
+  * See [[VectorOps.pqCodesWord]] for the bit-identity argument vs the
+  * per-subspace HOF argmin (LlmSpec pins equality with
+  * [[graft.llm.Similarity.pqEncode]]'s exploded form). Null on dimension
+  * mismatch or null element.
+  */
+case class PqCodesWord(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(books.nonEmpty && books.length <= 16 &&
+    books.forall(b => b.nonEmpty && b.length <= 16),
+    "pq_codes_word packs 4-bit codes: needs 1..16 subspaces of 1..16 entries")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_codes_word requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.pqCodesWord(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxedWord")
+      s"""
+         |java.lang.Long $boxed = graft.functions.VectorOps.pqCodesWord($c, $booksRef);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodesWord =
     copy(child = newChild)
 }
 
@@ -320,6 +505,16 @@ object VectorExpressions {
     * quantized long vectors. */
   val vectorMinMax: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(VectorMinMax)
+
+  /** Column-level entry: first-max cosine argmax against a bounded
+    * centroid table (IVF E-step kernel). */
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), cents))
+
+  /** Column-level entry: packed m×4-bit PQ code word against the
+    * per-subspace codebooks. */
+  def pqCodesWord(v: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqCodesWord(ColumnBridge.expression(v), books))
 
   /** Column-level entry: fused quantized LSH sign-bucket. `planeOffset`
     * selects which contiguous run of the global md5 plane family the
