@@ -641,6 +641,55 @@ object Similarity {
       queryId, k, nProbe, shortlist, n)
   }
 
+  /** Batched exact top-k (round 13, VERDICT-r12 #5): production retrieval
+    * serves QUERY BATCHES, and scoring them one `topK` call at a time
+    * scans the corpus once per query. This ranks a deterministic
+    * `nQueries`-vector set (the lowest vec_ids — collected once, KBs) in
+    * ONE corpus pass: the query matrix rides the plan as a broadcast
+    * literal, each corpus row fans out to (row, query) pairs in-row
+    * (posexplode of the literal — a narrow map, no shuffle), and the
+    * per-query top-k closes through a rank-filtered window that Spark
+    * rewrites to WindowGroupLimit (map-side partial top-k per query id:
+    * the shuffle carries ≤ nQueries·k rows per task, never the scored
+    * cross product — pinned in LlmSpec along with the single-scan plan).
+    * Query norms are hoisted: |v| once per row before the fan-out, |q|
+    * driver-side with the same left-to-right IEEE fold ArrayDot runs, so
+    * every cosine is bit-identical to the one-query [[topK]] form and the
+    * whole result hash-gates cross-engine at 6dp.
+    */
+  val batchQueryCount: Int = 16
+
+  def topKBatch(emb: DataFrame, nQueries: Int = batchQueryCount,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), toDouble(col("embedding")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val qIds = typedLit(qs.map(_._1))
+    val qVecs = typedLit(qs.map(_._2))
+    val qNorms = typedLit(qs.map(q => math.sqrt(dotD(q._2, q._2))))
+    val scored = emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nv"), posexplode(qVecs))
+      .withColumn("query_id", element_at(qIds, col("pos") + 1))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(
+        dot(col("v"), col("col")) /
+          (col("nv") * element_at(qNorms, col("pos") + 1)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_r"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Driver-gate wrapper for approximate top-k variants whose candidate
     * sets are engine-local (IVF centroids, quantization stats): joins the
     * approximate result against the brute-force exact top-k and emits one
@@ -740,6 +789,29 @@ object Similarity {
       val emb = Engine.table(s, dir, "embeddings")
       recallGate(AnnIndex.servedTopK(s, dir, queryId = 0L, k = 10), emb,
         queryId = 0L, k = 10, minHits = 8)
+    },
+
+    // Batched exact retrieval (round 13): top-10 per query for the
+    // 16-lowest-vec_id query set in ONE corpus pass — query matrix as a
+    // broadcast literal, per-query TakeOrdered via the rank-filtered
+    // window Spark rewrites to WindowGroupLimit (map-side partial top-k;
+    // single-scan + WindowGroupLimit pinned in LlmSpec). Fully
+    // hash-gated: the 6dp-rounded cosine + (query_id, rank) total order
+    // is the q_sim_topk discipline per query id.
+    "q_sim_batch" -> Q(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < ${batchQueryCount}),
+        |sc AS (SELECT q.query_id, b.vec_id,
+        |         round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_r
+        |       FROM embeddings b CROSS JOIN q
+        |       WHERE b.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos_r,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos_r DESC, vec_id) AS rk
+        |      FROM sc)
+        |SELECT query_id, vec_id, cos_r, cast(rk as bigint) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      topKBatch(Engine.table(s, dir, "embeddings"), k = 10)
     },
 
     // Brute-force cosine top-10 neighbors of vec 0 (oracle: DuckDB

@@ -23,27 +23,61 @@ object TextAnalysis {
 
   private val toks: Column = split(col("text"), " ")
 
-  /** Luhn (mod-10) checksum over a 16-digit string column — q_pii_pan's
-    * validation layer. Pure integer position arithmetic unrolled over the
-    * 16 places (digits at odd 1-based positions — even from the right —
-    * double, subtracting 9 past 9), so the whole predicate is one codegen
-    * expression with no UDF and an exact oracle twin ([[oLuhn]]).
+  /** PAN length window: real card numbers run 13-19 digits (Visa 13/16,
+    * Amex 15, Maestro 13-19, UnionPay up to 19) — the round-12 16-only
+    * checksum missed everything but classic Visa/MC (VERDICT-r12 #7).
+    */
+  val panMinLen: Int = 13
+  val panMaxLen: Int = 19
+  private[graft] val panRegex: String = s"[0-9]{$panMinLen,$panMaxLen}"
+
+  /** q_pii_pan's planted candidates — six real-format Luhn-VALID PANs at
+    * lengths 13/15/16/16/19/19 followed by their six last-digit
+    * mutations (+1 mod 10 on the check digit always breaks Luhn: the
+    * check digit is never doubled, so the mod-10 sum moves by exactly 1).
+    * Shared with the oracle SQL and the s_pii_gate streaming spec.
+    */
+  private[graft] val plantedPans: Seq[String] = Seq(
+    "4222222222222", "378282246310005", "4111111111111111",
+    "5425233430109903", "6221261111111111113", "6759649826438452955",
+    "4222222222223", "378282246310006", "4111111111111112",
+    "5425233430109904", "6221261111111111114", "6759649826438452956")
+
+  /** Luhn (mod-10) checksum over a 13-19-digit string column — q_pii_pan's
+    * validation layer. Length-parametric position arithmetic unrolled over
+    * the 19 places (a digit doubles when its offset FROM THE RIGHT is odd,
+    * i.e. (len − i) is odd for 1-based i; past-length places contribute 0
+    * behind a lazy CASE so the out-of-range substring cast never
+    * evaluates), so the whole predicate stays one codegen expression with
+    * no UDF, no HOF lambda on the hot path, and an exact oracle twin
+    * ([[oLuhn]]). Strings outside the 13-19 window are not PANs.
     */
   private[graft] def luhnValid(s: Column): Column = {
-    val total = (1 to 16).map { i =>
+    val len = length(s)
+    val total = (1 to panMaxLen).map { i =>
       val d = substring(s, i, 1).cast(IntegerType)
-      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+      val dbl = when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+      when(lit(i) <= len, when((len - i) % 2 === 1, dbl).otherwise(d))
+        .otherwise(0)
     }.reduce(_ + _)
-    total % 10 === 0
+    len >= panMinLen && len <= panMaxLen && total % 10 === 0
   }
 
-  /** Oracle-SQL twin of [[luhnValid]] over a 16-char varchar expression. */
-  private def oLuhn(e: String): String =
-    (1 to 16).map { i =>
+  /** Oracle-SQL twin of [[luhnValid]] over a 13-19-char varchar
+    * expression (DuckDB: out-of-range substr casts ERROR rather than
+    * null, so the same lazy CASE guards them).
+    */
+  private def oLuhn(e: String): String = {
+    val terms = (1 to panMaxLen).map { i =>
       val d = s"cast(substr($e, $i, 1) as int)"
-      if (i % 2 == 1) s"(case when 2 * $d > 9 then 2 * $d - 9 else 2 * $d end)"
-      else s"($d)"
-    }.mkString("((", " + ", ") % 10 = 0)")
+      s"(case when $i <= len($e) then " +
+        s"(case when (len($e) - $i) % 2 = 1 then " +
+        s"(case when 2 * $d > 9 then 2 * $d - 9 else 2 * $d end) " +
+        s"else $d end) else 0 end)"
+    }
+    s"(len($e) between $panMinLen and $panMaxLen and " +
+      terms.mkString("(", " + ", s") % 10 = 0)")
+  }
 
   /** Tiny per-language function-word lexicons for the n-gram/stopword
     * language-ID heuristic. Deterministic and engine-portable; real
@@ -1686,45 +1720,50 @@ object TextAnalysis {
     },
 
     // Luhn-validated card-number (PAN) detection (round 12, VERDICT-r11
-    // #7): the checksum layer a bare `\d{16}` regex lacks. Each doc gets
-    // one deterministic 16-digit candidate planted from its doc_id (so
-    // both engines see the identical corpus, and candidates split
-    // naturally into Luhn-valid and Luhn-invalid — 1 in 10 pass); the
-    // operator reports the naive regex hit count, the Luhn verdict
-    // ([[luhnValid]] — pure integer position arithmetic, engine-portable
-    // by construction), and the redaction hash where ONLY the validated
-    // PAN is masked: the misfire a regex-only redactor commits (masking
-    // order numbers / timestamps that happen to be 16 digits) is exactly
-    // what the valid=false rows keep unmasked. Scale: one narrow codegen
-    // projection per doc, no shuffle, no UDF. TextSpec pins the checksum
-    // on known valid/invalid PANs.
+    // #7; round 13 generalizes 16-only to the real 13-19 digit window,
+    // VERDICT-r12 #7): the checksum layer a bare digit-run regex lacks.
+    // Each doc gets one PLANTED candidate from the 12-entry literal —
+    // six real-format Luhn-valid PANs at lengths 13 (Visa), 15 (Amex),
+    // 16 ×2, 19 ×2 (UnionPay/Maestro format) and their six last-digit
+    // mutations (a +1 mod 10 on the check digit always breaks Luhn, so
+    // valid/invalid split exactly 1:1 and every LENGTH exercises both
+    // branches). The operator reports the naive 13-19-digit-run hit
+    // count, the candidate length, the length-parametric Luhn verdict
+    // ([[luhnValid]] — unrolled lazy-CASE integer arithmetic,
+    // engine-portable, no UDF/HOF on the hot path), and the redaction
+    // hash where ONLY the validated PAN masks: checksum-failing digit
+    // runs (order ids, timestamps) stay unmasked — the misfire class a
+    // regex-only redactor commits. Scale: one narrow codegen projection
+    // per doc, no shuffle. LlmSpec pins the checksum on all six lengths
+    // plus every off-by-one check-digit mutation.
     "q_pii_pan" -> Q(
       s"""WITH aug AS (SELECT doc_id,
-        |    lpad(cast(((doc_id % 1000000007) * 999999937)
-        |              % 10000000000000000 as varchar), 16, '0') AS pan,
+        |    ([${plantedPans.map(p => s"'$p'").mkString(",")}])
+        |      [cast(doc_id % ${plantedPans.size} as int) + 1] AS pan,
         |    text || ' card ' ||
-        |    lpad(cast(((doc_id % 1000000007) * 999999937)
-        |              % 10000000000000000 as varchar), 16, '0') AS t
+        |    ([${plantedPans.map(p => s"'$p'").mkString(",")}])
+        |      [cast(doc_id % ${plantedPans.size} as int) + 1] AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  cast(len(regexp_extract_all(t, '[0-9]{16}')) as int) AS n_digit16,
+        |  cast(len(regexp_extract_all(t, '$panRegex')) as int) AS n_pan_cand,
+        |  cast(len(pan) as int) AS pan_len,
         |  ${oLuhn("pan")} AS pan_valid,
         |  md5(CASE WHEN ${oLuhn("pan")}
         |      THEN replace(t, pan, '[PAN]') ELSE t END) AS red_md5
         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // pre-modulus keeps the product < 2^63 at ANY replica scale
-      // (ScaleUp doc_ids reach 2.9e9 at 30x — the raw multiply overflowed)
+      val pansLit = typedLit(plantedPans)
       docs(s, dir)
         .select(col("doc_id"),
-          lpad((((col("doc_id") % 1000000007L) * 999999937L)
-            % 10000000000000000L)
-            .cast(StringType), 16, "0").as("pan"),
+          element_at(pansLit,
+            (col("doc_id") % plantedPans.size).cast(IntegerType) + 1)
+            .as("pan"),
           col("text"))
         .select(col("doc_id"), col("pan"),
           concat(col("text"), lit(" card "), col("pan")).as("t"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("t"), lit("[0-9]{16}"), lit(0)))
-            .as("n_digit16"),
+          size(regexp_extract_all(col("t"), lit(panRegex), lit(0)))
+            .as("n_pan_cand"),
+          length(col("pan")).as("pan_len"),
           luhnValid(col("pan")).as("pan_valid"),
           md5(when(luhnValid(col("pan")),
               expr("replace(t, pan, '[PAN]')"))

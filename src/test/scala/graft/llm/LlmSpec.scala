@@ -14,16 +14,21 @@ class LlmSpec extends AnyFunSuite {
   private def docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
   private def emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
 
-  test("luhnValid accepts real PANs and rejects every off-by-one check digit") {
+  test("luhnValid accepts real PANs at every length 13-19 and rejects every off-by-one check digit") {
     import spark.implicits._
-    // standard Luhn-valid test numbers + their 9 invalid check-digit
-    // mutations each: the checksum must reject all 16-digit strings a
-    // bare \d{16} regex would accept
-    val valid = Seq("4532015112830366", "4556737586899855", "5425233430109903")
+    // Luhn-valid numbers at lengths 13/15/16/19 + their 9 invalid
+    // check-digit mutations each: the checksum must reject every digit
+    // run a bare length regex would accept, at EVERY PAN length
+    // (round 13 — the 16-only form missed Amex/Maestro entirely)
+    val valid = Seq("4222222222222", "378282246310005",
+      "4532015112830366", "4556737586899855", "5425233430109903",
+      "6221261111111111113", "6759649826438452955")
     val cases = valid.flatMap { p =>
-      val base = p.take(15)
+      val base = p.dropRight(1)
       (0 to 9).map(d => (base + d, base + d == p))
-    }
+    } ++ Seq(
+      ("123456789012", false), // 12 digits: below the PAN window
+      ("12345678901234567890", false)) // 20 digits: above it
     val got = cases.map(_._1).toDF("pan")
       .select(col("pan"), TextAnalysis.luhnValid(col("pan")).as("ok"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -32,17 +37,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("q_pii_pan masks only the Luhn-valid planted PAN") {
+  test("q_pii_pan masks only the Luhn-valid planted PAN, all lengths exercised") {
     val rows = graft.Registry.all("q_pii_pan")
       .fn(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)
-    // ~1 in 10 doc_id-derived candidates is Luhn-valid; both classes
-    // must be present or the conditional-redaction branch is untested
-    val nValid = rows.count(_.getBoolean(2))
+    // the 12-entry plant is half valid / half mutated; both classes must
+    // be present or the conditional-redaction branch is untested
+    val nValid = rows.count(_.getBoolean(3))
     assert(nValid > 0 && nValid < rows.length,
       s"expected both valid and invalid PANs, got $nValid/${rows.length} valid")
-    // every doc has >= 1 naive 16-digit hit (the planted candidate)
+    // every doc has >= 1 naive 13-19-digit hit (the planted candidate)
     assert(rows.forall(_.getInt(1) >= 1))
+    // every planted LENGTH appears, and each contributes BOTH verdicts
+    val byLen = rows.groupBy(_.getInt(2))
+    assert(byLen.keySet === Set(13, 15, 16, 19))
+    byLen.foreach { case (len, rs) =>
+      assert(rs.exists(_.getBoolean(3)) && rs.exists(!_.getBoolean(3)),
+        s"length $len must carry both a valid and a mutated plant")
+    }
   }
 
   test("exactDedup drops full duplicates") {
@@ -662,6 +674,24 @@ class LlmSpec extends AnyFunSuite {
       .filter(col("codes64") =!= col("re64") || col("cell") =!= col("recell"))
       .count()
     assert(mismatch === 0L)
+  }
+
+  test("q_sim_batch: one corpus scan + WindowGroupLimit, equals 16 topK calls") {
+    val df = Similarity.topKBatch(emb, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the batched contract: ONE scan fans out to all
+    // queries, and the per-query top-k is a map-side partial (the rank
+    // filter must rewrite to WindowGroupLimit — a plain Window would
+    // shuffle the full scored cross product)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("FileScan".r.findAllIn(plan).size === 1, plan)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val exp = (0L until Similarity.batchQueryCount.toLong).flatMap { q =>
+      Similarity.topK(emb, q, 10).collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1L) }
+    }
+    assert(got === exp)
   }
 
   test("PQ codes: m rows per vector, every code a codebook entry of its subspace") {

@@ -302,6 +302,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingAnnProbe flags planted copies against the persisted index, equals its batch form, zero state") {
+    import spark.implicits._
+    val emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+    // the PERSISTED serving artifacts (the q_sim_ivfpq backing): build
+    // once into the test stage, read codes back like a production probe
+    val path = "/tmp/graft_test_stage/ann_probe_index"
+    graft.util.Fs.deleteRecursively(path)
+    val model = graft.llm.AnnIndex.writeIndex(emb, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    // arrivals: 10 EXACT COPIES of corpus vectors under fresh ids (the
+    // near-dup ingest case) — their top probe cell is their source's
+    // cell by construction (same cosine argmax), so the feed must
+    // surface the source as a high-cosine match
+    val arrivals = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.streamingAnnProbe(
+        mem.toDF().toDF("vec_id", "embedding"), model, codes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_annprobe").start()
+    try {
+      val (b1, b2) = arrivals.splitAt(5)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      // STATELESS: the whole plan is a stream-static join — no state
+      // store rows may exist (the s_dedup_incremental discipline)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ann probe must run with zero state stores")
+      val got = spark.table("t_annprobe")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      // every planted copy surfaces its source vector as a hit, and the
+      // reconstructed cosine of an exact copy clears the 0.8 gate well
+      (0L until 10L).foreach { j =>
+        val hit = got.find(r => r._1 == j + 100000L && r._2 == j)
+        assert(hit.nonEmpty, s"copy of vector $j produced no hit on its source")
+        assert(hit.get._4 >= 0.9,
+          s"reconstruction cosine for an exact copy was ${hit.get._4}")
+      }
+      // cross-micro-batch feed ≡ the same operator applied in batch mode
+      // (all-deterministic ops — structural parity, pinned anyway)
+      val batch = Streams.streamingAnnProbe(
+          arrivals.toSeq.toDF("vec_id", "embedding"), model, codes)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(got === batch,
+        s"extra: ${(got -- batch).take(3)}; missing: ${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streamingAnnProbe with checkpoint: restart re-emits nothing, misses nothing") {
+    import spark.implicits._
+    val base = "/tmp/graft_test_stage/annprobe_e2e"
+    graft.util.Fs.deleteRecursively(base)
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+    val idxPath = s"$base/index"
+    val model = graft.llm.AnnIndex.writeIndex(emb, idxPath)
+    val codes = spark.read.parquet(s"$idxPath/codes")
+    val arrivals = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val b1 = arrivals.filter(col("vec_id") < 100010L)
+    val b2 = arrivals.filter(col("vec_id") >= 100010L)
+    b1.write.mode("append").parquet(srcDir)
+    def start() = Streams.streamingAnnProbe(
+        spark.readStream.schema(b1.schema).parquet(srcDir), model, codes)
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.write.mode("append").parquet(srcDir) // arrives while the query is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    val want = Streams.streamingAnnProbe(
+        b1.unionByName(b2), model, codes)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    assert(got === want,
+      s"restart changed the hit feed (got ${got.size}, want ${want.size})")
+    assert(got.nonEmpty)
+  }
+
   test("streamingBandDedup with checkpoint: restart re-emits nothing, misses nothing") {
     // deployment shape: parquet file source, checkpointed parquet sink;
     // the op is STATELESS (three stream-static joins), so correctness
@@ -1358,19 +1441,23 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("t_piigate").start()
     try {
       mem.addData(
-        (1L, "pay with 4532015112830366 now"),        // valid PAN → blocked
+        (1L, "pay with 4532015112830366 now"),        // valid 16 → blocked
         (2L, "order 4532015112830367 confirmed"),      // invalid check digit → kept
         (3L, "no digits at all"),                      // no candidate → kept
         // invalid candidates below are valid PANs with a mutated check
         // digit — only one last digit satisfies Luhn, so any other fails
         (4L, "two runs 4556737586899855 and 4532015112830361"), // one valid → blocked
-        (5L, "ts 4532015112830360 then 5425233430109904")) // both invalid → kept
+        (5L, "ts 4532015112830360 then 5425233430109904"), // both invalid → kept
+        // the 13-19 window the round-12 \d{16} gate missed entirely
+        (6L, "amex 378282246310005 on file"),          // valid 15 → blocked
+        (7L, "unionpay 6221261111111111113 ok"),       // valid 19 → blocked
+        (8L, "ref 378282246310006 and 6221261111111111114")) // mutated 15+19 → kept
       q.processAllAvailable()
       val got = spark.table("t_piigate")
-        .select(col("doc_id"), col("n_digit16"))
+        .select(col("doc_id"), col("n_pan_cand"))
         .as[(Long, Int)].collect().toMap
-      assert(got.keySet === Set(2L, 3L, 5L))
-      assert(got(2L) === 1 && got(3L) === 0 && got(5L) === 2)
+      assert(got.keySet === Set(2L, 3L, 5L, 8L))
+      assert(got(2L) === 1 && got(3L) === 0 && got(5L) === 2 && got(8L) === 2)
     } finally q.stop()
   }
 
