@@ -258,6 +258,23 @@ object AnnIndex {
     model
   }
 
+  /** Append NEW vectors to an existing index: assign + encode against
+    * the PUBLISHED model (read back from the sidecars, so appended codes
+    * can never drift from the rows already on disk) and append to the
+    * code table — the batch ingest path completing the serving story
+    * ([[graft.streaming.Streams.streamingAnnProbe]] is the probe-only
+    * streaming twin). Centroids and codebooks stay FROZEN, the standard
+    * IVF contract: retrain when drift accumulates — q_embed_drift is the
+    * monitor. A dynamic-partition append touches only the arriving rows'
+    * cell directories.
+    */
+  def appendToIndex(newEmb: DataFrame, path: String): Unit = {
+    val model = modelMemo.getOrElseUpdate(path,
+      readModel(newEmb.sparkSession, path))
+    encodeCodes(newEmb, model).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/codes")
+  }
+
   def readModel(spark: SparkSession, path: String): IvfPqModel = {
     val cents = spark.read.parquet(s"$path/cents").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

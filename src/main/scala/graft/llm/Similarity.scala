@@ -331,19 +331,35 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16,
       nProbe: Int = 8): DataFrame = {
     // one centroid table shared by assignment and probe selection — the
-    // two MUST agree or pruning searches the wrong cells. DISK_ONLY
-    // persist gives the same single materialization with recomputable
-    // lineage (localCheckpoint would fail the job on executor loss).
-    val cents = ivfCentroids(emb, nCentroids)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val assigned = assignToCentroids(emb, broadcast(cents))
+    // two MUST agree or pruning searches the wrong cells. Round 13: ONE
+    // bounded driver collect (nCentroids × 64 doubles — KBs) replaces the
+    // round-9 DISK_ONLY persist, which gave the same single-
+    // materialization guarantee but left a cached frame behind on every
+    // call (the per-call-persist leak class of ADVICE-r12); assignment
+    // runs the codegen'd kernel against the collected floats, probe
+    // selection ranks the SAME floats driver-side.
+    val rows = ivfCentroids(emb, nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val idOf = map(rows.zipWithIndex.flatMap { case ((id, _), i) =>
+      Seq(lit(i), lit(id)) }.toSeq: _*)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      element_at(idOf, graft.functions.VectorExpressions
+        .nearestCentroid(toDouble(col("embedding")), rows.map(_._2)))
+        .as("cent_id"))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qvArr = emb.filter(col("vec_id") === queryId)
+      .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val probed = rows.sortBy { case (id, cv) =>
+      (-dotD(qvArr, cv) / math.sqrt(dotD(cv, cv)), id)
+    }.take(nProbe).map(_._1)
     val q = emb.filter(col("vec_id") === queryId)
-      .select(toDouble(col("embedding")).as("qv"), norm(toDouble(col("embedding"))).as("qn"))
-    val probes = cents.crossJoin(broadcast(q))
-      .withColumn("d", dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
-      .orderBy(col("d").desc, col("cent_id")).limit(nProbe)
-      .select("cent_id")
-    assigned.join(broadcast(probes), "cent_id")
+      .select(toDouble(col("embedding")).as("qv"),
+        norm(toDouble(col("embedding"))).as("qn"))
+    assigned.filter(col("cent_id").isin(probed: _*))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("v", toDouble(col("embedding")))

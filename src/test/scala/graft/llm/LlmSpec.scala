@@ -676,6 +676,34 @@ class LlmSpec extends AnyFunSuite {
     assert(mismatch === 0L)
   }
 
+  test("appendToIndex: appended copies are encoded with the published model and served") {
+    val path = "/tmp/graft_test_stage/ann_append_index"
+    graft.util.Fs.deleteRecursively(path)
+    AnnIndex.writeIndex(emb, path)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendToIndex(copies, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() === emb.count() + 5)
+    // an appended exact copy lands in its source's cell with its source's
+    // code word (frozen model ⇒ same assignment, same encode)
+    val byId = codes.collect()
+      .map(r => r.getLong(codes.columns.indexOf("vec_id")) ->
+        (r.getLong(codes.columns.indexOf("codes64")),
+          r.getInt(codes.columns.indexOf("cell")))).toMap
+    (0L until 5L).foreach { j =>
+      assert(byId(j + 200000L) === byId(j), s"copy of $j drifted")
+    }
+    // and the serve path surfaces it: querying the original must now
+    // return the appended copy at cosine 1.0
+    val all = base.unionByName(copies)
+    val served = AnnIndex.serveTopK(spark, path, all, queryId = 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served.contains(200000L) && served(200000L) === 1.0,
+      s"appended copy of vector 0 not served: $served")
+  }
+
   test("q_sim_batch: one corpus scan + WindowGroupLimit, equals 16 topK calls") {
     val df = Similarity.topKBatch(emb, k = 10)
     val plan = df.queryExecution.executedPlan.toString
