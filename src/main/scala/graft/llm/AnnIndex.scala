@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -246,7 +246,13 @@ object AnnIndex {
     import spark.implicits._
     val nC = if (nCells > 0) nCells else ivfCellsFor(emb.count())
     val model = train(emb, nC, m, iters)
-    encodeCodes(emb, model).write.mode("overwrite")
+    // ONE file per cell: without the repartition every writer task emits
+    // a sliver into every cell dir (245 cells × ~30 tasks = 7,349 files
+    // at 30× — measured 16 s just to SCAN the probed cells, dwarfing the
+    // ADC math; one-file-per-cell reads the same probe in <1 s). At
+    // 100 TB the equivalent is sizing files to the HDFS/object-store
+    // block, never task-count × cell-count slivers.
+    encodeCodes(emb, model).repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
     model.cents.zipWithIndex
       .map { case (cv, i) => (i, cv.toSeq) }.toSeq
@@ -256,6 +262,144 @@ object AnnIndex {
       yield (s, c, model.books(s)(c).toSeq)).toDF("sub", "cent_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     model
+  }
+
+  /** Batched IVF-PQ serving (round 13 — the approximate twin of
+    * [[Similarity.topKBatch]], and the pattern a production retrieval
+    * tier actually runs: queries arrive in BATCHES, and the probed-cell
+    * code scan amortizes across them instead of re-running per query).
+    * ONE pass over the UNION of all queries' probed cells: each code row
+    * fans out in-row to the (query, cell) probe pairs that cover its
+    * cell (a plan-literal cell → pair-ids map + explode — narrow, no
+    * shuffle), scores against that pair's ADC tables, and the per-query
+    * shortlist closes through a rank-filtered window (WindowGroupLimit —
+    * map-side partial top-shortlist per query). The rerank then touches
+    * the union of shortlists ONCE (one float join, per-query exact
+    * cosine against the literal query matrix, one more WindowGroupLimit
+    * for top-k). Scan cost: |∪ probed cells| code rows ≈ the SINGLE-query
+    * probe volume when the batch's probe sets overlap (they do — probes
+    * concentrate in the query-dense region), never nQueries × it.
+    * Returns (query_id, vec_id, cos_r, rk).
+    */
+  def topKBatchFromCodes(emb: DataFrame, codes: DataFrame, model: IvfPqModel,
+      queryIds: Seq[Long], k: Int, nProbe: Int = 0, shortlist: Int = 0,
+      n: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = if (n >= 0) n else emb.count()
+    val nP = if (nProbe > 0) nProbe else ivfProbesFor(model.nCells)
+    val sl = if (shortlist > 0) shortlist else adcShortlistFor(k, nn)
+    val m = model.m
+    val subDim = model.subDim
+    val nEntries = model.books(0).length
+    def dotR(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+      s
+    }
+    // bounded driver collect: the query matrix (nQueries × 64 doubles)
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(qs.length == queryIds.distinct.length,
+      s"batch query ids missing from the corpus: wanted ${queryIds.distinct.length}, found ${qs.length}")
+    // (query, probed cell) pairs + per-pair ADC tables, all driver-side
+    val pairs: Seq[(Int, Int)] = qs.indices.flatMap { qp =>
+      probeCells(model, qs(qp)._2, nP).map(c => (qp, c))
+    }
+    val cellToPairs: Map[Int, Seq[Int]] =
+      pairs.zipWithIndex.groupBy(_._1._2)
+        .map { case (c, xs) => c -> xs.map(_._2) }
+    val unionCells = cellToPairs.keys.toSeq.sorted
+    val num: Seq[Seq[Seq[Double]]] = pairs.map { case (qp, c) =>
+      val qv = qs(qp)._2
+      (0 until m).map { s =>
+        (0 until nEntries).map { kk =>
+          val cb = model.books(s)(kk)
+          val qr = (0 until subDim)
+            .map(d => (qv(s * subDim + d) - model.cents(c)(s * subDim + d)) * cb(d)).sum
+          qr + dotR(model.cents(c), s * subDim, cb)
+        }
+      }
+    }
+    val den: Seq[Seq[Seq[Double]]] = pairs.map { case (_, c) =>
+      (0 until m).map { s =>
+        (0 until nEntries).map { kk =>
+          val cb = model.books(s)(kk)
+          2.0 * dotR(model.cents(c), s * subDim, cb) + cb.map(x => x * x).sum
+        }
+      }
+    }
+    val qc0: Seq[Double] = pairs.map { case (qp, c) => dotR(qs(qp)._2, 0, model.cents(c)) }
+    val c2: Seq[Double] = pairs.map { case (_, c) => dotR(model.cents(c), 0, model.cents(c)) }
+    val pairQid: Seq[Long] = pairs.map { case (qp, _) => qs(qp)._1 }
+    val pairQpos: Seq[Int] = pairs.map(_._1)
+    val cellPairsMap = map(cellToPairs.toSeq.sortBy(_._1).flatMap {
+      case (c, pids) => Seq(lit(c), array(pids.map(lit): _*))
+    }: _*)
+    // ONE Literal node per ADC table, decoded in-row by a zip_with over
+    // the 16 nibble codes. The first cut inlined a separate copy of each
+    // (pairs × 16 × 16)-double literal into all 32 per-subspace lookups —
+    // functionally identical, but every Catalyst rule pass re-hashes
+    // every Literal it visits, and 32 copies × 57k elements × dozens of
+    // rule invocations measured 29.6 s of pure PLAN overhead at a
+    // 2,000-vector corpus (7 min at 30×). One node per table → 1.6 s.
+    // The zip_with itself is interpreted but touches 16 elements per
+    // exploded row; summation stays the same left-to-right s-order, so
+    // coarse scores are bit-identical to the unfused form.
+    val numLit = typedLit(num)
+    val denLit = typedLit(den)
+    val nibArr = array((0 until m).map(s =>
+      (shiftrightunsigned(col("codes64"), 4 * s).bitwiseAND(lit(15L)) + 1)
+        .cast(IntegerType)): _*)
+    def tblSum(t: Column): Column =
+      aggregate(zip_with(t, nibArr, (tbl, code) => element_at(tbl, code)),
+        lit(0.0), (a, x) => a + x)
+    val wq = Window.partitionBy(col("query_id"))
+    val short = codes
+      .filter(col("cell").isin(unionCells: _*))
+      .withColumn("pid", explode(element_at(cellPairsMap, col("cell"))))
+      .withColumn("query_id", element_at(typedLit(pairQid), col("pid") + 1))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qpos", element_at(typedLit(pairQpos), col("pid") + 1))
+      .withColumn("coarse",
+        (element_at(typedLit(qc0), col("pid") + 1)
+          + tblSum(element_at(numLit, col("pid") + 1))) /
+          sqrt(element_at(typedLit(c2), col("pid") + 1)
+            + tblSum(element_at(denLit, col("pid") + 1))))
+      .withColumn("srk", row_number().over(
+        wq.orderBy(col("coarse").desc, col("vec_id"))))
+      .filter(col("srk") <= sl)
+      .select(col("query_id"), col("qpos"), col("vec_id"))
+    // ONE float join for the union of shortlists, then the exact rerank
+    val qMat = typedLit(qs.map(_._2.toSeq).toSeq)
+    val qNorms = typedLit(qs.map(q => math.sqrt(dotR(q._2, 0, q._2))))
+    val withV = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+    short.join(withV, "vec_id")
+      .withColumn("cos_r", round(
+        Similarity.dot(col("v"), element_at(qMat, col("qpos") + 1)) /
+          (Similarity.norm(col("v")) * element_at(qNorms, col("qpos") + 1)), 6))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("cos_r").desc, col("vec_id"))).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_r"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Batched serve against the memoized persisted index — q_sim_batch_ann's
+    * backing (builds on first use exactly like [[servedTopK]]).
+    */
+  def servedBatchTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val emb = Engine.table(s, dir, "embeddings")
+    val path = indexPath(dir)
+    builtIndexes.getOrElseUpdate(path, {
+      buildAtomically(path)(tmp => { writeIndex(emb, tmp); () })
+    })
+    val model = modelMemo.getOrElseUpdate(path, readModel(s, path))
+    topKBatchFromCodes(emb, s.read.parquet(s"$path/codes"), model,
+      queryIds, k)
   }
 
   /** Append NEW vectors to an existing index: assign + encode against
@@ -271,7 +415,7 @@ object AnnIndex {
   def appendToIndex(newEmb: DataFrame, path: String): Unit = {
     val model = modelMemo.getOrElseUpdate(path,
       readModel(newEmb.sparkSession, path))
-    encodeCodes(newEmb, model).write.mode("append")
+    encodeCodes(newEmb, model).repartition(col("cell")).write.mode("append")
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -306,7 +450,7 @@ object AnnIndex {
     * (packing, grid derivation, codebook trainer) so a code change never
     * reads a stale index built by an older JVM.
     */
-  private val annIndexVersion = 1
+  private val annIndexVersion = 2
 
   private val builtIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Unit]

@@ -830,6 +830,38 @@ object Similarity {
       topKBatch(Engine.table(s, dir, "embeddings"), k = 10)
     },
 
+    // Batched APPROXIMATE retrieval against the persisted IVF-PQ index
+    // (round 13 — the production pattern: the probed-cell code scan
+    // amortizes across the query batch; see AnnIndex.topKBatchFromCodes).
+    // Centroids/codebooks are engine-local floats, so the gate pins
+    // plumbing + a PER-QUERY recall floor vs the exact batched truth
+    // (q_sim_batch's one-scan ranking): 16 rows of
+    // (query_id, n_results, recall_ok), floor 6/10 — the LlmSpec
+    // worst-query discipline (mean recall runs 0.86-0.98 by corpus size,
+    // IvfPqCurve; individual queries bottom out near 0.7 on the tiny
+    // 500-vector gate corpora).
+    "q_sim_batch_ann" -> Q(
+      s"""SELECT vec_id AS query_id,
+        |  cast(least(10, greatest(0,
+        |    (SELECT count(*) FROM embeddings) - 1)) as bigint) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < ${batchQueryCount}
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      val qids = (0L until batchQueryCount.toLong)
+      val approx = AnnIndex.servedBatchTopK(s, dir, qids, k = 10)
+      val exact = topKBatch(emb, batchQueryCount, k = 10)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      val expected = math.min(10L, math.max(emb.count() - 1L, 0L))
+      val eff = math.min(6L, expected)
+      approx.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_results"),
+          (coalesce(sum(col("hit")), lit(0L)) >= eff).as("recall_ok"))
+        .orderBy(col("query_id"))
+    },
+
     // Brute-force cosine top-10 neighbors of vec 0 (oracle: DuckDB
     // list_cosine_similarity over ::DOUBLE[], rounded to 6dp on both
     // sides before the ORDER BY so tie/order is identical).

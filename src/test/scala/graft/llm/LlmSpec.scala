@@ -658,6 +658,16 @@ class LlmSpec extends AnyFunSuite {
     val idx = spark.read.parquet(s"$path/codes")
     assert(idx.columns.sorted.toSeq === Seq("cell", "codes64", "vec_id"))
     assert(idx.count() === emb.count())
+    // ONE data file per cell (round-13 layout fix: the unrepartitioned
+    // write left a sliver per writer task per cell — 7,349 files at 30×,
+    // 16 s just to SCAN the probed cells)
+    val nFiles = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val nCells = new java.io.File(s"$path/codes").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(nFiles === nCells,
+      s"expected one data file per cell, got $nFiles files over $nCells cells")
     // a probed-cell read prunes at the source (the writeIvfIndex spec
     // pattern): PartitionFilters must carry the cell predicate
     val someCell = idx.select(col("cell").cast("long")).head().getLong(0)
@@ -702,6 +712,24 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(served.contains(200000L) && served(200000L) === 1.0,
       s"appended copy of vector 0 not served: $served")
+  }
+
+  test("batched IVF-PQ serve equals 16 single-query serves bit-for-bit") {
+    // the batch path regroups the ADC sums but keeps the same
+    // left-to-right subspace order and the same per-pair tables, so
+    // coarse scores — and therefore shortlists, reranks, and the final
+    // top-k — must be IDENTICAL to the one-query serve path
+    val batch = AnnIndex.servedBatchTopK(spark, TestSpark.sfDir,
+        (0L until 16L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val singles = (0L until 16L).flatMap { q =>
+      AnnIndex.servedTopK(spark, TestSpark.sfDir, q, 10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1L) }
+    }
+    assert(batch === singles)
+    assert(batch.size === 160)
   }
 
   test("q_sim_batch: one corpus scan + WindowGroupLimit, equals 16 topK calls") {
