@@ -847,6 +847,7 @@ object Similarity {
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < ${batchQueryCount}
         |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val emb = Engine.table(s, dir, "embeddings")
       val qids = (0L until batchQueryCount.toLong)
       val approx = AnnIndex.servedBatchTopK(s, dir, qids, k = 10)
@@ -854,11 +855,19 @@ object Similarity {
         .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
       val expected = math.min(10L, math.max(emb.count() - 1L, 0L))
       val eff = math.min(6L, expected)
+      // right-join onto the literal query frame (ADVICE-r13): a query
+      // whose probed cells hold zero candidates must still emit its row
+      // (n_results 0, recall_ok false) — a LOUD data-shaped gate signal
+      // on tiny/skewed corpora, never a silently missing row
       approx.select(col("query_id"), col("vec_id"))
         .join(exact, Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_results"),
-          (coalesce(sum(col("hit")), lit(0L)) >= eff).as("recall_ok"))
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .join(qids.toDF("query_id"), Seq("query_id"), "right")
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          (coalesce(col("hits"), lit(0L)) >= eff).as("recall_ok"))
         .orderBy(col("query_id"))
     },
 

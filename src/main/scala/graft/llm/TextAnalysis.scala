@@ -29,7 +29,29 @@ object TextAnalysis {
     */
   val panMinLen: Int = 13
   val panMaxLen: Int = 19
-  private[graft] val panRegex: String = s"[0-9]{$panMinLen,$panMaxLen}"
+
+  /** PAN candidates are MAXIMAL digit runs of PAN length (round 14,
+    * VERDICT-r13 #8 / ADVICE-r13): the round-13 bare `[0-9]{13,19}`
+    * window had no digit-boundary guards, so a 20-25-digit non-PAN run
+    * (a nonce, a long order id) yielded a greedy 19-digit window that
+    * could accidentally pass Luhn (false block), and a real PAN embedded
+    * in a longer run was windowed with a misaligned check digit (missed
+    * detection). RE2 (DuckDB) supports no lookarounds, so the
+    * engine-portable boundary test is run-extraction itself: extract all
+    * maximal `[0-9]+` runs, keep those whose WHOLE length sits in the
+    * 13-19 window — a 20-digit run is one 20-long token and is rejected,
+    * never re-windowed. Spark twin [[panCandidates]], oracle twin
+    * [[oPanCandidates]].
+    */
+  private[graft] val digitRunRegex: String = "[0-9]+"
+
+  private[graft] def panCandidates(c: Column): Column =
+    filter(regexp_extract_all(c, lit(digitRunRegex), lit(0)),
+      x => length(x) >= panMinLen && length(x) <= panMaxLen)
+
+  private[graft] def oPanCandidates(e: String): String =
+    s"list_filter(regexp_extract_all($e, '$digitRunRegex'), " +
+      s"x -> len(x) between $panMinLen and $panMaxLen)"
 
   /** q_pii_pan's planted candidates — six real-format Luhn-VALID PANs at
     * lengths 13/15/16/16/19/19 followed by their six last-digit
@@ -1745,7 +1767,7 @@ object TextAnalysis {
         |      [cast(doc_id % ${plantedPans.size} as int) + 1] AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  cast(len(regexp_extract_all(t, '$panRegex')) as int) AS n_pan_cand,
+        |  cast(len(${oPanCandidates("t")}) as int) AS n_pan_cand,
         |  cast(len(pan) as int) AS pan_len,
         |  ${oLuhn("pan")} AS pan_valid,
         |  md5(CASE WHEN ${oLuhn("pan")}
@@ -1761,8 +1783,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("pan"),
           concat(col("text"), lit(" card "), col("pan")).as("t"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(panRegex), lit(0)))
-            .as("n_pan_cand"),
+          size(panCandidates(col("t"))).as("n_pan_cand"),
           length(col("pan")).as("pan_len"),
           luhnValid(col("pan")).as("pan_valid"),
           md5(when(luhnValid(col("pan")),

@@ -150,8 +150,12 @@ object EventAnalytics {
   // flagged. The Components.simhashPairs discipline applied to a cached
   // FRAME instead of a parquet dir: one persisted table per dataset per
   // JVM, every consumer reads it.
+  // keyed on the FULL canonicalized plan string, not its 32-bit
+  // semanticHash (ADVICE-r13: an Int collision between two datasets in
+  // one shared bench/gate JVM would silently serve the wrong corpus's
+  // cached table) — one string per dataset per JVM, bytes are irrelevant
   private val seenMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, Int), DataFrame]
+    .empty[(SparkSession, String), DataFrame]
 
   def negativeSamplingUser(e: DataFrame,
       bucketItems: Long = negSamplingUserBucketItems, k: Int = 2): DataFrame = {
@@ -163,7 +167,7 @@ object EventAnalytics {
     // 10M-row props column four times and that, not the draw, was the
     // 100× cost (BenchOne: 65-105 s → ~9 s)
     val seen = seenMemo.getOrElseUpdate(
-      (e.sparkSession, ev.queryExecution.analyzed.semanticHash()),
+      (e.sparkSession, ev.queryExecution.analyzed.canonicalized.toString),
       ev.distinct()
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val it = seen.select(col("item")).distinct()

@@ -570,19 +570,19 @@ object Streams {
     * 13-19-digit card number — the checksum tier of the PII story
     * applied in front of the lake, beside q_pii_redact's batch scrub and
     * q_pii_pan's audit. Shares the length-parametric Luhn predicate AND
-    * the candidate regex VERBATIM
-    * ([[graft.llm.TextAnalysis.luhnValid]]/panRegex, applied per
-    * extracted candidate through a `filter` HOF), so twin parity with
-    * the batch checksum is structural. Kept rows carry the naive
-    * digit-run count; blocked rows never reach the sink — a doc whose
-    * digit runs fail the checksum (order ids, timestamps) passes,
-    * exactly the misfire class a bare digit-run gate would block. One
-    * stateless narrow projection + filter: zero state stores, no
-    * watermark, unbounded-safe at any ingest rate.
+    * the maximal-digit-run candidate extraction VERBATIM
+    * ([[graft.llm.TextAnalysis.luhnValid]]/panCandidates — round 14:
+    * boundary-exact, so a 20-digit nonce can never false-block via a
+    * greedy 19-window), so twin parity with the batch checksum is
+    * structural. Kept rows carry the PAN-length digit-run count; blocked
+    * rows never reach the sink — a doc whose digit runs fail the
+    * checksum (order ids, timestamps) passes, exactly the misfire class
+    * a bare digit-run gate would block. One stateless narrow projection
+    * + filter: zero state stores, no watermark, unbounded-safe at any
+    * ingest rate.
     */
   def streamingPiiGate(docsStream: DataFrame): DataFrame = {
-    val cands = regexp_extract_all(col("text"),
-      lit(graft.llm.TextAnalysis.panRegex), lit(0))
+    val cands = graft.llm.TextAnalysis.panCandidates(col("text"))
     docsStream
       .withColumn("n_pan_cand", size(cands))
       .withColumn("n_pan",

@@ -1451,13 +1451,18 @@ class StreamingSpec extends AnyFunSuite {
         // the 13-19 window the round-12 \d{16} gate missed entirely
         (6L, "amex 378282246310005 on file"),          // valid 15 → blocked
         (7L, "unionpay 6221261111111111113 ok"),       // valid 19 → blocked
-        (8L, "ref 378282246310006 and 6221261111111111114")) // mutated 15+19 → kept
+        (8L, "ref 378282246310006 and 6221261111111111114"), // mutated 15+19 → kept
+        // 20-digit run whose 19-PREFIX is Luhn-valid: the round-13 bare
+        // window false-blocked this doc; maximal-run semantics keep it
+        // with ZERO candidates (round 14, VERDICT-r13 #8)
+        (9L, "nonce 62212611111111111130 ok"))
       q.processAllAvailable()
       val got = spark.table("t_piigate")
         .select(col("doc_id"), col("n_pan_cand"))
         .as[(Long, Int)].collect().toMap
-      assert(got.keySet === Set(2L, 3L, 5L, 8L))
-      assert(got(2L) === 1 && got(3L) === 0 && got(5L) === 2 && got(8L) === 2)
+      assert(got.keySet === Set(2L, 3L, 5L, 8L, 9L))
+      assert(got(2L) === 1 && got(3L) === 0 && got(5L) === 2 &&
+        got(8L) === 2 && got(9L) === 0)
     } finally q.stop()
   }
 
