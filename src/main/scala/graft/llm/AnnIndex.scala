@@ -29,17 +29,30 @@ import graft.Engine
   *    "~m bytes/vector" PQ compression claim has this table as its
   *    executable witness (8 bytes of codes vs 256 bytes of float64s, plus
   *    the key). Partition pruning on `cell` is pinned in LlmSpec.
+  *  - `path/vecs`: (vec_id, v) partitioned by the SAME `cell` (round 14,
+  *    VERDICT-r13 #1) — the rerank only ever needs vectors from probed
+  *    cells (every shortlist id came from a probed cell's codes), so the
+  *    float fetch prunes exactly like the code scan. Before this sidecar
+  *    the rerank joined the FULL embeddings parquet: correct, but the
+  *    last corpus-LINEAR IO term in the warm serve (DESIGN.md's ladder
+  *    measured 100× corpus → ~6× serve with the linear float scan
+  *    supplying the growth; at 100 TB it would re-read ~25 TB of floats
+  *    for a √n-row shortlist).
   *  - `path/cents`: (cent_id, cv) — the coarse quantizer, KBs.
   *  - `path/books`: (sub, cent_id, cv) — residual codebooks, KBs.
+  *  - `path/tombstones`: (vec_id) — deleted keys (round 14, VERDICT-r13
+  *    #4); serve paths anti-join it so deleted vectors never surface;
+  *    compaction = retrain/rebuild.
   *
   * At 100 TB: training reads a bounded sample + a linear assignment
   * pass; the code table is ~n·(8+8) bytes laid out by cell; a query
   * touches √n-ish cells metadata-pruned at the source, scans n^(3/4)
   * codes in one narrow compiled projection (no join, no aggregation —
   * the ADC tables ride the plan as literals), and fetches `shortlist`
-  * float rows. Reference surface: pandas_redshift has no ANN tier
-  * (EXT in SURVEY §2); the layout follows Jégou, Douze, Schmid, TPAMI
-  * 2011 §IV (IVFADC).
+  * float rows from the probed cells' `vecs` partitions — every serve
+  * term is sublinear in the corpus. Reference surface: pandas_redshift
+  * has no ANN tier (EXT in SURVEY §2); the layout follows Jégou, Douze,
+  * Schmid, TPAMI 2011 §IV (IVFADC).
   */
 object AnnIndex {
 
@@ -78,19 +91,24 @@ object AnnIndex {
     def subDim: Int = books(0)(0).length
   }
 
-  /** (vec_id, cell, rv): cell assignment (codegen'd NearestCentroid
-    * kernel — first-max cosine against the literal centroid table) plus
-    * the residual v − centroid. One narrow pass, no shuffle.
+  /** (vec_id, cell, v): cell assignment (codegen'd NearestCentroid
+    * kernel — first-max cosine against the literal centroid table) with
+    * the widened float vector. One narrow pass, no shuffle.
     */
+  private[graft] def assignments(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    emb
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("cell",
+        graft.functions.VectorExpressions.nearestCentroid(col("v"), cents))
+
+  /** (vec_id, cell, rv): assignment plus the residual v − centroid. */
   private[graft] def residuals(emb: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    emb
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ve"))
-      .withColumn("cell",
-        graft.functions.VectorExpressions.nearestCentroid(col("ve"), cents))
+    assignments(emb, cents)
       .select(col("vec_id"), col("cell"),
-        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
+        zip_with(col("v"), element_at(centsLit, col("cell") + 1),
           (x, c) => x - c).as("rv"))
   }
 
@@ -183,31 +201,48 @@ object AnnIndex {
     }
     val qc0: Seq[Double] = probed.map(c => dotR(qv, 0, model.cents(c)))
     val c2: Seq[Double] = probed.map(c => dotR(model.cents(c), 0, model.cents(c)))
+    // probed-cell tables as codegen reference objects (round 14 — the
+    // batch path's AdcTableSum kernel, same bit-identical 0.0-seeded
+    // left-to-right fold; the retired per-subspace element_at decode
+    // inlined 2·m copies of the full probed-cell Literal into the plan)
     val pIdx = map(probed.zipWithIndex.flatMap { case (c, i) =>
       Seq(lit(c), lit(i)) }.toSeq: _*)
-    val p = element_at(pIdx, col("cell"))
-    def codeAt(s: Int) =
-      (shiftrightunsigned(col("codes64"), 4 * s).bitwiseAND(lit(15L)) + 1)
-        .cast(IntegerType)
-    def lookAt(l: Seq[Seq[Seq[Double]]], s: Int) =
-      element_at(element_at(element_at(typedLit(l), p + 1), lit(s + 1)),
-        codeAt(s))
-    val numSum = (0 until m).map(s => lookAt(num, s)).reduce(_ + _)
-    val denSum = (0 until m).map(s => lookAt(den, s)).reduce(_ + _)
+    val numArr = num.map(_.map(_.toArray).toArray).toArray
+    val denArr = den.map(_.map(_.toArray).toArray).toArray
     codes
       .filter(col("cell").isin(probed: _*))
+      .withColumn("pid", element_at(pIdx, col("cell")))
       .select(col("vec_id"),
-        ((element_at(typedLit(qc0), p + 1) + numSum) /
-          sqrt(element_at(typedLit(c2), p + 1) + denSum)).as("coarse"))
+        ((element_at(typedLit(qc0), col("pid") + 1) +
+          graft.functions.VectorExpressions.adcTableSum(
+            col("pid"), col("codes64"), numArr)) /
+          sqrt(element_at(typedLit(c2), col("pid") + 1) +
+            graft.functions.VectorExpressions.adcTableSum(
+              col("pid"), col("codes64"), denArr))).as("coarse"))
+  }
+
+  /** Left-to-right self-dot — the exact IEEE fold ArrayDot runs, so a
+    * driver-computed query norm is bit-identical to the retired
+    * Spark-side `norm(col("v"))` on the same row (the topKBatch
+    * precedent).
+    */
+  private def selfDot(a: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
   }
 
   /** Full IVF-PQ query against a code frame: probe → ADC shortlist →
-    * exact float rerank (floats only for `shortlist` rows, fetched from
-    * the source table by key).
+    * exact float rerank. With `vecs` (the persisted cell-partitioned
+    * sidecar) the rerank reads ONLY the probed cells' float partitions —
+    * every shortlist id came from a probed cell's codes, so the pruned
+    * fetch is lossless (round 14, VERDICT-r13 #1); without it (the
+    * self-contained train-and-search variant) it falls back to the full
+    * source table.
     */
   def topKFromCodes(emb: DataFrame, codes: DataFrame, model: IvfPqModel,
       queryId: Long, k: Int, nProbe: Int = 0, shortlist: Int = 0,
-      n: Long = -1L): DataFrame = {
+      n: Long = -1L, vecs: Option[DataFrame] = None): DataFrame = {
     val nn = if (n >= 0) n else emb.count()
     val nP = if (nProbe > 0) nProbe else ivfProbesFor(model.nCells)
     val sl = if (shortlist > 0) shortlist else adcShortlistFor(k, nn)
@@ -220,15 +255,22 @@ object AnnIndex {
       .orderBy(col("coarse").desc, col("vec_id"))
       .limit(sl)
       .select("vec_id")
-    val withV = emb.select(col("vec_id"),
-      Similarity.toDouble(col("embedding")).as("v"))
-    val q = withV.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), Similarity.norm(col("v")).as("qn"))
+    val withV = vecs match {
+      case Some(vf) => vf.filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"), col("v"))
+      case None => emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+    }
+    // query vector and norm as plan literals (qv is already collected for
+    // probing): same ArrayDot fold driver-side, bit-identical to the
+    // retired crossJoin(broadcast(q)) form, and the rerank no longer
+    // anchors a second full-table subquery just to re-read one row
+    val qvLit = typedLit(qv.toSeq)
+    val qnLit = lit(math.sqrt(selfDot(qv)))
     short.join(withV, "vec_id")
-      .crossJoin(broadcast(q))
       .withColumn("cos_r", round(
-        Similarity.dot(col("v"), col("qv")) /
-          (Similarity.norm(col("v")) * col("qn")), 6))
+        Similarity.dot(col("v"), qvLit) /
+          (Similarity.norm(col("v")) * qnLit), 6))
       .select(col("vec_id"), col("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
@@ -254,6 +296,12 @@ object AnnIndex {
     // block, never task-count × cell-count slivers.
     encodeCodes(emb, model).repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
+    // float sidecar, SAME one-file-per-cell layout: the rerank's fetch
+    // prunes to probed cells exactly like the code scan (VERDICT-r13 #1)
+    assignments(emb, model.cents)
+      .select(col("vec_id"), col("cell"), col("v"))
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/vecs")
     model.cents.zipWithIndex
       .map { case (cv, i) => (i, cv.toSeq) }.toSeq
       .toDF("cent_id", "cv")
@@ -283,7 +331,7 @@ object AnnIndex {
     */
   def topKBatchFromCodes(emb: DataFrame, codes: DataFrame, model: IvfPqModel,
       queryIds: Seq[Long], k: Int, nProbe: Int = 0, shortlist: Int = 0,
-      n: Long = -1L): DataFrame = {
+      n: Long = -1L, vecs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nn = if (n >= 0) n else emb.count()
     val nP = if (nProbe > 0) nProbe else ivfProbesFor(model.nCells)
@@ -337,24 +385,23 @@ object AnnIndex {
     val cellPairsMap = map(cellToPairs.toSeq.sortBy(_._1).flatMap {
       case (c, pids) => Seq(lit(c), array(pids.map(lit): _*))
     }: _*)
-    // ONE Literal node per ADC table, decoded in-row by a zip_with over
-    // the 16 nibble codes. The first cut inlined a separate copy of each
-    // (pairs × 16 × 16)-double literal into all 32 per-subspace lookups —
-    // functionally identical, but every Catalyst rule pass re-hashes
-    // every Literal it visits, and 32 copies × 57k elements × dozens of
-    // rule invocations measured 29.6 s of pure PLAN overhead at a
-    // 2,000-vector corpus (7 min at 30×). One node per table → 1.6 s.
-    // The zip_with itself is interpreted but touches 16 elements per
-    // exploded row; summation stays the same left-to-right s-order, so
-    // coarse scores are bit-identical to the unfused form.
-    val numLit = typedLit(num)
-    val denLit = typedLit(den)
-    val nibArr = array((0 until m).map(s =>
-      (shiftrightunsigned(col("codes64"), 4 * s).bitwiseAND(lit(15L)) + 1)
-        .cast(IntegerType)): _*)
-    def tblSum(t: Column): Column =
-      aggregate(zip_with(t, nibArr, (tbl, code) => element_at(tbl, code)),
-        lit(0.0), (a, x) => a + x)
+    // ADC tables as codegen REFERENCE OBJECTS (round 14, VERDICT-r13 #3;
+    // graft.functions.AdcTableSum): the evolution ladder here was
+    // 32 inlined Literal copies (29.6 s of pure Catalyst rule-pass
+    // hashing at a 2,000-vector corpus — every optimizer pass re-hashes
+    // every Literal it visits) → ONE Literal node per table + interpreted
+    // zip_with decode (round 13, 1.6 s) → zero plan bytes: the tables
+    // ride the generated code's references array, the per-row decode is
+    // one primitive loop inside whole-stage codegen, and at the
+    // 65536-cell cap a 64-query batch no longer ships 2 × 16 MB of plan
+    // to every task. Summation keeps the same left-to-right s-order
+    // 0.0-seeded fold, so coarse scores are bit-identical to both
+    // retired forms (spec-pinned vs the HOF decode in LlmSpec).
+    val numArr = num.map(_.map(_.toArray).toArray).toArray
+    val denArr = den.map(_.map(_.toArray).toArray).toArray
+    def tblSum(t: Array[Array[Array[Double]]]): Column =
+      graft.functions.VectorExpressions.adcTableSum(
+        col("pid"), col("codes64"), t)
     val wq = Window.partitionBy(col("query_id"))
     val short = codes
       .filter(col("cell").isin(unionCells: _*))
@@ -363,19 +410,24 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("qpos", element_at(typedLit(pairQpos), col("pid") + 1))
       .withColumn("coarse",
-        (element_at(typedLit(qc0), col("pid") + 1)
-          + tblSum(element_at(numLit, col("pid") + 1))) /
-          sqrt(element_at(typedLit(c2), col("pid") + 1)
-            + tblSum(element_at(denLit, col("pid") + 1))))
+        (element_at(typedLit(qc0), col("pid") + 1) + tblSum(numArr)) /
+          sqrt(element_at(typedLit(c2), col("pid") + 1) + tblSum(denArr)))
       .withColumn("srk", row_number().over(
         wq.orderBy(col("coarse").desc, col("vec_id"))))
       .filter(col("srk") <= sl)
       .select(col("query_id"), col("qpos"), col("vec_id"))
-    // ONE float join for the union of shortlists, then the exact rerank
+    // ONE float join for the union of shortlists, then the exact rerank.
+    // With the persisted sidecar the fetch prunes to the UNION of probed
+    // cells (every shortlist id lives in one of them) instead of scanning
+    // the full embeddings parquet (round 14, VERDICT-r13 #1).
     val qMat = typedLit(qs.map(_._2.toSeq).toSeq)
     val qNorms = typedLit(qs.map(q => math.sqrt(dotR(q._2, 0, q._2))))
-    val withV = emb.select(col("vec_id"),
-      Similarity.toDouble(col("embedding")).as("v"))
+    val withV = vecs match {
+      case Some(vf) => vf.filter(col("cell").isin(unionCells: _*))
+        .select(col("vec_id"), col("v"))
+      case None => emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+    }
     short.join(withV, "vec_id")
       .withColumn("cos_r", round(
         Similarity.dot(col("v"), element_at(qMat, col("qpos") + 1)) /
@@ -398,8 +450,8 @@ object AnnIndex {
       buildAtomically(path)(tmp => { writeIndex(emb, tmp); () })
     })
     val model = modelMemo.getOrElseUpdate(path, readModel(s, path))
-    topKBatchFromCodes(emb, s.read.parquet(s"$path/codes"), model,
-      queryIds, k)
+    topKBatchFromCodes(emb, liveCodes(s, path), model,
+      queryIds, k, vecs = Some(s.read.parquet(s"$path/vecs")))
   }
 
   /** Append NEW vectors to an existing index: assign + encode against
@@ -415,9 +467,86 @@ object AnnIndex {
   def appendToIndex(newEmb: DataFrame, path: String): Unit = {
     val model = modelMemo.getOrElseUpdate(path,
       readModel(newEmb.sparkSession, path))
+    // vecs FIRST, codes SECOND — the reachability ordering: a vector is
+    // only servable once its CODE row lands, so a crash between the two
+    // appends leaves orphan float rows (harmless — nothing shortlists
+    // them) rather than shortlist ids whose rerank join silently drops
+    // them (a recall hole). On an object store with atomic multi-file
+    // commit the two appends would share one transaction.
+    assignments(newEmb, model.cents)
+      .select(col("vec_id"), col("cell"), col("v"))
+      .repartition(col("cell")).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/vecs")
     encodeCodes(newEmb, model).repartition(col("cell")).write.mode("append")
       .partitionBy("cell").parquet(s"$path/codes")
   }
+
+  /** Tombstone-delete: record `ids` under `path/tombstones`; every serve
+    * anti-joins them out BEFORE scoring (a deleted vector can never be
+    * shortlisted, so the rerank never sees it either). The GDPR-style
+    * lifecycle leg (round 14, VERDICT-r13 #4): append + delete both work
+    * without retraining; reclaiming the dead code/float rows is the
+    * retrain/rebuild's job (like any LSM tombstone compaction).
+    */
+  def deleteFromIndex(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1).write.mode("append")
+      .parquet(s"$path/tombstones")
+  }
+
+  /** Codes minus tombstones — what every serve scores. The anti-join's
+    * right side is the tombstone table (small until a retrain compacts;
+    * AQE broadcasts it), and the probed-cell partition filter still
+    * pushes through the join to the code scan.
+    */
+  private def liveCodes(spark: SparkSession, path: String): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes")
+    if (new java.io.File(s"$path/tombstones").exists())
+      codes.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  /** Cell-occupancy statistics for the retrain trigger (round 14,
+    * VERDICT-r13 #4): frozen centroids degrade as appended mass skews
+    * cells — a cell that doubles both weakens pruning (more rows behind
+    * one probe) and recall (residuals drift from the codebooks trained on
+    * the original distribution). One groupBy over the code table (live
+    * rows only).
+    */
+  case class IndexStats(nCells: Int, liveRows: Long, maxCellRows: Long,
+      meanCellRows: Double) {
+    /** max/mean cell occupancy — 1.0-ish when balanced. */
+    def skew: Double =
+      if (meanCellRows > 0) maxCellRows / meanCellRows else 0.0
+  }
+
+  def indexStats(spark: SparkSession, path: String): IndexStats = {
+    val model = modelMemo.getOrElseUpdate(path, readModel(spark, path))
+    val row = liveCodes(spark, path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), max(col("c"))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val mx = if (row.isNullAt(1)) 0L else row.getLong(1)
+    IndexStats(model.nCells, total, mx, total.toDouble / model.nCells)
+  }
+
+  /** Retrain trigger. Two independent drift signals, each with a
+    * measured rationale (AppendDriftCurve round 14):
+    *  - the corpus OUTGREW its grid: cells ≈ √n was derived at build
+    *    time, so once live rows exceed 4× the trained size the probe
+    *    fraction and per-cell scan are both ~2× off their operating
+    *    point (√4) — retrain re-derives the grid;
+    *  - occupancy SKEW: appended mass concentrating in few cells (drifted
+    *    distribution) pushes max/mean past 8 — at that point one probe
+    *    scans 8× its share and recall on drifted vectors sags because
+    *    their residuals no longer match the frozen codebooks.
+    */
+  def needsRetrain(stats: IndexStats, trainedRows: Long,
+      maxGrowth: Double = 4.0, maxSkew: Double = 8.0): Boolean =
+    (trainedRows > 0 && stats.liveRows > maxGrowth * trainedRows) ||
+      stats.skew > maxSkew
 
   def readModel(spark: SparkSession, path: String): IvfPqModel = {
     val cents = spark.read.parquet(s"$path/cents").collect()
@@ -434,13 +563,17 @@ object AnnIndex {
 
   /** Query the PERSISTED index: read the model sidecars, scan only the
     * probed cells' partitions of the code table (partition pruning —
-    * pinned in LlmSpec), rerank the shortlist against the source floats.
+    * pinned in LlmSpec), rerank the shortlist against the probed cells'
+    * partitions of the FLOAT sidecar (round 14 — the full-embeddings
+    * rerank scan was the last corpus-linear serve term), minus any
+    * tombstoned keys.
     */
   def serveTopK(spark: SparkSession, path: String, emb: DataFrame,
       queryId: Long, k: Int, nProbe: Int = 0, shortlist: Int = 0): DataFrame = {
     val model = modelMemo.getOrElseUpdate(path, readModel(spark, path))
-    topKFromCodes(emb, spark.read.parquet(s"$path/codes"), model,
-      queryId, k, nProbe, shortlist)
+    topKFromCodes(emb, liveCodes(spark, path), model,
+      queryId, k, nProbe, shortlist,
+      vecs = Some(spark.read.parquet(s"$path/vecs")))
   }
 
   // ---- per-dataset memoized index (the Components.simhashPairs
@@ -450,7 +583,7 @@ object AnnIndex {
     * (packing, grid derivation, codebook trainer) so a code change never
     * reads a stale index built by an older JVM.
     */
-  private val annIndexVersion = 2
+  private val annIndexVersion = 3
 
   private val builtIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
@@ -459,14 +592,30 @@ object AnnIndex {
 
   /** Content-derived index path for a dataset's embeddings (the
     * pairGraphPath discipline — file metadata digest + version).
+    * Round 14 (ADVICE-r13): the walk is RECURSIVE with dataset-relative
+    * paths (a partitioned layout's changes live in nested dirs the old
+    * top-level listing never saw), `listFiles` is null-guarded (an
+    * unreadable dir NPE'd), and the digest carries leaf count + total
+    * length + max mtime as an aggregate signal on top of the per-file
+    * triples, so a regenerated dataset with coincidentally matching
+    * top-level metadata cannot silently serve a stale /tmp index.
     */
   private[graft] def indexPath(dir: String): String = {
     val root = new java.io.File(dir, "embeddings.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    val meta = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(s"v$annIndexVersion|${root.getAbsolutePath}|", "|", "")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val files = walk(root)
+    val rootPath = root.getAbsolutePath
+    val totalLen = files.map(_.length).sum
+    val maxMtime = if (files.isEmpty) 0L else files.map(_.lastModified).max
+    val meta = files
+      .map(f => s"${f.getAbsolutePath.stripPrefix(rootPath)}:${f.length}:${f.lastModified}")
+      .mkString(
+        s"v$annIndexVersion|$rootPath|n=${files.size}|len=$totalLen|mt=$maxMtime|",
+        "|", "")
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(meta.getBytes("UTF-8"))
     val hex = md.map(b => f"$b%02x").mkString.take(16)
@@ -491,18 +640,37 @@ object AnnIndex {
     */
   private def buildAtomically(path: String)(build: String => Unit): Unit = {
     if (new java.io.File(path, "_SUCCESS").exists()) return
-    val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-    build(tmp)
-    require(new java.io.File(tmp, "_SUCCESS").createNewFile() ||
-      new java.io.File(tmp, "_SUCCESS").exists(),
-      s"could not mark $tmp complete")
-    val ok = new java.io.File(tmp).renameTo(new java.io.File(path))
-    if (!ok) {
-      graft.util.Fs.deleteRecursively(tmp)
-      if (!new java.io.File(path, "_SUCCESS").exists())
+    // hygiene sweep (ADVICE-r13): a crashed build leaks its UUID tmp dir
+    // forever — remove stale siblings, but only ones older than an hour
+    // so a CONCURRENT builder's live tmp is never swept out from under it
+    val parent = new java.io.File(path).getParentFile
+    val base = new java.io.File(path).getName
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(s"$base.tmp-") && f.lastModified < cutoff)
+        graft.util.Fs.deleteRecursively(f.getAbsolutePath)
+    }
+    def attempt(): Boolean = {
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      build(tmp)
+      require(new java.io.File(tmp, "_SUCCESS").createNewFile() ||
+        new java.io.File(tmp, "_SUCCESS").exists(),
+        s"could not mark $tmp complete")
+      val ok = new java.io.File(tmp).renameTo(new java.io.File(path))
+      if (!ok) graft.util.Fs.deleteRecursively(tmp)
+      ok || new java.io.File(path, "_SUCCESS").exists()
+    }
+    if (!attempt()) {
+      // rename failed and the occupant has no _SUCCESS: an incomplete
+      // publish (e.g. a tmp cleaner pruned the marker, or a crashed
+      // half-rename). Self-heal ONCE — delete the wreck and retry —
+      // instead of permanently failing every subsequent build
+      // (ADVICE-r13).
+      graft.util.Fs.deleteRecursively(path)
+      if (!attempt())
         throw new IllegalStateException(
-          s"ann-index publish failed: $path exists but is incomplete; " +
-            "remove it and retry")
+          s"ann-index publish failed twice: $path exists but is " +
+            "incomplete; remove it and retry")
     }
   }
 
