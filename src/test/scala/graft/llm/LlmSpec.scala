@@ -882,6 +882,20 @@ class LlmSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("q_sim_mips_batch: one corpus scan + WindowGroupLimit, equals 16 mipsTopK calls") {
+    val df = Similarity.mipsTopKBatch(emb, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("FileScan".r.findAllIn(plan).size === 1, plan)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val exp = (0L until Similarity.batchQueryCount.toLong).flatMap { q =>
+      Similarity.mipsTopK(emb, q, 10).collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1L) }
+    }
+    assert(got === exp)
+  }
+
   test("PQ codes: m rows per vector, every code a codebook entry of its subspace") {
     val books = Similarity.pqCodebooks(emb)
     val codes = Similarity.pqEncode(emb, books)
