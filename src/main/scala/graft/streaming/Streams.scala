@@ -514,6 +514,26 @@ object Streams {
       .select(col("vec_id"), col("match_id"), col("cell"), col("cos6"))
   }
 
+  /** Per-arrival top-k consumer kernel for the [[streamingAnnProbe]] hit
+    * feed (round 14, VERDICT-r13 #7): the retrieval-consumer shape —
+    * keep each arriving vector's k best matches by (cos6 desc, match_id).
+    * Append-mode streaming cannot run a window function, so the consumer
+    * applies this BATCH kernel inside `foreachBatch` — sound because the
+    * probe is a STATELESS stream-static join: ALL of an arrival's hits
+    * are emitted inside the arrival's own micro-batch, so per-batch
+    * top-k ≡ global per-arrival top-k (no hit for a vec_id can appear in
+    * a later batch). The rank filter rewrites to WindowGroupLimit
+    * (map-side partial top-k, the q_sim_batch discipline); StreamingSpec
+    * pins the composed foreachBatch pipeline equal to the batch twin.
+    */
+  def perArrivalTopK(hits: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos6").desc, col("match_id"))
+    hits.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
   /** Decontamination at INGEST (s_stream_decontam): drop any streaming
     * doc that shares a [[graft.llm.Search.decontamK]]-token gram with the
     * (small, fixed) eval set — the batch q_decontam semantics applied in

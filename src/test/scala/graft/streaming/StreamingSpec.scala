@@ -352,6 +352,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("perArrivalTopK over the probe feed via foreachBatch equals the batch twin") {
+    import spark.implicits._
+    // the composed retrieval consumer (round 14, VERDICT-r13 #7):
+    // probe feed → foreachBatch → the batch WindowGroupLimit kernel.
+    // Valid because the probe is stateless stream-static: an arrival's
+    // hits all land in its own micro-batch, so per-batch top-k is the
+    // global per-arrival top-k.
+    val emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+    val path = "/tmp/graft_test_stage/ann_topk_index"
+    graft.util.Fs.deleteRecursively(path)
+    val model = graft.llm.AnnIndex.writeIndex(emb, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val arrivals = emb.filter(col("vec_id") < 12)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // a LOW threshold so each arrival carries many candidates and the
+    // top-k cut does real work
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val k = 5
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long)]
+    val q = Streams.streamingAnnProbe(
+        mem.toDF().toDF("vec_id", "embedding"), model, codes, minCos = 0.1)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val top = Streams.perArrivalTopK(batch, k)
+          .select(col("vec_id"), col("match_id"), col("cos6"), col("rk"))
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        sink.synchronized { sink ++= top }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = arrivals.splitAt(6)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = sink.toSet
+      val want = Streams.perArrivalTopK(
+          Streams.streamingAnnProbe(arrivals.toSeq.toDF("vec_id", "embedding"),
+            model, codes, minCos = 0.1), k)
+        .select(col("vec_id"), col("match_id"), col("cos6"), col("rk"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got === want,
+        s"extra: ${(got -- want).take(3)}; missing: ${(want -- got).take(3)}")
+      // the cut did real work: every arrival is capped at k and at least
+      // one arrival had more candidates than k in the raw feed
+      assert(got.groupBy(_._1).values.forall(_.size <= k))
+      val rawCounts = Streams.streamingAnnProbe(
+          arrivals.toSeq.toDF("vec_id", "embedding"), model, codes,
+          minCos = 0.1)
+        .groupBy("vec_id").count().collect().map(_.getLong(1))
+      assert(rawCounts.exists(_ > k),
+        "fixture degenerate: no arrival exceeded k candidates")
+      // and the kernel's rank filter is the WindowGroupLimit rewrite
+      val plan = Streams.perArrivalTopK(
+          arrivals.toSeq.toDF("vec_id", "embedding")
+            .withColumn("match_id", col("vec_id"))
+            .withColumn("cos6", lit(1.0)), k)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan)
+    } finally q.stop()
+  }
+
   test("streamingAnnProbe with checkpoint: restart re-emits nothing, misses nothing") {
     import spark.implicits._
     val base = "/tmp/graft_test_stage/annprobe_e2e"
