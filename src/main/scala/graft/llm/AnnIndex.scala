@@ -533,15 +533,19 @@ object AnnIndex {
   }
 
   /** Retrain trigger. Two independent drift signals, each with a
-    * measured rationale (AppendDriftCurve round 14):
+    * measured rationale (AppendDriftCurve round 14, sf0.1 base):
     *  - the corpus OUTGREW its grid: cells ≈ √n was derived at build
     *    time, so once live rows exceed 4× the trained size the probe
     *    fraction and per-cell scan are both ~2× off their operating
     *    point (√4) — retrain re-derives the grid;
-    *  - occupancy SKEW: appended mass concentrating in few cells (drifted
-    *    distribution) pushes max/mean past 8 — at that point one probe
-    *    scans 8× its share and recall on drifted vectors sags because
-    *    their residuals no longer match the frozen codebooks.
+    *  - occupancy SKEW: appended mass concentrating in few cells (a
+    *    drifted upstream encoder) pushes max/mean past 8. Measured curve:
+    *    appending shifted replicas drove skew 2.7 → 7.2 → 12.4 → 17.0 as
+    *    the shift grew 0.5 → 2.0, while served recall was still holding
+    *    0.90+ — i.e. the skew trigger fires PREVENTIVELY, on the serve
+    *    COST distortion (one probe scanning 8× its share) and the
+    *    residual-vs-frozen-codebook drift, before recall visibly
+    *    collapses. That ordering is the point of a monitor.
     */
   def needsRetrain(stats: IndexStats, trainedRows: Long,
       maxGrowth: Double = 4.0, maxSkew: Double = 8.0): Boolean =

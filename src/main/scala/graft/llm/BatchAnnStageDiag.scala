@@ -23,7 +23,8 @@ object BatchAnnStageDiag {
     val path = AnnIndex.indexPath(sfDir)
     val model = AnnIndex.readModel(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
-    val qids = (0L until 16L)
+    val qids = (0L until
+      sys.env.getOrElse("GRAFT_DIAG_QUERIES", "16").toLong)
     val nP = AnnIndex.ivfProbesFor(model.nCells)
     val qs = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id"), Similarity.toDouble(col("embedding")))
@@ -58,6 +59,29 @@ object BatchAnnStageDiag {
       (tblSum(element_at(numLit, col("pid") + 1)) +
         tblSum(element_at(numLit, col("pid") + 1))).as("x"))
       .agg(sum(col("x"))).count())
+    // round 14 (VERDICT-r13 #3): the reference-object AdcTableSum kernel
+    // vs the one-Literal zip_with decode — plan-time (analysis +
+    // optimization + physical planning, where Literal hashing bites) and
+    // end-to-end, at this batch's pair count (pairs × 16 × 16 doubles
+    // per table, ×2 tables in the literal plan vs ZERO plan bytes for
+    // the kernel)
+    val numArr = num.map(_.map(_.toArray).toArray).toArray
+    def litForm = exploded.select(
+      (tblSum(element_at(numLit, col("pid") + 1)) +
+        tblSum(element_at(numLit, col("pid") + 1))).as("x"))
+      .agg(sum(col("x")))
+    def kerForm = exploded.select(
+      (graft.functions.VectorExpressions.adcTableSum(
+        col("pid"), col("codes64"), numArr) +
+        graft.functions.VectorExpressions.adcTableSum(
+          col("pid"), col("codes64"), numArr)).as("x"))
+      .agg(sum(col("x")))
+    t("plan-time literal x2")((1 to 2).foreach(_ =>
+      litForm.queryExecution.executedPlan))
+    t("plan-time kernel  x2")((1 to 2).foreach(_ =>
+      kerForm.queryExecution.executedPlan))
+    t("e2e literal")(litForm.count())
+    t("e2e kernel")(kerForm.count())
     spark.stop()
   }
 }
