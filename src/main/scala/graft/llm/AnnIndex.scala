@@ -158,6 +158,50 @@ object AnnIndex {
     }.take(nProbe)
   }
 
+  private def dotOff(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+    s
+  }
+
+  /** NUM[p][s][code] = (q−c)·r̂ + c·r̂ = q·r̂ — the query-side ADC table.
+    * Shared by the cosine coarse score (its numerator) and the MIPS
+    * coarse score (its entirety): one table family serves both score
+    * functions of the same persisted index.
+    */
+  private def numTables(model: IvfPqModel, qv: Array[Double],
+      probed: Seq[Int]): Seq[Seq[Seq[Double]]] = {
+    val m = model.m; val subDim = model.subDim
+    val nEntries = model.books(0).length
+    probed.map { c =>
+      (0 until m).map { s =>
+        (0 until nEntries).map { kk =>
+          val cb = model.books(s)(kk)
+          val qr = (0 until subDim)
+            .map(d => (qv(s * subDim + d) - model.cents(c)(s * subDim + d)) * cb(d)).sum
+          qr + dotOff(model.cents(c), s * subDim, cb)
+        }
+      }
+    }
+  }
+
+  /** DEN[p][s][code] = 2c·r̂ + |r̂|² — the candidate-norm ADC table
+    * (cosine path only; MIPS has no norm division).
+    */
+  private def denTables(model: IvfPqModel,
+      probed: Seq[Int]): Seq[Seq[Seq[Double]]] = {
+    val m = model.m; val subDim = model.subDim
+    val nEntries = model.books(0).length
+    probed.map { c =>
+      (0 until m).map { s =>
+        (0 until nEntries).map { kk =>
+          val cb = model.books(s)(kk)
+          2.0 * dotOff(model.cents(c), s * subDim, cb) + cb.map(x => x * x).sum
+        }
+      }
+    }
+  }
+
   /** ADC coarse scores over probed cells: ONE narrow compiled projection
     * per code row — per subspace, nibble s of codes64 indexes two
     * plan-literal tables (NUM[p][s][code] = (q−c)·r̂ + c·r̂ = q·r̂,
@@ -170,35 +214,10 @@ object AnnIndex {
     */
   def adcCoarse(codes: DataFrame, model: IvfPqModel, qv: Array[Double],
       probed: Seq[Int]): DataFrame = {
-    val m = model.m
-    val subDim = model.subDim
-    def dotR(a: Array[Double], off: Int, b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
-      s
-    }
-    val nEntries = model.books(0).length
-    // per probed cell p: NUM/DEN lookup tables + the q·c / |c|² constants
-    val num: Seq[Seq[Seq[Double]]] = probed.map { c =>
-      (0 until m).map { s =>
-        (0 until nEntries).map { kk =>
-          val cb = model.books(s)(kk)
-          val qr = (0 until subDim)
-            .map(d => (qv(s * subDim + d) - model.cents(c)(s * subDim + d)) * cb(d)).sum
-          val cr = dotR(model.cents(c), s * subDim, cb)
-          qr + cr
-        }
-      }
-    }
-    val den: Seq[Seq[Seq[Double]]] = probed.map { c =>
-      (0 until m).map { s =>
-        (0 until nEntries).map { kk =>
-          val cb = model.books(s)(kk)
-          val cr = dotR(model.cents(c), s * subDim, cb)
-          2.0 * cr + cb.map(x => x * x).sum
-        }
-      }
-    }
+    def dotR(a: Array[Double], off: Int, b: Array[Double]): Double =
+      dotOff(a, off, b)
+    val num = numTables(model, qv, probed)
+    val den = denTables(model, probed)
     val qc0: Seq[Double] = probed.map(c => dotR(qv, 0, model.cents(c)))
     val c2: Seq[Double] = probed.map(c => dotR(model.cents(c), 0, model.cents(c)))
     // probed-cell tables as codegen reference objects (round 14 — the
@@ -274,6 +293,95 @@ object AnnIndex {
       .select(col("vec_id"), col("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** MIPS probe selection: cells ranked by the RAW inner product q·c
+    * (no norm division — the centroid IP is the standard proxy for a
+    * cell's best achievable q·x, since x ≈ c + r with bounded residual).
+    * Same derived probe budget as the cosine path. Caveat the scaladoc
+    * owes: IP concentrates mass in high-norm regions, so on an
+    * adversarially norm-skewed corpus the norm-augmentation reduction
+    * (append √(M²−|x|²), see [[Similarity.mipsTopK]]) trained as its own
+    * index is the robust route; on this near-unit-norm corpus probing the
+    * raw index directly measures ≥0.9 recall (LlmSpec).
+    */
+  def probeCellsIp(model: IvfPqModel, qv: Array[Double],
+      nProbe: Int): Seq[Int] =
+    (0 until model.nCells)
+      .sortBy(c => (-dotOff(qv, 0, model.cents(c)), c)).take(nProbe)
+
+  /** ADC inner-product scores over probed cells:
+    * score(q, ĉ+r̂) = q·c + q·r̂ = qc0 + Σ NUM — the cosine coarse
+    * score's NUMERATOR with no denominator, reusing the same NUM table
+    * family and the same AdcTableSum reference-object kernel (identical
+    * 0.0-seeded left-to-right fold). One index, two score functions.
+    */
+  def adcCoarseIp(codes: DataFrame, model: IvfPqModel, qv: Array[Double],
+      probed: Seq[Int]): DataFrame = {
+    val num = numTables(model, qv, probed)
+    val qc0: Seq[Double] = probed.map(c => dotOff(qv, 0, model.cents(c)))
+    val pIdx = map(probed.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(i)) }.toSeq: _*)
+    val numArr = num.map(_.map(_.toArray).toArray).toArray
+    codes
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("pid", element_at(pIdx, col("cell")))
+      .select(col("vec_id"),
+        (element_at(typedLit(qc0), col("pid") + 1) +
+          graft.functions.VectorExpressions.adcTableSum(
+            col("pid"), col("codes64"), numArr)).as("coarse"))
+  }
+
+  /** IVF-PQ MIPS query against a code frame: IP probe → IP-ADC shortlist
+    * → exact inner-product rerank from the (pruned) float sidecar — the
+    * served twin of [[Similarity.mipsTopK]], riding the SAME persisted
+    * index as the cosine path (same cells, same codes, same float
+    * partitions; only the driver-side tables and the rerank score
+    * expression differ).
+    */
+  def mipsTopKFromCodes(emb: DataFrame, codes: DataFrame, model: IvfPqModel,
+      queryId: Long, k: Int, nProbe: Int = 0, shortlist: Int = 0,
+      n: Long = -1L, vecs: Option[DataFrame] = None): DataFrame = {
+    val nn = if (n >= 0) n else emb.count()
+    val nP = if (nProbe > 0) nProbe else ivfProbesFor(model.nCells)
+    val sl = if (shortlist > 0) shortlist else adcShortlistFor(k, nn)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(Similarity.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val probed = probeCellsIp(model, qv, nP)
+    val short = adcCoarseIp(codes.filter(col("vec_id") =!= queryId), model,
+        qv, probed)
+      .orderBy(col("coarse").desc, col("vec_id"))
+      .limit(sl)
+      .select("vec_id")
+    val withV = vecs match {
+      case Some(vf) => vf.filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"), col("v"))
+      case None => emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+    }
+    val qvLit = typedLit(qv.toSeq)
+    short.join(withV, "vec_id")
+      .withColumn("dot_r", round(Similarity.dot(col("v"), qvLit), 6))
+      .select(col("vec_id"), col("dot_r"))
+      .orderBy(col("dot_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The memoized served-MIPS entry — q_sim_mips_ann's backing: same
+    * build-once index as [[servedTopK]], probed and scored under the
+    * inner-product contract, tombstones honored.
+    */
+  def servedMipsTopK(s: SparkSession, dir: String, queryId: Long,
+      k: Int): DataFrame = {
+    val emb = Engine.table(s, dir, "embeddings")
+    val path = indexPath(dir)
+    builtIndexes.getOrElseUpdate(path, {
+      buildAtomically(path)(tmp => { writeIndex(emb, tmp); () })
+    })
+    val model = modelMemo.getOrElseUpdate(path, readModel(s, path))
+    mipsTopKFromCodes(emb, liveCodes(s, path), model, queryId, k,
+      vecs = Some(s.read.parquet(s"$path/vecs")))
   }
 
   /** Train on the corpus and persist the serving artifacts at `path`

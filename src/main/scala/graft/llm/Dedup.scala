@@ -40,6 +40,15 @@ object Dedup {
 
   private def md5s(c: Column): Column = md5(c.cast(BinaryType))
 
+  /** DuckDB SQL: first 8 hex nibbles of `md5Expr` as a 32-bit integer —
+    * the oracle twin of Spark's `conv(substring(md5(x), 1, 8), 16, 10)`
+    * (the q_dedup_sig nibble-sum pattern).
+    */
+  private def oHex8(md5Expr: String): String =
+    (0 until 8).map { j =>
+      s"(instr('0123456789abcdef', substr($md5Expr, ${j + 1}, 1)) - 1) * ${1L << (4 * (7 - j))}"
+    }.mkString("(", " + ", ")")
+
   /** Fixed-width 50-token window keys for the exact-substring family
     * (q_dedup_suffix / q_span_provenance): one (doc_id, pos, k) row per
     * full window, k = md5 of the space-joined window (16-byte keys keep
@@ -816,6 +825,41 @@ object Dedup {
     */
   val semDocsPerCluster: Long = 640L
 
+  /** One row per fixed-width non-overlapping token chunk ("line"): the
+    * unit of corpus-level boilerplate removal (CCNet / RefinedWeb line
+    * dedup — Penedo et al., NeurIPS'23 §3.3 remove lines repeated across
+    * documents; this corpus has no newlines, so the deterministic
+    * line = `width`-token chunk). Narrow projection + in-row transform,
+    * one explode — no shuffle until the frequency agg.
+    */
+  private[graft] def docLines(d: DataFrame, width: Int): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast((size(t) + ${width - 1}) div $width as int) - 1), " +
+          s"i -> array_join(slice(t, i * $width + 1, $width), ' '))")))
+      .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"))
+
+  /** Boilerplate-line removal, rewrite form: drop every line appearing in
+    * ≥ `minDf` distinct docs, reassemble the survivors in order. The
+    * collect_list reassembly is per-DOC (bounded buffers) but routes to
+    * ObjectHashAggregate (CLAUDE.md's array-buffer lesson) — at
+    * billion-doc scale prefer the stats form (q_dedup_line) plus a
+    * downstream writer, or reassemble inside mapPartitions on
+    * doc-partitioned input. The gate uses the stats form.
+    */
+  def dedupLines(d: DataFrame, width: Int = 3, minDf: Int = 3): DataFrame = {
+    val ln = docLines(d, width)
+    val bp = ln.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("line")
+    ln.join(bp, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("line_no"), col("line"))))
+        .as("ks"))
+      .select(col("doc_id"),
+        array_join(expr("transform(ks, x -> x.line)"), " ").as("clean_text"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup via hash-groupBy: survivor id + multiplicity per key
@@ -908,6 +952,54 @@ object Dedup {
           coalesce(col("covered"), lit(0L)).as("covered_tokens"),
           expr("(coalesce(covered, 0L) * 1000000L) div n_tokens")
             .as("dup_cover_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-level boilerplate-LINE removal (CCNet/RefinedWeb line dedup
+    // — distinct from q_dedup_span's pair-shared-span SIGNAL: this is
+    // frequency-thresholded REMOVAL, the pass that strips nav bars and
+    // cookie banners repeated across a crawl). Line = 3-token
+    // non-overlapping chunk (deterministic — the corpus has no
+    // newlines); boilerplate = appears in ≥ 3 distinct docs. Emitted as
+    // per-doc rewrite stats, all integer-exact: n_lines, n_removed,
+    // kept_chars, and kept_digest — an ORDER-INDEPENDENT sum of 32-bit
+    // md5 prefixes of (line_no, line), pinning the exact retained
+    // content without the ordered-concat array buffer the rewrite form
+    // needs (map-side combinable at any doc count; each term < 2^32 and
+    // docs hold ≪ 2^21 lines, so the per-doc sum sits far under 2^53).
+    // Scale: one explode, a vocab-sized distinct-doc frequency agg, an
+    // equi-join back on line (AQE splits hot boilerplate lines — by
+    // definition the skewed keys), one per-doc agg. [[dedupLines]] is
+    // the rewrite-form library surface.
+    "q_dedup_line" -> Q(
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ln AS (SELECT doc_id, i AS line_no,
+        |         array_to_string(t[(i*3+1):(i*3+3)], ' ') AS line
+        |       FROM (SELECT doc_id, t, unnest(range(0, (len(t)+2)//3)) AS i
+        |             FROM toks)),
+        |freq AS MATERIALIZED (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY line)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_lines,
+        |  cast(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) as bigint) AS n_removed,
+        |  cast(sum(CASE WHEN df < 3 THEN len(line) ELSE 0 END) as bigint) AS kept_chars,
+        |  cast(sum(CASE WHEN df < 3 THEN ${oHex8("md5(cast(line_no as varchar) || ':' || line)")}
+        |       ELSE 0 END) as bigint) AS kept_digest
+        |FROM ln JOIN freq USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ln = docLines(docs(s, dir), 3)
+      val freq = ln.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      ln.join(freq, "line")
+        .withColumn("bp", col("df") >= 3)
+        .withColumn("dig",
+          conv(substring(md5s(concat_ws(":", col("line_no"), col("line"))),
+            1, 8), 16, 10).cast(LongType))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(!col("bp"), length(col("line"))).otherwise(0L))
+            .as("kept_chars"),
+          sum(when(!col("bp"), col("dig")).otherwise(0L)).as("kept_digest"))
         .orderBy(col("doc_id"))
     },
 

@@ -746,7 +746,14 @@ object Similarity {
     * engine-local (LlmSpec holds the tighter per-query recall specs).
     */
   private def recallGate(approx: DataFrame, emb: DataFrame, queryId: Long,
-      k: Int, minHits: Int): DataFrame = {
+      k: Int, minHits: Int): DataFrame =
+    recallGateAgainst(approx, topK(emb, queryId, k), emb, k, minHits)
+
+  /** recallGate with the exact-truth frame supplied by the caller — the
+    * MIPS variants gate against [[mipsTopK]] instead of cosine [[topK]].
+    */
+  private def recallGateAgainst(approx: DataFrame, exactTopK: DataFrame,
+      emb: DataFrame, k: Int, minHits: Int): DataFrame = {
     // derived-constant pattern (round 7): expected result count is
     // min(k, n-1) — n from a parquet-footer count — and the recall
     // floor is capped at it, so the gate's oracle can state
@@ -760,8 +767,7 @@ object Similarity {
     // correct signal that nProbe is too small for the corpus.
     val expected = math.min(k.toLong, math.max(emb.count() - 1L, 0L))
     val eff = math.min(minHits.toLong, expected)
-    val exact = topK(emb, queryId, k)
-      .select(col("vec_id"), lit(1L).as("hit"))
+    val exact = exactTopK.select(col("vec_id"), lit(1L).as("hit"))
     approx.select(col("vec_id"))
       .join(broadcast(exact), Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n_results"),
@@ -951,6 +957,24 @@ object Similarity {
         |SELECT query_id, vec_id, dot_r, cast(rk as bigint) AS rk
         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       mipsTopKBatch(Engine.table(s, dir, "embeddings"), k = 10)
+    },
+
+    // Served MIPS against the SAME persisted IVF-PQ index as the cosine
+    // serve (round 14 — "one index, two score functions"): probe cells
+    // by raw q·c, score codes with the IP-ADC table (the cosine path's
+    // NUM table with no denominator — q·c + q·r̂ through the same
+    // AdcTableSum kernel), exact inner-product rerank from the probed
+    // cells' float sidecar partitions. Centroids/codebooks are
+    // engine-local floats, so the gate pins plumbing + the recall floor
+    // vs the exact MIPS truth (q_sim_mips's ranking) via the recallGate
+    // shape; LlmSpec holds the multi-query recall curve and the
+    // no-source-scan plan pin. Scale shape identical to q_sim_ivfpq:
+    // every serve term sublinear in the corpus.
+    "q_sim_mips_ann" -> Q(
+      "SELECT least(10, greatest(0, count(*) - 1)) AS n_results, TRUE AS recall_ok FROM embeddings") { (s, dir) =>
+      val emb = Engine.table(s, dir, "embeddings")
+      recallGateAgainst(AnnIndex.servedMipsTopK(s, dir, queryId = 0L, k = 10),
+        mipsTopK(emb, queryId = 0L, k = 10), emb, k = 10, minHits = 6)
     },
 
     // ANN variant (LSH buckets + multi-probe + exact rerank) —

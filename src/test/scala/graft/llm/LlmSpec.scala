@@ -846,6 +846,58 @@ class LlmSpec extends AnyFunSuite {
       (9 * stats.meanCellRows).toLong + 1), trainedRows = emb.count()))
   }
 
+  test("dedupLines removes planted boilerplate chunks and preserves survivor order") {
+    import spark.implicits._
+    // "nav bar one" is a 3-token chunk planted at line position 0 in
+    // three docs (>= minDf) — boilerplate; every other chunk is unique.
+    // Chunks are non-overlapping width-3 windows, so the planted text
+    // must be chunk-ALIGNED to model the real line-dedup contract.
+    val d = Seq(
+      (1L, "nav bar one alpha beta gamma delta epsilon zeta"),
+      (2L, "nav bar one eta theta iota kappa lambda mu"),
+      (3L, "nav bar one nu xi omicron pi rho sigma"),
+      (4L, "tau upsilon phi chi psi omega one two three"),
+      (5L, "nav bar one") // ALL lines boilerplate -> doc drops entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, width = 3, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "alpha beta gamma delta epsilon zeta")
+    assert(got(2L) === "eta theta iota kappa lambda mu")
+    assert(got(3L) === "nu xi omicron pi rho sigma")
+    assert(got(4L) === "tau upsilon phi chi psi omega one two three")
+    assert(!got.contains(5L),
+      "a doc whose every line is boilerplate must drop from the rewrite")
+    // partial tail chunk (7 words -> chunks of 3,3,1) survives intact
+    val tail = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    val gotTail = Dedup.dedupLines(tail, width = 3, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotTail(10L) === "a b c d e f g")
+  }
+
+  test("served MIPS rides the same persisted index: recall vs exact MIPS, no source scan") {
+    // one index, two score functions (round 14): the MIPS serve probes
+    // by raw q·c and scores with the IP-ADC table — same cells, same
+    // codes, same float sidecar as the cosine serve
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity.mipsTopK(emb, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val got = AnnIndex.servedMipsTopK(spark, TestSpark.sfDir, q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"served MIPS recalls: $recalls (mean $mean)")
+    assert(mean >= 0.8, s"served MIPS mean recall $mean < 0.8 ($recalls)")
+    assert(recalls.min >= 0.6,
+      s"served MIPS worst-query recall ${recalls.min} < 0.6 ($recalls)")
+    // the serve plan reads codes + vecs partitions only — the source
+    // embeddings parquet never appears (the cosine serve's pin)
+    val servePlan = AnnIndex.servedMipsTopK(spark, TestSpark.sfDir, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(!servePlan.contains("embeddings.parquet"), servePlan)
+  }
+
   test("batched IVF-PQ serve equals 16 single-query serves bit-for-bit") {
     // the batch path regroups the ADC sums but keeps the same
     // left-to-right subspace order and the same per-pair tables, so
