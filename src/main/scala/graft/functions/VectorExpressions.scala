@@ -525,6 +525,52 @@ object VectorSum extends org.apache.spark.sql.expressions.Aggregator[
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
+/** Flattened outer-product sum Σ x·xᵀ (row-major d² buffer) in ONE typed
+  * aggregate — the second-moment pass of covariance/PCA. Same scale
+  * rationale as [[VectorSum]]: the buffer is d² doubles per map
+  * partition (32 KB at d = 64) merged once per partition — the
+  * treeAggregate shape — where the declarative alternative
+  * (`flatten(transform(v, x -> transform(v, y -> x*y)))` under a
+  * vector_sum) pays d² interpreted HOF lambda evaluations per ROW
+  * (HOFs never enter whole-stage codegen — CLAUDE.md's kernel rule);
+  * here the accumulation is one JIT-compiled nested while loop.
+  */
+object OuterProductSum extends org.apache.spark.sql.expressions.Aggregator[
+    Seq[Double], Array[Double], Seq[Double]] {
+  def zero: Array[Double] = Array.emptyDoubleArray
+  def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+    if (a == null) b
+    else {
+      val x = a.toArray
+      val d = x.length
+      val buf = if (b.isEmpty) new Array[Double](d * d) else b
+      require(buf.length == d * d,
+        s"outer_product_sum over ragged vectors: ${buf.length} vs ${d * d}")
+      var i = 0
+      while (i < d) {
+        val xi = x(i); val off = i * d; var j = 0
+        while (j < d) { buf(off + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      buf
+    }
+  def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      require(b1.length == b2.length,
+        s"outer_product_sum over ragged vectors: ${b1.length} vs ${b2.length}")
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+  def finish(r: Array[Double]): Seq[Double] = r.toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 /** Element-wise min/max over quantized (long) vectors in ONE typed
   * aggregate: the stats pass of scalar quantization. Same scale rationale
   * as [[VectorSum]] — whole-vector buffers keep the shuffle at two
@@ -587,6 +633,10 @@ object VectorExpressions {
     * quantized long vectors. */
   val vectorMinMax: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(VectorMinMax)
+
+  /** Column-level entry: flattened Σ x·xᵀ second-moment aggregate. */
+  val outerProductSum: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(OuterProductSum)
 
   /** Column-level entry: first-max cosine argmax against a bounded
     * centroid table (IVF E-step kernel). */

@@ -846,6 +846,32 @@ class LlmSpec extends AnyFunSuite {
       (9 * stats.meanCellRows).toLong + 1), trainedRows = emb.count()))
   }
 
+  test("pcaTopComponent recovers a planted anisotropic axis") {
+    import spark.implicits._
+    val d = 16
+    val axis = Array.tabulate(d)(i => if (i % 2 == 0) 1.0 else -1.0)
+      .map(_ / math.sqrt(d.toDouble))
+    // spread along the axis (variance ~36) + deterministic low-amplitude
+    // noise (variance ~0.001 per dim): PC1 must recover the plant
+    val rows = (0 until 400).map { i =>
+      val t = (i % 21 - 10).toDouble
+      val noise = Array.tabulate(d)(j => 0.05 * math.sin(i * 31.0 + j * 7.0))
+      (i.toLong,
+        axis.map(_ * t).zip(noise).map { case (a, b) => (a + b).toFloat }.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (v, rayleighs, trace, n) = Similarity.pcaTopComponent(df)
+    assert(n === 400L)
+    val cosAbs = math.abs(v.zip(axis).map { case (a, b) => a * b }.sum)
+    assert(cosAbs >= 0.99, s"PC1 misaligned with the planted axis: |cos| = $cosAbs")
+    // the invariants the gate pins, on the planted corpus
+    assert(rayleighs.last >= trace / d)
+    assert(rayleighs.sliding(2).forall {
+      case Seq(a, b) => b >= a - 1e-9 * math.max(1.0, math.abs(a))
+      case _         => true
+    })
+  }
+
   test("dedupLines removes planted boilerplate chunks and preserves survivor order") {
     import spark.implicits._
     // "nav bar one" is a 3-token chunk planted at line position 0 in
