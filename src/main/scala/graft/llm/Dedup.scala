@@ -1003,6 +1003,91 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // URL-canonicalization dedup (round 14): the FIRST dedup pass every
+    // crawl pipeline runs — before any content hashing, collapse fetches
+    // of the same resource under cosmetically different URLs. The curated
+    // docs carry no URLs, so each doc plants one deterministically from
+    // doc_id (same concat in the oracle — the q_pii_redact discipline),
+    // exercising every rule: upper-case scheme/host, www. prefix,
+    // explicit default port, trailing slash, fragment, tracking params
+    // (utm_*/session) interleaved with a real param. Canonical form:
+    // lowercase scheme+host, strip www./:443/fragment/trailing slash,
+    // drop tracking params, SORT the survivors (param order is not
+    // identity). Every step is engine-portable string algebra — plain
+    // replace where a regex backref would diverge (Spark $1 vs RE2 \1),
+    // anchors/classes only elsewhere, array_sort/list_sort both
+    // lexicographic on ASCII. One narrow projection + one group-by-canon
+    // agg (map-side combinable); AQE handles a hot canonical URL.
+    "q_dedup_url" -> Q(
+      """WITH planted AS (SELECT doc_id,
+        |    'HTTPS://WWW.Site' || (doc_id % 3) || '.COM' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |    '/P' || (doc_id % 17) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=s' || doc_id || '&id=' || (doc_id % 5) ||
+        |    '&session=x' || doc_id ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (SELECT doc_id, url,
+        |    CASE WHEN instr(defragged, '?') > 0
+        |         THEN substr(defragged, 1, instr(defragged, '?') - 1)
+        |         ELSE defragged END AS rawbase,
+        |    CASE WHEN instr(defragged, '?') > 0
+        |         THEN substr(defragged, instr(defragged, '?') + 1)
+        |         ELSE '' END AS q
+        |  FROM (SELECT doc_id, url,
+        |          regexp_replace(url, '#.*$', '') AS defragged
+        |        FROM planted)),
+        |c2 AS (SELECT doc_id, url,
+        |    regexp_replace(
+        |      replace(replace(lower(rawbase), '://www.', '://'), ':443/', '/'),
+        |      '/$', '') AS base,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_|session=|ref=)'))), '&')
+        |      AS keptq
+        |  FROM canon)
+        |SELECT base || CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END
+        |    AS canon_url,
+        |  cast(count(*) as bigint) AS n_dups,
+        |  min(doc_id) AS keep_id,
+        |  cast(count(DISTINCT url) as bigint) AS n_raw_forms
+        |FROM c2 GROUP BY 1 ORDER BY canon_url""".stripMargin) { (s, dir) =>
+      val planted = docs(s, dir).select(col("doc_id"), concat(
+        lit("HTTPS://WWW.Site"), col("doc_id") % 3, lit(".COM"),
+        when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+        lit("/P"), col("doc_id") % 17,
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=s"), col("doc_id"),
+        lit("&id="), col("doc_id") % 5,
+        lit("&session=x"), col("doc_id"),
+        when(col("doc_id") % 4 === 0, "#frag").otherwise("")).as("url"))
+      planted
+        .withColumn("defragged", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("rawbase",
+          when(instr(col("defragged"), "?") > 0,
+            expr("substr(defragged, 1, instr(defragged, '?') - 1)"))
+            .otherwise(col("defragged")))
+        .withColumn("q",
+          when(instr(col("defragged"), "?") > 0,
+            expr("substr(defragged, instr(defragged, '?') + 1)"))
+            .otherwise(lit("")))
+        .withColumn("base", regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("rawbase")), "://www\\.", "://"),
+            ":443/", "/"),
+          "/$", ""))
+        .withColumn("keptq", array_join(array_sort(filter(
+          split(col("q"), "&"),
+          p => !p.rlike("^(utm_|session=|ref=)"))), "&"))
+        .withColumn("canon_url", concat(col("base"),
+          when(col("keptq") === "", "").otherwise(
+            concat(lit("?"), col("keptq")))))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy(col("canon_url"))
+    },
+
     // TRUE exact-substring dedup at the ≥50-token bar (round 11,
     // Lee et al. "Deduplicating Training Data Makes Language Models
     // Better", ACL'22 — the ExactSubstr dedup q_dedup_span only

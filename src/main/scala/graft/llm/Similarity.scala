@@ -696,6 +696,17 @@ object Similarity {
     */
   def pcaTopComponent(emb: DataFrame,
       iters: Int = 50): (Array[Double], Seq[Double], Double, Long) = {
+    val m = pcaModel(emb, iters)
+    (m.component, m.rayleighs, m.trace, m.n)
+  }
+
+  /** Driver-bounded PCA artifacts: corpus mean, unit top component, the
+    * power-iteration Rayleigh trail, covariance trace, row count.
+    */
+  case class PcaModel(mu: Array[Double], component: Array[Double],
+      rayleighs: Seq[Double], trace: Double, n: Long)
+
+  def pcaModel(emb: DataFrame, iters: Int = 50): PcaModel = {
     val row = emb.select(toDouble(col("embedding")).as("v"))
       .agg(count(lit(1)),
         graft.functions.VectorExpressions.vectorSum(col("v")),
@@ -740,7 +751,28 @@ object Similarity {
       t += 1
     }
     rayleighs += dotA(v, matVec(v))
-    (v, rayleighs.toSeq, trace, n)
+    PcaModel(mu, v, rayleighs.toSeq, trace, n)
+  }
+
+  /** All-but-the-top whitening (Mu & Viswanath ICLR'18): center on the
+    * corpus mean and remove the dominant component —
+    * x″ = (x − μ) − ⟨x − μ, v⟩·v. One narrow in-row projection against
+    * two plan-literal vectors (μ, v): no shuffle, no join,
+    * embarrassingly parallel at any corpus size; the model comes from
+    * [[pcaModel]]'s single stats pass. Output keeps the `embedding`
+    * column name (now array<double>) so every downstream similarity
+    * operator consumes whitened vectors unchanged.
+    */
+  def whitenEmbeddings(emb: DataFrame, model: PcaModel): DataFrame = {
+    val muLit = typedLit(model.mu.toSeq)
+    val vLit = typedLit(model.component.toSeq)
+    emb.select(col("vec_id"),
+        zip_with(toDouble(col("embedding")), muLit, (x, m) => x - m)
+          .as("c"))
+      .select(col("vec_id"), col("c"), dot(col("c"), vLit).as("p"))
+      .select(col("vec_id"),
+        zip_with(col("c"), vLit, (x, vv) => x - col("p") * vv)
+          .as("embedding"))
   }
 
   def topKBatch(emb: DataFrame, nQueries: Int = batchQueryCount,
@@ -911,6 +943,36 @@ object Similarity {
         lam >= trace / d - 1e-9))
         .toDF("n", "dim", "unit_norm_ok", "rayleigh_monotone_ok",
           "dominant_ok")
+    },
+
+    // All-but-the-top whitening applied (round 14, the q_embed_pca
+    // consumer): one in-row pass re-expresses every vector as
+    // (x − μ) − ⟨x − μ, v⟩v against the plan-literal (μ, v). Whitened
+    // floats are engine-local, so the gate aggregates the transform's
+    // DEFINING invariants over the actual whitened corpus and pins them
+    // TRUE: every residual projection onto the removed component is
+    // ~0 (|⟨x″, v⟩| < 1e-6 — per-row float error is ~1e-12) and the
+    // whitened corpus mean is ~0 in every dimension; n and dim stay
+    // exact/hash-gated.
+    "q_embed_whiten" -> Q(
+      """SELECT cast(count(*) as bigint) AS n,
+        |  cast(max(len(embedding)) as int) AS dim,
+        |  TRUE AS pc1_removed_ok, TRUE AS mean_removed_ok
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Engine.table(s, dir, "embeddings")
+      val model = pcaModel(emb)
+      val w = whitenEmbeddings(emb, model)
+      val vLit = typedLit(model.component.toSeq)
+      val row = w.agg(count(lit(1)),
+          max(abs(dot(col("embedding"), vLit))),
+          graft.functions.VectorExpressions.vectorSum(col("embedding")))
+        .head()
+      val n = row.getLong(0)
+      val maxProj = row.getDouble(1)
+      val meanMax = row.getSeq[Double](2).map(x => math.abs(x / n)).max
+      Seq((n, model.mu.length, maxProj < 1e-6, meanMax < 1e-6))
+        .toDF("n", "dim", "pc1_removed_ok", "mean_removed_ok")
     },
 
     // PQ/ADC ANN (round 12, VERDICT-r11 #2): codebooks are Lloyd-trained

@@ -534,6 +534,48 @@ object Streams {
       .filter(col("rk") <= k)
   }
 
+  /** Per-micro-batch INDEX-APPEND handler (s_ann_ingest's core,
+    * round 14): append the arriving embeddings into the persisted
+    * IVF-PQ index with the frozen published model —
+    * [[graft.llm.AnnIndex.appendToIndex]]'s vecs-before-codes
+    * reachability ordering per batch. Retry safety: parquet `append` is
+    * NOT idempotent, so each applied batch leaves a marker dir under
+    * `path/ingest_log/batch=<id>` AFTER both appends and a re-delivered
+    * batchId is skipped — Structured Streaming's batch-granular replay
+    * contract makes this effectively-once, with one honest crash
+    * window: a batch that appended but died before its marker
+    * double-appends on restart (marker-first would instead LOSE the
+    * batch — strictly worse: a duplicate code row only re-ranks a
+    * shortlist entry, a missing one is a silent recall hole). True
+    * exactly-once needs the data+marker commit to be transactional —
+    * on a lake table format the two appends and the marker become one
+    * commit; this layout keeps plain parquet and documents the trade.
+    */
+  def annIngestBatchHandler(path: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val marker = new java.io.File(s"$path/ingest_log/batch=$batchId")
+    if (marker.exists()) return
+    if (!batch.isEmpty) graft.llm.AnnIndex.appendToIndex(batch, path)
+    marker.mkdirs()
+    ()
+  }
+
+  /** Streaming index INGEST (s_ann_ingest): the WRITE-path twin of the
+    * probe feed ([[streamingAnnProbe]] reads the index, this maintains
+    * it) — new embeddings append into the persisted serving layout per
+    * micro-batch via foreachBatch, and every subsequent serve
+    * (servedTopK / servedBatchTopK / servedMipsTopK) sees them without
+    * retraining (frozen-model IVF contract; [[graft.llm.AnnIndex]]'s
+    * needsRetrain triggers bound the drift). Aggregation-free,
+    * stateless, no watermark; StreamingSpec pins grow-then-serve, the
+    * batch-marker idempotence, and appended-copy bit-identity with the
+    * batch append path.
+    */
+  def streamingAnnIngest(embStream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream.outputMode("append")
+      .foreachBatch(annIngestBatchHandler(path) _)
+
   /** Decontamination at INGEST (s_stream_decontam): drop any streaming
     * doc that shares a [[graft.llm.Search.decontamK]]-token gram with the
     * (small, fixed) eval set — the batch q_decontam semantics applied in

@@ -870,6 +870,14 @@ class LlmSpec extends AnyFunSuite {
       case Seq(a, b) => b >= a - 1e-9 * math.max(1.0, math.abs(a))
       case _         => true
     })
+    // all-but-the-top: whitening must collapse the planted anisotropy —
+    // the whitened corpus's own top eigenvalue falls to the noise floor
+    val model = Similarity.pcaModel(df)
+    val w = Similarity.whitenEmbeddings(df, model)
+    val (_, wr, _, wn) = Similarity.pcaTopComponent(w)
+    assert(wn === 400L)
+    assert(wr.last < 0.1 * rayleighs.last,
+      s"whitened top eigenvalue ${wr.last} did not collapse vs ${rayleighs.last}")
   }
 
   test("dedupLines removes planted boilerplate chunks and preserves survivor order") {
