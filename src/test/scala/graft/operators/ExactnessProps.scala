@@ -74,6 +74,31 @@ object ExactnessProps extends Properties("Exactness") {
       offUs <- Gen.chooseNum(0L, 4L * 3600 * 1000000)
     } yield (user, offUs))
 
+  property("OuterProductSum equals the brute-force moment matrix for any integer corpus and split") =
+    Prop.forAll(
+      Gen.chooseNum(1, 6),
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.chooseNum(-50, 50))),
+      Gen.chooseNum(1, 8)) { (d0, rows0, parts) =>
+      // integer components keep every product and partial sum exactly
+      // representable, so the aggregator must match the reference
+      // EXACTLY under ANY partitioning / merge order — the same
+      // order-independence argument the gate's PCA booleans lean on
+      val d = d0
+      val rows = rows0.map(r => (r ++ List.fill(d)(0)).take(d)
+        .map(_.toDouble))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row(_)), parts),
+        StructType(Seq(StructField("v", ArrayType(DoubleType), nullable = false))))
+      val got = df.agg(
+        graft.functions.VectorExpressions.outerProductSum(col("v")))
+        .head().getSeq[Double](0)
+      val want = (0 until d * d).map { ij =>
+        val i = ij / d; val j = ij % d
+        rows.map(r => r(i) * r(j)).sum
+      }
+      got == want
+    }
+
   property("sessionize matches the single-threaded gap fold for any event set") =
     Prop.forAll(genEvents) { evs =>
       val gapUs = graft.operators.EventAnalytics.sessionGapUs
