@@ -82,6 +82,38 @@ object AppendDriftCurve {
         f"skew=${stats.skew}%.2f liveRows=${stats.liveRows} " +
         s"retrain=${llm.AnnIndex.needsRetrain(stats, trainedRows = n)}")
     }
+    // the round-15 column (VERDICT-r14 #1): EXECUTE the retrain the
+    // curve's trigger has been recommending, then re-measure on the same
+    // live corpus, against the FRESH-BUILD reference (writeIndex on the
+    // same live rows — the curve a retrain cannot beat and must match;
+    // RetrainDiag holds the coarseIters trade study)
+    val t1 = System.nanoTime()
+    val epoch = llm.AnnIndex.retrainIndex(spark, path)
+    val rs = llm.AnnIndex.indexStats(spark, path)
+    val postAppended = Seq(0L, 42L, 124L).map(_ + 4 * 10000000L)
+    println(f"[appenddrift] RETRAIN epoch=$epoch ${(System.nanoTime() - t1) / 1e9}%.1fs " +
+      f"baseRecall=${recall(live, baseQueries)}%.3f " +
+      f"appendedRecall=${recall(live, postAppended)}%.3f " +
+      f"skew=${rs.skew}%.2f cells=${rs.nCells} liveRows=${rs.liveRows} " +
+      s"retrain=${llm.AnnIndex.needsRetrainAt(spark, path)}")
+    val ref = "/tmp/graft_append_drift_fresh"
+    graft.util.Fs.deleteRecursively(ref)
+    llm.AnnIndex.writeIndex(live, ref)
+    val fs = llm.AnnIndex.indexStats(spark, ref)
+    def recallAt(p: String, qs: Seq[Long]): Double = {
+      val rss = qs.map { q =>
+        val exact = llm.Similarity.topK(live, q, k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = llm.AnnIndex.serveTopK(spark, p, live, q, k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      rss.sum / rss.size
+    }
+    println(f"[appenddrift] FRESH-REF " +
+      f"baseRecall=${recallAt(ref, baseQueries)}%.3f " +
+      f"appendedRecall=${recallAt(ref, postAppended)}%.3f " +
+      f"skew=${fs.skew}%.2f cells=${fs.nCells}")
     spark.stop()
   }
 }
