@@ -536,6 +536,98 @@ object TextAnalysis {
         col("mean_surprisal_ppm"))
   }
 
+  /** q_nb_classify's hashed-feature space: tokens hash to this many
+    * buckets via the first two md5 hex digits (the [[bucketCol]] idiom on
+    * the WORD instead of the id) — the standard hashing trick, so the
+    * model table is (classes × 256) rows at ANY vocabulary size and rides
+    * every join as a broadcast. Shared with the oracle SQL.
+    */
+  private[graft] val nbBuckets: Int = 256
+
+  /** q_nb_classify's planted 3-class corpus: class `c<doc_id % 3>`,
+    * marked by 3-5 appended copies of the class's marker token plus one
+    * WRONG-class noise marker on 2-in-7 docs (deterministic from doc_id —
+    * the q_pii_redact/q_dedup_url plant discipline, same concat in the
+    * oracle SQL). The real text rides along as shared-vocabulary noise.
+    * Rationale for planting: the corpus's natural `lang` label is
+    * measured UNLEARNABLE from text (identical per-language lexicon hit
+    * rates across doc langs; the q_lang_id stopword heuristic scores 35%
+    * ≈ majority class, a float NB over raw tokens 41%).
+    */
+  private[graft] def nbPlantedCorpus(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(lit("c"), (col("doc_id") % 3).cast(StringType)).as("cls"),
+      concat(col("text"),
+        expr("repeat(concat(' mk', cast(doc_id % 3 as string)), " +
+          "cast(3 + doc_id % 3 as int))"),
+        when(col("doc_id") % 7 < 2,
+          concat(lit(" mk"), ((col("doc_id") + 1) % 3).cast(StringType)))
+          .otherwise(lit(""))).as("text"))
+
+  /** Trained multi-class Naive Bayes over hashed tokens (round 15,
+    * VERDICT-r14 #4 — the missing member of the trained-model family
+    * beside q_quality_model's linear scorer and q_lm_score's bigram LM):
+    * train on the deterministic md5 80% split (q_sample_hash's buckets),
+    * predict the `cls` label of the held-out 20%. Add-one-smoothed
+    * multinomial NB scored in integer BIT-LENGTH surprisal
+    * (q_lm_score's discipline — bits(c, b) =
+    * bit_length((N_c + B) div (cnt(c, b) + 1)), plus a doc-count prior
+    * term bit_length((D + C) div (d_c + 1))), so the whole statistic is
+    * integer-exact and hash-gates cross-engine; prediction is the
+    * (score asc, class asc) lexicographic argmin — Spark closes it with
+    * one partial-aggregable min(struct), the oracle with the equivalent
+    * rn = 1 window.
+    *
+    * Scale shape (the rarityScores discipline): the per-occurrence token
+    * stream collapses to the map-side-combinable (doc, bucket) tf
+    * aggregate FIRST, so the model join carries one row per doc-distinct
+    * bucket (≤ 256/doc at ANY doc length) — never the raw stopword-skewed
+    * occurrence stream; the complete (class × bucket) smoothed model and
+    * the prior table are domain-bounded broadcasts; the final argmin is a
+    * 1-shuffle groupBy with C-row groups. No window functions anywhere in
+    * the graded plan.
+    */
+  def nbClassify(d: DataFrame): DataFrame = {
+    val isTrain = bucketCol(col("doc_id")) % 10 < 8
+    val tf = d.select(col("doc_id"), col("cls"), isTrain.as("is_train"),
+        explode(toks).as("w"))
+      .withColumn("b", bucketCol(col("w")))
+      .groupBy(col("doc_id"), col("cls"), col("is_train"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.filter(col("is_train"))
+      .groupBy(col("cls").as("c"), col("b"))
+      .agg(sum(col("tf")).as("cnt"))
+    val nc = cnt.groupBy(col("c")).agg(sum(col("cnt")).as("n_c"))
+    // COMPLETE smoothed (class × bucket) grid: unseen buckets must score
+    // their add-one surprisal, not drop out of the join
+    val bits = nc
+      .select(col("c"), col("n_c"),
+        explode(sequence(lit(0L), lit(nbBuckets - 1L))).as("b"))
+      .join(cnt, Seq("c", "b"), "left")
+      .select(col("c"), col("b"),
+        length(bin(expr(s"(n_c + $nbBuckets) div (coalesce(cnt, 0L) + 1)")))
+          .cast(LongType).as("bits"))
+    val dc = d.filter(isTrain)
+      .groupBy(col("cls").as("c")).agg(count(lit(1)).as("d_c"))
+    val tot = dc.agg(sum(col("d_c")).as("d_tot"),
+      count(lit(1)).as("n_classes"))
+    val prior = dc.crossJoin(broadcast(tot))
+      .select(col("c"),
+        length(bin(expr("(d_tot + n_classes) div (d_c + 1)")))
+          .cast(LongType).as("prior_bits"))
+    tf.filter(!col("is_train"))
+      .join(broadcast(bits), Seq("b"))
+      .groupBy(col("doc_id"), col("cls"), col("c"))
+      .agg(sum(col("tf") * col("bits")).as("tok_bits"))
+      .join(broadcast(prior), Seq("c"))
+      .withColumn("score_bits", col("tok_bits") + col("prior_bits"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(min(struct(col("score_bits"), col("c"))).as("m"))
+      .select(col("doc_id"), col("cls"), col("m.c").as("pred_cls"),
+        col("m.score_bits").as("score_bits"),
+        (col("m.c") === col("cls")).as("correct"))
+  }
+
   /** q_cooccur_window's forward context window (positions ahead of the
     * center token that form a pair) — shared with the oracle SQL.
     */
@@ -1206,6 +1298,76 @@ object TextAnalysis {
         |    AS mean_surprisal_ppm
         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       lmScores(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // Trained Naive-Bayes classifier (round 15, VERDICT-r14 #4): train
+    // and apply in one pipeline — add-one multinomial NB over 256-bucket
+    // hashed tokens, md5-deterministic 80/20 split, scored in integer
+    // bit-length surprisal so every per-doc class score (and the argmin
+    // prediction with its class-name tiebreak) hash-gates cross-engine.
+    // Classes are PLANTED 3-way from doc_id (the q_pii_pan/q_dedup_url
+    // discipline — same deterministic concat in the oracle): 3-5 copies
+    // of the class's marker token appended to the real text, plus ONE
+    // wrong-class noise marker on 2-in-7 docs, so the model must learn
+    // the marker-class association from training data strong enough to
+    // outvote the noise. The natural `lang` label is deliberately NOT
+    // the target: measured round 15, this corpus's text carries ZERO
+    // label signal (per-language lexicon hit rates are identical across
+    // doc langs — even the q_lang_id stopword heuristic scores 35%
+    // ≈ majority class, and a float NB over raw tokens 41%): a trained
+    // predictor graded on an unlearnable label would pin nothing. The
+    // oracle restates the identical integer model; LlmSpec holds the
+    // semantic pins (argmax agreement with a float-log-prob NB on the
+    // same counts + accuracy floor on the planted labels). See
+    // [[nbClassify]] for the scale shape.
+    "q_nb_classify" -> Q(
+      s"""WITH tk AS (SELECT doc_id,
+        |        'c' || cast(doc_id % 3 as varchar) AS cls,
+        |        (${oBucket("doc_id")}) % 10 < 8 AS is_train,
+        |        string_split(text
+        |          || repeat(' mk' || cast(doc_id % 3 as varchar),
+        |               cast(3 + doc_id % 3 as int))
+        |          || CASE WHEN doc_id % 7 < 2
+        |               THEN ' mk' || cast((doc_id + 1) % 3 as varchar)
+        |               ELSE '' END, ' ') AS t FROM documents),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, cls, is_train,
+        |    (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b,
+        |    cast(count(*) as bigint) AS tf
+        |  FROM (SELECT doc_id, cls, is_train, unnest(t) AS w FROM tk)
+        |  GROUP BY doc_id, cls, is_train, 4),
+        |cnt AS (SELECT cls AS c, b, cast(sum(tf) as bigint) AS cnt
+        |        FROM tf WHERE is_train GROUP BY cls, b),
+        |nc AS (SELECT c, cast(sum(cnt) as bigint) AS n_c FROM cnt GROUP BY c),
+        |bits AS (
+        |  SELECT nc.c, gb.b,
+        |    cast(length(bin((nc.n_c + $nbBuckets)
+        |      // (coalesce(cnt.cnt, 0) + 1))) as bigint) AS bits
+        |  FROM nc CROSS JOIN (SELECT unnest(range(0, $nbBuckets)) AS b) gb
+        |  LEFT JOIN cnt ON cnt.c = nc.c AND cnt.b = gb.b),
+        |dc AS (SELECT cls AS c, cast(count(*) as bigint) AS d_c
+        |       FROM tk WHERE is_train GROUP BY cls),
+        |tot AS (SELECT cast(sum(d_c) as bigint) AS d_tot,
+        |          cast(count(*) as bigint) AS n_classes FROM dc),
+        |prior AS (SELECT c,
+        |    cast(length(bin((tot.d_tot + tot.n_classes) // (d_c + 1)))
+        |      as bigint) AS prior_bits
+        |  FROM dc CROSS JOIN tot),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.cls, bits.c,
+        |    cast(sum(tf.tf * bits.bits) as bigint) + min(prior.prior_bits)
+        |      AS score_bits
+        |  FROM tf JOIN bits USING (b) JOIN prior ON prior.c = bits.c
+        |  WHERE NOT tf.is_train
+        |  GROUP BY tf.doc_id, tf.cls, bits.c),
+        |r AS (SELECT doc_id, cls, c, score_bits,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score_bits, c) AS rn
+        |      FROM sc)
+        |SELECT doc_id, cls, c AS pred_cls, score_bits, c = cls AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      nbClassify(nbPlantedCorpus(docs(s, dir))).orderBy(col("doc_id"))
     },
 
     // Gopher-style rule filter (Rae et al. 2021, "Scaling Language
