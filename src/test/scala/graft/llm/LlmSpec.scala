@@ -2130,4 +2130,204 @@ class LlmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === exp)
   }
+
+  test("pcaModelK recovers TWO planted axes in order; whitenEmbeddingsK removes both") {
+    import spark.implicits._
+    // two orthogonal planted axes with variances ~36 and ~9 over a
+    // low-amplitude deterministic noise floor: deflation must return
+    // them in eigenvalue order, each aligned, and mutually orthogonal
+    val d = 16
+    val ax1 = Array.tabulate(d)(i => if (i % 2 == 0) 1.0 else -1.0)
+      .map(_ / math.sqrt(d.toDouble))
+    val ax2 = Array.tabulate(d)(i => if (i < d / 2) 1.0 else -1.0)
+      .map(_ / math.sqrt(d.toDouble))
+    val rows = (0 until 400).map { i =>
+      val t1 = (i % 21 - 10).toDouble
+      val t2 = 0.5 * ((i % 23) - 11).toDouble
+      val noise = Array.tabulate(d)(j => 0.05 * math.sin(i * 31.0 + j * 7.0))
+      (i.toLong, Array.tabulate(d)(j =>
+        (ax1(j) * t1 + ax2(j) * t2 + noise(j)).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Similarity.pcaModelK(df, 2)
+    assert(m.k === 2 && m.n === 400L)
+    def cosAbs(a: Array[Double], b: Array[Double]): Double =
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+    assert(cosAbs(m.components(0), ax1) >= 0.99,
+      s"PC1 misaligned: ${cosAbs(m.components(0), ax1)}")
+    assert(cosAbs(m.components(1), ax2) >= 0.99,
+      s"PC2 misaligned: ${cosAbs(m.components(1), ax2)}")
+    assert(m.lambdas(0) > m.lambdas(1),
+      s"eigenvalues out of order: ${m.lambdas.toSeq}")
+    assert(cosAbs(m.components(0), m.components(1)) < 1e-9,
+      "deflation components not orthogonal")
+    // whitening against the 2-component model kills BOTH axes: residual
+    // projections ~0 and the whitened top eigenvalue falls to the floor
+    val w = Similarity.whitenEmbeddingsK(df, m)
+    val projs = m.components.toSeq.map(v =>
+      max(abs(Similarity.dot(col("embedding"), typedLit(v.toSeq)))))
+    val row = w.agg(projs.head, projs.tail: _*).head()
+    (0 until 2).foreach { j =>
+      assert(row.getDouble(j) < 1e-6, s"residual on component $j: $row")
+    }
+    val wTop = Similarity.pcaModelK(w, 1)
+    assert(wTop.lambdas(0) < 0.1 * m.lambdas(1),
+      s"whitened top eigenvalue ${wTop.lambdas(0)} vs planted ${m.lambdas.toSeq}")
+    // k = 1 delegates: whitenEmbeddings(top-1 model) equals
+    // whitenEmbeddingsK on the k = 1 model bit-for-bit
+    val top1 = Similarity.pcaModel(df)
+    val a = Similarity.whitenEmbeddings(df, top1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.whitenEmbeddingsK(df, Similarity.pcaModelK(df, 1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b)
+  }
+
+  test("nbClassify argmax agrees with a float-log-prob NB on the same counts") {
+    import spark.implicits._
+    // the planted 3-class corpus the gate grades; the float NB is the
+    // SEMANTIC reference the integer bit-length surprisal approximates —
+    // same hashed buckets, same add-one smoothing, scored in exact
+    // doubles driver-side
+    val planted = TextAnalysis.nbPlantedCorpus(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((md(0) & 0xff))
+    }
+    val train = planted.filter(p => bucket(p._1.toString) % 10 < 8)
+    val test0 = planted.filter(p => bucket(p._1.toString) % 10 >= 8)
+    val classes = train.map(_._2).distinct.sorted
+    val cnt = scala.collection.mutable.Map
+      .empty[(String, Int), Long].withDefaultValue(0L)
+    val nc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val dc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    train.foreach { case (_, c, txt) =>
+      txt.split(" ", -1).foreach { w =>
+        cnt((c, bucket(w))) += 1; nc(c) += 1
+      }
+      dc(c) += 1
+    }
+    val dTot = train.length.toLong; val nCls = classes.length.toLong
+    def floatPred(txt: String): String =
+      classes.minBy { c =>
+        var s = -math.log((dc(c) + 1).toDouble / (dTot + nCls))
+        txt.split(" ", -1).foreach { w =>
+          s += -math.log((cnt((c, bucket(w))) + 1).toDouble /
+            (nc(c) + TextAnalysis.nbBuckets))
+        }
+        (s, c)
+      }
+    val got = TextAnalysis.nbClassify(
+        TextAnalysis.nbPlantedCorpus(docs))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(4))).toSeq
+    assert(got.length === test0.length)
+    val textOf = test0.map(p => p._1 -> p._3).toMap
+    val agree = got.count { case (id, _, pred, _) =>
+      pred == floatPred(textOf(id)) }
+    assert(agree >= (0.95 * got.length).toInt,
+      s"bit-NB vs float-NB argmax agreement $agree/${got.length}")
+    // accuracy floor on the planted labels: the model must learn the
+    // marker association strongly enough to outvote the planted noise
+    // markers (measured 96/96 at sf0.001; floor left with headroom)
+    val acc = got.count(_._4)
+    assert(acc >= (0.9 * got.length).toInt,
+      s"planted-class accuracy $acc/${got.length}")
+  }
+
+  test("dedupLines plan carries no ObjectHashAggregate (round-15 rewrite)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c x y z"),
+      (3L, "a b c q r s")).toDF("doc_id", "text")
+    val plan = Dedup.dedupLines(d, width = 3, minDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("MapPartitions") || plan.contains("mapPartitions"),
+      plan)
+  }
+
+  test("retrainIndex: drift fires the trigger, retrain restores the operating point, epoch swap serves continuously") {
+    import spark.implicits._
+    val path = "/tmp/graft_test_stage/ann_retrain_index"
+    graft.util.Fs.deleteRecursively(path)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    AnnIndex.writeIndex(base, path)
+    val n0 = base.count()
+    assert(AnnIndex.trainedRows(spark, path) === n0)
+    assert(AnnIndex.currentEpoch(path).isEmpty) // legacy root pre-retrain
+    // appended growth past 4x trained with MILD drift (0.2/round along
+    // dim 0): fires the GROW trigger — the grid was derived at √500 and
+    // now serves 3,000 rows. (Violent drift is deliberately NOT used
+    // here: a 2.0-shifted replica is an angular point mass that NO
+    // cosine quantizer — fresh or retrained — can split across cells,
+    // so post-retrain skew would stay above the trigger by data shape,
+    // not by staleness; AppendDriftCurve at sf0.1 carries the heavy-
+    // drift skew story, where mass spreads over 245 cells.)
+    var live = base
+    (1 to 5).foreach { round =>
+      val add = base
+        .select((col("vec_id") + round * 10000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x + lit(0.2 * round))
+              .cast(org.apache.spark.sql.types.FloatType)).otherwise(x))
+            .as("embedding"))
+      AnnIndex.appendToIndex(add, path)
+      live = live.unionByName(add)
+    }
+    // a tombstoned append must be PURGED by the retrain, not carried
+    val dead = 1L * 10000000L // round-1 replica of vec 0
+    AnnIndex.deleteFromIndex(spark, path, Seq(dead))
+    live = live.filter(col("vec_id") =!= dead)
+    val statsBefore = AnnIndex.indexStats(spark, path)
+    assert(AnnIndex.needsRetrainAt(spark, path),
+      s"drifted appends did not fire the trigger: $statsBefore")
+    // retrain: new epoch, pointer swapped, old artifacts reclaimed
+    val epoch = AnnIndex.retrainIndex(spark, path)
+    assert(epoch === 1 && AnnIndex.currentEpoch(path).contains(1))
+    assert(new java.io.File(s"$path/epoch=1/codes").exists())
+    assert(!new java.io.File(s"$path/codes").exists(),
+      "legacy-root artifacts not reclaimed")
+    val liveCount = live.count()
+    assert(AnnIndex.trainedRows(spark, path) === liveCount)
+    val statsAfter = AnnIndex.indexStats(spark, path)
+    assert(statsAfter.liveRows === liveCount)
+    assert(!AnnIndex.needsRetrainAt(spark, path),
+      s"trigger still firing post-retrain: $statsAfter")
+    info(s"occupancy skew: ${statsBefore.skew} -> ${statsAfter.skew}")
+    assert(statsAfter.skew < 8.0,
+      s"retrain did not restore occupancy: ${statsBefore.skew} -> ${statsAfter.skew}")
+    // tombstone physically purged: empty tombstone set in the new epoch
+    assert(!new java.io.File(s"$path/epoch=1/tombstones").exists())
+    // serve continuity on the SAME path handle: appended replicas serve,
+    // the purged key never surfaces, recall holds vs brute force
+    val served = AnnIndex.serveTopK(spark, path, live, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!served.contains(dead))
+    val queryIds = Seq(0L, 42L, 10000002L, 20000000L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity.topK(live, q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val got = AnnIndex.serveTopK(spark, path, live, q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    info(s"post-retrain recalls: $recalls")
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"post-retrain recall collapsed: $recalls")
+    // appends now target the NEW epoch with the new frozen model
+    val more = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendToIndex(more, path)
+    assert(spark.read.parquet(s"$path/epoch=1/codes").count() ===
+      liveCount + 3)
+    // a second retrain rolls the epoch and reclaims epoch 1
+    val epoch2 = AnnIndex.retrainIndex(spark, path)
+    assert(epoch2 === 2 && AnnIndex.currentEpoch(path).contains(2))
+    assert(!new java.io.File(s"$path/epoch=1").exists())
+    assert(AnnIndex.trainedRows(spark, path) === liveCount + 3)
+  }
 }

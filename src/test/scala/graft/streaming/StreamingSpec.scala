@@ -503,6 +503,124 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingBandIngest: a doc streamed in batch N is a band hit for its near-dup in batch N+1; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = "/tmp/graft_test_stage/band_ingest_index"
+    graft.util.Fs.deleteRecursively(path)
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    graft.llm.Dedup.writeBandIndex(corpus, path)
+    val n0 = graft.llm.Dedup.readBandIndex(spark, path).count()
+    // "batch N" arrivals: odd docs under new ids; "batch N+1" probes:
+    // exact copies of those arrivals (near-dup by construction — same
+    // signature, so all 3 bands hit once the arrivals are ingested)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1
+        && col("doc_id") < 201)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val probes = arrivals
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    def dupIds(): Set[Long] = Streams.streamingBandDedup(probes,
+        graft.llm.Dedup.readBandIndex(spark, path))
+      .filter(col("n_bands_hit") === 3)
+      .select("doc_id").as[Long].collect().toSet
+    val preHits = dupIds() // some may hit via corpus near-dups already
+    val rows = arrivals.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingBandIngest(
+        mem.toDF().toDF("doc_id", "text"), path)
+      .option("checkpointLocation",
+        "/tmp/graft_test_stage/band_ingest_ckpt_" + System.nanoTime())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // every signature-bearing probe is now a FULL-signature hit
+    val sigBearing = graft.llm.Dedup.minhashSignaturesStateless(probes)
+      .select("doc_id").as[Long].collect().toSet
+    val postHits = dupIds()
+    assert(sigBearing.subsetOf(postHits),
+      s"ingested arrivals not probeable: missing ${sigBearing.diff(postHits).take(5)}")
+    assert(preHits.subsetOf(postHits))
+    // DISTINCT invariant held across the appends
+    val idx = graft.llm.Dedup.readBandIndex(spark, path)
+    assert(idx.count() === idx.distinct().count())
+    val grown = idx.count()
+    assert(grown > n0)
+    // a replayed batchId is marker-skipped; and even a MARKERLESS replay
+    // (the crash window) appends zero rows — the anti-join makes the
+    // band append naturally idempotent
+    val replay = rows.take(rows.length / 2).toSeq.toDF("doc_id", "text")
+    Streams.bandIngestBatchHandler(path)(replay, 0L)
+    assert(graft.llm.Dedup.readBandIndex(spark, path).count() === grown)
+    graft.llm.Dedup.appendToBandIndex(replay, path)
+    assert(graft.llm.Dedup.readBandIndex(spark, path).count() === grown,
+      "markerless replay appended duplicate (band, key) rows")
+  }
+
+  test("ann ingest markers are namespaced per stream lineage (ADVICE r14)") {
+    import spark.implicits._
+    // two lineages writing the same index both restart batchIds at 0 —
+    // the round-14 path-shared marker would silently SKIP the second
+    // lineage's batch 0 (a recall hole); per-stream namespacing must not
+    val path = "/tmp/graft_test_stage/ann_ingest_ns_index"
+    graft.util.Fs.deleteRecursively(path)
+    val emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+    graft.llm.AnnIndex.writeIndex(emb, path)
+    val n0 = emb.count()
+    def batchOf(off: Long) = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    Streams.annIngestBatchHandler(path, "lineage-a")(batchOf(700000L), 0L)
+    Streams.annIngestBatchHandler(path, "lineage-b")(batchOf(800000L), 0L)
+    assert(spark.read.parquet(s"$path/codes").count() === n0 + 10,
+      "second lineage's batch 0 was skipped by the first lineage's marker")
+    // replays WITHIN a lineage still no-op
+    Streams.annIngestBatchHandler(path, "lineage-a")(batchOf(700000L), 0L)
+    Streams.annIngestBatchHandler(path, "lineage-b")(batchOf(800000L), 0L)
+    assert(spark.read.parquet(s"$path/codes").count() === n0 + 10)
+  }
+
+  test("streamingIndexMonitor: drifted append batches flip the retrain verdict (s_index_monitor)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = "/tmp/graft_test_stage/ann_monitor_index"
+    graft.util.Fs.deleteRecursively(path)
+    val emb = graft.Engine.table(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    graft.llm.AnnIndex.writeIndex(emb, path)
+    val n0 = emb.count()
+    // tick stream drives the monitor; appends happen between ticks (the
+    // deployment composes this beside streamingAnnIngest on the same
+    // arrival stream)
+    val mem = MemoryStream[Long]
+    val q = Streams.streamingIndexMonitor(mem.toDF(), path)
+      .option("checkpointLocation",
+        "/tmp/graft_test_stage/ann_monitor_ckpt_" + System.nanoTime())
+      .start()
+    try {
+      mem.addData(1L); q.processAllAvailable() // fresh index: healthy
+      (1 to 4).foreach { r =>
+        graft.llm.AnnIndex.appendToIndex(
+          emb.select((col("vec_id") + r * 10000000L).as("vec_id"),
+            col("embedding")), path)
+      }
+      mem.addData(2L); q.processAllAvailable() // live = 5x trained: fires
+    } finally q.stop()
+    val log = spark.read.parquet(s"$path/monitor_log")
+      .orderBy(col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+    assert(log.length === 2, log.mkString(","))
+    assert(log(0) === ((0L, n0, false)), s"fresh index flagged: ${log(0)}")
+    assert(log(1)._2 === 5 * n0)
+    assert(log(1)._3, s"5x growth did not flip the verdict: ${log(1)}")
+    // the monitor's verdict is exactly needsRetrainAt — the signal
+    // retrainIndex consumes (round-15 lifecycle pairing)
+    assert(graft.llm.AnnIndex.needsRetrainAt(spark, path))
+  }
+
   test("streamingBandDedup with checkpoint: restart re-emits nothing, misses nothing") {
     // deployment shape: parquet file source, checkpointed parquet sink;
     // the op is STATELESS (three stream-static joins), so correctness
