@@ -1550,21 +1550,51 @@ object Components {
           .select(col("o_orderkey"), col("o_custkey").as("c")), "o_orderkey")
         .select(col("c"), col("s"))
         .distinct()
-      def normalize(scores: DataFrame, key: String, v: String): DataFrame = {
-        val tot = scores.agg(sum(col(v)).cast(dec).as("t"))
-        scores.crossJoin(broadcast(tot))
-          .select(col(key),
-            expr(s"cast((cast($v as decimal(38,0)) * 1000000000) div t" +
-              " as bigint)").as(s"${v}n"))
+      // Round-15 optimization (guide §2.4/§5): the crossJoin(broadcast(tot))
+      // normalizer re-derived the FULL upstream chain once per total — the
+      // initial physical plan was 326 operators with ZERO reuse (three
+      // rounds, each total re-running every earlier round; see
+      // plans/r15/q_hits_before.txt), so the same orders⋈lineitem distinct
+      // executed up to 6×. Each round's score table is VERTEX-sized
+      // (suppliers/customers), so persist it, read the 1-row total with one
+      // bounded collect, and inline the total as an exact decimal(38,0)
+      // literal — arithmetic identical ((x*1e9) div t on exact integers),
+      // gate hashes unchanged. Persists are SCOPED (round-13 discipline):
+      // each unpersists as soon as its consumer is materialized, and the
+      // 15-row result is collected before return (the q_bpe_encode bounded
+      // close), so nothing outlives the call in the shared bench/gate JVM.
+      // Measured (BenchOne sf0.1 local[32], same session
+      // back-to-back): 7.1-13.2 s → see OPTIMIZATION_r15.md (plan 326 → 55
+      // operators; e now computed exactly 3×, once per round, as intended).
+      def totalOf(scores: DataFrame, v: String): java.math.BigDecimal =
+        scores.agg(sum(col(v)).cast(dec).as("t")).head().getDecimal(0)
+      def normalizeLit(scores: DataFrame, key: String, v: String,
+          t: java.math.BigDecimal): DataFrame = {
+        // t is null only when scores is EMPTY (sum over no rows) — the
+        // projection then runs over zero rows; 'null' keeps the cast legal
+        val tLit = if (t == null) "null" else s"'${t.toPlainString}'"
+        scores.select(col(key),
+          expr(s"cast((cast($v as decimal(38,0)) * 1000000000) div " +
+            s"cast($tLit as decimal(38,0)) as bigint)")
+            .as(s"${v}n"))
       }
-      val a1 = e.groupBy(col("s")).agg(count(lit(1)).as("a"))
-      val a1n = normalize(a1, "s", "a")
-      val h1 = e.join(a1n, "s").groupBy(col("c")).agg(sum(col("an")).as("h"))
-      val h1n = normalize(h1, "c", "h")
-      val a2 = e.join(h1n, "c").groupBy(col("s")).agg(sum(col("hn")).as("a"))
-      normalize(a2, "s", "a")
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val a1 = e.groupBy(col("s")).agg(count(lit(1)).as("a")).persist(lvl)
+      val t1 = totalOf(a1, "a") // materializes a1
+      val h1 = e.join(normalizeLit(a1, "s", "a", t1), "s")
+        .groupBy(col("c")).agg(sum(col("an")).as("h")).persist(lvl)
+      val t2 = totalOf(h1, "h") // materializes h1
+      a1.unpersist()
+      val a2 = e.join(normalizeLit(h1, "c", "h", t2), "c")
+        .groupBy(col("s")).agg(sum(col("hn")).as("a")).persist(lvl)
+      val t3 = totalOf(a2, "a") // materializes a2
+      h1.unpersist()
+      val out = normalizeLit(a2, "s", "a", t3)
         .select(col("s").as("s_suppkey"), col("an").as("auth_ppb"))
         .orderBy(col("auth_ppb").desc, col("s_suppkey")).limit(15)
+      val rows = out.collect().toIndexedSeq // bounded: top-15
+      a2.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     },
 
     // Train/eval near-dup leakage audit (round 10): after the md5-bucket

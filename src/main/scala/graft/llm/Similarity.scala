@@ -527,27 +527,70 @@ object Similarity {
     */
   def pqCodebooks(emb: DataFrame, iters: Int = 1,
       m: Int = pqSubspaces): DataFrame = {
-    val subs = pqSubvectors(emb, m)
-    val seedIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(pqCentroids).collect().map(_.getLong(0))
-    val centOf = map(seedIds.zipWithIndex.flatMap { case (id, i) =>
-      Seq(lit(id), lit(i)) }.toSeq: _*)
-    val seeds = subs.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("sub"), element_at(centOf, col("vec_id")).as("cent_id"),
-        col("sv").as("cv"))
-    (0 until iters).foldLeft(seeds) { (books, _) =>
-      val cb = collectBooks(books, m)
-      val means = subs
-        .withColumn("code", pqArgmin(col("sv"), col("sub"), cb))
+    // Round-15 optimization (guide §1.2/§2.4): the previous form kept the
+    // codebook as a chained DataFrame — round k's collectBooks re-executed
+    // every earlier round's means aggregation (the chain GROWS: training 2
+    // rounds ran means-1 twice, and the consumer's final collect replayed
+    // the whole chain again), and the per-row argmin was the interpreted
+    // HOF pqArgmin. The codebook is DOMAIN-bounded (m × 16 × subDim
+    // doubles, KBs at any corpus size — the BPE/IVF bounded-driver-collect
+    // discipline), so hold it driver-side across rounds: each Lloyd round
+    // is now exactly ONE corpus pass — the compiled PqCodesWord kernel
+    // (spec-pinned bit-identical to pqArgmin: same left-to-right IEEE
+    // fold, same first-min tie rule) emits all m codes per row, the means
+    // close through the same VectorSum aggregate, and 256 rows collect.
+    // Means are divided driver-side with the identical x / cnt IEEE op the
+    // old transform() lambda ran, and empty cells keep their previous
+    // entry, so the trained codebook is bit-identical. Returns the same
+    // (sub, cent_id, cv) frame as before — as a local relation, so every
+    // consumer's collectBooks is free instead of a chain replay.
+    val subDim = 64 / m
+    val v = toDouble(col("embedding"))
+    val seedRows = emb.select(col("vec_id"), v.as("v"))
+      .orderBy(col("vec_id")).limit(pqCentroids).collect()
+    val cb = Array.fill(m, pqCentroids)(Array.empty[Double])
+    seedRows.zipWithIndex.foreach { case (r, i) =>
+      val vec = r.getSeq[Double](1)
+      for (sIdx <- 0 until m)
+        cb(sIdx)(i) = vec.slice(sIdx * subDim, (sIdx + 1) * subDim).toArray
+    }
+    val slices = (0 until m).map(sIdx => slice(v, sIdx * subDim + 1, subDim))
+    (0 until iters).foreach { _ =>
+      // same guard collectBooks enforces: a hole would let an empty
+      // entry's 0.0 distance win every argmin
+      for (sIdx <- 0 until m; c <- 0 until pqCentroids)
+        require(cb(sIdx)(c).nonEmpty,
+          s"PQ codebook slot (sub=$sIdx, cent_id=$c) is empty — corpus must " +
+            s"have >= $pqCentroids vectors and the trainer must seed every slot")
+      val means = emb
+        .select(graft.functions.VectorExpressions
+            .pqCodesWord(v, cb.map(_.map(_.clone))).as("w"),
+          posexplode(array(slices: _*)).as(Seq("sub", "sv")))
+        .select(col("sub"),
+          expr("cast(shiftright(w, 4 * sub) & 15 as int)").as("code"),
+          col("sv"))
         .groupBy(col("sub"), col("code"))
         .agg(graft.functions.VectorExpressions.vectorSum(col("sv")).as("s"),
           count(lit(1)).as("cnt"))
-        .select(col("sub"), col("code").as("cent_id"),
-          transform(col("s"), x => x / col("cnt")).as("next"))
-      books.join(means, Seq("sub", "cent_id"), "left")
-        .select(col("sub"), col("cent_id"),
-          coalesce(col("next"), col("cv")).as("cv"))
+        .collect()
+      means.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val (sIdx, code) = (r.getInt(0), r.getInt(1))
+          val sm = r.getSeq[Double](2)
+          val cnt = r.getLong(3)
+          cb(sIdx)(code) = sm.map(_ / cnt).toArray
+        }
+      }
     }
+    import scala.jdk.CollectionConverters._
+    val rows = for {
+      sIdx <- 0 until m; c <- 0 until pqCentroids if cb(sIdx)(c).nonEmpty
+    } yield org.apache.spark.sql.Row(sIdx, c, cb(sIdx)(c).toSeq)
+    emb.sparkSession.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("sub", IntegerType, nullable = false)
+        .add("cent_id", IntegerType, nullable = false)
+        .add("cv", org.apache.spark.sql.types.ArrayType(DoubleType), nullable = true))
   }
 
   /** PQ codes for the corpus: (vec_id, sub, code) — the 100 TB serving
@@ -602,17 +645,30 @@ object Similarity {
     val lutCc: Seq[Seq[Double]] = (0 until m).map { s =>
       (0 until pqCentroids).map(c => cb(s)(c).map(x => x * x).sum)
     }
-    val codes = pqSubvectors(emb, m).select(col("vec_id"), col("sub"),
-      pqArgmin(col("sv"), col("sub"), cb).as("code"))
     // coarse cosine = Σ qc / sqrt(Σ cc) — |q| is constant across
-    // candidates so dividing by it cannot change the ranking; the sums
-    // close per vector in one map-side-combinable aggregate
-    def look(l: Seq[Seq[Double]]): Column =
-      element_at(element_at(typedLit(l), col("sub") + 1), col("code") + 1)
-    val short = codes.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), look(lutQc).as("qc"), look(lutCc).as("cc"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("qc")).as("qdot"), sum(col("cc")).as("rn2"))
+    // candidates so dividing by it cannot change the ranking. Round-15
+    // optimization (guide §1.2 per-task work + §2.3 shuffle fewer bytes):
+    // the encode + lookup used to run as an m×-row posexplode, an
+    // INTERPRETED per-(vec, sub) HOF argmin, a plan-literal double-indexed
+    // lookup, and a per-vec_id hash aggregate (a full shuffle of m rows
+    // per vector). The compiled PqCodesWord kernel emits all m codes as
+    // one packed long per ROW, and AdcTableSum (reference-object tables,
+    // zero plan bytes) folds the m lookups left-to-right from 0.0 —
+    // bit-identical to the HOF fold (LlmSpec pin) and to the previous
+    // first-partial-then-sum order — so the coarse scan is now ONE narrow
+    // codegen projection feeding TakeOrdered: no explode, no shuffle, no
+    // aggregate. Same shape the served AnnIndex path already uses.
+    val word = graft.functions.VectorExpressions.pqCodesWord(
+      toDouble(col("embedding")), cb)
+    val tQc = Array(lutQc.map(_.toArray).toArray)
+    val tCc = Array(lutCc.map(_.toArray).toArray)
+    val short = emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), word.as("w"))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions
+          .adcTableSum(lit(0), col("w"), tQc).as("qdot"),
+        graft.functions.VectorExpressions
+          .adcTableSum(lit(0), col("w"), tCc).as("rn2"))
       .withColumn("coarse", col("qdot") / sqrt(col("rn2")))
       .orderBy(col("coarse").desc, col("vec_id"))
       .limit(sl)
