@@ -1779,14 +1779,28 @@ object Components {
       def md5s(c: Column): Column = md5(c.cast(BinaryType))
       def hex4(c: Column): Column =
         conv(substring(md5s(c), 1, 4), 16, 10).cast(LongType)
-      val pk = nbr.withColumn("k",
-        md5s(concat(col("a").cast(StringType), lit(":"),
-          col("p").cast(StringType))))
-      val pmin = pk.groupBy(col("a")).agg(min(col("k")).as("mk"))
-        .withColumnRenamed("a", "a2")
-      val pos = pk
-        .join(pmin, pk("a") === col("a2") && col("k") === col("mk"))
-        .groupBy(col("a")).agg(min(col("p")).as("pos_id"))
+      // Round-15 optimization (guide §2.4): both argmins used the
+      // min-key → join-back → min-id shape — two extra shuffles each, and
+      // the NEGATIVE side's join-back re-derived the whole candidate
+      // subtree (bucket equi-join + anti join) a second time. The same
+      // selection closes in ONE hash aggregate: min over the fixed-width
+      // string (k || zero-padded id) is lexicographically (k ASC, id ASC)
+      // — exactly "min key, then min id among key ties" — and the id
+      // decodes back with a substring. Pure string min stays in fast
+      // HashAggregate (no array/struct buffer, the ObjectHashAggregate
+      // trap CLAUDE.md documents for min_by). md5 keys are fixed 32-char
+      // hex; ids are nonneg longs zero-padded to 20 digits, so the
+      // ordering is identical. Result hash-checked at all three SFs.
+      def argminByKey(df: DataFrame, key: Column, id: Column,
+          out: String): DataFrame =
+        df.groupBy(col("a"))
+          .agg(min(concat(key, lpad(id.cast(StringType), 20, "0"))).as("kp"))
+          .select(col("a"),
+            substring(col("kp"), 33, 20).cast(LongType).as(out))
+      val pos = argminByKey(
+        nbr.withColumn("k", md5s(concat(col("a").cast(StringType), lit(":"),
+          col("p").cast(StringType)))),
+        col("k"), col("p"), "pos_id")
       val docsIds = Engine.table(s, dir, "documents").select(col("doc_id"))
       val b = math.max(1L, docsIds.count() / 64L)
       val db = docsIds
@@ -1797,14 +1811,11 @@ object Components {
         .filter(col("doc_id") =!= col("a"))
         .join(nbr.select(col("a"), col("p").as("doc_id")),
           Seq("a", "doc_id"), "left_anti")
-      val nk = cand.withColumn("k",
-        md5s(concat(col("a").cast(StringType), lit(":n:"),
-          col("doc_id").cast(StringType))))
-      val nmin = nk.groupBy(col("a")).agg(min(col("k")).as("mk"))
-        .withColumnRenamed("a", "a2")
-      val neg = nk
-        .join(nmin, nk("a") === col("a2") && col("k") === col("mk"))
-        .groupBy(col("a")).agg(min(col("doc_id")).as("neg_id"))
+      val neg = argminByKey(
+        cand.withColumn("k",
+          md5s(concat(col("a").cast(StringType), lit(":n:"),
+            col("doc_id").cast(StringType)))),
+        col("k"), col("doc_id"), "neg_id")
       pos.join(neg, Seq("a"))
         .select(col("a").as("anchor_id"), col("pos_id"), col("neg_id"))
         .orderBy(col("anchor_id"))

@@ -61,7 +61,17 @@ object Scale {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val loc = new java.io.File(s"$wh/$table")
     graft.util.Fs.deleteRecursively(loc.getPath)
-    df.write.mode(SaveMode.Overwrite)
+    // Round-15 optimization (guide §6 small files; the CLAUDE.md
+    // partitionBy sliver-file finding applied to buckets): without a
+    // preceding repartition on the bucket key, EVERY scan task writes its
+    // own file per bucket it sees — task-count × buckets sliver files,
+    // each sorted separately. repartition(buckets, key) is the same
+    // murmur3-pmod placement bucketBy computes, so each write task holds
+    // exactly one bucket: one file per bucket, one sort per file, and the
+    // downstream bucketed scan opens `buckets` files instead of the
+    // sliver set. Data written is identical (placement only).
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .option("path", loc.getAbsolutePath)
       .saveAsTable(table)
