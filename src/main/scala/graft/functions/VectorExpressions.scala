@@ -248,6 +248,86 @@ object VectorOps {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Per-element micro-unit floor quantization `floor(x * 1e6)::long` —
+    * the stats-pass input of int8 scalar quantization, one compiled pass
+    * instead of the interpreted `transform(v, x -> floor(x*1e6)::long)`
+    * HOF it replaces. Element semantics match the HOF exactly: a null
+    * element stays null, every other element is
+    * `(long) Math.floor(x * 1e6)` — the same double→long cast Spark's
+    * Floor(double) compiles to (saturating at Long.MIN/MAX, NaN → 0).
+    */
+  def quantizeVec(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(
+          math.floor(v.getDouble(i) * 1000000.0).toLong)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Int8 code vector from micro-quantized longs + per-dim min/max stats:
+    * element i is `CASE WHEN mx[i] = mn[i] THEN 0 ELSE
+    * ((xq[i] - mn[i]) * 255) div (mx[i] - mn[i]) END :: int` — the exact
+    * integer expression of the interpreted HOF it replaces
+    * (graft.llm.Similarity.quantizeEmbeddings), with Java long arithmetic
+    * (Spark's non-ANSI wrap) and truncating division (Spark's `div`; the
+    * operands are nonneg-by-construction at the call site, where
+    * truncation ≡ floor ≡ DuckDB's `//`). Null element when the stats
+    * slot or the input element is null, or when `i` runs past the stats
+    * arrays (the HOF's out-of-bounds element access) — constant dims
+    * (mx = mn) code as 0 even for a null input element, exactly as the
+    * CASE does.
+    */
+  def quantCodes(xq: ArrayData, mn: ArrayData, mx: ArrayData): ArrayData = {
+    val n = xq.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val statsOk = i < mn.numElements() && i < mx.numElements() &&
+        !mn.isNullAt(i) && !mx.isNullAt(i)
+      if (statsOk) {
+        val lo = mn.getLong(i)
+        val hi = mx.getLong(i)
+        if (hi == lo) out(i) = java.lang.Integer.valueOf(0)
+        else if (!xq.isNullAt(i))
+          out(i) = java.lang.Integer.valueOf(
+            (((xq.getLong(i) - lo) * 255L) / (hi - lo)).toInt)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Approximate reconstruction `mn[i] + c * (mx[i] - mn[i]) / 255D` from
+    * int8 codes + per-dim stats — the exact IEEE expression tree of the
+    * interpreted HOF it replaces (graft.llm.Similarity.dequantized): the
+    * code×range product is LONG arithmetic (int promoted, Java wrap),
+    * widened once to double for the /255 divide, then added to the
+    * widened min. Null element when the code or either stats slot is
+    * null or `i` runs past the stats arrays.
+    */
+  def dequantizeVec(codes: ArrayData, mn: ArrayData, mx: ArrayData): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val ok = i < mn.numElements() && i < mx.numElements() &&
+        !mn.isNullAt(i) && !mx.isNullAt(i) && !codes.isNullAt(i)
+      if (ok) {
+        val lo = mn.getLong(i)
+        val hi = mx.getLong(i)
+        out(i) = java.lang.Double.valueOf(
+          lo.toDouble + (codes.getInt(i).toLong * (hi - lo)).toDouble / 255.0)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-bucket one vector against the precomputed planes using the
     * QUANTIZED dot product (each term `floor(x * w * 2^30)` is an
     * exactly-representable long, so the sum is order-independent and the
@@ -483,6 +563,141 @@ case class AdcTableSum(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-element micro-unit floor quantization of an `array<double>` vector
+  * (`floor(x * 1e6)::long` per element) — the stats-pass input of int8
+  * scalar quantization as one codegen-resident kernel call. The
+  * interpreted `transform` HOF it replaces ran per row over the whole
+  * embedding corpus in quantizeEmbeddings (shared by q_sim_quant,
+  * q_embed_quant and the int8 serving path); see
+  * [[VectorOps.quantizeVec]] for the element-identity argument (LlmSpec
+  * pins bit-identity vs the HOF reference). Null iff the input array is
+  * null; null elements stay null, matching `transform`.
+  */
+case class QuantizeVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_vec requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.quantizeVec(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.quantizeVec($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/** Int8 code vector `quant_codes(xq, q_min, q_max)` — the encode pass of
+  * scalar quantization as one codegen-resident kernel call over the
+  * micro-quantized longs and the broadcast per-dim stats columns. See
+  * [[VectorOps.quantCodes]] for the element-identity argument vs the
+  * interpreted CASE/div HOF it replaces (LlmSpec pins bit-identity;
+  * q_embed_quant hash-gates the codes end-to-end against DuckDB's
+  * restatement). Null iff any input array is null — at the only call
+  * site the stats columns are a global-aggregate output joined by
+  * crossJoin(broadcast), which is never null.
+  */
+case class QuantCodes(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = true)
+
+  override def nullable: Boolean = true
+
+  private def longArray(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (longArray(first.dataType) && longArray(second.dataType) &&
+        longArray(third.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quant_codes requires three array<bigint> arguments, got " +
+          s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString}")
+
+  override def nullSafeEval(xq: Any, mn: Any, mx: Any): Any =
+    VectorOps.quantCodes(xq.asInstanceOf[ArrayData],
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xq, mn, mx) =>
+      s"${ev.value} = graft.functions.VectorOps.quantCodes($xq, $mn, $mx);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): QuantCodes =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Dequantized reconstruction `dequantize_vec(codes, q_min, q_max)` —
+  * the decode half of the int8 path as one codegen-resident kernel call.
+  * See [[VectorOps.dequantizeVec]] for the IEEE expression-tree identity
+  * vs the interpreted HOF it replaces (LlmSpec pins bit-identity — the
+  * reconstructed doubles feed quantizedTopK's coarse cosine, whose
+  * shortlist boundary must not move). Null iff any input array is null
+  * (same call-site argument as [[QuantCodes]]).
+  */
+case class DequantizeVec(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def intArray(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    def longArray(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (intArray(first.dataType) && longArray(second.dataType) &&
+        longArray(third.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dequantize_vec requires (array<int>, array<bigint>, array<bigint>), got " +
+          s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(codes: Any, mn: Any, mx: Any): Any =
+    VectorOps.dequantizeVec(codes.asInstanceOf[ArrayData],
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, mn, mx) =>
+      s"${ev.value} = graft.functions.VectorOps.dequantizeVec($c, $mn, $mx);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): DequantizeVec =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Element-wise vector sum as a typed Aggregator: the scale-safe M-step
   * primitive for k-means/IVF training. Aggregating WHOLE vectors per
   * centroid keeps the shuffle at one `dim`-length buffer per (centroid ×
@@ -654,6 +869,21 @@ object VectorExpressions {
       tables: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(AdcTableSum(ColumnBridge.expression(pid),
       ColumnBridge.expression(codes), tables))
+
+  /** Column-level entry: per-element micro-unit floor quantization
+    * (`floor(x*1e6)::long` per element). */
+  def quantizeVec(v: Column): Column =
+    ColumnBridge.column(QuantizeVec(ColumnBridge.expression(v)))
+
+  /** Column-level entry: int8 encode against per-dim min/max stats. */
+  def quantCodes(xq: Column, qMin: Column, qMax: Column): Column =
+    ColumnBridge.column(QuantCodes(ColumnBridge.expression(xq),
+      ColumnBridge.expression(qMin), ColumnBridge.expression(qMax)))
+
+  /** Column-level entry: dequantized reconstruction from int8 codes. */
+  def dequantizeVec(codes: Column, qMin: Column, qMax: Column): Column =
+    ColumnBridge.column(DequantizeVec(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qMin), ColumnBridge.expression(qMax)))
 
   /** Column-level entry: fused quantized LSH sign-bucket. `planeOffset`
     * selects which contiguous run of the global md5 plane family the

@@ -1579,22 +1579,35 @@ object Components {
             .as(s"${v}n"))
       }
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // try/finally (ADVICE r15): a throw between persist and unpersist
+      // would leave corpus-derived frames cached in the shared bench/gate
+      // JVM — the round-12 leak class. unpersist is idempotent, so the
+      // early success-path unpersists (which bound PEAK cache pressure)
+      // stay, and the finally is a no-op when they already ran.
       val a1 = e.groupBy(col("s")).agg(count(lit(1)).as("a")).persist(lvl)
-      val t1 = totalOf(a1, "a") // materializes a1
-      val h1 = e.join(normalizeLit(a1, "s", "a", t1), "s")
-        .groupBy(col("c")).agg(sum(col("an")).as("h")).persist(lvl)
-      val t2 = totalOf(h1, "h") // materializes h1
-      a1.unpersist()
-      val a2 = e.join(normalizeLit(h1, "c", "h", t2), "c")
-        .groupBy(col("s")).agg(sum(col("hn")).as("a")).persist(lvl)
-      val t3 = totalOf(a2, "a") // materializes a2
-      h1.unpersist()
-      val out = normalizeLit(a2, "s", "a", t3)
-        .select(col("s").as("s_suppkey"), col("an").as("auth_ppb"))
-        .orderBy(col("auth_ppb").desc, col("s_suppkey")).limit(15)
-      val rows = out.collect().toIndexedSeq // bounded: top-15
-      a2.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      var h1: DataFrame = null
+      var a2: DataFrame = null
+      try {
+        val t1 = totalOf(a1, "a") // materializes a1
+        h1 = e.join(normalizeLit(a1, "s", "a", t1), "s")
+          .groupBy(col("c")).agg(sum(col("an")).as("h")).persist(lvl)
+        val t2 = totalOf(h1, "h") // materializes h1
+        a1.unpersist()
+        a2 = e.join(normalizeLit(h1, "c", "h", t2), "c")
+          .groupBy(col("s")).agg(sum(col("hn")).as("a")).persist(lvl)
+        val t3 = totalOf(a2, "a") // materializes a2
+        h1.unpersist()
+        val out = normalizeLit(a2, "s", "a", t3)
+          .select(col("s").as("s_suppkey"), col("an").as("auth_ppb"))
+          .orderBy(col("auth_ppb").desc, col("s_suppkey")).limit(15)
+        val rows = out.collect().toIndexedSeq // bounded: top-15
+        a2.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally {
+        a1.unpersist()
+        if (h1 != null) h1.unpersist()
+        if (a2 != null) a2.unpersist()
+      }
     },
 
     // Train/eval near-dup leakage audit (round 10): after the md5-bucket
@@ -1792,11 +1805,19 @@ object Components {
       // hex; ids are nonneg longs zero-padded to 20 digits, so the
       // ordering is identical. Result hash-checked at all three SFs.
       def argminByKey(df: DataFrame, key: Column, id: Column,
-          out: String): DataFrame =
+          out: String): DataFrame = {
+        // ids nonneg is a DATA-contract assumption, not a type guarantee
+        // (ADVICE r15): '-' sorts below '0', so a negative id would
+        // silently win key ties and decode to null — fail loudly instead
+        val idStr = when(id < 0, raise_error(concat(
+            lit("argminByKey: negative id breaks the zero-pad ordering: "),
+            id.cast(StringType))))
+          .otherwise(lpad(id.cast(StringType), 20, "0"))
         df.groupBy(col("a"))
-          .agg(min(concat(key, lpad(id.cast(StringType), 20, "0"))).as("kp"))
+          .agg(min(concat(key, idStr)).as("kp"))
           .select(col("a"),
             substring(col("kp"), 33, 20).cast(LongType).as(out))
+      }
       val pos = argminByKey(
         nbr.withColumn("k", md5s(concat(col("a").cast(StringType), lit(":"),
           col("p").cast(StringType)))),

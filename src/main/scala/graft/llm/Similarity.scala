@@ -22,8 +22,18 @@ import graft.{Engine, Q}
   */
 object Similarity {
 
-  /** float[] → double[] (exact widening, matches the oracle's ::DOUBLE[]). */
-  def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  /** float[] → double[] (exact widening, matches the oracle's ::DOUBLE[]).
+    *
+    * Round 16: a native array Cast instead of the per-element
+    * `transform(c, _.cast(double))` HOF — same exact widening (every
+    * float is exactly representable as a double), but the HOF form ran
+    * INTERPRETED per row at every one of the ~68 embedding-path call
+    * sites (HOF lambdas are CodegenFallback), rebuilding the array before
+    * the codegen kernels even started; Cast compiles into the same
+    * whole-stage-codegen span as its consumer, and is removed outright
+    * when the input is already array<double>.
+    */
+  def toDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
   /** Codegen'd dot product (see [[graft.functions.ArrayDot]]); same
     * left-to-right fold as the HOF form, so oracle bits are unchanged.
@@ -385,15 +395,17 @@ object Similarity {
     */
   def quantizeEmbeddings(emb: DataFrame, vecCol: String = "embedding",
       keepStats: Boolean = false): DataFrame = {
+    // round 16: both per-row passes run as codegen kernels (QuantizeVec /
+    // QuantCodes — LlmSpec pins bit-identity vs the interpreted HOF
+    // reference below, and q_embed_quant hash-gates the codes end-to-end)
     val q = emb.withColumn("__xq",
-      transform(col(vecCol), x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)))
+      graft.functions.VectorExpressions.quantizeVec(toDouble(col(vecCol))))
     val stats = q.agg(
         graft.functions.VectorExpressions.vectorMinMax(col("__xq")).as("mm"))
       .select(col("mm").getItem(0).as("q_min"), col("mm").getItem(1).as("q_max"))
     val coded = q.crossJoin(broadcast(stats))
-      .withColumn("codes", expr(
-        """transform(__xq, (x, i) -> cast(CASE WHEN q_max[i] = q_min[i] THEN 0
-          |  ELSE ((x - q_min[i]) * 255) div (q_max[i] - q_min[i]) END as int))""".stripMargin))
+      .withColumn("codes", graft.functions.VectorExpressions
+        .quantCodes(col("__xq"), col("q_min"), col("q_max")))
       .drop("__xq")
     if (keepStats) coded else coded.drop("q_min", "q_max")
   }
@@ -404,6 +416,22 @@ object Similarity {
     * cosine over the reconstructed originals.
     */
   def dequantized: Column =
+    graft.functions.VectorExpressions.dequantizeVec(
+      col("codes"), col("q_min"), col("q_max"))
+
+  /** Interpreted HOF references of the three int8 kernels — kept as the
+    * semantic spec ([[graft.functions.QuantizeVec]] /
+    * [[graft.functions.QuantCodes]] / [[graft.functions.DequantizeVec]]);
+    * LlmSpec asserts exact agreement on the real corpus.
+    */
+  private[graft] def quantizeVecHof(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * 1000000d).cast(LongType))
+
+  private[graft] def quantCodesHof: Column = expr(
+    """transform(__xq, (x, i) -> cast(CASE WHEN q_max[i] = q_min[i] THEN 0
+      |  ELSE ((x - q_min[i]) * 255) div (q_max[i] - q_min[i]) END as int))""".stripMargin)
+
+  private[graft] def dequantizedHof: Column =
     expr("transform(codes, (c, i) -> q_min[i] + c * (q_max[i] - q_min[i]) / 255D)")
 
   /** Quantized-first-pass top-k: coarse ranking over int8 codes
@@ -551,6 +579,15 @@ object Similarity {
     val cb = Array.fill(m, pqCentroids)(Array.empty[Double])
     seedRows.zipWithIndex.foreach { case (r, i) =>
       val vec = r.getSeq[Double](1)
+      // validate on collect (ADVICE r15): a null element would NPE on the
+      // unboxed slice below, and a short seed would build a narrower cv
+      // that PqCodesWord (which sizes subDim from books(0)(0)) indexes
+      // out of bounds at TASK time — fail here with the real cause, like
+      // the empty-slot guard in the Lloyd loop
+      require(vec != null && vec.length == m * subDim && !vec.contains(null),
+        s"PQ seed vector vec_id=${r.getLong(0)} must be a dense " +
+          s"${m * subDim}-dim embedding (got " +
+          s"${if (vec == null) "null" else s"len=${vec.length}"})")
       for (sIdx <- 0 until m)
         cb(sIdx)(i) = vec.slice(sIdx * subDim, (sIdx + 1) * subDim).toArray
     }

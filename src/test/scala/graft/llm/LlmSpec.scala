@@ -539,6 +539,49 @@ class LlmSpec extends AnyFunSuite {
     assert(worst <= 1.0 + 1e-9, s"reconstruction off by $worst steps (> 1)")
   }
 
+  test("int8 kernels (QuantizeVec/QuantCodes/DequantizeVec) are bit-identical to the HOF forms") {
+    import graft.functions.VectorExpressions
+    // stats-pass input kernel vs the interpreted transform, real corpus
+    val kq = emb.select(col("vec_id"),
+      VectorExpressions.quantizeVec(Similarity.toDouble(col("embedding"))).as("xq"))
+    val hq = emb.select(col("vec_id"),
+      Similarity.quantizeVecHof(col("embedding")).as("xq"))
+    assert(kq.except(hq).isEmpty && hq.except(kq).isEmpty)
+    // full pipeline: codes AND reconstructed doubles, kernel vs HOF chain
+    val hofQ = emb.withColumn("__xq", Similarity.quantizeVecHof(col("embedding")))
+    val hofStats = hofQ.agg(VectorExpressions.vectorMinMax(col("__xq")).as("mm"))
+      .select(col("mm").getItem(0).as("q_min"), col("mm").getItem(1).as("q_max"))
+    val hofFull = hofQ.crossJoin(broadcast(hofStats))
+      .withColumn("codes", Similarity.quantCodesHof)
+      .withColumn("dq", Similarity.dequantizedHof)
+      .select("vec_id", "codes", "dq")
+    val kernelFull = Similarity.quantizeEmbeddings(emb, keepStats = true)
+      .withColumn("dq", Similarity.dequantized)
+      .select("vec_id", "codes", "dq")
+    assert(kernelFull.except(hofFull).isEmpty && hofFull.except(kernelFull).isEmpty)
+    // edge semantics the corpus can't exercise: a null element stays a
+    // null CODE on a varying dim, but a CONSTANT dim (q_max = q_min)
+    // codes 0 even for a null input element — exactly the HOF's CASE
+    import spark.implicits._
+    val edge = Seq((Seq[java.lang.Long](5L, null, 7L),
+      Seq(0L, 3L, 7L), Seq(10L, 3L, 7L)))
+      .toDF("__xq", "q_min", "q_max")
+    val viaKernel = edge.select(VectorExpressions
+      .quantCodes(col("__xq"), col("q_min"), col("q_max")).as("codes"))
+    val viaHof = edge.select(Similarity.quantCodesHof.as("codes"))
+    assert(viaKernel.except(viaHof).isEmpty && viaHof.except(viaKernel).isEmpty)
+    val got = viaKernel.head().getSeq[Any](0)
+    assert(got(0) == 127 && got(1) == 0 && got(2) == 0,
+      s"constant-dim/null-element code semantics drifted: $got")
+    // dequantize edge: null code stays a null double, same except-pin
+    val edgeDq = Seq((Seq[Integer](127, null, 0),
+      Seq(0L, 3L, 7L), Seq(10L, 3L, 7L)))
+      .toDF("codes", "q_min", "q_max")
+    val dqKernel = edgeDq.select(Similarity.dequantized.as("dq"))
+    val dqHof = edgeDq.select(Similarity.dequantizedHof.as("dq"))
+    assert(dqKernel.except(dqHof).isEmpty && dqHof.except(dqKernel).isEmpty)
+  }
+
   test("quantized-first-pass top-k recalls the brute-force neighbors") {
     val truth = Similarity.topK(emb, queryId = 0L, k = 10)
       .collect().map(_.getLong(0)).toSet
