@@ -1185,21 +1185,57 @@ object TextAnalysis {
         |  JOIN c ca ON ca.source = a.source
         |  JOIN c cb ON cb.source = b.source
         |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir)
+      // Round 16 (guide §2.4, VERDICT-r15 #3): source-BITMASK form. The
+      // old shape ran distinct(source, gram) then a gram self-join — two
+      // corpus-vocabulary shuffles plus a per-gram C(sources,2) fan-out.
+      // Sources are a bounded domain (20 here), so fold the corpus ONCE:
+      // bit_or(1 << bit(source)) per gram needs NO distinct (bit_or is
+      // idempotent over duplicate (source, gram) rows — the distinct IS
+      // the idempotence), and the vocabulary collapses to a mask
+      // HISTOGRAM (≤ 2^sources rows, tiny after map-side partial agg).
+      // Every pair statistic is a sum over that histogram: n_shared(a,b)
+      // = Σ cnt over masks with both bits, n_a = Σ cnt over masks with
+      // bit a — expanded by two crossJoin(broadcast(bit-table)) steps
+      // (the one legal BNLJ shape), bounded by |hist| × sources², all
+      // map-side. ONE corpus-sized shuffle total (the gram agg) vs three.
+      // Same rows: a pair appears iff some gram has both bits ⇔ the old
+      // inner self-join produced it; counts are the same integers.
+      import s.implicits._
+      val srcs = docs(s, dir).select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(srcs.length <= 62,
+        s"source-bitmask overlap packs sources into one long: " +
+          s"${srcs.length} sources > 62 (shard the source domain or use " +
+          "the pre-r16 self-join form)")
+      val bitOf = map(srcs.zipWithIndex.flatMap { case (src, i) =>
+        Seq(lit(src), lit(i)) }.toSeq: _*)
+      val hist = docs(s, dir)
         .select(col("source"),
           explode(graft.functions.TextExpressions.shingles(col("text"), 5)).as("g"))
-        .distinct()
-      val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val a = d.toDF("source_a", "g")
-      val b = d.toDF("source_b", "g_b")
-      a.join(b, col("g") === col("g_b") && col("source_a") < col("source_b"))
+        .select(col("g"),
+          call_function("shiftleft", lit(1L),
+            element_at(bitOf, col("source"))).as("m"))
+        .groupBy(col("g"))
+        .agg(expr("bit_or(m)").as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      val bits = srcs.zipWithIndex.toSeq.toDF("source", "bit")
+      val aBits = bits.toDF("source_a", "bit_a")
+      val bBits = bits.toDF("source_b", "bit_b")
+      val totals = hist.crossJoin(broadcast(aBits))
+        .filter(expr("((mask >> bit_a) & 1) = 1"))
+        .groupBy(col("source_a")).agg(sum(col("cnt")).as("n"))
+      hist.crossJoin(broadcast(aBits)).crossJoin(broadcast(bBits))
+        .filter(col("source_a") < col("source_b")
+          && expr("((mask >> bit_a) & 1) = 1")
+          && expr("((mask >> bit_b) & 1) = 1"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("cnt")).as("n_shared"))
         .join(broadcast(totals.toDF("source_a", "n_a")), "source_a")
         .join(broadcast(totals.toDF("source_b", "n_b")), "source_b")
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
-          count(lit(1)).as("n_shared"))
-        .withColumn("containment_ppm",
-          expr("(n_shared * 1000000L) div least(n_a, n_b)"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          expr("(n_shared * 1000000L) div least(n_a, n_b)")
+            .as("containment_ppm"))
         .orderBy(col("source_a"), col("source_b"))
     },
 
