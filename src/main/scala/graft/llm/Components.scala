@@ -649,7 +649,7 @@ object Components {
     */
   private[graft] def dropPairGraphCache(dir: String): Unit = {
     val p = pairGraphPath(dir)
-    Seq(p, s"${p}_cc", s"${p}_mh", s"${p}_mhc").foreach { d =>
+    Seq(p, s"${p}_cc", s"${p}_mh", s"${p}_mhc", s"${p}_jpc").foreach { d =>
       builtIndexes.remove(d)
       graft.util.Fs.deleteRecursively(d)
     }
@@ -766,6 +766,35 @@ object Components {
   private[graft] def dropMinhashMemo(dir: String): Unit = {
     builtIndexes.remove(s"${pairGraphPath(dir)}_mh")
     builtIndexes.remove(s"${pairGraphPath(dir)}_mhc"): Unit
+  }
+
+  /** The df-capped jaccard-SCORED pair index `(d1, d2, n1, n2, inter)`
+    * (d1 < d2), materialized once per dataset (`_jpc` suffix) — round 16,
+    * VERDICT-r15 #5: q_dedup_near and q_dedup_containment each re-ran the
+    * full [[graft.llm.Dedup.jaccardPairsCapped]] pipeline (inverted-index
+    * rare-pair generation + hot-shingle recovery + two size joins) on the
+    * same candidates; one build now feeds both scorers. Only the exact
+    * INTEGER columns persist — jac/containment are recomputed on read
+    * with the identical expressions, so no double survives a parquet
+    * round-trip and the gate hashes are unchanged by construction. The
+    * pair list is edge-sized (the simhashPairs materialize-vs-recompute
+    * adjudication, not the exploded-shingle negative), and at 100 TB this
+    * is the production shape: score candidate pairs once, let every
+    * policy (jaccard threshold, containment threshold, agreement audits)
+    * read the scored index.
+    */
+  private[graft] def jaccardPairIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${pairGraphPath(dir)}_jpc"
+    builtIndexes.getOrElseUpdate(path, {
+      buildIndexAtomically(path) { tmp =>
+        Dedup.jaccardPairsCapped(
+            Dedup.shingles(Engine.table(s, dir, "documents")), maxDf = 50)
+          .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
+    s.read.parquet(path)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"))
   }
 
   /** 2-core of an undirected edge list: iteratively peel every vertex of

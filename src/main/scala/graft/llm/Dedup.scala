@@ -1438,13 +1438,16 @@ object Dedup {
          |                     JOIN sizes s2 ON d2 = s2.doc_id)
          |SELECT d1, d2, n1, n2, inter, jac FROM cjac
          |WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      // no materialization of sh: the inverted-index formulation consumes
-      // it three times, and re-deriving a codegen'd narrow explode from
-      // the source scan measured 3x faster than any cache of the exploded
-      // table (round 2's eager localCheckpoint additionally truncated
-      // lineage — executor loss killed the job); recompute keeps full
-      // recompute-on-loss lineage at cluster scale
-      jaccardPairsCapped(shingles(docs(s, dir)), maxDf = 50)
+      // Round 16 (VERDICT-r15 #5): read the shared df-capped scored pair
+      // index (Components.jaccardPairIndex — one jaccardPairsCapped build
+      // per dataset, this query and q_dedup_containment both read it).
+      // Integer columns only persist; jac is recomputed here with the
+      // identical expression, so the gate hash is unchanged. The round-2
+      // negative on caching the exploded SHINGLE table stands — the pair
+      // index is edge-sized, the simhashPairs adjudication.
+      Components.jaccardPairIndex(s, dir)
+        .withColumn("jac", col("inter").cast(DoubleType)
+          / (col("n1") + col("n2") - col("inter")))
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"), col("jac"))
         .orderBy(col("d1"), col("d2"))
@@ -1486,7 +1489,9 @@ object Dedup {
          |                      JOIN sizes s2 ON d2 = s2.doc_id)
          |SELECT d1, d2, n1, n2, inter, containment FROM ccont
          |WHERE containment >= 0.8 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      jaccardPairsCapped(shingles(docs(s, dir)), maxDf = 50)
+      // shared scored pair index (see q_dedup_near) — only the score
+      // expression differs
+      Components.jaccardPairIndex(s, dir)
         .withColumn("containment",
           col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
         .filter(col("containment") >= 0.8)
