@@ -345,6 +345,54 @@ object Scale {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Distributed global lead(1) over UNIQUE long keys — the successor
+    * primitive behind gap/neighbor scans, WITHOUT the single-partition
+    * `lead() OVER (ORDER BY k)` window AND without rankGlobal's
+    * zipWithIndex + adjacent-rank equi-join (round 16, VERDICT-r15 #4:
+    * the rank join re-shuffled both sides on rank just to pair
+    * neighbors that range partitioning already co-located). Range
+    * partitioning makes every key in partition p smaller than every key
+    * in partition p+1, so a row's successor is its within-partition
+    * lead — except each partition's LAST row, whose successor is the
+    * head (min key) of the next non-empty partition: P heads collect to
+    * the driver (partition-count-bounded, the minAboveStrict rule) and
+    * stitch the boundaries back as a broadcast. Key uniqueness is
+    * REQUIRED (distinct/pre-aggregate first) so the order is total and
+    * a range boundary can never split a key group — the same contract
+    * as minAboveStrict, with the same single-materialization persist:
+    * the heads collect and the caller's eventual execution must see ONE
+    * sampled partitioning. Emits the input columns plus `nxt` (null for
+    * the global maximum).
+    */
+  def leadGlobal(df: DataFrame, k: String, parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(parts, col(k))
+      .sortWithinPartitions(col(k))
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(k))
+    val withinPlan = sorted.withColumn("__lead", lead(col(k), 1).over(w))
+    val withinRdd = withinPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = spark.createDataFrame(withinRdd, withinPlan.schema)
+    val heads = within.groupBy(col("__pid")).agg(min(col(k)).as("__h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // pid -> head of the NEXT non-empty partition (range order = pid order)
+    val nextHead = heads.zip(heads.drop(1))
+      .map { case ((pid, _), (_, h2)) => (pid, h2) }
+    import scala.jdk.CollectionConverters._
+    val nh = spark.createDataFrame(
+      nextHead.toSeq.map { case (pid, h) =>
+        org.apache.spark.sql.Row(pid, Long.box(h))
+      }.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("__pid", IntegerType, nullable = false)
+        .add("__nxthead", LongType, nullable = true))
+    within.join(broadcast(nh), Seq("__pid"), "left")
+      .withColumn("nxt", coalesce(col("__lead"), col("__nxthead")))
+      .drop("__pid", "__lead", "__nxthead")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Join-size estimation via count-min inner product (round 7
@@ -609,16 +657,19 @@ object Scale {
         |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
         |  nxt - id - 1 AS n_missing
         |FROM x WHERE nxt - id > 1 ORDER BY gap_start""".stripMargin) { (s, dir) =>
+      // Round 16 (VERDICT-r15 #4): leadGlobal replaces rankGlobal +
+      // adjacent-rank equi-join — the join re-shuffled both sides on
+      // rank to pair neighbors that range partitioning already
+      // co-located; successor stitching is now a within-partition lead
+      // + a P-row broadcast of partition heads. Same rows (the global
+      // maximum has null nxt and is filtered on both paths).
       val ids = Engine.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("id")).distinct()
-      val ranked = rankGlobal(ids, col("id"))
-      val nxt = ranked.select((col("rank") - 1L).as("rank"),
-        col("id").as("nxt_id"))
-      ranked.join(nxt, "rank")
-        .filter(col("nxt_id") - col("id") > 1L)
+      leadGlobal(ids, "id")
+        .filter(col("nxt") - col("id") > 1L)
         .select((col("id") + 1L).as("gap_start"),
-          (col("nxt_id") - 1L).as("gap_end"),
-          (col("nxt_id") - col("id") - 1L).as("n_missing"))
+          (col("nxt") - 1L).as("gap_end"),
+          (col("nxt") - col("id") - 1L).as("n_missing"))
         .orderBy(col("gap_start"))
     },
 

@@ -323,6 +323,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(at4.except(at17).isEmpty && at17.except(at4).isEmpty)
   }
 
+  test("leadGlobal equals the single-partition lead window and never plans one (round 16)") {
+    val ids = graft.Engine.table(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey").as("id")).distinct()
+    val windowed = ids.withColumn("nxt",
+      lead(col("id"), 1).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("id"))))
+    val led = Scale.leadGlobal(ids, "id")
+    assert(windowed.except(led).isEmpty && led.except(windowed).isEmpty)
+    val plan = led.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"leadGlobal planned a single-partition exchange:\n$plan")
+    // boundary-independence: successors are stable across partition counts
+    val at3 = Scale.leadGlobal(ids, "id", parts = 3)
+    val at17 = Scale.leadGlobal(ids, "id", parts = 17)
+    assert(at3.except(at17).isEmpty && at17.except(at3).isEmpty)
+  }
+
   test("q_shard_balance: round-robin-by-size totals spread at most one max document (round 7)") {
     val stats = graft.Registry.all("q_shard_balance")
       .fn(spark, TestSpark.sfDir)
