@@ -1608,6 +1608,17 @@ object Components {
             .as(s"${v}n"))
       }
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // audit hook (VERDICT-r15 #4/#8): the rounds below execute eagerly,
+      // so a caller's explain() only ever sees the final 15-row local
+      // relation — with GRAFT_DUMP_PLANS_DIR set, each round's DISTRIBUTED
+      // plan is written aside as it is built (no cost when unset)
+      def dumpPlan(name: String, df: DataFrame): Unit =
+        sys.env.get("GRAFT_DUMP_PLANS_DIR").foreach { d =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, s"$name.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+        }
       // try/finally (ADVICE r15): a throw between persist and unpersist
       // would leave corpus-derived frames cached in the shared bench/gate
       // JVM — the round-12 leak class. unpersist is idempotent, so the
@@ -1617,18 +1628,22 @@ object Components {
       var h1: DataFrame = null
       var a2: DataFrame = null
       try {
+        dumpPlan("q_hits_round1_a1", a1)
         val t1 = totalOf(a1, "a") // materializes a1
         h1 = e.join(normalizeLit(a1, "s", "a", t1), "s")
           .groupBy(col("c")).agg(sum(col("an")).as("h")).persist(lvl)
+        dumpPlan("q_hits_round2_h1", h1)
         val t2 = totalOf(h1, "h") // materializes h1
         a1.unpersist()
         a2 = e.join(normalizeLit(h1, "c", "h", t2), "c")
           .groupBy(col("s")).agg(sum(col("hn")).as("a")).persist(lvl)
+        dumpPlan("q_hits_round3_a2", a2)
         val t3 = totalOf(a2, "a") // materializes a2
         h1.unpersist()
         val out = normalizeLit(a2, "s", "a", t3)
           .select(col("s").as("s_suppkey"), col("an").as("auth_ppb"))
           .orderBy(col("auth_ppb").desc, col("s_suppkey")).limit(15)
+        dumpPlan("q_hits_close_top15", out)
         val rows = out.collect().toIndexedSeq // bounded: top-15
         a2.unpersist()
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)

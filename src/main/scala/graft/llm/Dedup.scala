@@ -1848,17 +1848,11 @@ object Dedup {
       val emb = Engine.table(s, dir, "embeddings")
       val k = math.max(8L,
         (emb.count() + semDocsPerCluster - 1) / semDocsPerCluster).toInt
-      val cents = emb.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").as("cent_id"), Similarity.toDouble(col("embedding")).as("cv"))
-      val asg = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cos_r",
-          round(Similarity.dot(col("v"), col("cv"))
-            / (Similarity.norm(col("v")) * Similarity.norm(col("cv"))), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("cos_r")),
-          struct(col("cos_r"), col("cent_id") * -1)).as("a"))
-        .select(col("vec_id"), col("a.cent_id").as("cent_id"))
+      // the shared fused E-step (see Similarity.roundedArgmaxAssign —
+      // codegen HashAggregate, not the max_by ObjectHashAggregate this
+      // inlined before round 16); identical assignment by construction
+      val asg = Similarity.roundedArgmaxAssign(emb, k)
+        .select(col("vec_id"), col("cent_id"))
       val v = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.norm(Similarity.toDouble(col("embedding"))).as("nrm"))
       asg.as("a").join(asg.as("b"),

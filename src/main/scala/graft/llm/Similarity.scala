@@ -168,6 +168,50 @@ object Similarity {
     * (vec_id, cent_id, cos_r).
     */
   def roundedArgmaxAssign(emb: DataFrame, k: Int = 8): DataFrame = {
+    // Round 16 (the r15 q_contrastive_pairs lesson, argMAX flavor): the
+    // max_by(struct, struct) ordering routed this corpus-sized
+    // aggregation through SortAggregate outright (per-group sorts — the
+    // struct-buffer trap's worse sibling; a STRING-key min/max lands
+    // there too, strings not being hash-buffer-mutable). One PACKED-LONG
+    // max stays in codegen HashAggregate: cos_r is a 6dp grid point, so
+    // `round(cos_r*1e6)::long + 1e6` ∈ [0, 2e6] is its exact 21-bit
+    // rank; shift it left 42 and add `(2^42-1) - cent_id` — long max ≡
+    // (cos_r DESC, cent_id ASC), exactly max_by's struct(cos_r,
+    // -cent_id) order, in 63 bits. Decoding divides the grid rank back:
+    // k/1e6 in double IS round(x, 6)'s value (both are the closest
+    // double to k·10⁻⁶); LlmSpec pins fused ≡ max_by on the corpus and
+    // pins the plan HashAggregate. cent_id ∈ [0, 2^42) is the id data
+    // contract (4.4e12 ids — beyond this corpus line's scale ceiling) —
+    // enforced loudly, since a violation would silently misorder.
+    // Out of contract: a NaN cosine (zero-norm vector) — the dense
+    // embedding tables can't produce one, and the engines' NaN orderings
+    // already disagree upstream of this encoding.
+    val idCap = (1L << 42) - 1
+    val cents = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
+    val invId = when(col("cent_id") < 0 || col("cent_id") > idCap,
+        raise_error(concat(lit("roundedArgmaxAssign: cent_id outside "
+          + "[0, 2^42): "), col("cent_id").cast(StringType))))
+      .otherwise(lit(idCap) - col("cent_id")).cast(LongType)
+    val enc = (round(col("cos_r") * 1000000d).cast(LongType) + 1000000L)
+      .*(lit(1L << 42)).+(invId)
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_r",
+        round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(enc).as("kp"))
+      .select(col("vec_id"),
+        (lit(idCap) - col("kp").bitwiseAND(lit(idCap))).as("cent_id"),
+        ((shiftright(col("kp"), 42) - 1000000L)
+          .cast(DoubleType) / 1000000d).as("cos_r"))
+  }
+
+  /** The max_by(struct) reference of [[roundedArgmaxAssign]] — kept as
+    * the semantic spec for the fused string-max encoding; LlmSpec asserts
+    * exact agreement (cent_id AND the decoded cos_r bits) on the corpus.
+    */
+  private[graft] def roundedArgmaxAssignRef(emb: DataFrame, k: Int = 8): DataFrame = {
     val cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("cv"))
     emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))

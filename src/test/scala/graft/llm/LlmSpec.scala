@@ -691,6 +691,25 @@ class LlmSpec extends AnyFunSuite {
     assert(kernel.size === emb.count())
   }
 
+  test("fused packed-long-max roundedArgmaxAssign equals the max_by reference (round 16)") {
+    // the fused form must reproduce BOTH the assignment and the decoded
+    // cos_r bits (k/1e6 in double ≡ round(x, 6)'s closest-double value);
+    // except() compares doubles exactly
+    val fused = Similarity.roundedArgmaxAssign(emb, k = 8)
+    val ref = Similarity.roundedArgmaxAssignRef(emb, k = 8)
+    assert(fused.except(ref).isEmpty && ref.except(fused).isEmpty)
+    assert(fused.count() === emb.count())
+    // and it must stay in codegen HashAggregate — the max_by struct
+    // ordering routed this aggregation through SortAggregate outright
+    // (per-group sorts, worse than the ObjectHashAggregate fallback the
+    // CLAUDE.md rule documents for struct BUFFERS)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"fused argmax regressed to a sort/object aggregate:\n$plan")
+    val refPlan = ref.queryExecution.executedPlan.toString
+    assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
+  }
+
   test("AdcTableSum kernel is bit-identical to the HOF zip_with decode") {
     import spark.implicits._
     // the round-13 one-Literal-per-table decode this kernel retires:
