@@ -328,6 +328,31 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Residual `v − cents(cell)` against a bounded centroid table — the
+    * IVF-PQ residual pass as one compiled loop. Element semantics match
+    * the `zip_with(v, element_at(centsLit, cell+1), (x, c) => x − c)`
+    * HOF it replaces exactly: zip_with pads the shorter side with nulls,
+    * so the output has max(len) elements with null where either side is
+    * missing (or the v element is null); a cell outside the table made
+    * element_at null and zip_with(v, null) a NULL result — returned
+    * boxed null here.
+    */
+  def residualVec(v: ArrayData, cell: Int,
+      cents: Array[Array[Double]]): ArrayData = {
+    if (cell < 0 || cell >= cents.length) return null
+    val cv = cents(cell)
+    val vn = v.numElements()
+    val n = math.max(vn, cv.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < vn && i < cv.length && !v.isNullAt(i))
+        out(i) = java.lang.Double.valueOf(v.getDouble(i) - cv(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-bucket one vector against the precomputed planes using the
     * QUANTIZED dot product (each term `floor(x * w * 2^30)` is an
     * exactly-representable long, so the sum is order-independent and the
@@ -698,6 +723,53 @@ case class DequantizeVec(first: Expression, second: Expression, third: Expressio
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Residual `v − cents(cell)` of an `array<double>` vector against a
+  * reference-object centroid table — the IVF-PQ residual pass as one
+  * codegen-resident kernel call (round 16: the last interpreted zip_with
+  * on a corpus path; see [[VectorOps.residualVec]] for the element-
+  * identity argument vs the HOF, LlmSpec pins it). Null iff the vector
+  * or cell input is null, or the cell is outside the table (element_at's
+  * null propagated through zip_with in the reference).
+  */
+case class ResidualVec(left: Expression, right: Expression,
+    cents: Array[Array[Double]]) extends BinaryExpression {
+
+  require(cents.nonEmpty, "residual_vec needs a non-empty centroid table")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _),
+          org.apache.spark.sql.types.IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"residual_vec requires (array<double>, int cell), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    VectorOps.residualVec(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, cell) =>
+      s"""
+         |${ev.value} = graft.functions.VectorOps.residualVec($v, $cell, $centsRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResidualVec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Element-wise vector sum as a typed Aggregator: the scale-safe M-step
   * primitive for k-means/IVF training. Aggregating WHOLE vectors per
   * centroid keeps the shuffle at one `dim`-length buffer per (centroid ×
@@ -869,6 +941,13 @@ object VectorExpressions {
       tables: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(AdcTableSum(ColumnBridge.expression(pid),
       ColumnBridge.expression(codes), tables))
+
+  /** Column-level entry: residual v − cents(cell) against a bounded
+    * reference-object centroid table (IVF-PQ residual kernel). */
+  def residualVec(v: Column, cell: Column,
+      cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(ResidualVec(ColumnBridge.expression(v),
+      ColumnBridge.expression(cell), cents))
 
   /** Column-level entry: per-element micro-unit floor quantization
     * (`floor(x*1e6)::long` per element). */

@@ -102,8 +102,24 @@ object AnnIndex {
       .withColumn("cell",
         graft.functions.VectorExpressions.nearestCentroid(col("v"), cents))
 
-  /** (vec_id, cell, rv): assignment plus the residual v − centroid. */
+  /** (vec_id, cell, rv): assignment plus the residual v − centroid.
+    * Round 16: the codegen ResidualVec kernel (reference-object centroid
+    * table) replaces the interpreted zip_with lambda — the last
+    * interpreted HOF on a corpus path; LlmSpec pins element identity vs
+    * the HOF reference below.
+    */
   private[graft] def residuals(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    assignments(emb, cents)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorExpressions
+          .residualVec(col("v"), col("cell"), cents).as("rv"))
+
+  /** Interpreted HOF reference of [[residuals]]'s subtraction — the
+    * semantic spec for [[graft.functions.ResidualVec]] (LlmSpec asserts
+    * exact agreement on the real corpus).
+    */
+  private[graft] def residualsHof(emb: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     assignments(emb, cents)

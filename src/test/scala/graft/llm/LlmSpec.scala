@@ -710,6 +710,25 @@ class LlmSpec extends AnyFunSuite {
     assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
   }
 
+  test("ResidualVec kernel is bit-identical to the HOF zip_with subtraction (round 16)") {
+    val cents = Similarity.ivfCentroids(emb, 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val kernel = graft.llm.AnnIndex.residuals(emb, cents)
+    val hof = graft.llm.AnnIndex.residualsHof(emb, cents)
+    assert(kernel.except(hof).isEmpty && hof.except(kernel).isEmpty)
+    assert(kernel.count() === emb.count())
+    // out-of-table cell → null rv, exactly element_at-null through zip_with
+    import spark.implicits._
+    val bad = Seq((1L, Seq(0.5, 0.25), 99), (2L, Seq(0.5, 0.25), 0))
+      .toDF("vec_id", "v", "cell")
+      .select(col("vec_id"), graft.functions.VectorExpressions
+        .residualVec(col("v"), col("cell"), Array(Array(0.5, 0.5))).as("rv"))
+      .collect().sortBy(_.getLong(0))
+    assert(bad(0).isNullAt(1))
+    assert(bad(1).getSeq[Double](1) == Seq(0.0, -0.25))
+  }
+
   test("AdcTableSum kernel is bit-identical to the HOF zip_with decode") {
     import spark.implicits._
     // the round-13 one-Literal-per-table decode this kernel retires:
