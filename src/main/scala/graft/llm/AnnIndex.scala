@@ -139,6 +139,21 @@ object AnnIndex {
     val cents = Similarity.ivfCentroids(emb, nCells, coarseIters).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
+    // audit hook (VERDICT-r15 #8 convention): train is EAGER, so no
+    // graded query's explain ever shows the residual pass — with
+    // GRAFT_DUMP_PLANS_DIR set, dump the kernel plan and the kept HOF
+    // reference's plan (the exact pre-r16 expression shape) side by side
+    // as the before/after evidence (no cost when unset; explain only,
+    // nothing executes)
+    sys.env.get("GRAFT_DUMP_PLANS_DIR").foreach { d =>
+      def dump(name: String, df: DataFrame): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      dump("q_sim_ivfpq_residual_before", residualsHof(emb, cents))
+      dump("q_sim_ivfpq_residual_after", residuals(emb, cents))
+    }
     val resid = residuals(emb, cents)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {

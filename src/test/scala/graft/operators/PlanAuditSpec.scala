@@ -104,8 +104,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ivfpq",       // crossJoin(broadcast(1-row query vector)) rerank
     "q_sim_mips_ann",    // gate's exact-MIPS truth side: mipsTopK's
                          // crossJoin(broadcast(1-row query vector))
-    "q_nb_classify")     // crossJoin(broadcast(1-row train-total/class-
+    "q_nb_classify",     // crossJoin(broadcast(1-row train-total/class-
                          // count aggregate)) feeding the prior table
+    "q_cross_source_overlap") // round 16: mask HISTOGRAM (≤ 2^sources
+                         // rows) × crossJoin(broadcast(sources-sized
+                         // bit table)) ×2 — the bitmask expansion that
+                         // replaced the gram self-join
   // q_negative_sampling left this list in round 11: the users×catalog
   // crossJoin became a bucketed broadcast EQUI-join (per-bucket top-2
   // pre-limit, map-side seen-array prune) — see EventAnalytics.
