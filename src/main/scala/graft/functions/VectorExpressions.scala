@@ -353,6 +353,57 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** `v − s·b` against a reference-object vector — the whitening
+    * center/projection step as one compiled loop (round 16: the
+    * whitenEmbeddingsK zip_with chain was the last interpreted HOF on an
+    * embedding corpus path). Element semantics match the
+    * `zip_with(v, bLit, (x, vv) => x − s·vv)` HOF exactly: output length
+    * max(len(v), len(b)); null element where either side is missing or
+    * the v element is null; the same IEEE tree (multiply then subtract
+    * per element — and `x − 1.0·m ≡ x − m` bit-for-bit, so the centering
+    * call with s = 1 matches the plain-subtraction reference).
+    */
+  def axpyVec(v: ArrayData, s: Double, b: Array[Double]): ArrayData = {
+    val vn = v.numElements()
+    val n = math.max(vn, b.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < vn && i < b.length && !v.isNullAt(i))
+        out(i) = java.lang.Double.valueOf(v.getDouble(i) - s * b(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All-null array of length n — the HOF's `x − NULL·vv` row shape when
+    * the scale input is null but the vector is not (zip_with still emits
+    * a max-length array; every element is null).
+    */
+  def nullVec(n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](n))
+
+  /** Σ floor(x·10⁶)² in wrapping long arithmetic — the
+    * `aggregate(transform(v, x -> floor(x·1e6)::long), 0L, (a, q) -> a + q·q)`
+    * HOF chain (q_embed_norm_hist) as one compiled loop. Fold semantics
+    * match exactly: empty array → 0; any null element poisons the fold to
+    * null (returned as boxed null); terms accumulate left-to-right in
+    * Java long arithmetic (wrap, not saturate — same as the non-ANSI
+    * fold).
+    */
+  def quantNorm2(v: ArrayData): java.lang.Long = {
+    val n = v.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val q = math.floor(v.getDouble(i) * 1000000.0).toLong
+      acc += q * q
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Sign-bucket one vector against the precomputed planes using the
     * QUANTIZED dot product (each term `floor(x * w * 2^30)` is an
     * exactly-representable long, so the sum is order-independent and the
@@ -770,6 +821,112 @@ case class ResidualVec(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `v − s·b` of an `array<double>` vector against a reference-object
+  * vector, with a per-row double scale — the whitening center (s = 1, b =
+  * μ) and deflation-projection (s = ⟨c, vⱼ⟩, b = vⱼ) steps as codegen
+  * kernel calls (see [[VectorOps.axpyVec]] for the element-identity
+  * argument vs the zip_with HOF; LlmSpec pins it). Null iff the vector is
+  * null; a null SCALE with a non-null vector yields the max-length
+  * all-null array — exactly the HOF's `x − NULL·vv` row — so this cannot
+  * use nullSafeEval/nullSafeCodeGen.
+  */
+case class AxpyVec(left: Expression, right: Expression,
+    b: Array[Double]) extends BinaryExpression {
+
+  require(b.nonEmpty, "axpy_vec needs a non-empty reference vector")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"axpy_vec requires (array<double>, double scale), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val vd = v.asInstanceOf[ArrayData]
+    val s = right.eval(input)
+    if (s == null)
+      VectorOps.nullVec(math.max(vd.numElements(), b.length))
+    else VectorOps.axpyVec(vd, s.asInstanceOf[Double], b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bRef = ctx.addReferenceObj("bvec", b, "double[]")
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${rightGen.code}
+          if (${rightGen.isNull}) {
+            ${ev.value} = graft.functions.VectorOps.nullVec(
+              java.lang.Math.max(${leftGen.value}.numElements(), $bRef.length));
+          } else {
+            ${ev.value} = graft.functions.VectorOps.axpyVec(
+              ${leftGen.value}, ${rightGen.value}, $bRef);
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AxpyVec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ floor(x·10⁶)² of an `array<double>` vector in wrapping long
+  * arithmetic — the q_embed_norm_hist per-row norm as one codegen kernel
+  * call (see [[VectorOps.quantNorm2]] for the fold-identity argument vs
+  * the aggregate/transform HOF chain; LlmSpec pins it). Null iff the
+  * vector is null or any element is null (the poisoned fold).
+  */
+case class QuantNorm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quant_norm2 requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.quantNorm2(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("qn2")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VectorOps.quantNorm2($v);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantNorm2 =
+    copy(child = newChild)
+}
+
 /** Element-wise vector sum as a typed Aggregator: the scale-safe M-step
   * primitive for k-means/IVF training. Aggregating WHOLE vectors per
   * centroid keeps the shuffle at one `dim`-length buffer per (centroid ×
@@ -948,6 +1105,17 @@ object VectorExpressions {
       cents: Array[Array[Double]]): Column =
     ColumnBridge.column(ResidualVec(ColumnBridge.expression(v),
       ColumnBridge.expression(cell), cents))
+
+  /** Column-level entry: v − s·b against a reference-object vector
+    * (whitening center/projection kernel). */
+  def axpyVec(v: Column, s: Column, b: Array[Double]): Column =
+    ColumnBridge.column(AxpyVec(ColumnBridge.expression(v),
+      ColumnBridge.expression(s), b))
+
+  /** Column-level entry: Σ floor(x·1e6)² wrapping-long row norm
+    * (embedding-norm health kernel). */
+  def quantNorm2(v: Column): Column =
+    ColumnBridge.column(QuantNorm2(ColumnBridge.expression(v)))
 
   /** Column-level entry: per-element micro-unit floor quantization
     * (`floor(x*1e6)::long` per element). */

@@ -47,6 +47,16 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Interpreted HOF reference of the micro-unit squared-norm fold — the
+    * semantic spec for [[graft.functions.QuantNorm2]] (LlmSpec asserts
+    * exact agreement on the real corpus; q_embed_norm_hist's oracle
+    * states the identical fold in DuckDB).
+    */
+  private[graft] def quantNorm2Hof(c: Column): Column =
+    aggregate(
+      transform(c, x => floor(x.cast(DoubleType) * 1000000d).cast(LongType)),
+      lit(0L), (acc, v) => acc + v * v)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -986,6 +996,26 @@ object Similarity {
     * O(k·d) flops.
     */
   def whitenEmbeddingsK(emb: DataFrame, model: PcaModelK): DataFrame = {
+    // round 16: the AxpyVec kernel (reference-object vectors) replaces
+    // the interpreted zip_with chain — the centering is s = 1 (x − 1·m is
+    // bit-equal to x − m) and each deflation step is s = ⟨c, vⱼ⟩; LlmSpec
+    // pins row identity vs [[whitenEmbeddingsKHof]] on the real corpus
+    val axpy = graft.functions.VectorExpressions.axpyVec _
+    val centered = emb.select(col("vec_id"),
+      axpy(toDouble(col("embedding")), lit(1.0d), model.mu).as("c"))
+    val cleaned = model.components.foldLeft(centered) { (df, v) =>
+      val vLit = typedLit(v.toSeq)
+      df.select(col("vec_id"), col("c"), dot(col("c"), vLit).as("p"))
+        .select(col("vec_id"), axpy(col("c"), col("p"), v).as("c"))
+    }
+    cleaned.select(col("vec_id"), col("c").as("embedding"))
+  }
+
+  /** Interpreted HOF reference of [[whitenEmbeddingsK]] — the semantic
+    * spec for [[graft.functions.AxpyVec]] (LlmSpec asserts exact
+    * agreement on the real corpus).
+    */
+  private[graft] def whitenEmbeddingsKHof(emb: DataFrame, model: PcaModelK): DataFrame = {
     val muLit = typedLit(model.mu.toSeq)
     val centered = emb.select(col("vec_id"),
       zip_with(toDouble(col("embedding")), muLit, (x, m) => x - m)
@@ -1662,10 +1692,12 @@ object Similarity {
         |  cast(min(norm2) as bigint) AS min_norm2,
         |  cast(max(norm2) as bigint) AS max_norm2
         |FROM n2 GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
-      val q = transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * 1000000d).cast(LongType))
+      // round 16: QuantNorm2 kernel (one compiled loop) replaces the
+      // interpreted transform+aggregate per-row chain; fold identity vs
+      // [[quantNorm2Hof]] is spec-pinned (LlmSpec)
       Engine.table(s, dir, "embeddings")
-        .select(aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2"))
+        .select(graft.functions.VectorExpressions
+          .quantNorm2(toDouble(col("embedding"))).as("norm2"))
         .select(when(col("norm2") <= 0L, 0L)
           .otherwise(length(bin(col("norm2"))).cast(LongType)).as("bucket"),
           col("norm2"))

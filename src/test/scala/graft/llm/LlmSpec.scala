@@ -729,6 +729,63 @@ class LlmSpec extends AnyFunSuite {
     assert(bad(1).getSeq[Double](1) == Seq(0.0, -0.25))
   }
 
+  test("AxpyVec kernel: whitenEmbeddingsK is bit-identical to the HOF chain (round 16)") {
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      Similarity.toDouble(col("embedding")))).head().getInt(0)
+    val model = Similarity.pcaModelK(emb, Similarity.whitenComponentsFor(dim))
+    val kernel = Similarity.whitenEmbeddingsK(emb, model)
+    val hof = Similarity.whitenEmbeddingsKHof(emb, model)
+    // exact row identity on the real corpus — centering (s = 1) and every
+    // deflation projection (per-row s) reproduce the zip_with doubles
+    // bit-for-bit
+    assert(kernel.except(hof).isEmpty && hof.except(kernel).isEmpty)
+    assert(kernel.count() === emb.count())
+    // null-edge semantics match zip_with: a null scale yields the
+    // max-length all-null array (NOT a null array); a null vector is null;
+    // a short vector pads with nulls past its length
+    import spark.implicits._
+    val b = Array(1.0, 2.0, 4.0)
+    val rows = Seq(
+      (1L, Some(Seq(10.0, 20.0, 40.0)), Some(2.0)),
+      (2L, Some(Seq(10.0, 20.0, 40.0)), None),
+      (3L, None, Some(2.0)),
+      (4L, Some(Seq(10.0)), Some(1.0)))
+      .toDF("id", "v", "s")
+      .select(col("id"), graft.functions.VectorExpressions
+        .axpyVec(col("v"), col("s"), b).as("r"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Double](1) == Seq(8.0, 16.0, 32.0))
+    assert(!rows(1).isNullAt(1) &&
+      rows(1).getSeq[java.lang.Double](1) == Seq(null, null, null))
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).getSeq[java.lang.Double](1) == Seq(9.0, null, null))
+  }
+
+  test("QuantNorm2 kernel is bit-identical to the HOF fold (round 16)") {
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .quantNorm2(Similarity.toDouble(col("embedding"))).as("n2"))
+    val hof = emb.select(col("vec_id"),
+      Similarity.quantNorm2Hof(col("embedding")).as("n2"))
+    assert(kernel.except(hof).isEmpty && hof.except(kernel).isEmpty)
+    assert(kernel.count() === emb.count())
+    // fold edges: empty array → 0; any null element poisons to null
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Some(Seq[java.lang.Double]())),
+      (2L, Some(Seq[java.lang.Double](1.5, null))),
+      (3L, None))
+      .toDF("id", "v")
+      .select(col("id"), graft.functions.VectorExpressions
+        .quantNorm2(col("v").cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))).as("n2"))
+      .collect().sortBy(_.getLong(0))
+    assert(edge(0).getLong(1) === 0L)
+    assert(edge(1).isNullAt(1))
+    assert(edge(2).isNullAt(1))
+  }
+
   test("AdcTableSum kernel is bit-identical to the HOF zip_with decode") {
     import spark.implicits._
     // the round-13 one-Literal-per-table decode this kernel retires:
