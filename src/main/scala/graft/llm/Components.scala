@@ -1067,6 +1067,42 @@ object Components {
         size(split(col("text"), " ")).cast(DoubleType).as("n_tok"),
         TextAnalysis.lexCount("en").as("n_stop"))
       .select(col("doc_id"), TextAnalysis.qualityPpmCol.as("quality_ppm"))
+    // round 16: the max_by(struct) argmax routed the corpus-sized
+    // cluster aggregation through SortAggregate (the packed-long
+    // lesson). quality_ppm is a [0, 1e6] floor-ppm grid point
+    // (qualityPpmCol's construction — a convex blend of ≤ 1e6 terms), so
+    // quality_ppm·2^42 + (2^42−1 − doc_id) is a 63-bit max whose order ≡
+    // (quality_ppm DESC, doc_id ASC), and shiftright(kp, 42) IS
+    // max(quality_ppm) (the pack's leading component). Codegen
+    // HashAggregate, map-side-combinable; doc_id domain guarded loudly;
+    // [[keepBestFromLabelsRef]] is the spec-pinned semantic reference.
+    val idCap = (1L << 42) - 1
+    val invId = when(col("doc_id") < 0 || col("doc_id") > idCap,
+        raise_error(concat(lit("keepBestFromLabels: doc_id outside "
+          + "[0, 2^42): "), col("doc_id").cast(StringType))))
+      .otherwise(lit(idCap) - col("doc_id")).cast(LongType)
+    val enc = col("quality_ppm") * lit(1L << 42) + invId
+    lab.join(qual, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(enc).as("kp"), count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"),
+        (lit(idCap) - col("kp").bitwiseAND(lit(idCap))).as("keep_id"),
+        shiftright(col("kp"), 42).as("best_quality_ppm"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** The max_by(struct) reference of [[keepBestFromLabels]]'s fused
+    * packed-long argmax (the spec pins exact agreement on the real
+    * pair-graph labeling).
+    */
+  private[graft] def keepBestFromLabelsRef(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val lab = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val qual = docs.select(
+        col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast(DoubleType).as("n_tok"),
+        TextAnalysis.lexCount("en").as("n_stop"))
+      .select(col("doc_id"), TextAnalysis.qualityPpmCol.as("quality_ppm"))
     lab.join(qual, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(

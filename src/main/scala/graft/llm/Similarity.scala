@@ -217,6 +217,38 @@ object Similarity {
           .cast(DoubleType) / 1000000d).as("cos_r"))
   }
 
+  /** [[roundedArgmaxAssign]]'s encoding over an arbitrary scored
+    * candidate frame: per-`grp` argmax of `id` by (6dp-rounded cosine
+    * DESC, id ASC), fused into one packed-long max that stays in codegen
+    * HashAggregate (q_knn_label_acc's per-vector nearest neighbor; the
+    * max_by(struct) form routed the corpus-sized candidate aggregation
+    * through SortAggregate — per-group sorts). Same 63-bit layout and
+    * the same loud id-domain guard; see [[roundedArgmaxAssign]] for the
+    * encoding argument, [[roundedArgmaxByGroupRef]] for the semantic
+    * reference LlmSpec pins against.
+    */
+  def roundedArgmaxByGroup(df: DataFrame, grp: String, id: String,
+      cosR: String, out: String): DataFrame = {
+    val idCap = (1L << 42) - 1
+    val invId = when(col(id) < 0 || col(id) > idCap,
+        raise_error(concat(lit(s"roundedArgmaxByGroup: $id outside "
+          + "[0, 2^42): "), col(id).cast(StringType))))
+      .otherwise(lit(idCap) - col(id)).cast(LongType)
+    val enc = (round(col(cosR) * 1000000d).cast(LongType) + 1000000L)
+      .*(lit(1L << 42)).+(invId)
+    df.groupBy(col(grp))
+      .agg(max(enc).as("kp"))
+      .select(col(grp), (lit(idCap) - col("kp").bitwiseAND(lit(idCap))).as(out))
+  }
+
+  /** The max_by(struct) reference of [[roundedArgmaxByGroup]] (LlmSpec
+    * asserts exact agreement on the real banded candidate set).
+    */
+  private[graft] def roundedArgmaxByGroupRef(df: DataFrame, grp: String,
+      id: String, cosR: String, out: String): DataFrame =
+    df.groupBy(col(grp))
+      .agg(max_by(col(id), struct(col(cosR), col(id) * -1)).as(out))
+
   /** The max_by(struct) reference of [[roundedArgmaxAssign]] — kept as
     * the semantic spec for the fused string-max encoding; LlmSpec asserts
     * exact agreement (cent_id AND the decoded cos_r bits) on the corpus.
@@ -1594,15 +1626,18 @@ object Similarity {
         .union(cands.select(col("d2"), col("d1")))
       val vec = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", norm(col("e")))
-      val nn = sym
+      // round 16: the max_by(struct) argmax routed the candidate-table
+      // aggregation through SortAggregate (r16 packed-long lesson) —
+      // roundedArgmaxByGroup keeps it in codegen HashAggregate,
+      // map-side-combinable, bit-identical (spec-pinned)
+      val nn = roundedArgmaxByGroup(sym
         .join(vec.select(col("vec_id").as("v"), col("e").as("v1"),
           col("nrm").as("n1")), "v")
         .join(vec.select(col("vec_id").as("nb"), col("e").as("v2"),
           col("nrm").as("n2")), "nb")
         .withColumn("cos_r",
-          round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
-        .groupBy(col("v"))
-        .agg(max_by(col("nb"), struct(col("cos_r"), col("nb") * -1)).as("nb"))
+          round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)),
+        "v", "nb", "cos_r", "nb")
       val lab = emb.select(col("vec_id"), col("label"))
       nn.join(lab.toDF("v", "label"), "v")
         .join(lab.toDF("nb", "nb_label"), "nb")

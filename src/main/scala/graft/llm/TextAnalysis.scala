@@ -588,6 +588,39 @@ object TextAnalysis {
     * the graded plan.
     */
   def nbClassify(d: DataFrame): DataFrame = {
+    val sc = nbScores(d)
+    // round 16: min(struct(score_bits, c)) routed the test-doc-sized
+    // argmin through SortAggregate (the packed-long lesson; a struct
+    // buffer with a STRING member is not hash-mutable). The class domain
+    // is 'c0'..'c2' by construction ([[nbPlantedCorpus]]) whose
+    // lexicographic order IS the digit order, and score_bits ≥ 1 (every
+    // term a positive bin-length) — so min(score_bits·4 + digit) over a
+    // long ≡ min(struct(score_bits ASC, c ASC)), in codegen
+    // HashAggregate. Bounds are guarded loudly (a violation would
+    // silently misorder); decode with shiftright/bitmask, never `/`
+    // (CLAUDE.md packed-long rule). [[nbClassifyRef]] keeps the
+    // min(struct) form as the spec-pinned semantic reference.
+    val cIdx = substring(col("c"), 2, 18).cast(LongType)
+    val enc = when(col("score_bits") < 1L
+          || col("score_bits") >= (1L << 61) || cIdx < 0L || cIdx > 3L,
+        raise_error(concat(
+          lit("nbClassify: (score_bits, c) outside the packed domain: "),
+          col("score_bits").cast(StringType), lit(" "), col("c"))))
+      .otherwise(shiftleft(col("score_bits"), 2) + cIdx)
+    sc.groupBy(col("doc_id"), col("cls"))
+      .agg(min(enc).as("kp"))
+      .select(col("doc_id"), col("cls"),
+        concat(lit("c"), col("kp").bitwiseAND(lit(3L)).cast(StringType))
+          .as("pred_cls"),
+        shiftright(col("kp"), 2).as("score_bits"))
+      .withColumn("correct", col("pred_cls") === col("cls"))
+  }
+
+  /** [[nbClassify]]'s scored frame — (doc_id, cls, c, score_bits) for
+    * every (test doc × class): the shared input of the fused finisher
+    * and [[nbClassifyRef]].
+    */
+  private[graft] def nbScores(d: DataFrame): DataFrame = {
     val isTrain = bucketCol(col("doc_id")) % 10 < 8
     val tf = d.select(col("doc_id"), col("cls"), isTrain.as("is_train"),
         explode(toks).as("w"))
@@ -621,12 +654,18 @@ object TextAnalysis {
       .agg(sum(col("tf") * col("bits")).as("tok_bits"))
       .join(broadcast(prior), Seq("c"))
       .withColumn("score_bits", col("tok_bits") + col("prior_bits"))
-      .groupBy(col("doc_id"), col("cls"))
+  }
+
+  /** The min(struct) reference of [[nbClassify]]'s fused packed-long
+    * argmin — semantics twin over the same scored frame; the spec pins
+    * exact agreement on the planted corpus.
+    */
+  private[graft] def nbClassifyRef(sc: DataFrame): DataFrame =
+    sc.groupBy(col("doc_id"), col("cls"))
       .agg(min(struct(col("score_bits"), col("c"))).as("m"))
       .select(col("doc_id"), col("cls"), col("m.c").as("pred_cls"),
         col("m.score_bits").as("score_bits"),
         (col("m.c") === col("cls")).as("correct"))
-  }
 
   /** q_cooccur_window's forward context window (positions ahead of the
     * center token that form a pair) — shared with the oracle SQL.

@@ -47,6 +47,24 @@ object EventAnalytics {
   /** q_dedup_window's cooldown (1 h in µs); shared with its oracle SQL. */
   val debounceUs: Long = 3600L * 1000000L
 
+  /** q_dedup_window's debounce-island frame: every event tagged with its
+    * (user_id, event_type) gap-island number (a new island opens when
+    * the gap to the previous event exceeds [[debounceUs]]). Shared by
+    * the registry builder and the spec's struct-ordering reference
+    * finisher.
+    */
+  private[graft] def dedupWindowIslands(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val brk = when(lag(col("ts"), 1).over(w).isNull
+        .or(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > debounceUs), 1L)
+      .otherwise(0L)
+    ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("island",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** q_funnel_window's conversion box (1 h in µs); shared with its oracle. */
   val convertWindowUs: Long = 3600L * 1000000L
 
@@ -481,19 +499,24 @@ object EventAnalytics {
          |        AS kept_ts FROM isl)
          |GROUP BY user_id, event_type, island, kept_ts
          |ORDER BY user_id, event_type, kept_ts""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      val brk = when(lag(col("ts"), 1).over(w).isNull
-          .or(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-            > debounceUs), 1L)
-        .otherwise(0L)
-      events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("island",
-          sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // round 16: a struct(ts, event_id) min_by ordering key is not
+      // hash-buffer-mutable — the corpus-sized island aggregation paid a
+      // post-window re-Sort + SortAggregate. The SAME total order as one
+      // scalar decimal(38,0) (epoch_us·10^10 + event_id — exact while
+      // event_id ∈ [0, 10^10), guarded loudly; the q_ewma `ord` pack is
+      // the in-file precedent) keeps a fixed-width mutable buffer, so
+      // the aggregate plans as codegen HashAggregate and the extra Sort
+      // disappears. min_by semantics and every output are unchanged;
+      // EventOpsSpec pins fused ≡ struct form on the real events table.
+      val eidCap = 10000000000L
+      val ord = when(col("event_id") < 0 || col("event_id") >= eidCap,
+          raise_error(concat(lit("q_dedup_window: event_id outside "
+            + "[0, 10^10): "), col("event_id").cast(StringType))))
+        .otherwise(unix_micros(col("ts")).cast(DecimalType(38, 0))
+          * eidCap + col("event_id"))
+      dedupWindowIslands(events(s, dir))
         .groupBy(col("user_id"), col("event_type"), col("island"))
-        .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
-          .as("kept_event_id"),
+        .agg(min_by(col("event_id"), ord).as("kept_event_id"),
           min(col("ts")).as("kept_ts"),
           (count(lit(1)) - 1).as("n_suppressed"))
         .select(col("user_id"), col("event_type"), col("kept_event_id"),

@@ -16,6 +16,21 @@ import graft.TestSpark
 class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("fused packed-long keepBestFromLabels equals the max_by reference (round 16)") {
+    val labels = Components.connectedComponents(
+      Components.simhashPairs(spark, TestSpark.sfDir))
+    val docs = graft.Engine.table(spark, TestSpark.sfDir, "documents")
+    val fused = Components.keepBestFromLabels(labels, docs)
+    val ref = Components.keepBestFromLabelsRef(labels, docs)
+    assert(fused.except(ref).isEmpty && ref.except(fused).isEmpty)
+    assert(fused.count() > 0)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"fused keep-best argmax regressed to a sort/object aggregate:\n$plan")
+    val refPlan = ref.queryExecution.executedPlan.toString
+    assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
+  }
+
   test("q_contrastive_pairs: positives are graph neighbors, negatives never are, draw is deterministic") {
     val q = graft.Registry.all("q_contrastive_pairs")
     val a = q.fn(spark, TestSpark.sfDir).collect()

@@ -710,6 +710,47 @@ class LlmSpec extends AnyFunSuite {
     assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
   }
 
+  test("fused packed-long roundedArgmaxByGroup equals the max_by reference on the knn candidates (round 16)") {
+    // the REAL banded candidate set q_knn_label_acc aggregates — same
+    // 63-bit encode as roundedArgmaxAssign, over an arbitrary grouped
+    // frame
+    val nPlanes = Dedup.embedPlanesFor(emb.count())
+    val cands = Dedup.embedBandCandidates(emb, nPlanes)
+    val sym = cands.select(col("d1").as("v"), col("d2").as("nb"))
+      .union(cands.select(col("d2"), col("d1")))
+    val vec = emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val scored = sym
+      .join(vec.select(col("vec_id").as("v"), col("e").as("v1"),
+        col("nrm").as("n1")), "v")
+      .join(vec.select(col("vec_id").as("nb"), col("e").as("v2"),
+        col("nrm").as("n2")), "nb")
+      .withColumn("cos_r",
+        round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .select(col("v"), col("nb"), col("cos_r"))
+    val fused = Similarity.roundedArgmaxByGroup(scored, "v", "nb", "cos_r", "nb")
+    val ref = Similarity.roundedArgmaxByGroupRef(scored, "v", "nb", "cos_r", "nb")
+    assert(fused.except(ref).isEmpty && ref.except(fused).isEmpty)
+    assert(fused.count() > 0)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"fused knn argmax regressed to a sort/object aggregate:\n$plan")
+    val refPlan = ref.queryExecution.executedPlan.toString
+    assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
+  }
+
+  test("fused packed-long nbClassify argmin equals the min(struct) reference (round 16)") {
+    val planted = TextAnalysis.nbPlantedCorpus(docs)
+    val fused = TextAnalysis.nbClassify(planted)
+    val ref = TextAnalysis.nbClassifyRef(TextAnalysis.nbScores(planted))
+    assert(fused.except(ref).isEmpty && ref.except(fused).isEmpty)
+    assert(fused.count() > 0)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"fused nb argmin regressed to a sort/object aggregate:\n$plan")
+  }
+
   test("ResidualVec kernel is bit-identical to the HOF zip_with subtraction (round 16)") {
     val cents = Similarity.ivfCentroids(emb, 16).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

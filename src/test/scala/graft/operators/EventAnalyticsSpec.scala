@@ -18,6 +18,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("q_dedup_window: decimal-ord min_by equals the struct-ordering reference (round 16)") {
+    val fused = graft.Registry.all("q_dedup_window").fn(spark, TestSpark.sfDir)
+    val ref = EventAnalytics.dedupWindowIslands(
+        graft.Engine.table(spark, TestSpark.sfDir, "events"))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+        .as("kept_event_id"),
+        min(col("ts")).as("kept_ts"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .select(col("user_id"), col("event_type"), col("kept_event_id"),
+        col("kept_ts"), col("n_suppressed"))
+    assert(fused.except(ref).isEmpty && ref.except(fused).isEmpty)
+    assert(fused.count() > 0)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"decimal-ord min_by regressed to a sort/object aggregate:\n$plan")
+    val refPlan = ref.queryExecution.executedPlan.toString
+    assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
+  }
+
   test("sessionize: a gap of exactly gapUs stays in-session; one more µs splits") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L),
