@@ -63,6 +63,143 @@ object TextOps {
     }
   }
 
+  /** Non-overlapping `width`-token chunks ("lines") joined with ' ' —
+    * the docLines `transform(sequence…, i -> array_join(slice(t, i·w+1,
+    * w), ' '))` chain as byte slices: a w-token chunk of a
+    * space-separated string IS a contiguous byte slice, so nothing is
+    * materialized but the output strings. ceil(nTokens/width) chunks,
+    * short tail included — exactly the HOF's sequence bound.
+    */
+  def lineChunks(input: UTF8String, width: Int): ArrayData = {
+    val b = input.getBytes
+    val starts = tokenStarts(b)
+    val nTokens = starts.length - 1
+    val n = (nTokens + width - 1) / width
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val a = i * width
+      val e = math.min(a + width, nTokens)
+      val off = starts(a)
+      out(i) = UTF8String.fromBytes(b, off, starts(e) - 1 - off)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** In-window co-occurrence pair strings "t[i] t[j]" (i < j ≤ i+window,
+    * both sides in token order) — the nested transform+flatten chain of
+    * q_cooccur_window as one compiled loop over byte slices; the HOF's
+    * empty array when fewer than 2 tokens. Pair order matches the HOF's
+    * flatten exactly (outer i ascending, inner j ascending).
+    */
+  def cooccurPairs(input: UTF8String, window: Int): ArrayData = {
+    val b = input.getBytes
+    val starts = tokenStarts(b)
+    val n = starts.length - 1
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    var total = 0
+    var i = 0
+    while (i < n - 1) { total += math.min(window, n - 1 - i); i += 1 }
+    val out = new Array[Any](total)
+    var p = 0
+    i = 0
+    while (i < n - 1) {
+      val iOff = starts(i)
+      val iLen = starts(i + 1) - 1 - iOff
+      val jMax = math.min(i + window, n - 1)
+      var j = i + 1
+      while (j <= jMax) {
+        val jOff = starts(j)
+        val jLen = starts(j + 1) - 1 - jOff
+        val arr = new Array[Byte](iLen + 1 + jLen)
+        System.arraycopy(b, iOff, arr, 0, iLen)
+        arr(iLen) = ' '.toByte
+        System.arraycopy(b, jOff, arr, iLen + 1, jLen)
+        out(p) = UTF8String.fromBytes(arr)
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of space-delimited tokens byte-equal to any of `words` — the
+    * `size(filter(split(text, ' '), x.isin(words…)))` HOF chain as one
+    * byte scan: no token array, no per-token interpreted predicate.
+    * Byte equality ≡ string equality in UTF-8 (multibyte lexicon entries
+    * included), and an empty token can never match a non-empty word, so
+    * consecutive/leading/trailing spaces count identically to the HOF.
+    */
+  def lexHits(input: UTF8String, words: Array[Array[Byte]]): Long = {
+    // zero-copy: getByte reads the UnsafeRow bytes in place — a
+    // getBytes() array copy per call measured SLOWER than the split
+    // form it replaces when several signals scan the same text
+    val nb = input.numBytes()
+    var hits = 0L
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || input.getByte(i) == ' '.toByte) {
+        val len = i - start
+        var w = 0
+        var matched = false
+        while (!matched && w < words.length) {
+          val wb = words(w)
+          if (wb.length == len) {
+            var j = 0
+            while (j < len && wb(j) == input.getByte(start + j)) j += 1
+            matched = j == len
+          }
+          w += 1
+        }
+        if (matched) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** Count of space-delimited tokens fully matching `[a-z]+` — the
+    * `size(filter(split(text, ' '), x.rlike("^[a-z]+$")))` chain as one
+    * byte scan. ASCII a–z bytes never occur inside multibyte UTF-8
+    * sequences, so the byte test IS the character test; an empty token
+    * fails the `+`.
+    */
+  def alphaHits(input: UTF8String): Long = {
+    val nb = input.numBytes()
+    var hits = 0L
+    var alpha = true
+    var len = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || input.getByte(i) == ' '.toByte) {
+        if (alpha && len > 0) hits += 1
+        alpha = true; len = 0
+      } else {
+        val c = input.getByte(i)
+        if (c < 'a'.toByte || c > 'z'.toByte) alpha = false
+        len += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** `size(split(text, ' '))` without materializing the token array:
+    * fields = single-space delimiters + 1 (split's limit −1 keeps
+    * leading/trailing empties, so the identity is exact).
+    */
+  def tokCount(input: UTF8String): Long = {
+    val nb = input.numBytes()
+    var n = 1L
+    var i = 0
+    while (i < nb) { if (input.getByte(i) == ' '.toByte) n += 1; i += 1 }
+    n
+  }
+
   /** All C(n,2) ordered pairs (i < j positions) of a long array — the
     * posting-list pair generator for the inverted-index Jaccard path.
     * On a sorted list the output is exactly the (d1 < d2) pair multiset
@@ -422,6 +559,123 @@ case class CmsHashes(child: Expression, depth: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row fixed-width token chunks (see [[TextOps.lineChunks]]) — the
+  * round-16 codegen replacement for docLines' interpreted
+  * transform+slice+array_join lambda on the boilerplate-dedup corpus
+  * path. Null iff the text is null — downstream posexplode drops the
+  * row either way, exactly the HOF's null propagation.
+  */
+case class LineChunks(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width >= 1, "line_chunks needs width >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.lineChunks(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.lineChunks($c, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): LineChunks =
+    copy(child = newChild)
+}
+
+/** Per-row co-occurrence pair strings (see [[TextOps.cooccurPairs]]) —
+  * the round-16 codegen replacement for q_cooccur_window's nested
+  * transform+flatten lambda. Null iff the text is null, where the HOF's
+  * CASE yields an empty array — indistinguishable downstream of the
+  * consumer's explode (both drop the row); the real corpus has no null
+  * text (spec-pinned row identity there).
+  */
+case class CooccurPairs(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window >= 1, "cooccur_pairs needs window >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.cooccurPairs(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.cooccurPairs($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): CooccurPairs =
+    copy(child = newChild)
+}
+
+/** Per-row lexicon-hit count (see [[TextOps.lexHits]]) — the round-16
+  * codegen replacement for the interpreted `filter(split(text), isin)`
+  * lambda on every stopword/density corpus path (quality ppm, gopher,
+  * language-ID densities). Null iff the text is null, matching the HOF's
+  * size(null) = null; the HOF form stays in-source as the spec-pinned
+  * reference (TextAnalysis.lexCountHof).
+  */
+case class LexHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  require(words.nonEmpty && words.forall(_.nonEmpty),
+    "lex_hits needs non-empty words")
+
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes("UTF-8")).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.lexHits(input.asInstanceOf[UTF8String], wordBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lexwords", wordBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.lexHits($c, $wRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexHits =
+    copy(child = newChild)
+}
+
+/** Per-row count of fully-alphabetic tokens (see [[TextOps.alphaHits]])
+  * — replaces the interpreted per-token `rlike("^[a-z]+$")` filter on
+  * the gopher/quality-model corpus paths.
+  */
+case class AlphaHits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.alphaHits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.alphaHits($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AlphaHits =
+    copy(child = newChild)
+}
+
+/** Per-row token count (see [[TextOps.tokCount]]) — `size(split(text,
+  * ' '))` without the array materialization.
+  */
+case class TokCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.tokCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.tokCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokCount =
+    copy(child = newChild)
+}
+
 object MinhashSignature {
   /** Default portable seed prefixes (the engine's 6 md5 "permutations");
     * [[graft.llm.Dedup.minhashSeeds]] aliases this so the expression, the
@@ -446,4 +700,19 @@ object TextExpressions {
 
   def cmsHashes(key: Column, depth: Int): Column =
     ColumnBridge.column(CmsHashes(ColumnBridge.expression(key), depth))
+
+  def lineChunks(text: Column, width: Int): Column =
+    ColumnBridge.column(LineChunks(ColumnBridge.expression(text), width))
+
+  def cooccurPairs(text: Column, window: Int): Column =
+    ColumnBridge.column(CooccurPairs(ColumnBridge.expression(text), window))
+
+  def lexHits(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(LexHits(ColumnBridge.expression(text), words))
+
+  def alphaHits(text: Column): Column =
+    ColumnBridge.column(AlphaHits(ColumnBridge.expression(text)))
+
+  def tokCount(text: Column): Column =
+    ColumnBridge.column(TokCount(ColumnBridge.expression(text)))
 }

@@ -873,6 +873,18 @@ object Dedup {
     * one explode — no shuffle until the frequency agg.
     */
   private[graft] def docLines(d: DataFrame, width: Int): DataFrame =
+    // round 16: the transform+slice+array_join lambda ran interpreted
+    // per corpus row — the LineChunks kernel is the compiled byte-slice
+    // form; [[docLinesHof]] is the spec-pinned reference
+    d.select(col("doc_id"), posexplode(graft.functions.TextExpressions
+        .lineChunks(col("text"), width)))
+      .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"))
+
+  /** Interpreted HOF reference of [[docLines]] — the semantic spec for
+    * [[graft.functions.LineChunks]] (LlmSpec asserts exact row identity
+    * on the corpus; the oracle SQL states the identical chunking).
+    */
+  private[graft] def docLinesHof(d: DataFrame, width: Int): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast((size(t) + ${width - 1}) div $width as int) - 1), " +

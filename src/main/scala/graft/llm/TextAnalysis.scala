@@ -685,6 +685,18 @@ object TextAnalysis {
     * sequence(1, 0) would generate a DESCENDING range, not an empty one.
     */
   def cooccurPairs(d: DataFrame, window: Int = cooccurWindow): DataFrame =
+    // round 16: the nested transform+flatten lambda ran interpreted per
+    // corpus row — the CooccurPairs kernel is the compiled form
+    // (byte-slice pairs, identical order); [[cooccurPairsHof]] is the
+    // spec-pinned reference
+    d.select(explode(graft.functions.TextExpressions
+      .cooccurPairs(col("text"), window)).as("pair"))
+
+  /** Interpreted HOF reference of [[cooccurPairs]] — the semantic spec
+    * for [[graft.functions.CooccurPairs]] (LlmSpec asserts exact pair
+    * rows on the corpus; the oracle SQL states the identical nesting).
+    */
+  private[graft] def cooccurPairsHof(d: DataFrame, window: Int = cooccurWindow): DataFrame =
     d.select(split(col("text"), " ").as("t"))
       .select(explode(expr(
         s"""CASE WHEN size(t) >= 2 THEN
@@ -709,10 +721,15 @@ object TextAnalysis {
     * projection, no shuffle.
     */
   def gopherRules(d: DataFrame): DataFrame = {
-    val nTok = size(toks).cast(LongType)
-    val sumLen = aggregate(transform(toks, x => length(x).cast(LongType)),
-      lit(0L), (a, x) => a + x)
-    val alphaCnt = size(filter(toks, x => x.rlike("^[a-z]+$"))).cast(LongType)
+    // round 16: the three token-array signals become codegen byte scans
+    // — tokCount/alphaHits kernels plus the exact Σlen identity
+    // (every char is a token char or one of the n_tok−1 single-space
+    // delimiters, so Σ token length = length(text) − (n_tok − 1),
+    // empty-token cases included). HOF references: [[tokCountHof]] /
+    // [[sumLenHof]] / [[alphaCntHof]], spec-pinned on the corpus.
+    val nTok = graft.functions.TextExpressions.tokCount(col("text"))
+    val sumLen = length(col("text")).cast(LongType) - (nTok - 1L)
+    val alphaCnt = graft.functions.TextExpressions.alphaHits(col("text"))
     // two steps so the div operands are named columns in expr scope
     d.select(col("doc_id"), nTok.as("n_tok"), sumLen.as("sum_len"),
       alphaCnt.as("alpha_cnt"), lexCount("en").cast(LongType).as("stop_hits"))
@@ -753,10 +770,10 @@ object TextAnalysis {
     * minified blobs sit far from it).
     */
   private[graft] def qualityModelFeatures(d: DataFrame): DataFrame = {
-    val nTok = size(toks).cast(LongType)
-    val sumLen = aggregate(transform(toks, x => length(x).cast(LongType)),
-      lit(0L), (a, x) => a + x)
-    val alphaCnt = size(filter(toks, x => x.rlike("^[a-z]+$"))).cast(LongType)
+    // round 16: same kernel/identity trio as gopherRules (spec-pinned)
+    val nTok = graft.functions.TextExpressions.tokCount(col("text"))
+    val sumLen = length(col("text")).cast(LongType) - (nTok - 1L)
+    val alphaCnt = graft.functions.TextExpressions.alphaHits(col("text"))
     d.withColumn("n_tok", nTok).withColumn("sum_len", sumLen)
       .withColumn("alpha_cnt", alphaCnt)
       .withColumn("stop_hits", lexCount("en").cast(LongType))
@@ -783,10 +800,27 @@ object TextAnalysis {
       .mkString(" + ")}) div 1000")
   }
 
-  private[llm] def lexCount(lang: String): Column = {
+  // round 16: the filter(split, isin) HOF ran an interpreted per-token
+  // predicate on every stopword/density corpus path — the LexHits byte
+  // scan is the codegen form; [[lexCountHof]] stays as the spec-pinned
+  // semantic reference (TextStatsSpec pins bit-identity on the corpus)
+  private[llm] def lexCount(lang: String): Column =
+    graft.functions.TextExpressions.lexHits(col("text"), lexicons(lang))
+      .cast(DoubleType)
+  private[graft] def lexCountHof(lang: String): Column = {
     val words = lexicons(lang)
     size(filter(toks, x => x.isin(words: _*))).cast(DoubleType)
   }
+  /** HOF/split references of the round-16 text-stat kernels and the Σlen
+    * identity (spec-pinned semantic twins of tokCount / the
+    * length-minus-delimiters sum / alphaHits).
+    */
+  private[graft] def tokCountHof: Column = size(toks).cast(LongType)
+  private[graft] def sumLenHof: Column =
+    aggregate(transform(toks, x => length(x).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+  private[graft] def alphaCntHof: Column =
+    size(filter(toks, x => x.rlike("^[a-z]+$"))).cast(LongType)
   private[llm] def oLexCount(lang: String): String = {
     val in = lexicons(lang).map(w => s"'$w'").mkString(", ")
     s"cast(len(list_filter(string_split(text, ' '), x -> x IN ($in))) as double)"

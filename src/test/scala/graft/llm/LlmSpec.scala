@@ -710,6 +710,74 @@ class LlmSpec extends AnyFunSuite {
     assert(refPlan.contains("ObjectHashAggregate") || refPlan.contains("SortAggregate"))
   }
 
+  test("text-stat kernels equal the HOF/split references on the corpus (round 16)") {
+    // lexHits per language (multibyte zh included), alphaHits, tokCount,
+    // and the Σlen identity — bit-identical to the interpreted forms on
+    // every document
+    val kernel = docs.select(col("doc_id") +:
+      (TextAnalysis.lexicons.keys.toSeq.sorted.map(l =>
+        TextAnalysis.lexCount(l).as(s"lex_$l")) ++ Seq(
+        graft.functions.TextExpressions.alphaHits(col("text")).as("alpha"),
+        graft.functions.TextExpressions.tokCount(col("text")).as("ntok"),
+        (length(col("text")).cast("long") -
+          (graft.functions.TextExpressions.tokCount(col("text")) - 1L))
+          .as("sumlen"))): _*)
+    val hof = docs.select(col("doc_id") +:
+      (TextAnalysis.lexicons.keys.toSeq.sorted.map(l =>
+        TextAnalysis.lexCountHof(l).as(s"lex_$l")) ++ Seq(
+        TextAnalysis.alphaCntHof.as("alpha"),
+        TextAnalysis.tokCountHof.as("ntok"),
+        TextAnalysis.sumLenHof.as("sumlen"))): _*)
+    assert(kernel.except(hof).isEmpty && hof.except(kernel).isEmpty)
+    assert(kernel.count() === docs.count())
+    // edge shapes split() is picky about: empty text, leading/trailing/
+    // consecutive spaces (empty tokens), multibyte + non-alpha mixes
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, " "), (3L, "the  the "), (4L, " 的 a1 z"),
+      (5L, "the quick 的 brown fox"))
+      .toDF("doc_id", "text")
+    val ek = edge.select(col("doc_id"), TextAnalysis.lexCount("en").as("l"),
+      TextAnalysis.lexCount("zh").as("z"),
+      graft.functions.TextExpressions.alphaHits(col("text")).as("a"),
+      graft.functions.TextExpressions.tokCount(col("text")).as("n"))
+    val eh = edge.select(col("doc_id"), TextAnalysis.lexCountHof("en").as("l"),
+      TextAnalysis.lexCountHof("zh").as("z"),
+      TextAnalysis.alphaCntHof.as("a"), TextAnalysis.tokCountHof.as("n"))
+    assert(ek.except(eh).isEmpty && eh.except(ek).isEmpty)
+    assert(ek.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq == Seq(
+      Seq(1L, 0.0, 0.0, 0L, 1L), Seq(2L, 0.0, 0.0, 0L, 2L),
+      Seq(3L, 2.0, 0.0, 2L, 4L), Seq(4L, 0.0, 1.0, 1L, 4L),
+      Seq(5L, 1.0, 1.0, 4L, 5L)))
+  }
+
+  test("LineChunks / CooccurPairs kernels equal the HOF chains row-for-row (round 16)") {
+    // docLines: exact (doc_id, line_no, line) identity on the corpus
+    val lk = Dedup.docLines(docs, 3)
+    val lh = Dedup.docLinesHof(docs, 3)
+    assert(lk.except(lh).isEmpty && lh.except(lk).isEmpty)
+    assert(lk.count() === lh.count() && lk.count() > 0)
+    // cooccur pairs: exact pair multiset (count per pair) on the corpus
+    val pk = TextAnalysis.cooccurPairs(docs).groupBy(col("pair")).count()
+    val ph = TextAnalysis.cooccurPairsHof(docs).groupBy(col("pair")).count()
+    assert(pk.except(ph).isEmpty && ph.except(pk).isEmpty)
+    // edge shapes: 1 token (empty pairs), empty text, short tail chunk,
+    // window clamp at the end, empty tokens from double spaces
+    import spark.implicits._
+    val edge = Seq((1L, "a"), (2L, ""), (3L, "a b c d e f g"),
+      (4L, "x  y")).toDF("doc_id", "text")
+    val ek = TextAnalysis.cooccurPairs(edge).collect().map(_.getString(0)).toSeq
+    val eh = TextAnalysis.cooccurPairsHof(edge).collect().map(_.getString(0)).toSeq
+    assert(ek.sorted === eh.sorted)
+    assert(ek.contains("x ") && ek.contains(" y")) // empty middle token pairs
+    val ck = Dedup.docLines(edge, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    val ch = Dedup.docLinesHof(edge, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(ck === ch)
+    assert(ck.map(_._3).contains("a b c") && ck.map(_._3).contains("d e f")
+      && ck.map(_._3).contains("g")) // short tail chunk
+  }
+
   test("fused packed-long roundedArgmaxByGroup equals the max_by reference on the knn candidates (round 16)") {
     // the REAL banded candidate set q_knn_label_acc aggregates — same
     // 63-bit encode as roundedArgmaxAssign, over an arbitrary grouped
